@@ -1,0 +1,52 @@
+"""Registry of all declared queries + their DuckDB oracle SQL.
+
+The driver contract (`__spark_entry__.py`) re-exports these: every operator
+claimed in SURVEY.md §2 has a `queries()` entry here, and (when
+SQL-expressible) a matching oracle for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipegen_spark.queries import relational
+from pipegen_spark.queries.oracle import RELATIONAL_ORACLE
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _collect(module) -> dict[str, QueryFn]:
+    out = {}
+    for name in dir(module):
+        if name.startswith("q") or name.startswith(
+            ("dedup_", "simsearch_", "text_", "multimodal_")
+        ):
+            fn = getattr(module, name)
+            if callable(fn):
+                out[name] = fn
+    return out
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(_collect(relational))
+    try:
+        from pipegen_spark.queries import training_data
+
+        out.update(_collect(training_data))
+    except ImportError:
+        pass
+    return out
+
+
+def oracle_queries() -> dict[str, str]:
+    out = dict(RELATIONAL_ORACLE)
+    try:
+        from pipegen_spark.queries.training_oracle import TRAINING_ORACLE
+
+        out.update(TRAINING_ORACLE)
+    except ImportError:
+        pass
+    return out

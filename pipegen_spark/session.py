@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+The reference delegates physical execution to Flink with static defaults
+(parallelism 1, 4 slots — internal/templates/files/config/flink-conf.yaml:11-17).
+Here the equivalent knobs are Spark confs, sized so the same code runs on
+local[N] for tests and on a large cluster unchanged:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast conversion replace hand-tuned parallelism.
+- shuffle.partitions defaults to 2x cores locally; on a real cluster the
+  value is overridden by the deployer (or left to AQE's coalescing).
+- Arrow enabled: pandas_udf / toPandas exchange is vectorized.
+- Session timezone pinned to UTC so event-time semantics are stable across
+  driver environments (parquet timestamps are UTC-normalized).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "pipegen-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    `cpus` defaults to $SPARK_GRAFT_CPUS (driver contract) or all cores.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    try:
+        n = int(cpus)
+    except (TypeError, ValueError):
+        n = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
