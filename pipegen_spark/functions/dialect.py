@@ -1,0 +1,234 @@
+"""Dual-dialect SQL expression builders (Spark SQL + DuckDB).
+
+Every builder returns a SQL fragment string for the requested dialect. The
+Spark side is consumed via `F.expr(...)` inside DataFrame plans (JVM-side,
+whole-stage codegen — no Python UDFs); the DuckDB side is assembled into the
+oracle queries. Keeping one template per primitive guarantees the engine and
+its oracle compute the *same* function, including:
+
+- 60-bit deterministic hash from md5 (portable across engines, unlike
+  murmur3 `hash()`),
+- left-fold accumulation for anything summing doubles inside a row, so IEEE
+  addition order is fixed and results are bit-identical,
+- set-style array ops with explicit distinct semantics.
+
+All integer hash math is done mod M31 = 2^31-1 so products with small
+multipliers stay far below int64 overflow (ANSI mode would error on it).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duckdb"
+
+# Mersenne prime 2^31-1: hash values stay < 2^31, products with 32-bit
+# coefficients fit comfortably in int64.
+M31 = 2_147_483_647
+
+
+def _check(d: str) -> None:
+    if d not in (SPARK, DUCK):
+        raise ValueError(f"unknown dialect {d!r}")
+
+
+def hash60(s: str, d: str) -> str:
+    """Deterministic 60-bit non-negative hash of a string expression."""
+    _check(d)
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({s}),1,15),16,10) AS BIGINT)"
+    return f"CAST(('0x'||substr(md5({s}),1,15)) AS BIGINT)"
+
+
+def hash_m31(s: str, d: str) -> str:
+    """hash60 reduced mod 2^31-1 (safe for linear-permutation minhash)."""
+    return f"(({hash60(s, d)}) % {M31})"
+
+
+def words(s: str, d: str) -> str:
+    """Lower-cased alphanumeric tokens of a text expression (no empties)."""
+    _check(d)
+    if d == SPARK:
+        return f"filter(split(lower({s}),'[^a-z0-9]+'), x -> x <> '')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({s}),'[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+
+
+def transform(arr: str, lam: str, d: str) -> str:
+    _check(d)
+    return f"transform({arr}, {lam})" if d == SPARK else f"list_transform({arr}, {lam})"
+
+
+def filter_(arr: str, lam: str, d: str) -> str:
+    _check(d)
+    return f"filter({arr}, {lam})" if d == SPARK else f"list_filter({arr}, {lam})"
+
+
+def fold(arr: str, init: str, lam: str, d: str) -> str:
+    """Sequential left fold: Spark `aggregate`, DuckDB `list_reduce` with the
+    init prepended (DuckDB's reduce seeds from the first element)."""
+    _check(d)
+    if d == SPARK:
+        return f"aggregate({arr}, {init}, {lam})"
+    return f"list_reduce(list_prepend({init}, {arr}), {lam})"
+
+
+def elem(arr: str, i: str, d: str) -> str:
+    """1-based element access."""
+    _check(d)
+    return f"element_at({arr},{i})" if d == SPARK else f"list_extract({arr},{i})"
+
+
+def size(arr: str, d: str) -> str:
+    _check(d)
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def arr_distinct(arr: str, d: str) -> str:
+    _check(d)
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def arr_min(arr: str, d: str) -> str:
+    _check(d)
+    return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
+
+
+def intersect_size(a: str, b: str, d: str) -> str:
+    """|A ∩ B| for distinct arrays."""
+    _check(d)
+    if d == SPARK:
+        return f"size(array_intersect({a},{b}))"
+    return f"len(list_intersect({a},{b}))"
+
+
+def union_size(a: str, b: str, d: str) -> str:
+    """|A ∪ B| for distinct arrays."""
+    _check(d)
+    if d == SPARK:
+        return f"size(array_union({a},{b}))"
+    return f"len(list_distinct(list_concat({a},{b})))"
+
+
+def contains(arr: str, x: str, d: str) -> str:
+    _check(d)
+    return f"array_contains({arr},{x})" if d == SPARK else f"list_contains({arr},{x})"
+
+
+def slice_(arr: str, start: int, length: int, d: str) -> str:
+    """1-based slice of `length` elements starting at `start`."""
+    _check(d)
+    if d == SPARK:
+        return f"slice({arr},{start},{length})"
+    return f"({arr})[{start}:{start + length - 1}]"
+
+
+def arr_join(arr: str, sep: str, d: str) -> str:
+    _check(d)
+    if d == SPARK:
+        return f"array_join({arr},'{sep}')"
+    return f"array_to_string({arr},'{sep}')"
+
+
+def seq(lo: str, hi: str, d: str) -> str:
+    """Inclusive integer sequence [lo, hi] as an array."""
+    _check(d)
+    return f"sequence({lo},{hi})" if d == SPARK else f"range({lo},({hi})+1)"
+
+
+def regexp_replace_all(s: str, pat: str, rep: str, d: str) -> str:
+    """Global regexp replace (DuckDB defaults to first-match-only)."""
+    _check(d)
+    if d == SPARK:
+        return f"regexp_replace({s},'{pat}','{rep}')"
+    return f"regexp_replace({s},'{pat}','{rep}','g')"
+
+
+def shr(x: str, n: str, d: str) -> str:
+    _check(d)
+    return f"shiftright({x},{n})" if d == SPARK else f"(({x}) >> ({n}))"
+
+
+def shl(x: str, n: int, d: str) -> str:
+    _check(d)
+    return f"shiftleft({x},{n})" if d == SPARK else f"(({x}) << {n})"
+
+
+# --- composite builders ------------------------------------------------------
+
+
+def word_shingles(words_expr: str, k: int, d: str) -> str:
+    """Distinct k-word shingles (space-joined) from a token-array expression.
+
+    k=1 returns the distinct token set. Documents shorter than k yield an
+    empty array.
+    """
+    if k == 1:
+        return arr_distinct(words_expr, d)
+    w = words_expr
+    parts = [elem("__w", f"(i+{j})" if j else "i", d) for j in range(k)]
+    if d == SPARK:
+        body = "concat(" + ", ' ', ".join(parts) + ")"
+    else:
+        body = " || ' ' || ".join(parts)
+    idx = seq("1", f"{size('__w', d)}-{k - 1}", d)
+    shingled = transform(idx, f"i -> {body}", d).replace("__w", w)
+    guarded = (
+        f"CASE WHEN {size(w, d)} >= {k} THEN {arr_distinct(shingled, d)} "
+        f"ELSE {arr_distinct(slice_(w, 1, 0, d), d)} END"
+    )
+    return guarded
+
+
+def dot_double(a: str, b: str, dim_expr: str, d: str) -> str:
+    """Dot product of two float arrays in DOUBLE via sequential left fold —
+    bit-identical across engines (fixed association order)."""
+    prods = transform(
+        seq("1", dim_expr, d),
+        f"i -> CAST({elem(a, 'i', d)} AS DOUBLE) * CAST({elem(b, 'i', d)} AS DOUBLE)",
+        d,
+    )
+    return fold(prods, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
+
+
+def norm2_double(a: str, dim_expr: str, d: str) -> str:
+    """Squared L2 norm in DOUBLE (same fold discipline)."""
+    sq = transform(
+        seq("1", dim_expr, d),
+        f"i -> CAST({elem(a, 'i', d)} AS DOUBLE) * CAST({elem(a, 'i', d)} AS DOUBLE)",
+        d,
+    )
+    return fold(sq, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
+
+
+def cosine_double(a: str, b: str, dim_expr: str, d: str) -> str:
+    return (
+        f"({dot_double(a, b, dim_expr, d)}) / "
+        f"(sqrt({norm2_double(a, dim_expr, d)}) * sqrt({norm2_double(b, dim_expr, d)}))"
+    )
+
+
+def minhash_sig_entry(shingles_expr: str, a: int, b: int, d: str) -> str:
+    """One minhash signature entry: min over shingles of (a*h + b) mod M31.
+
+    Empty shingle set → M31 (sentinel larger than any hash)."""
+    hashed = transform(
+        shingles_expr, f"s -> (({a} * ({hash_m31('s', d)}) + {b}) % {M31})", d
+    )
+    return (
+        f"CASE WHEN {size(shingles_expr, d)} > 0 THEN {arr_min(hashed, d)} "
+        f"ELSE {M31} END"
+    )
+
+
+def rolling_fingerprint(words_expr: str, d: str) -> str:
+    """Order-sensitive document fingerprint: left fold
+    acc = (acc*31 + hash_m31(word)) mod M31."""
+    hashed = transform(words_expr, f"w -> {hash_m31('w', d)}", d)
+    return fold(
+        hashed,
+        "CAST(0 AS BIGINT)",
+        f"(acc,x) -> (acc * 31 + x) % {M31}",
+        d,
+    )

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB discipline):
+- Signatures (minhash / simhash / fingerprints) are computed *per row* with
+  array expressions — map-only, no shuffle, no Python.
+- Candidate generation shuffles only (band_key → doc_id) pairs, never
+  documents: LSH banding keeps the self-join linear in corpus size instead
+  of quadratic.
+- Verification joins shingle-set arrays back by doc_id (hash-partitioned
+  equi-join) and computes exact Jaccard per candidate pair.
+- Exact dedup is a keep-first window over the content hash; at scale the
+  hash-partitioned shuffle is the minimum possible data movement (only
+  [hash, id] pairs if you project first).
+
+All expressions come from functions/dialect.py so the DuckDB oracle renders
+the identical computation (see queries/training_oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipegen_spark.functions import dialect as dl
+
+# --- minhash configuration (shared with the oracle) -------------------------
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+# Deterministic linear-permutation coefficients mod M31.
+PERM_A = tuple(2 * p + 1 for p in range(N_PERMS))
+PERM_B = tuple((7919 * (p + 1)) % dl.M31 for p in range(N_PERMS))
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first exact dedup: content hash + row_number, `is_dup` marks
+    every copy after the lowest id. Reference analogue: the generated
+    `is_duplicate` flag column (internal/llm/service.go:1064)."""
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.withColumn("content_hash", F.md5(F.col(content_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("is_dup", F.col("rn") > 1)
+        .drop("rn")
+    )
+
+
+# --- shingling ---------------------------------------------------------------
+
+
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh: array<string>) with distinct k-word shingles per doc."""
+    expr = dl.word_shingles(dl.words(text_col, dl.SPARK), k, dl.SPARK)
+    return df.select(F.col(id_col).alias("id"), F.expr(expr).alias("sh"))
+
+
+def _jaccard_col() -> F.Column:
+    inter = F.expr(dl.intersect_size("sa", "sb", dl.SPARK))
+    union = F.expr(dl.union_size("sa", "sb", dl.SPARK))
+    return (inter.cast("double") / union.cast("double")).alias("jac")
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """Append mh0..mhN minhash columns (map-only array math)."""
+    cols = [
+        F.expr(dl.minhash_sig_entry("sh", PERM_A[p], PERM_B[p], dl.SPARK)).alias(
+            f"mh{p}"
+        )
+        for p in range(N_PERMS)
+    ]
+    return sh.select("id", "sh", *cols)
+
+
+def _band_key(b: int, d: str) -> str:
+    """md5 over the band's signature slice (comma-joined)."""
+    parts = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    if d == dl.SPARK:
+        joined = "concat_ws(',', " + ", ".join(
+            f"CAST({p} AS STRING)" for p in parts
+        ) + ")"
+    else:
+        joined = " || ',' || ".join(f"CAST({p} AS VARCHAR)" for p in parts)
+    return f"md5({joined})"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via minhash banding + exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jac) with doc_a < doc_b and jac >= threshold.
+    Shuffle profile: explode to N_BANDS rows/doc of (band, key, id); join on
+    (band, key); verify joins sh arrays by id. Linear in corpus size.
+    """
+    sh = shingle_df(df, text_col, id_col, k)
+    sig = minhash_signatures(sh)
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(_band_key(b, dl.SPARK)).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("ida"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("id").alias("idb"), F.col("sh").alias("sb"))
+    return (
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            _jaccard_col(),
+        )
+        .filter(F.col("jac") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+def simhash_expr(text_col: str, d: str) -> str:
+    """60-bit simhash of the token multiset as one arithmetic expression.
+
+    bit_j = 1 iff sum over tokens of (2*bit_j(hash60(token)) - 1) > 0.
+    Rendered as a sum of shifted CASE terms — heavy codegen but map-only.
+    """
+    w = dl.words(text_col, d)
+    hashed = dl.transform(w, f"t -> {dl.hash60('t', d)}", d)
+    terms = []
+    for j in range(SIMHASH_BITS):
+        bitsum = dl.fold(
+            hashed,
+            "CAST(0 AS BIGINT)",
+            f"(acc,x) -> acc + (({dl.shr('x', str(j), d)} & 1) * 2 - 1)",
+            d,
+        )
+        terms.append(
+            f"(CASE WHEN ({bitsum}) > 0 THEN {dl.shl('CAST(1 AS BIGINT)', j, d)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(simhash_expr(text_col, dl.SPARK)).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, candidates from
+    exact match on any 15-bit band (classic simhash blocking: any pair
+    within hamming < #bands must agree on >= 1 band)."""
+    sig = with_simhash(df, text_col, id_col)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"({dl.shr('simhash', str(i * SIMHASH_BAND_BITS), dl.SPARK)}"
+                            f" & {(1 << SIMHASH_BAND_BITS) - 1})"
+                        ).alias("bkey"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- n-gram Jaccard (blocked all-pairs) -------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs inside a blocking key.
+
+    The block key bounds the quadratic term; for unblocked corpora use
+    `minhash_lsh_pairs` (linear) instead. Block join shuffles on block_col.
+    """
+    expr = dl.word_shingles(dl.words(text_col, dl.SPARK), n, dl.SPARK)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.expr(expr).alias("sh"),
+    )
+    a = sh.select(
+        F.col("blk"), F.col("id").alias("ida"), F.col("sh").alias("sa")
+    )
+    b = sh.select(
+        F.col("blk"), F.col("id").alias("idb"), F.col("sh").alias("sb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            _jaccard_col(),
+        )
+        .filter(F.col("jac") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within a block.
+
+    Cosine uses the sequential-fold dot product (dialect.dot_double) so the
+    result is bit-identical across engines. Blocked all-pairs; the scale
+    path is the LSH bucketing in operators/similarity.py.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+    )
+    a = base.select("blk", F.col("id").alias("ida"), F.col("v").alias("va"))
+    b = base.select("blk", F.col("id").alias("idb"), F.col("v").alias("vb"))
+    cos = F.expr(dl.cosine_double("va", "vb", dl.size("va", dl.SPARK), dl.SPARK))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("vec_a"),
+            F.col("idb").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

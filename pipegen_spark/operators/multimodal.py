@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a typed
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched `mapInPandas` operators so bytes never round-trip through
+row-at-a-time Python.
+
+The actual codec step is environment-dependent (PIL / torchaudio / ffmpeg
+are not in this container) — each operator takes a `decoder` callable and
+ships a DETERMINISTIC FAKE (`fake_decode`) used by tests; passing
+`decoder=None` raises NotImplementedError at first batch, making the stub
+boundary explicit while the Spark plumbing (schema, batching, partition
+behavior) stays real and tested.
+
+Scale notes: payload columns dominate I/O — project them late, filter on
+metadata first (predicate pushdown applies to the scalar columns). Batches
+arrive sized by spark.sql.execution.arrow.maxRecordsPerBatch; decoding is
+map-only and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("content", BinaryType(), True),
+        StructField("meta_format", StringType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+        StructField("meta_sample_rate", IntegerType(), True),
+        StructField("meta_duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
+        StructField("feat_dim", IntegerType(), True),
+        StructField("feat_norm", LongType(), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real codec: derives pseudo-features
+    from the payload digest. Replace with a real decoder in production."""
+    if payload is None:
+        payload = b""
+    sha = hashlib.sha256(payload).hexdigest()
+    # 8 pseudo-feature ints from the digest
+    feats = [int(sha[i * 4 : i * 4 + 4], 16) for i in range(8)]
+    return {
+        "n_bytes": len(payload),
+        "content_sha": sha,
+        "feat_dim": len(feats),
+        "feat_norm": sum(f * f for f in feats),
+    }
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], dict] | None = fake_decode,
+) -> DataFrame:
+    """Arrow-batched decode/feature pass over a binary column.
+
+    Only (id, content) are shipped to Python; everything else stays JVM-side
+    and can be re-joined on id afterwards (cheaper than moving payloads
+    twice).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder is None:
+            raise NotImplementedError(
+                "no media decoder available in this environment — supply "
+                "`decoder=` (e.g. PIL/ffmpeg-backed) or use fake_decode"
+            )
+        for pdf in batches:
+            rows = [decoder(p) for p in pdf[content_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col)
+    ).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    duration_col: str = "meta_duration_ms",
+) -> DataFrame:
+    """Explode a video row into frame timestamps (plumbing only: the frame
+    *extraction* belongs in the decoder). Pure JVM-side sequence explode."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.expr(f"sequence(CAST(0 AS BIGINT), {duration_col}, {every_ms})")
+        ).alias("frame_ts_ms"),
+    )

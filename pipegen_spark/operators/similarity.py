@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the scale contract:
+- `brute_force_topk` — exact cosine top-k: query set is broadcast, the base
+  table is scanned once, ranks computed with a per-query window over the
+  (small) scored candidates. Baseline / ground truth.
+- `lsh_bucket_topk` — random-hyperplane LSH: each vector gets an n-bit sign
+  bucket (map-only after broadcasting the n plane vectors); queries probe
+  only their bucket. At 100 TB the bucket join is an equi-join on the bucket
+  id — linear scan + hash shuffle instead of a full cross product.
+
+Dot products / cosines use the sequential-fold expression from
+functions/dialect.py: bit-identical across engines, JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipegen_spark.functions import dialect as dl
+
+
+def _cos(va: str, vb: str) -> F.Column:
+    return F.expr(dl.cosine_double(va, vb, dl.size(va, dl.SPARK), dl.SPARK))
+
+
+def brute_force_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (cosine, self excluded).
+
+    Output: (query_id, neighbor_id, rnk, cos). `queries` must be small — it
+    is broadcast; the base table is never shuffled, only scanned.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("qv", "bv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def bucket_ids(
+    base: DataFrame,
+    planes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    plane_id_col: str = "bit",
+    plane_vec_col: str = "pv",
+) -> DataFrame:
+    """(id, bucket) via random-hyperplane signs: bit_i = [dot(v, plane_i)>0].
+
+    Planes (a handful of vectors) are broadcast; bucket assignment is a
+    map-side cross join + sum — one pass over the base table.
+    """
+    dot = F.expr(dl.dot_double("v", "pv", dl.size("v", dl.SPARK), dl.SPARK))
+    return (
+        base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(planes.select(plane_id_col, plane_vec_col)))
+        .select(
+            "id",
+            F.when(
+                dot > 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {plane_id_col})"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+
+
+def lsh_bucket_topk(
+    base: DataFrame,
+    query_ids_pred,
+    plane_ids_pred,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: probe only the query's sign bucket.
+
+    `query_ids_pred` / `plane_ids_pred` are Column predicates selecting the
+    query rows and the plane rows out of `base` (deterministic — the oracle
+    selects the same rows). Output: (query_id, neighbor_id, rnk, cos).
+    """
+    planes = (
+        base.filter(plane_ids_pred)
+        .select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
+    )
+    # densify plane bits 0..n-1 in pid order
+    wp = Window.orderBy("pid")
+    planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select(
+        "bit", "pv"
+    )
+    buckets = bucket_ids(base, planes, vec_col, id_col)
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bv = buckets.join(vecs, "id")
+    q = (
+        bv.join(base.filter(query_ids_pred).select(F.col(id_col).alias("id")), "id")
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("bucket"),
+            F.col("v").alias("qv"),
+        )
+    )
+    cand = bv.join(F.broadcast(q), "bucket").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        _cos("qv", "v").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

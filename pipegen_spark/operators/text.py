@@ -1,0 +1,143 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+Everything is a JVM-side expression (built via functions/dialect.py so the
+DuckDB oracle can render the identical computation). At 100 TB these are
+embarrassingly parallel map operators: no shuffle, no state, pushdown-safe —
+the scan reads only the text column.
+
+Reference parity: the reference has no text operators; these extend it per
+the north star (SURVEY.md §2B-B29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipegen_spark.functions import dialect as dl
+
+# Language wordlists for the n-gram/stopword language-ID heuristic.
+# Order = tie-break priority (first wins on equal scores).
+LANG_WORDLISTS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "se"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une"),
+}
+
+# Regex for BPE-ish pre-tokenization: alpha runs, digit runs, single
+# punctuation. (No backslash classes — identical across engines.)
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS: tuple[str, ...] = LANG_WORDLISTS["en"]
+
+
+# --- shared dual-dialect expression builders --------------------------------
+
+
+def token_stats_exprs(text: str, d: str) -> dict[str, str]:
+    """Column-name → SQL fragment for token counting."""
+    w = dl.words(text, d)
+    return {
+        "n_tokens": f"CAST({dl.size(w, d)} AS BIGINT)",
+        "n_types": f"CAST({dl.size(dl.arr_distinct(w, d), d)} AS BIGINT)",
+        "n_bpe": (
+            f"CAST(regexp_count(lower({text}), '{BPE_PATTERN}') AS BIGINT)"
+            if d == dl.SPARK
+            else f"CAST(len(regexp_extract_all(lower({text}), '{BPE_PATTERN}')) AS BIGINT)"
+        ),
+        "n_chars_m": f"CAST(length({text}) AS BIGINT)",
+    }
+
+
+def quality_exprs(text: str, d: str) -> dict[str, str]:
+    """Quality-scoring fragments: ratios are per-row double math (identical
+    IEEE results in both engines)."""
+    w = dl.words(text, d)
+    n_tokens = f"CAST({dl.size(w, d)} AS BIGINT)"
+    tok_chars = dl.fold(
+        dl.transform(w, "x -> CAST(length(x) AS BIGINT)", d),
+        "CAST(0 AS BIGINT)",
+        "(acc,x) -> acc + x",
+        d,
+    )
+    n_chars = f"CAST(length({text}) AS BIGINT)"
+    _stripped = dl.regexp_replace_all(f"lower({text})", "[^a-z0-9]", "", d)
+    alpha_chars = f"CAST(length({_stripped}) AS BIGINT)"
+    stop_arr = (
+        "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+        if d == dl.SPARK
+        else "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    )
+    stop_lam = "x -> " + dl.contains(stop_arr, "x", d)
+    stop_hits = f"CAST({dl.size(dl.filter_(w, stop_lam, d), d)} AS BIGINT)"
+    avg_tok = f"(CAST({tok_chars} AS DOUBLE) / CAST(greatest({n_tokens}, 1) AS DOUBLE))"
+    alpha_ratio = f"(CAST({alpha_chars} AS DOUBLE) / CAST(greatest({n_chars}, 1) AS DOUBLE))"
+    stop_ratio = f"(CAST({stop_hits} AS DOUBLE) / CAST(greatest({n_tokens}, 1) AS DOUBLE))"
+    score = (
+        f"(least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0) * 0.5"
+        f" + {alpha_ratio} * 0.3 + {stop_ratio} * 0.2)"
+    )
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_tok,
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def langid_exprs(text: str, d: str) -> dict[str, str]:
+    """Per-language stopword-hit scores + argmax prediction."""
+    w = dl.words(text, d)
+    out: dict[str, str] = {}
+    for lang, wl in LANG_WORDLISTS.items():
+        arr = (
+            "array(" + ",".join(f"'{s}'" for s in wl) + ")"
+            if d == dl.SPARK
+            else "[" + ",".join(f"'{s}'" for s in wl) + "]"
+        )
+        hits = dl.size(dl.filter_(w, f"x -> {dl.contains(arr, 'x', d)}", d), d)
+        out[f"score_{lang}"] = f"CAST({hits} AS BIGINT)"
+    langs = list(LANG_WORDLISTS)
+    # argmax with declaration-order priority on ties
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    out["pred_lang"] = "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+    return out
+
+
+def fingerprint_expr(text: str, d: str) -> str:
+    """Order-sensitive rolling-hash fingerprint of the token stream."""
+    return f"CAST({dl.rolling_fingerprint(dl.words(text, d), d)} AS BIGINT)"
+
+
+# --- Spark operators ---------------------------------------------------------
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token-count columns (map-only, JVM-side)."""
+    exprs = token_stats_exprs(text_col, dl.SPARK)
+    return df.select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    exprs = quality_exprs(text_col, dl.SPARK)
+    return df.select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    exprs = langid_exprs(text_col, dl.SPARK)
+    out = df
+    for n, e in exprs.items():
+        out = out.withColumn(n, F.expr(e))
+    return out
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    return F.expr(fingerprint_expr(text_col, dl.SPARK))

@@ -16,7 +16,7 @@ RELATIONAL_ORACLE: dict[str, str] = {
                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2)
                     AS DOUBLE) AS rev
         FROM lineitem WHERE l_quantity > 30
-        ORDER BY l_orderkey, rev
+        ORDER BY l_orderkey, rev LIMIT 1000
     """,
     "q03_agg_having": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS c,

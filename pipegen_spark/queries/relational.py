@@ -55,6 +55,7 @@ def q02_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev"),
         )
         .orderBy("l_orderkey", "rev")
+        .limit(1000)
     )
 
 

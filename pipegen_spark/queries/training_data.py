@@ -1,0 +1,145 @@
+"""Training-data operator queries (the [EXT] north-star surface).
+
+Bindings of the operator library (operators/dedup.py, similarity.py,
+text.py) onto the driver's `documents` / `embeddings` tables. Thresholds
+here are tuned to the synthetic testdata distributions (31-word vocab →
+high unigram Jaccard; random embeddings → cosine <= ~0.4) and shared with
+the oracle module so both sides stay in lock-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipegen_spark.catalog import table
+from pipegen_spark.functions import dialect as dl
+from pipegen_spark.operators import dedup as dd
+from pipegen_spark.operators import similarity as sim
+from pipegen_spark.operators import text as tx
+
+# --- shared parameters (imported by training_oracle.py) ---------------------
+MINHASH_K = 1
+MINHASH_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 8
+NGRAM_N = 2
+NGRAM_THRESHOLD = 0.08
+EMB_DUP_THRESHOLD = 0.3
+TOPK_BRUTE = 10
+TOPK_LSH = 5
+N_QUERY_VECS = 5  # query vectors: vec_id < 5
+PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
+PAIR_LIMIT = 500  # deterministic cap on pair outputs (ordered first)
+
+
+# --- deduplication -----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        dd.exact_dedup(docs, "text", "doc_id")
+        .select("doc_id", "content_hash", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    ).limit(PAIR_LIMIT)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(
+        docs, "text", "doc_id", max_hamming=SIMHASH_MAX_HAMMING
+    ).limit(PAIR_LIMIT)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    ).limit(PAIR_LIMIT)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs(
+        emb, "embedding", "vec_id", "label", threshold=EMB_DUP_THRESHOLD
+    ).limit(PAIR_LIMIT)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+def simsearch_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.brute_force_topk(emb, queries, k=TOPK_BRUTE)
+
+
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_topk(
+        emb,
+        F.col("vec_id") < N_QUERY_VECS,
+        F.col("vec_id").between(PLANE_LO, PLANE_HI),
+        k=TOPK_LSH,
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        tx.with_token_stats(docs.select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        tx.with_quality(docs.select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        tx.with_langid(docs.select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+# --- multimodal plumbing (binary column stats) -------------------------------
+
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: encode text as a blob, report byte
+    stats — the decode path itself is `operators/multimodal.py` (stubbed
+    per environment; plumbing unit-tested)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").alias(
+            "n_bytes"
+        ),
+        F.expr("md5(encode(text, 'UTF-8'))").alias("blob_md5"),
+    ).orderBy("doc_id")

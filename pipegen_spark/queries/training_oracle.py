@@ -1,0 +1,193 @@
+"""DuckDB oracle SQL for the training-data operator queries.
+
+Generated from the SAME dialect templates and parameters as the Spark
+implementations (functions/dialect.py + queries/training_data.py), so the
+two sides compute structurally identical results — including IEEE addition
+order for every floating-point fold.
+"""
+
+from __future__ import annotations
+
+from pipegen_spark.functions import dialect as dl
+from pipegen_spark.operators import dedup as dd
+from pipegen_spark.operators import text as tx
+from pipegen_spark.queries import training_data as td
+
+D = dl.DUCK
+
+
+def _shingles(k: int) -> str:
+    return dl.word_shingles(dl.words("text", D), k, D)
+
+
+def _jac(sa: str, sb: str) -> str:
+    return (
+        f"CAST({dl.intersect_size(sa, sb, D)} AS DOUBLE) / "
+        f"CAST({dl.union_size(sa, sb, D)} AS DOUBLE)"
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n           ".join(
+        f"{dl.minhash_sig_entry('sh', dd.PERM_A[p], dd.PERM_B[p], D)} AS mh{p}"
+        for p in range(dd.N_PERMS)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN {dd._band_key(b, D)}" for b in range(dd.N_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id AS id, {_shingles(td.MINHASH_K)} AS sh FROM documents),
+    sig AS (SELECT id, sh, {mh_cols} FROM sh),
+    bands AS (
+        SELECT id, t.band, CASE t.band {band_cases} END AS bkey
+        FROM sig CROSS JOIN (SELECT CAST(r.range AS INT) AS band FROM range(0,{dd.N_BANDS}) r) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS ida, b.id AS idb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    ),
+    pairs AS (
+        SELECT ida AS doc_a, idb AS doc_b, {_jac("A.sa", "B.sb")} AS jac
+        FROM cand
+        JOIN (SELECT id, sh AS sa FROM sh) A ON cand.ida = A.id
+        JOIN (SELECT id, sh AS sb FROM sh) B ON cand.idb = B.id
+    )
+    SELECT doc_a, doc_b, jac FROM pairs
+    WHERE jac >= {td.MINHASH_THRESHOLD}
+    ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
+def _simhash_sql() -> str:
+    sh_expr = dd.simhash_expr("text", D)
+    band_keys = " ".join(
+        f"WHEN {i} THEN ({dl.shr('simhash', str(i * dd.SIMHASH_BAND_BITS), D)}"
+        f" & {(1 << dd.SIMHASH_BAND_BITS) - 1})"
+        for i in range(dd.SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id AS id, {sh_expr} AS simhash FROM documents),
+    bands AS (
+        SELECT id, simhash, t.band, CASE t.band {band_keys} END AS bkey
+        FROM sig CROSS JOIN (SELECT CAST(r.range AS INT) AS band FROM range(0,{dd.SIMHASH_BANDS}) r) t
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {td.SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
+def _ngram_sql() -> str:
+    return f"""
+    WITH sh AS (SELECT doc_id AS id, lang AS blk, {_shingles(td.NGRAM_N)} AS sh
+                FROM documents)
+    SELECT doc_a, doc_b, jac FROM (
+        SELECT a.id AS doc_a, b.id AS doc_b, {_jac("a.sh", "b.sh")} AS jac
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+    ) p WHERE jac >= {td.NGRAM_THRESHOLD}
+    ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
+def _emb_dup_sql() -> str:
+    cos = dl.cosine_double("a.embedding", "b.embedding",
+                           dl.size("a.embedding", D), D)
+    return f"""
+    SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) p WHERE cos >= {td.EMB_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
+def _brute_force_sql() -> str:
+    cos = dl.cosine_double("q.qv", "e.embedding", dl.size("q.qv", D), D)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {td.N_QUERY_VECS}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ) t WHERE rnk <= {td.TOPK_BRUTE}
+    ORDER BY query_id, rnk
+    """
+
+
+def _lsh_sql() -> str:
+    dot = dl.dot_double("e.embedding", "p.pv", dl.size("e.embedding", D), D)
+    cos = dl.cosine_double("q.qv", "bv.v", dl.size("q.qv", D), D)
+    return f"""
+    WITH planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
+               embedding AS pv
+        FROM embeddings WHERE vec_id BETWEEN {td.PLANE_LO} AND {td.PLANE_HI}
+    ),
+    buckets AS (
+        SELECT e.vec_id AS id,
+               CAST(SUM(CASE WHEN {dot} > 0
+                        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    bv AS (SELECT b.id, b.bucket, e.embedding AS v
+           FROM buckets b JOIN embeddings e ON b.id = e.vec_id),
+    q AS (SELECT id AS query_id, bucket, v AS qv FROM bv
+          WHERE id < {td.N_QUERY_VECS}),
+    scored AS (
+        SELECT q.query_id, bv.id AS neighbor_id, {cos} AS cos
+        FROM bv JOIN q ON bv.bucket = q.bucket AND bv.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ) t WHERE rnk <= {td.TOPK_LSH}
+    ORDER BY query_id, rnk
+    """
+
+
+def _proj_sql(exprs: dict[str, str]) -> str:
+    cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+
+TRAINING_ORACLE: dict[str, str] = {
+    "dedup_exact": """
+        SELECT doc_id, content_hash, is_dup FROM (
+            SELECT doc_id, md5(text) AS content_hash,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+                       AS is_dup
+            FROM documents
+        ) t ORDER BY doc_id
+    """,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _ngram_sql(),
+    "dedup_embedding_cosine": _emb_dup_sql(),
+    "simsearch_bruteforce": _brute_force_sql(),
+    "simsearch_lsh": _lsh_sql(),
+    "text_tokens": _proj_sql(tx.token_stats_exprs("text", D)),
+    "text_quality": _proj_sql(tx.quality_exprs("text", D)),
+    "text_langid": _proj_sql(tx.langid_exprs("text", D)),
+    "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
+    "multimodal_binary_stats": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS blob_md5
+        FROM documents ORDER BY doc_id
+    """,
+}
