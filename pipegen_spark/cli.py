@@ -1,0 +1,215 @@
+"""pipegen-spark CLI: init / validate / run / bench.
+
+Mirrors the reference's command surface (cmd/root.go:16-26) minus the
+Docker stack management (the engine is in-process — there is no cluster to
+deploy for local runs):
+
+- init     scaffold a project (templates, CSV-grounded, or schema-grounded)
+- validate project structure + statement-level SQL validation (+ EXPLAIN
+           against a live session with --explain)
+- run      execute the pipeline (batch-synchronous for file sources)
+- bench    run the declared query corpus and print one JSON line
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def cmd_init(args) -> int:
+    from pipegen_spark import templates as tpl
+    from pipegen_spark.schema.inference import (
+        CSVAnalyzer,
+        analysis_to_avro,
+        analysis_to_ddl,
+    )
+
+    project_dir = args.project_dir
+    name = args.project_name or os.path.basename(os.path.abspath(project_dir))
+    os.makedirs(os.path.join(project_dir, "sql"), exist_ok=True)
+    os.makedirs(os.path.join(project_dir, "schemas"), exist_ok=True)
+
+    def write(rel: str, content: str) -> None:
+        path = os.path.join(project_dir, rel)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        print(f"  wrote {path}")
+
+    if args.input_csv:
+        res = CSVAnalyzer(args.input_csv).analyze()
+        cols = ",\n    ".join(analysis_to_ddl(res).split(", "))
+        write(
+            "sql/01_create_source_table.sql",
+            tpl.SQL_SOURCE_CSV_TEMPLATE.format(
+                csv_name=os.path.basename(args.input_csv),
+                csv_path=os.path.abspath(args.input_csv),
+                columns=cols,
+            ),
+        )
+        write("schemas/input.avsc", analysis_to_avro(name, res))
+    elif args.avro_schema:
+        with open(args.avro_schema, encoding="utf-8") as fh:
+            schema_json = fh.read()
+        from pipegen_spark.schema.avsc import parse_schema
+
+        schema = parse_schema(schema_json)
+        cols = ",\n    ".join(
+            f"{f['name']} {_avro_to_ddl(f['type'])}" for f in schema.fields
+        )
+        write(
+            "sql/01_create_source_table.sql",
+            "CREATE TABLE transactions (\n    "
+            + cols
+            + "\n) WITH (\n    'connector' = 'datagen',\n"
+            "    'number-of-rows' = '1000'\n);\n",
+        )
+        write("schemas/input.avsc", schema_json)
+    else:
+        write("sql/01_create_source_table.sql", tpl.SQL_SOURCE_DATAGEN)
+        write("schemas/input.avsc", tpl.DEFAULT_INPUT_AVSC)
+
+    write("sql/02_create_output_table.sql", tpl.SQL_OUTPUT)
+    write("sql/03_create_processing.sql", tpl.SQL_PROCESSING)
+    write("schemas/output.avsc", tpl.DEFAULT_OUTPUT_AVSC)
+    write("pipeline.yaml", tpl.PIPELINE_YAML.format(project_name=name))
+    write(
+        "README.md",
+        tpl.README.format(project_name=name, project_dir=project_dir),
+    )
+    print(f"project '{name}' initialized at {project_dir}")
+    return 0
+
+
+def _avro_to_ddl(t) -> str:
+    mapping = {
+        "string": "STRING",
+        "int": "INT",
+        "long": "BIGINT",
+        "float": "FLOAT",
+        "double": "DOUBLE",
+        "boolean": "BOOLEAN",
+        "bytes": "BYTES",
+    }
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        return _avro_to_ddl(branches[0]) if branches else "STRING"
+    if isinstance(t, str):
+        return mapping.get(t, "STRING")
+    return "STRING"
+
+
+def cmd_validate(args) -> int:
+    """Structure + statement validation (reference cmd/validate.go:29-135),
+    plus optional EXPLAIN-based SQL checking via a live session."""
+    from pipegen_spark.plans import statements as st
+    from pipegen_spark.schema import avsc
+
+    project_dir = args.project_dir
+    ok = True
+
+    def check(cond: bool, msg: str) -> None:
+        nonlocal ok
+        print(("  ✓ " if cond else "  ✗ ") + msg)
+        ok = ok and cond
+
+    check(os.path.isdir(project_dir), f"project directory {project_dir}")
+    try:
+        stmts = st.load_statements(project_dir)
+        check(True, f"sql/ contains {len(stmts)} statement file(s)")
+    except FileNotFoundError as e:
+        check(False, str(e))
+        stmts = []
+    for s in stmts:
+        try:
+            st.validate_statement(s)
+            kind = st.classify_statement(s.content)
+            check(True, f"{s.name}: {kind}")
+        except st.StatementValidationError as e:
+            check(False, f"{s.name}: {e}")
+    try:
+        schemas = avsc.load_schemas(project_dir)
+        check(True, f"schemas/ contains {len(schemas)} schema(s)")
+    except (FileNotFoundError, avsc.SchemaValidationError) as e:
+        print(f"  ! schemas: {e} (optional when topics declared in SQL)")
+    check(
+        os.path.exists(os.path.join(project_dir, "pipeline.yaml")),
+        "pipeline.yaml present",
+    )
+    if args.explain and stmts:
+        from pipegen_spark.plans.executor import SQLPipelineExecutor
+        from pipegen_spark.session import get_spark
+
+        spark = get_spark("pipegen-validate", cpus=2)
+        try:
+            SQLPipelineExecutor(spark).execute(stmts)
+            check(True, "EXPLAIN/execution check passed")
+        except Exception as e:
+            check(False, f"execution check failed: {e}")
+        finally:
+            spark.stop()
+    print("valid" if ok else "INVALID")
+    return 0 if ok else 1
+
+
+def cmd_run(args) -> int:
+    from pipegen_spark.plans.runner import PipelineRunner, RunnerConfig
+    from pipegen_spark.session import get_spark
+
+    spark = get_spark("pipegen-run")
+    config = RunnerConfig(
+        project_dir=args.project_dir,
+        report_dir=args.report_dir
+        or os.path.join(args.project_dir, "reports"),
+    )
+    result = PipelineRunner(spark, config).run()
+    print(f"run {result.run_id} finished in {result.elapsed_seconds:.1f}s")
+    for row in result.statement_results:
+        print(f"  [{row['order']}] {row['name']}: {row['status']}"
+              + (f" ({row['rows']} rows)" if "rows" in row else ""))
+    if result.report_path:
+        print(f"report: {result.report_path}")
+    spark.stop()
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="pipegen-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_init = sub.add_parser("init", help="scaffold a pipeline project")
+    p_init.add_argument("project_dir")
+    p_init.add_argument("--project-name")
+    p_init.add_argument("--input-csv", help="ground the schema on a CSV file")
+    p_init.add_argument("--avro-schema", help="use an existing .avsc schema")
+    p_init.set_defaults(fn=cmd_init)
+
+    p_val = sub.add_parser("validate", help="validate project structure + SQL")
+    p_val.add_argument("project_dir")
+    p_val.add_argument(
+        "--explain", action="store_true", help="also run the statements"
+    )
+    p_val.set_defaults(fn=cmd_validate)
+
+    p_run = sub.add_parser("run", help="execute the pipeline")
+    p_run.add_argument("project_dir")
+    p_run.add_argument("--report-dir")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_bench = sub.add_parser("bench", help="run the benchmark corpus")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,182 @@
+"""In-process pipeline executor: ordered SQL statements → Spark.
+
+Replaces the reference's HTTP deployment chain (Flink SQL Gateway session +
+statement POST + 30×1s polling, internal/pipeline/flink.go:109-145,296-387)
+with direct `spark.sql()` — Catalyst plans, the session is the "gateway".
+
+Statement handling (SURVEY.md §2A-A15):
+- CREATE_TABLE with connector options → TableSpec registry; *source* tables
+  materialize lazily as temp views (filesystem → batch read; datagen →
+  synthetic generator; kafka → streaming read, gated);
+- INSERT INTO <sink> <select> → run the select (after TUMBLE rewrite),
+  write through the sink's connector (filesystem formats) or register the
+  result as a view for in-memory sinks;
+- CREATE_VIEW / QUERY / OTHER → `spark.sql()` directly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipegen_spark.plans import ddl as ddl_mod
+from pipegen_spark.plans import statements as st
+
+_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.`\"]+)\s+(.*)$", re.I | re.S)
+
+
+@dataclass
+class ExecutionResult:
+    statement: st.SQLStatement
+    kind: str
+    rows_written: int | None = None
+    dataframe: DataFrame | None = None
+    error: str | None = None
+
+
+@dataclass
+class SQLPipelineExecutor:
+    spark: SparkSession
+    variables: dict[str, str] = field(default_factory=dict)
+    specs: dict[str, ddl_mod.TableSpec] = field(default_factory=dict)
+    materialized: set[str] = field(default_factory=set)
+
+    # --- table materialization ------------------------------------------------
+
+    def _materialize(self, spec: ddl_mod.TableSpec) -> None:
+        """Register a source TableSpec as a temp view."""
+        conn = spec.connector
+        if conn == "filesystem":
+            path = spec.options.get("path")
+            fmt = spec.fmt
+            reader = self.spark.read
+            if fmt == "csv":
+                df = reader.schema(spec.schema_ddl()).csv(
+                    path,
+                    header=spec.options.get("csv.include-header", "false")
+                    == "true",
+                    mode="DROPMALFORMED"
+                    if spec.options.get("csv.ignore-parse-errors") == "true"
+                    else "PERMISSIVE",
+                )
+            elif fmt in ("parquet", "json", "orc"):
+                df = (
+                    reader.schema(spec.schema_ddl()).json(path)
+                    if fmt == "json"
+                    else reader.format(fmt).load(path)
+                )
+            else:
+                raise ValueError(f"unsupported filesystem format: {fmt}")
+        elif conn == "datagen":
+            from pipegen_spark.generator.synthetic import generate_from_spec
+
+            rows = int(spec.options.get("number-of-rows", "1000"))
+            df = generate_from_spec(self.spark, spec, rows)
+        elif conn == "kafka":
+            df = self._kafka_source(spec)
+        elif conn in ("", "memory"):
+            return  # pure sink / in-memory table: nothing to scan
+        else:
+            raise ValueError(f"unsupported connector: {conn}")
+        df.createOrReplaceTempView(spec.name)
+        self.materialized.add(spec.name)
+
+    def _kafka_source(self, spec: ddl_mod.TableSpec) -> DataFrame:
+        opts = spec.options
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("subscribe", opts.get("topic", spec.name))
+            .option(
+                "kafka.bootstrap.servers",
+                opts.get("properties.bootstrap.servers", "localhost:9092"),
+            )
+            .option(
+                "startingOffsets",
+                "earliest"
+                if opts.get("scan.startup.mode", "earliest-offset").startswith(
+                    "earliest"
+                )
+                else "latest",
+            )
+        )
+        df = reader.load()
+        from pipegen_spark.streaming.wire import decode_confluent_avro
+
+        return decode_confluent_avro(df, spec)
+
+    def _ensure_sources(self, select_sql: str) -> None:
+        for name, spec in self.specs.items():
+            if name in self.materialized:
+                continue
+            if re.search(rf"(?<![\w.]){re.escape(name)}(?![\w.])", select_sql):
+                if spec.connector in ("filesystem", "datagen", "kafka"):
+                    self._materialize(spec)
+
+    # --- sink handling --------------------------------------------------------
+
+    def _write_sink(self, df: DataFrame, spec: ddl_mod.TableSpec) -> int | None:
+        conn = spec.connector
+        if conn == "filesystem":
+            path = spec.options.get("path")
+            (df.write.mode("append").format(spec.fmt).save(path))
+            return None  # count would re-run the job; caller can inspect path
+        if conn == "kafka":
+            raise NotImplementedError(
+                "batch kafka sink requires a broker; use streaming/sink.py"
+            )
+        # in-memory sink: register result as the sink table's view
+        df.createOrReplaceTempView(spec.name)
+        self.materialized.add(spec.name)
+        return df.count()
+
+    # --- main entry -----------------------------------------------------------
+
+    def execute(self, stmts: list[st.SQLStatement]) -> list[ExecutionResult]:
+        results = []
+        for stmt in stmts:
+            sql = st.substitute_variables(stmt.content, self.variables)
+            st.validate_statement(stmt)
+            kind = st.classify_statement(sql)
+            try:
+                results.append(self._execute_one(stmt, sql, kind))
+            except Exception as e:  # report per-statement, like the gateway
+                results.append(
+                    ExecutionResult(statement=stmt, kind=kind, error=str(e))
+                )
+                raise
+        return results
+
+    def _execute_one(
+        self, stmt: st.SQLStatement, sql: str, kind: str
+    ) -> ExecutionResult:
+        if kind == "CREATE_TABLE" and "WITH" in sql.upper():
+            spec = ddl_mod.parse_create_table(sql)
+            self.specs[spec.name] = spec
+            if spec.connector in ("filesystem", "datagen"):
+                self._materialize(spec)
+            return ExecutionResult(statement=stmt, kind=kind)
+        if kind == "INSERT":
+            m = _INSERT_RE.match(sql)
+            if not m:
+                raise ValueError(f"cannot parse INSERT statement: {sql[:80]}")
+            target, select_sql = m.group(1).strip("`\""), m.group(2)
+            select_sql = ddl_mod.rewrite_tumble(select_sql)
+            self._ensure_sources(select_sql)
+            df = self.spark.sql(select_sql)
+            spec = self.specs.get(target)
+            if spec is None:
+                df.createOrReplaceTempView(target)
+                return ExecutionResult(
+                    statement=stmt, kind=kind, dataframe=df
+                )
+            rows = self._write_sink(df, spec)
+            return ExecutionResult(
+                statement=stmt, kind=kind, rows_written=rows, dataframe=df
+            )
+        # CREATE_VIEW / QUERY / OTHER
+        sql2 = ddl_mod.rewrite_tumble(sql)
+        self._ensure_sources(sql2)
+        df = self.spark.sql(sql2)
+        return ExecutionResult(statement=stmt, kind=kind, dataframe=df)

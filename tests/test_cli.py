@@ -1,0 +1,85 @@
+"""CLI tests: init scaffolding (template / CSV-grounded / schema-grounded),
+validate, and the full init → validate → run loop against Spark."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pipegen_spark.cli import main
+
+
+def test_init_default_template(tmp_path, capsys):
+    proj = str(tmp_path / "proj")
+    assert main(["init", proj, "--project-name", "demo"]) == 0
+    for rel in (
+        "sql/01_create_source_table.sql",
+        "sql/02_create_output_table.sql",
+        "sql/03_create_processing.sql",
+        "schemas/input.avsc",
+        "schemas/output.avsc",
+        "pipeline.yaml",
+        "README.md",
+    ):
+        assert os.path.exists(os.path.join(proj, rel)), rel
+    sql = open(os.path.join(proj, "sql/03_create_processing.sql")).read()
+    assert "INSERT INTO revenue" in sql
+    assert "amount AS total" in sql
+
+
+def test_init_csv_grounded(tmp_path):
+    csv = tmp_path / "data.csv"
+    csv.write_text("id,name,score\n1,a,1.5\n2,b,\n")
+    proj = str(tmp_path / "proj")
+    assert main(["init", proj, "--input-csv", str(csv)]) == 0
+    ddl = open(os.path.join(proj, "sql/01_create_source_table.sql")).read()
+    assert "'connector' = 'filesystem'" in ddl
+    assert "id int" in ddl and "score double" in ddl
+    avsc = open(os.path.join(proj, "schemas/input.avsc")).read()
+    assert '"null"' in avsc  # nullable score
+
+
+def test_init_schema_grounded(tmp_path):
+    schema = tmp_path / "in.avsc"
+    schema.write_text(
+        '{"type":"record","name":"tx","fields":'
+        '[{"name":"name","type":"string"},{"name":"amount","type":"int"}]}'
+    )
+    proj = str(tmp_path / "proj")
+    assert main(["init", proj, "--avro-schema", str(schema)]) == 0
+    ddl = open(os.path.join(proj, "sql/01_create_source_table.sql")).read()
+    assert "name STRING" in ddl and "amount INT" in ddl
+    assert "'connector' = 'datagen'" in ddl
+
+
+def test_validate_good_and_bad(tmp_path, capsys):
+    proj = str(tmp_path / "proj")
+    main(["init", proj])
+    assert main(["validate", proj]) == 0
+    # inject a dangerous statement
+    with open(os.path.join(proj, "sql", "04_bad.sql"), "w") as fh:
+        fh.write("DELETE FROM revenue")
+    assert main(["validate", proj]) == 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_init_validate_run_loop(tmp_path, spark, monkeypatch):
+    """Full loop using the shared test session (cmd_run would build its own
+    session; patch get_spark to reuse ours)."""
+    import pipegen_spark.cli as cli
+    import pipegen_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(
+        spark.__class__, "stop", lambda self: None
+    )  # keep shared session alive
+    try:
+        proj = str(tmp_path / "proj")
+        assert cli.main(["init", proj]) == 0
+        assert cli.main(["validate", proj, "--explain"]) == 0
+        assert cli.main(["run", proj]) == 0
+        reports = os.listdir(os.path.join(proj, "reports"))
+        assert any(r.endswith(".html") for r in reports)
+    finally:
+        monkeypatch.undo()
