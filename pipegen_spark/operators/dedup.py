@@ -59,12 +59,53 @@ def exact_dedup(
 # --- shingling ---------------------------------------------------------------
 
 
+def shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct k-word shingles in ROW form: (id, [extra...], s).
+
+    posexplode the token stream, then assemble shingles with `lead()` over
+    the position — every step is whole-stage-codegen. The obvious
+    alternative (array lambdas over the token array) is interpreted by
+    Catalyst AND re-evaluates the tokenizer per element once CollapseProject
+    inlines it — measured 10x+ slower at corpus scale. One shuffle on id
+    (the lead window), which downstream aggs reuse.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.expr(dl.words(text_col, dl.SPARK))).alias("pos", "wd"),
+    )
+    if k == 1:
+        out = tok.select("id", *extra_cols, F.col("wd").alias("s"))
+    else:
+        win = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("wd")] + [
+            F.lead("wd", j).over(win) for j in range(1, k)
+        ]
+        out = tok.select(
+            "id",
+            *extra_cols,
+            F.concat_ws(" ", *parts).alias("s"),
+            F.lead("wd", k - 1).over(win).alias("_last"),
+        ).filter(F.col("_last").isNotNull()).drop("_last")
+    return out.distinct()
+
+
 def shingle_df(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """(id, sh: array<string>) with distinct k-word shingles per doc."""
-    expr = dl.word_shingles(dl.words(text_col, dl.SPARK), k, dl.SPARK)
-    return df.select(F.col(id_col).alias("id"), F.expr(expr).alias("sh"))
+    """(id, sh: array<string>) with the sorted distinct k-shingle set per
+    doc (docs with no shingles are absent)."""
+    return (
+        shingle_rows(df, text_col, id_col, k)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("s")).alias("sh"))
+    )
 
 
 def _jaccard_col() -> F.Column:
@@ -77,14 +118,28 @@ def _jaccard_col() -> F.Column:
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """Append mh0..mhN minhash columns (map-only array math)."""
-    cols = [
-        F.expr(dl.minhash_sig_entry("sh", PERM_A[p], PERM_B[p], dl.SPARK)).alias(
-            f"mh{p}"
+    """mh0..mhN minhash columns via explode + hash aggregation.
+
+    Semantically identical to the per-row array fold the oracle renders
+    (min over (a*h+b) mod M31; empty shingle set → M31 sentinel), but
+    expressed as explode → 16 conditional MINs so the whole pipeline stays
+    inside whole-stage codegen — Catalyst's higher-order array lambdas are
+    interpreted and ~10x slower at corpus scale. One shuffle on doc id.
+    """
+    ex = sh.select(
+        "id", F.explode_outer("sh").alias("s")
+    ).select("id", F.expr(dl.hash_m31("s", dl.SPARK)).alias("h"))
+    aggs = [
+        F.coalesce(
+            F.min((F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p])) % dl.M31),
+            F.lit(dl.M31),
         )
+        .cast("long")
+        .alias(f"mh{p}")
         for p in range(N_PERMS)
     ]
-    return sh.select("id", "sh", *cols)
+    sigs = ex.groupBy("id").agg(*aggs)
+    return sh.join(sigs, "id")
 
 
 def _band_key(b: int, d: str) -> str:
@@ -105,14 +160,33 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 1,
     threshold: float = 0.8,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via minhash banding + exact-Jaccard verification.
 
     Returns (doc_a, doc_b, jac) with doc_a < doc_b and jac >= threshold.
-    Shuffle profile: explode to N_BANDS rows/doc of (band, key, id); join on
+
+    With `collapse_identical` (default), documents with IDENTICAL shingle
+    sets are first collapsed to their min-id representative (exact-set
+    dedup), and LSH runs over distinct sets only — the standard two-stage
+    pipeline. This bounds LSH buckets: without it, a corpus with heavy
+    exact duplication puts whole duplicate classes into one bucket and the
+    candidate join goes quadratic (measured: 11.8M candidate pairs from
+    5000 docs on the synthetic corpus). Band keys depend only on the
+    shingle set, so the set-level candidate predicate is exactly the
+    doc-level one.
+
+    Shuffle profile: explode to N_BANDS rows/set of (band, key, id); join on
     (band, key); verify joins sh arrays by id. Linear in corpus size.
     """
     sh = shingle_df(df, text_col, id_col, k)
+    if collapse_identical:
+        skey = F.md5(F.array_join(F.array_sort("sh"), ","))
+        sh = (
+            sh.groupBy(skey.alias("skey"))
+            .agg(F.min("id").alias("id"), F.first("sh").alias("sh"))
+            .select("id", "sh")
+        )
     sig = minhash_signatures(sh)
     bands = sig.select(
         "id",
@@ -182,10 +256,33 @@ def simhash_expr(text_col: str, d: str) -> str:
 def with_simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(simhash_expr(text_col, dl.SPARK)).alias("simhash"),
-    )
+    """(id, simhash) via explode + 60 conditional SUMs (codegen path).
+
+    Bit-for-bit identical to `simhash_expr` (which the oracle uses): each
+    bit j is sign(sum over token multiset of (2*bit_j(hash60(t)) - 1));
+    docs with no tokens get simhash 0 (empty fold == sum of nothing).
+    """
+    w = dl.words(text_col, dl.SPARK)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(F.expr(w)).alias("t")
+    ).select("id", F.expr(dl.hash60("t", dl.SPARK)).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.col("h").isNotNull(),
+                (F.shiftright("h", j) % 2) * 2 - 1,
+            ).otherwise(0)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = ex.groupBy("id").agg(*bit_sums)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("id", simhash.alias("simhash"))
 
 
 def simhash_pairs(
@@ -251,25 +348,38 @@ def ngram_jaccard_pairs(
     The block key bounds the quadratic term; for unblocked corpora use
     `minhash_lsh_pairs` (linear) instead. Block join shuffles on block_col.
     """
-    expr = dl.word_shingles(dl.words(text_col, dl.SPARK), n, dl.SPARK)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        F.expr(expr).alias("sh"),
+    # |A∩B| via shingle rows + equi-join on (block, shingle) + pair count:
+    # identical integers to array_intersect on the distinct shingle arrays,
+    # but hash-join + hash-agg (codegen) instead of interpreted array ops,
+    # and only pairs sharing >= 1 shingle are ever materialized — which is
+    # exactly the jac > 0 support set.
+    ex = shingle_rows(
+        df, text_col, id_col, n, extra_cols=(block_col,)
+    ).withColumnRenamed(block_col, "blk")
+    sizes = ex.groupBy("id", "blk").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
     )
-    a = sh.select(
-        F.col("blk"), F.col("id").alias("ida"), F.col("sh").alias("sa")
-    )
-    b = sh.select(
-        F.col("blk"), F.col("id").alias("idb"), F.col("sh").alias("sb")
-    )
+    na = sizes.select(F.col("id").alias("ida"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("idb"), F.col("n").alias("nb"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("ida") < F.col("idb"))
+        inter.join(na, "ida")
+        .join(nb, "idb")
         .select(
             F.col("ida").alias("doc_a"),
             F.col("idb").alias("doc_b"),
-            _jaccard_col(),
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
         .orderBy("doc_a", "doc_b")
@@ -292,21 +402,34 @@ def embedding_dup_pairs(
     result is bit-identical across engines. Blocked all-pairs; the scale
     path is the LSH bucketing in operators/similarity.py.
     """
+    # Precompute each vector's norm once (fold per row) instead of twice per
+    # pair — same doubles, 1/3 the interpreted-lambda work. The dot product
+    # stays a sequential per-pair fold for bit-exact cross-engine parity
+    # (a join+SUM would reassociate the additions).
+    norm = F.expr(
+        f"sqrt({dl.norm2_double('v', dl.size('v', dl.SPARK), dl.SPARK)})"
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).alias("v"),
+    ).withColumn("nrm", norm)
+    a = base.select(
+        "blk", F.col("id").alias("ida"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    a = base.select("blk", F.col("id").alias("ida"), F.col("v").alias("va"))
-    b = base.select("blk", F.col("id").alias("idb"), F.col("v").alias("vb"))
-    cos = F.expr(dl.cosine_double("va", "vb", dl.size("va", dl.SPARK), dl.SPARK))
+    b = base.select(
+        "blk", F.col("id").alias("idb"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(dl.dot_double("va", "vb", dl.size("va", dl.SPARK), dl.SPARK))
     return (
         a.join(b, "blk")
         .filter(F.col("ida") < F.col("idb"))
         .select(
             F.col("ida").alias("vec_a"),
             F.col("idb").alias("vec_b"),
-            cos.alias("cos"),
+            (dot / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .orderBy("vec_a", "vec_b")

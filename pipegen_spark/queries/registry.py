@@ -30,23 +30,20 @@ def _collect(module) -> dict[str, QueryFn]:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    from pipegen_spark.queries import relational2, training_data
+
     out: dict[str, QueryFn] = {}
     out.update(_collect(relational))
-    try:
-        from pipegen_spark.queries import training_data
-
-        out.update(_collect(training_data))
-    except ImportError:
-        pass
+    out.update(_collect(relational2))
+    out.update(_collect(training_data))
     return out
 
 
 def oracle_queries() -> dict[str, str]:
-    out = dict(RELATIONAL_ORACLE)
-    try:
-        from pipegen_spark.queries.training_oracle import TRAINING_ORACLE
+    from pipegen_spark.queries.oracle2 import RELATIONAL2_ORACLE
+    from pipegen_spark.queries.training_oracle import TRAINING_ORACLE
 
-        out.update(TRAINING_ORACLE)
-    except ImportError:
-        pass
+    out = dict(RELATIONAL_ORACLE)
+    out.update(RELATIONAL2_ORACLE)
+    out.update(TRAINING_ORACLE)
     return out

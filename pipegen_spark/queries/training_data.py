@@ -19,11 +19,13 @@ from pipegen_spark.operators import similarity as sim
 from pipegen_spark.operators import text as tx
 
 # --- shared parameters (imported by training_oracle.py) ---------------------
-MINHASH_K = 1
+MINHASH_K = 2  # bigram shingles: unigram sets over the 31-word test vocab
+#                are near-identical corpus-wide, which floods every LSH
+#                bucket; bigrams leave only true near-dups above threshold
 MINHASH_THRESHOLD = 0.8
 SIMHASH_MAX_HAMMING = 8
-NGRAM_N = 2
-NGRAM_THRESHOLD = 0.08
+NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
+NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
 EMB_DUP_THRESHOLD = 0.3
 TOPK_BRUTE = 10
 TOPK_LSH = 5

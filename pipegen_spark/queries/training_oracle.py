@@ -17,7 +17,15 @@ D = dl.DUCK
 
 
 def _shingles(k: int) -> str:
-    return dl.word_shingles(dl.words("text", D), k, D)
+    """Shingles over the materialized token column `w` (see the `w` CTE)."""
+    return dl.word_shingles("w", k, D)
+
+
+_W_CTE = (
+    "w AS (SELECT doc_id AS id, lang, "
+    + dl.words("text", D)
+    + " AS w FROM documents)"
+)
 
 
 def _jac(sa: str, sb: str) -> str:
@@ -36,7 +44,13 @@ def _minhash_sql() -> str:
         f"WHEN {b} THEN {dd._band_key(b, D)}" for b in range(dd.N_BANDS)
     )
     return f"""
-    WITH sh AS (SELECT doc_id AS id, {_shingles(td.MINHASH_K)} AS sh FROM documents),
+    WITH {_W_CTE},
+    sh0 AS (SELECT id, {_shingles(td.MINHASH_K)} AS sh FROM w),
+    sh AS (
+        SELECT MIN(id) AS id, ANY_VALUE(sh) AS sh
+        FROM sh0
+        GROUP BY md5(array_to_string(list_sort(sh), ','))
+    ),
     sig AS (SELECT id, sh, {mh_cols} FROM sh),
     bands AS (
         SELECT id, t.band, CASE t.band {band_cases} END AS bkey
@@ -85,8 +99,8 @@ def _simhash_sql() -> str:
 
 def _ngram_sql() -> str:
     return f"""
-    WITH sh AS (SELECT doc_id AS id, lang AS blk, {_shingles(td.NGRAM_N)} AS sh
-                FROM documents)
+    WITH {_W_CTE},
+    sh AS (SELECT id, lang AS blk, {_shingles(td.NGRAM_N)} AS sh FROM w)
     SELECT doc_a, doc_b, jac FROM (
         SELECT a.id AS doc_a, b.id AS doc_b, {_jac("a.sh", "b.sh")} AS jac
         FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id

@@ -33,9 +33,17 @@ def test_exact_dedup_flags_copy(docs):
 def test_minhash_finds_planted_near_dup(docs):
     pairs = dd.minhash_lsh_pairs(docs, k=1, threshold=0.7).collect()
     found = {(r.doc_a, r.doc_b) for r in pairs}
-    assert (1, 2) in found  # identical → jaccard 1.0
+    # identical docs 1/2 collapse into one set (rep=1); the near-dup pair
+    # (1,3) survives LSH and exact verification (jaccard 8/10)
+    assert (1, 3) in found
+    assert (1, 2) not in found
     for r in pairs:
         assert r.jac >= 0.7
+    # doc-level mode keeps the identical pair
+    raw = dd.minhash_lsh_pairs(
+        docs, k=1, threshold=0.7, collapse_identical=False
+    ).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in raw}
 
 
 def test_simhash_identical_docs_hamming_zero(docs):
