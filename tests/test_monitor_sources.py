@@ -1,0 +1,168 @@
+"""Dashboard server, schema-registry client (against a local mock), deploy
+scaffolding, rate-controlled producer."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pipegen_spark.monitor.dashboard import DashboardServer
+from pipegen_spark.monitor.metrics import MetricsCollector, QueryMetrics
+from pipegen_spark.sources.deploy import wait_for_port, write_compose
+from pipegen_spark.sources.registry import RegistryError, SchemaRegistryClient
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.status, r.read()
+
+
+def test_dashboard_routes():
+    collector = MetricsCollector()
+    m = QueryMetrics(query_id="q1", name="demo")
+    m.batches, m.input_rows = 3, 300
+    m.input_rps, m.processed_rps = [100.0], [120.0]
+    collector.queries["q1"] = m
+    srv = DashboardServer(collector, run_params={"rate": 100})
+    url = srv.start()
+    try:
+        code, body = _get(url + "/api/status")
+        assert code == 200
+        status = json.loads(body)
+        assert status["total_input_rows"] == 300
+        code, body = _get(url + "/api/metrics")
+        assert json.loads(body)[0]["query"] == "demo"
+        code, body = _get(url + "/api/export")
+        assert json.loads(body)["params"] == {"rate": 100}
+        code, body = _get(url + "/")
+        assert b"pipegen-spark" in body
+        with pytest.raises(urllib.error.HTTPError):
+            _get(url + "/nope")
+    finally:
+        srv.stop()
+
+
+@pytest.fixture
+def mock_registry():
+    """Minimal Schema Registry REST mock."""
+    state = {"subjects": {}, "by_id": {}, "next_id": 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _json(self, payload, code=200):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/subjects":
+                self._json(list(state["subjects"]))
+            elif self.path.startswith("/schemas/ids/"):
+                sid = int(self.path.rsplit("/", 1)[1])
+                if sid in state["by_id"]:
+                    self._json({"schema": state["by_id"][sid]})
+                else:
+                    self._json({"error_code": 40403}, 404)
+            else:
+                self._json({"error_code": 404}, 404)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n))
+            if self.path.endswith("/versions"):
+                subject = self.path.split("/")[2]
+                sid = state["next_id"]
+                state["next_id"] += 1
+                state["subjects"][subject] = sid
+                state["by_id"][sid] = payload["schema"]
+                self._json({"id": sid})
+            else:
+                subject = self.path.split("/")[2]
+                if subject in state["subjects"]:
+                    self._json({"id": state["subjects"][subject]})
+                else:
+                    self._json({"error_code": 40401}, 404)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_registry_client_roundtrip(mock_registry):
+    client = SchemaRegistryClient(mock_registry)
+    assert client.is_healthy()
+    schema = '{"type":"record","name":"t","fields":[{"name":"a","type":"int"}]}'
+    sid = client.register("demo-input-value", schema)
+    assert sid == 1
+    assert client.get_schema_by_id(sid) == schema
+    assert client.get_or_register("demo-input-value", schema) == 1
+    ids = client.register_pipeline_schemas(
+        {"input": schema, "output": schema}, "pipegen-local"
+    )
+    assert set(ids) == {"input", "output"}
+    assert "pipegen-local-input-value" in client.list_subjects()
+
+
+def test_registry_client_unreachable():
+    client = SchemaRegistryClient("http://127.0.0.1:1", timeout=0.5)
+    assert not client.is_healthy()
+    with pytest.raises(RegistryError):
+        client.list_subjects()
+
+
+def test_write_compose_and_wait(tmp_path):
+    path = write_compose(str(tmp_path))
+    content = open(path).read()
+    assert "kafka" in content and "schema-registry" in content
+    # idempotent: second call keeps the file
+    assert write_compose(str(tmp_path)) == path
+    # wait_for_port against a live socket (the OS gives us one for free)
+    import socket
+
+    s = socket.create_server(("127.0.0.1", 0))
+    host, port = s.getsockname()
+    assert wait_for_port(host, port, timeout=2)
+    s.close()
+    assert not wait_for_port("127.0.0.1", 1, timeout=1, interval=0.2)
+
+
+def test_rate_controlled_producer(spark, tmp_path):
+    """Producer drives the rate source with a spike pattern; per-batch
+    modulation recorded in stats."""
+    from pipegen_spark.generator.traffic import parse_traffic_pattern
+    from pipegen_spark.streaming.producer import RateControlledProducer
+
+    patterns = parse_traffic_pattern("2s-4s:300%", 50)
+    fields = [{"name": "name", "type": "string"}, {"name": "amount", "type": "int"}]
+    sink_rows = []
+    producer = RateControlledProducer(
+        spark,
+        fields,
+        patterns,
+        sink=lambda df, bid, rate: sink_rows.append((bid, rate)),
+        trigger_seconds=0.5,
+    )
+    q = producer.start(str(tmp_path / "ckpt"))
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and producer.stats.batches < 4:
+            time.sleep(0.3)
+    finally:
+        producer.stop()
+    assert producer.stats.batches >= 2
+    assert producer.stats.rows > 0
+    targets = {rate for _, rate in sink_rows}
+    assert 50 in targets  # base rate observed
