@@ -202,6 +202,17 @@ def norm2_double(a: str, dim_expr: str, d: str) -> str:
     return fold(sq, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
 
 
+def dist2_double(a: str, b: str, dim_expr: str, d: str) -> str:
+    """Squared L2 distance in DOUBLE via sequential left fold."""
+    diffs = transform(
+        seq("1", dim_expr, d),
+        f"i -> (CAST({elem(a, 'i', d)} AS DOUBLE) - CAST({elem(b, 'i', d)} AS DOUBLE))"
+        f" * (CAST({elem(a, 'i', d)} AS DOUBLE) - CAST({elem(b, 'i', d)} AS DOUBLE))",
+        d,
+    )
+    return fold(diffs, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
+
+
 def cosine_double(a: str, b: str, dim_expr: str, d: str) -> str:
     return (
         f"({dot_double(a, b, dim_expr, d)}) / "

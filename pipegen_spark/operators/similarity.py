@@ -90,6 +90,75 @@ def bucket_ids(
     )
 
 
+def ivf_topk(
+    base: DataFrame,
+    query_ids_pred,
+    centroid_ids_pred,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: partition vectors into inverted lists by nearest
+    centroid; queries probe only their `nprobe` nearest lists.
+
+    Centroids here are deterministic sample vectors (selected by
+    `centroid_ids_pred`) rather than k-means-trained ones: Lloyd iterations
+    average doubles across rows, which is summation-order-dependent and
+    would break the bit-exact oracle contract — and sampled centroids are a
+    standard IVF bootstrap. At scale: centroids broadcast, assignment is
+    one map pass, the probe is an equi-join on centroid id — the base table
+    shuffles once (on its list id), never per query.
+
+    Tie-breaks are total: list assignment by (dist2, centroid_id),
+    neighbor rank by (cos desc, neighbor_id). Output:
+    (query_id, neighbor_id, cos, rnk).
+    """
+    cents = base.filter(centroid_ids_pred).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    d2 = F.expr(dl.dist2_double("v", "cv", dl.size("v", dl.SPARK), dl.SPARK))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cid", d2.alias("d2")
+    )
+    wa = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", F.col("cid").alias("list_id"))
+    )
+    probes = (
+        scored.join(
+            base.filter(query_ids_pred).select(F.col(id_col).alias("id")),
+            "id",
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cid").alias("list_id"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored_c = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        _cos("qv", "v").alias("cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored_c.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def lsh_bucket_topk(
     base: DataFrame,
     query_ids_pred,

@@ -27,6 +27,13 @@ from pipegen_spark.plans import statements as st
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.`\"]+)\s+(.*)$", re.I | re.S)
 
 
+def _has_aggregation(df: DataFrame) -> bool:
+    """Streaming memory sink needs complete mode for aggregates (no
+    watermark-ed append contract is guaranteed by arbitrary user SQL)."""
+    plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    return "Aggregate" in plan
+
+
 @dataclass
 class ExecutionResult:
     statement: st.SQLStatement
@@ -34,6 +41,7 @@ class ExecutionResult:
     rows_written: int | None = None
     dataframe: DataFrame | None = None
     error: str | None = None
+    streaming_query: object | None = None  # StreamingQuery for unbounded INSERT
 
 
 @dataclass
@@ -42,6 +50,8 @@ class SQLPipelineExecutor:
     variables: dict[str, str] = field(default_factory=dict)
     specs: dict[str, ddl_mod.TableSpec] = field(default_factory=dict)
     materialized: set[str] = field(default_factory=set)
+    checkpoint_root: str = ""
+    streaming_queries: list = field(default_factory=list)
 
     # --- table materialization ------------------------------------------------
 
@@ -74,6 +84,8 @@ class SQLPipelineExecutor:
 
             rows = int(spec.options.get("number-of-rows", "1000"))
             df = generate_from_spec(self.spark, spec, rows)
+        elif conn == "rate":
+            df = self._rate_source(spec)
         elif conn == "kafka":
             df = self._kafka_source(spec)
         elif conn in ("", "memory"):
@@ -82,6 +94,39 @@ class SQLPipelineExecutor:
             raise ValueError(f"unsupported connector: {conn}")
         df.createOrReplaceTempView(spec.name)
         self.materialized.add(spec.name)
+
+    def _rate_source(self, spec: ddl_mod.TableSpec) -> DataFrame:
+        """Unbounded synthetic source: `rate` stream + schema-driven field
+        expressions. A declared timestamp column receives the source's
+        event time; remaining columns are synthesized (generator/synthetic).
+        The continuous analogue of the reference's producer loop
+        (internal/pipeline/producer.go:194-235)."""
+        from pipegen_spark.generator.synthetic import (
+            _SPARK_TO_AVRO,
+            avro_field_value,
+        )
+        from pyspark.sql import functions as F
+
+        rps = int(spec.options.get("rows-per-second", "100"))
+        base = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .load()
+        )
+        cols = []
+        ts_assigned = False
+        for i, (name, typ) in enumerate(spec.columns):
+            if typ == "timestamp" and not ts_assigned:
+                cols.append(F.col("timestamp").alias(name))
+                ts_assigned = True
+                continue
+            field = {
+                "name": name,
+                "type": _SPARK_TO_AVRO.get(typ.split("<")[0], "string"),
+            }
+            c = avro_field_value(field, F.col("value"), 42 + i).cast(typ)
+            cols.append(c.alias(name))
+        return base.select(*cols)
 
     def _kafka_source(self, spec: ddl_mod.TableSpec) -> DataFrame:
         opts = spec.options
@@ -111,13 +156,16 @@ class SQLPipelineExecutor:
             if name in self.materialized:
                 continue
             if re.search(rf"(?<![\w.]){re.escape(name)}(?![\w.])", select_sql):
-                if spec.connector in ("filesystem", "datagen", "kafka"):
+                if spec.connector in ("filesystem", "datagen", "rate", "kafka"):
                     self._materialize(spec)
 
     # --- sink handling --------------------------------------------------------
 
     def _write_sink(self, df: DataFrame, spec: ddl_mod.TableSpec) -> int | None:
         conn = spec.connector
+        if df.isStreaming:
+            self._start_stream_sink(df, spec)
+            return None
         if conn == "filesystem":
             path = spec.options.get("path")
             (df.write.mode("append").format(spec.fmt).save(path))
@@ -130,6 +178,38 @@ class SQLPipelineExecutor:
         df.createOrReplaceTempView(spec.name)
         self.materialized.add(spec.name)
         return df.count()
+
+    def _start_stream_sink(self, df: DataFrame, spec: ddl_mod.TableSpec):
+        """Unbounded INSERT INTO: start a writeStream into the sink table
+        (the reference's continuous insert-select job,
+        03_create_processing.sql). Memory sink for in-process tables,
+        file sink (with checkpoint) for filesystem connectors. The query
+        handle is collected for the runner's smart-stop."""
+        import os
+
+        ckpt = os.path.join(
+            self.checkpoint_root or ".pipegen-checkpoints", spec.name
+        )
+        if spec.connector == "filesystem":
+            q = (
+                df.writeStream.format(spec.fmt)
+                .option("path", spec.options.get("path"))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+        else:
+            mode = "complete" if _has_aggregation(df) else "append"
+            q = (
+                df.writeStream.format("memory")
+                .queryName(spec.name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            self.materialized.add(spec.name)
+        self.streaming_queries.append(q)
+        return q
 
     # --- main entry -----------------------------------------------------------
 
@@ -171,9 +251,19 @@ class SQLPipelineExecutor:
                 return ExecutionResult(
                     statement=stmt, kind=kind, dataframe=df
                 )
+            n_before = len(self.streaming_queries)
             rows = self._write_sink(df, spec)
+            q = (
+                self.streaming_queries[-1]
+                if len(self.streaming_queries) > n_before
+                else None
+            )
             return ExecutionResult(
-                statement=stmt, kind=kind, rows_written=rows, dataframe=df
+                statement=stmt,
+                kind=kind,
+                rows_written=rows,
+                dataframe=df,
+                streaming_query=q,
             )
         # CREATE_VIEW / QUERY / OTHER
         sql2 = ddl_mod.rewrite_tumble(sql)

@@ -103,11 +103,35 @@ class PipelineRunner:
         self.spark.streams.addListener(collector)
 
         # 5. execute statements in order
-        executor = SQLPipelineExecutor(self.spark, variables=variables)
+        executor = SQLPipelineExecutor(
+            self.spark,
+            variables=variables,
+            checkpoint_root=os.path.join(res.workdir, "checkpoints"),
+        )
         stmt_rows: list[dict] = []
         producer_stats: dict = {"mode": "batch"}
         try:
             results = executor.execute(stmts)
+
+            # 8-13. unbounded INSERTs: run for the configured duration with
+            # smart-stop semantics (expected-count/idle/hard timeout —
+            # reference consumer.go:45-136 + runner.go:399-432)
+            if executor.streaming_queries:
+                from pipegen_spark.streaming.stop import SmartStop
+
+                producer_stats["mode"] = "streaming"
+                reasons = []
+                for q in executor.streaming_queries:
+                    stop = SmartStop(
+                        q,
+                        no_message_timeout=min(
+                            30.0, cfg.duration_seconds
+                        ),
+                        hard_timeout=cfg.duration_seconds,
+                    )
+                    reasons.append(stop.await_done())
+                producer_stats["stop_reasons"] = reasons
+
             for r in results:
                 row = {
                     "order": r.statement.order,
@@ -119,6 +143,13 @@ class PipelineRunner:
                     row["rows"] = r.rows_written
                 elif r.dataframe is not None and r.kind == "QUERY":
                     row["rows"] = r.dataframe.count()
+                elif r.streaming_query is not None:
+                    # memory-sink streaming INSERT: count the sink view
+                    target = r.statement.content.split()[2].strip("`\"")
+                    try:
+                        row["rows"] = self.spark.table(target).count()
+                    except Exception:
+                        pass
                 stmt_rows.append(row)
             producer_stats["statements"] = len(results)
         finally:

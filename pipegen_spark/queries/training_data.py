@@ -29,8 +29,11 @@ NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
 EMB_DUP_THRESHOLD = 0.3
 TOPK_BRUTE = 10
 TOPK_LSH = 5
+TOPK_IVF = 5
+IVF_NPROBE = 2
 N_QUERY_VECS = 5  # query vectors: vec_id < 5
 PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
+CENTROID_LO, CENTROID_HI = 200, 215  # IVF centroids: vec_id in [200, 215]
 PAIR_LIMIT = 500  # deterministic cap on pair outputs (ordered first)
 
 
@@ -90,6 +93,17 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < N_QUERY_VECS,
         F.col("vec_id").between(PLANE_LO, PLANE_HI),
         k=TOPK_LSH,
+    )
+
+
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        F.col("vec_id") < N_QUERY_VECS,
+        F.col("vec_id").between(CENTROID_LO, CENTROID_HI),
+        nprobe=IVF_NPROBE,
+        k=TOPK_IVF,
     )
 
 

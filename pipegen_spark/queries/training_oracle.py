@@ -174,6 +174,42 @@ def _lsh_sql() -> str:
     """
 
 
+def _ivf_sql() -> str:
+    d2 = dl.dist2_double("e.embedding", "c.cv", dl.size("e.embedding", D), D)
+    cos = dl.cosine_double("cd.qv", "cd.v", dl.size("cd.qv", D), D)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN {td.CENTROID_LO} AND {td.CENTROID_HI}
+    ),
+    scored AS (
+        SELECT e.vec_id AS id, e.embedding AS v, c.cid, {d2} AS d2
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        FROM scored
+    ),
+    assigned AS (SELECT id, v, cid AS list_id FROM ranked WHERE rn = 1),
+    probes AS (
+        SELECT id AS query_id, v AS qv, cid AS list_id FROM ranked
+        WHERE rn <= {td.IVF_NPROBE} AND id < {td.N_QUERY_VECS}
+    ),
+    cand AS (
+        SELECT q.query_id, q.qv, a.id, a.v
+        FROM assigned a JOIN probes q ON a.list_id = q.list_id
+        WHERE a.id <> q.query_id
+    ),
+    sc AS (SELECT query_id, id AS neighbor_id, {cos} AS cos FROM cand cd)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM sc
+    ) t WHERE rnk <= {td.TOPK_IVF}
+    ORDER BY query_id, rnk
+    """
+
+
 def _proj_sql(exprs: dict[str, str]) -> str:
     cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
     return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
@@ -194,6 +230,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_embedding_cosine": _emb_dup_sql(),
     "simsearch_bruteforce": _brute_force_sql(),
     "simsearch_lsh": _lsh_sql(),
+    "simsearch_ivf": _ivf_sql(),
     "text_tokens": _proj_sql(tx.token_stats_exprs("text", D)),
     "text_quality": _proj_sql(tx.quality_exprs("text", D)),
     "text_langid": _proj_sql(tx.langid_exprs("text", D)),

@@ -14,9 +14,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from pipegen_spark.session import get_spark
 
-    s = get_spark("pipegen-tests", cpus=4, shuffle_partitions=4)
+    wh = tempfile.mkdtemp(prefix="pipegen-warehouse-")
+    s = get_spark(
+        "pipegen-tests",
+        cpus=4,
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": wh,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield s
     s.stop()
 
