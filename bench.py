@@ -41,20 +41,48 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_queries": len(times),
-                "cpus": cpus,
-            }
-        )
-    )
+
+    # Single-node comparative baseline: the same queries (their oracle SQL)
+    # through DuckDB on the same files. Skipped quietly if anything fails —
+    # the baseline is context, not the metric.
+    duck_total = None
+    try:
+        duck_total = _duckdb_baseline(sf_dir)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "cpus": cpus,
+    }
+    if duck_total is not None:
+        out["duckdb_baseline_sec"] = duck_total
+    print(json.dumps(out))
     spark.stop()
+
+
+def _duckdb_baseline(sf_dir: str) -> float:
+    import duckdb
+
+    from pipegen_spark.queries.registry import oracle_queries
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    t0 = time.perf_counter()
+    for sql in oracle_queries().values():
+        con.execute(sql).fetchall()
+    return round(time.perf_counter() - t0, 4)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,35 @@ def shuffle_free_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, skewed) left side scatters
+    each row to a random salt bucket; the right side is replicated
+    n_salts times so every (key, salt) combination still matches.
+
+    Turns one giant hot-key partition into `n_salts` even ones at the cost
+    of replicating the right side — use when AQE's skew split isn't enough
+    (single key >> one partition) and the right side is mid-sized (too big
+    to broadcast, small enough to replicate). Result is identical to the
+    plain join (asserted in tests).
+    """
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn(
+        "_salt", F.floor(F.rand(seed) * n_salts).cast("int")
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_l.join(salted_r, [on, "_salt"], how).drop("_salt")
+
+
 def recommend_shuffle_partitions(
     input_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
 ) -> int:

@@ -1,0 +1,129 @@
+"""Third query tranche: analytic window family, string/date function
+families, exact percentiles, and the composed curation-decision pipeline
+(the training-data operators chained into one keep/reject output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipegen_spark.catalog import table
+
+DEC = "decimal(18,2)"
+
+
+# --- Q32: exact percentiles --------------------------------------------------
+def q32_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`): deterministic, unlike the approx sketches."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_discount, 0.25)").alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- Q33: analytic window family ---------------------------------------------
+def q33_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.percent_rank().over(wp).alias("pr"),
+            F.cume_dist().over(wp).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(300)
+    )
+
+
+# --- Q34: string function family ---------------------------------------------
+def q34_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.expr("concat_ws('-', p_brand, substr(p_name, 1, 4))").alias("tag"),
+            F.expr("lpad(p_brand, 12, '*')").alias("lp"),
+            F.expr("rpad(p_brand, 12, '.')").alias("rp"),
+            F.expr("replace(p_type, ' ', '_')").alias("typ"),
+            F.expr("reverse(p_brand)").alias("rev"),
+            F.expr("split_part(p_type, ' ', 1)").alias("first_word"),
+            F.expr("CAST(instr(p_name, 'a') AS BIGINT)").alias("pos_a"),
+            F.expr("left(p_name, 5)").alias("l5"),
+            F.expr("right(p_name, 5)").alias("r5"),
+            F.expr("trim(lpad(p_brand, 12, ' '))").alias("trimmed"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+# --- Q35: date function family -----------------------------------------------
+def q35_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("y"),
+            F.expr("CAST(month(o_orderdate) AS BIGINT)").alias("m"),
+            F.expr("CAST(day(o_orderdate) AS BIGINT)").alias("dom"),
+            F.expr("CAST(quarter(o_orderdate) AS BIGINT)").alias("q"),
+            F.date_add(d, 30).alias("due"),
+            F.last_day(d).alias("month_end"),
+            F.datediff(F.lit("2025-01-01").cast("date"), d).alias("age_days"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+# --- Q36: composed curation decision (the training-data story) ---------------
+def q36_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed the way a 100 TB curation pass runs them:
+    exact-dup flag + quality score + language ID → one keep/reject column.
+    Map-only except the dedup window (hash-partitioned by content hash)."""
+    from pipegen_spark.operators import dedup as dd
+    from pipegen_spark.operators import text as tx
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    flagged = dd.exact_dedup(docs, "text", "doc_id")
+    scored = tx.with_quality(flagged, "text")
+    labeled = tx.with_langid(scored.select(
+        "doc_id", "text", "is_dup", "quality_score", "n_tokens"
+    ), "text")
+    keep = (
+        (~F.col("is_dup"))
+        & (F.col("quality_score") >= 0.35)
+        & (F.col("n_tokens") >= 20)
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "is_dup",
+            "quality_score",
+            "n_tokens",
+            "pred_lang",
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

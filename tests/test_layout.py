@@ -75,6 +75,20 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert len(days) > 1  # multiple partitions existed; we read one
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Salting changes the shuffle distribution, never the result."""
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = layout.salted_join(li, orders, "l_orderkey", n_salts=4)
+    assert salted.count() == plain.count()
+    a = plain.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()
+    b = salted.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()
+    assert a == b
+
+
 def test_recommend_shuffle_partitions():
     mb = 1024 * 1024
     assert layout.recommend_shuffle_partitions(0) == 1
