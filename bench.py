@@ -43,11 +43,11 @@ def main() -> None:
     total = round(sum(times.values()), 4)
 
     # Single-node comparative baseline: the same queries (their oracle SQL)
-    # through DuckDB on the same files. Skipped quietly if anything fails —
-    # the baseline is context, not the metric.
-    duck_total = None
+    # through DuckDB on the same files, under a wall-clock budget. Skipped
+    # quietly if anything fails — the baseline is context, not the metric.
+    baseline = None
     try:
-        duck_total = _duckdb_baseline(sf_dir)
+        baseline = _duckdb_baseline(sf_dir, budget_sec=90.0)
     except Exception:
         pass
 
@@ -60,13 +60,17 @@ def main() -> None:
         "n_queries": len(times),
         "cpus": cpus,
     }
-    if duck_total is not None:
-        out["duckdb_baseline_sec"] = duck_total
+    if baseline is not None:
+        out["duckdb_baseline"] = baseline
     print(json.dumps(out))
     spark.stop()
 
 
-def _duckdb_baseline(sf_dir: str) -> float:
+def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:
+    """Time the oracle corpus in DuckDB, fastest-queries-first, stopping at
+    the budget (one pathological query — the all-pairs n-gram oracle —
+    takes ~190s at sf0.1 where the Spark shape takes ~2.5s; the skipped
+    list makes that comparison explicit rather than hiding it)."""
     import duckdb
 
     from pipegen_spark.queries.registry import oracle_queries
@@ -79,10 +83,27 @@ def _duckdb_baseline(sf_dir: str) -> float:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = oracle_queries()
+    # Known-pathological in DuckDB (not in Spark): the blocked all-pairs
+    # n-gram Jaccard (~190s at sf0.1 vs 2.5s for the Spark shape) and the
+    # 60-fold simhash CTE (~18s vs 3.5s). A started query can't be
+    # preempted, so they are excluded up front and reported.
+    heavy = {"dedup_ngram_jaccard", "dedup_simhash"}
+    order = sorted(k for k in oracles if k not in heavy)
     t0 = time.perf_counter()
-    for sql in oracle_queries().values():
-        con.execute(sql).fetchall()
-    return round(time.perf_counter() - t0, 4)
+    completed = 0
+    skipped: list[str] = sorted(heavy & set(oracles))
+    for name in order:
+        if time.perf_counter() - t0 > budget_sec:
+            skipped.append(name)
+            continue
+        con.execute(oracles[name]).fetchall()
+        completed += 1
+    return {
+        "sec": round(time.perf_counter() - t0, 4),
+        "completed": completed,
+        "skipped": skipped,
+    }
 
 
 if __name__ == "__main__":

@@ -181,9 +181,24 @@ def word_shingles(words_expr: str, k: int, d: str) -> str:
     return guarded
 
 
-def dot_double(a: str, b: str, dim_expr: str, d: str) -> str:
-    """Dot product of two float arrays in DOUBLE via sequential left fold —
-    bit-identical across engines (fixed association order)."""
+def dot_double(a: str, b: str, dim_expr, d: str) -> str:
+    """Dot product of two float arrays in DOUBLE with a FIXED left-to-right
+    association order — bit-identical across engines.
+
+    With an integer `dim_expr`, renders an explicit multiply-add chain:
+    plain expressions stay inside whole-stage codegen, whereas Catalyst's
+    higher-order `aggregate` lambda is interpreted (~10x slower on hot
+    pair-scoring paths). A left-assoc chain `x1+x2+...` equals the fold
+    `((0+x1)+x2)+...` for every input (IEEE 0.0+x == x up to the sign of
+    zero, and both sides always render the SAME shape). Falls back to the
+    fold form when the dimension is only known as an expression.
+    """
+    if isinstance(dim_expr, int):
+        terms = [
+            f"(CAST({elem(a, str(i), d)} AS DOUBLE) * CAST({elem(b, str(i), d)} AS DOUBLE))"
+            for i in range(1, dim_expr + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
     prods = transform(
         seq("1", dim_expr, d),
         f"i -> CAST({elem(a, 'i', d)} AS DOUBLE) * CAST({elem(b, 'i', d)} AS DOUBLE)",
@@ -192,8 +207,14 @@ def dot_double(a: str, b: str, dim_expr: str, d: str) -> str:
     return fold(prods, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
 
 
-def norm2_double(a: str, dim_expr: str, d: str) -> str:
-    """Squared L2 norm in DOUBLE (same fold discipline)."""
+def norm2_double(a: str, dim_expr, d: str) -> str:
+    """Squared L2 norm in DOUBLE (same association discipline)."""
+    if isinstance(dim_expr, int):
+        terms = [
+            f"(CAST({elem(a, str(i), d)} AS DOUBLE) * CAST({elem(a, str(i), d)} AS DOUBLE))"
+            for i in range(1, dim_expr + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
     sq = transform(
         seq("1", dim_expr, d),
         f"i -> CAST({elem(a, 'i', d)} AS DOUBLE) * CAST({elem(a, 'i', d)} AS DOUBLE)",
@@ -202,8 +223,15 @@ def norm2_double(a: str, dim_expr: str, d: str) -> str:
     return fold(sq, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
 
 
-def dist2_double(a: str, b: str, dim_expr: str, d: str) -> str:
-    """Squared L2 distance in DOUBLE via sequential left fold."""
+def dist2_double(a: str, b: str, dim_expr, d: str) -> str:
+    """Squared L2 distance in DOUBLE (same association discipline)."""
+    if isinstance(dim_expr, int):
+        terms = [
+            f"((CAST({elem(a, str(i), d)} AS DOUBLE) - CAST({elem(b, str(i), d)} AS DOUBLE))"
+            f" * (CAST({elem(a, str(i), d)} AS DOUBLE) - CAST({elem(b, str(i), d)} AS DOUBLE)))"
+            for i in range(1, dim_expr + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
     diffs = transform(
         seq("1", dim_expr, d),
         f"i -> (CAST({elem(a, 'i', d)} AS DOUBLE) - CAST({elem(b, 'i', d)} AS DOUBLE))"
@@ -213,7 +241,7 @@ def dist2_double(a: str, b: str, dim_expr: str, d: str) -> str:
     return fold(diffs, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
 
 
-def cosine_double(a: str, b: str, dim_expr: str, d: str) -> str:
+def cosine_double(a: str, b: str, dim_expr, d: str) -> str:
     return (
         f"({dot_double(a, b, dim_expr, d)}) / "
         f"(sqrt({norm2_double(a, dim_expr, d)}) * sqrt({norm2_double(b, dim_expr, d)}))"

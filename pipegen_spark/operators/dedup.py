@@ -395,6 +395,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within a block.
 
@@ -407,7 +408,7 @@ def embedding_dup_pairs(
     # stays a sequential per-pair fold for bit-exact cross-engine parity
     # (a join+SUM would reassociate the additions).
     norm = F.expr(
-        f"sqrt({dl.norm2_double('v', dl.size('v', dl.SPARK), dl.SPARK)})"
+        f"sqrt({dl.norm2_double('v', dim or dl.size('v', dl.SPARK), dl.SPARK)})"
     )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -422,7 +423,9 @@ def embedding_dup_pairs(
         "blk", F.col("id").alias("idb"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    dot = F.expr(dl.dot_double("va", "vb", dl.size("va", dl.SPARK), dl.SPARK))
+    dot = F.expr(
+        dl.dot_double("va", "vb", dim or dl.size("va", dl.SPARK), dl.SPARK)
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("ida") < F.col("idb"))

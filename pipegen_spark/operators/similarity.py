@@ -22,8 +22,10 @@ from pyspark.sql.window import Window
 from pipegen_spark.functions import dialect as dl
 
 
-def _cos(va: str, vb: str) -> F.Column:
-    return F.expr(dl.cosine_double(va, vb, dl.size(va, dl.SPARK), dl.SPARK))
+def _cos(va: str, vb: str, dim: int | None = None) -> F.Column:
+    return F.expr(
+        dl.cosine_double(va, vb, dim or dl.size(va, dl.SPARK), dl.SPARK)
+    )
 
 
 def brute_force_topk(
@@ -32,6 +34,7 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (cosine, self excluded).
 
@@ -47,7 +50,7 @@ def brute_force_topk(
     scored = (
         b.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("qv", "bv").alias("cos"))
+        .select("query_id", "neighbor_id", _cos("qv", "bv", dim).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -66,13 +69,16 @@ def bucket_ids(
     id_col: str = "vec_id",
     plane_id_col: str = "bit",
     plane_vec_col: str = "pv",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket) via random-hyperplane signs: bit_i = [dot(v, plane_i)>0].
 
     Planes (a handful of vectors) are broadcast; bucket assignment is a
     map-side cross join + sum — one pass over the base table.
     """
-    dot = F.expr(dl.dot_double("v", "pv", dl.size("v", dl.SPARK), dl.SPARK))
+    dot = F.expr(
+        dl.dot_double("v", "pv", dim or dl.size("v", dl.SPARK), dl.SPARK)
+    )
     return (
         base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(planes.select(plane_id_col, plane_vec_col)))
@@ -98,6 +104,7 @@ def ivf_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition vectors into inverted lists by nearest
     centroid; queries probe only their `nprobe` nearest lists.
@@ -118,7 +125,9 @@ def ivf_topk(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    d2 = F.expr(dl.dist2_double("v", "cv", dl.size("v", dl.SPARK), dl.SPARK))
+    d2 = F.expr(
+        dl.dist2_double("v", "cv", dim or dl.size("v", dl.SPARK), dl.SPARK)
+    )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "id", "v", "cid", d2.alias("d2")
     )
@@ -147,7 +156,7 @@ def ivf_topk(
     scored_c = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        _cos("qv", "v").alias("cos"),
+        _cos("qv", "v", dim).alias("cos"),
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -166,6 +175,7 @@ def lsh_bucket_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: probe only the query's sign bucket.
 
@@ -182,7 +192,7 @@ def lsh_bucket_topk(
     planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select(
         "bit", "pv"
     )
-    buckets = bucket_ids(base, planes, vec_col, id_col)
+    buckets = bucket_ids(base, planes, vec_col, id_col, dim=dim)
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bv = buckets.join(vecs, "id")
     q = (
@@ -199,7 +209,7 @@ def lsh_bucket_topk(
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        _cos("qv", "v").alias("cos"),
+        _cos("qv", "v", dim).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

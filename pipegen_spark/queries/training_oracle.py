@@ -110,8 +110,7 @@ def _ngram_sql() -> str:
 
 
 def _emb_dup_sql() -> str:
-    cos = dl.cosine_double("a.embedding", "b.embedding",
-                           dl.size("a.embedding", D), D)
+    cos = dl.cosine_double("a.embedding", "b.embedding", dl.size("a.embedding", D), D)
     return f"""
     SELECT vec_a, vec_b, cos FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
