@@ -157,6 +157,12 @@ def cmd_run(args) -> int:
     from pipegen_spark.plans.runner import PipelineRunner, RunnerConfig
     from pipegen_spark.session import get_spark
 
+    if not os.path.isdir(os.path.join(args.project_dir, "sql")):
+        print(
+            f"error: {args.project_dir!r} is not a pipeline project "
+            "(no sql/ directory) — run `init` first"
+        )
+        return 2
     spark = get_spark("pipegen-run")
     config = RunnerConfig(
         project_dir=args.project_dir,

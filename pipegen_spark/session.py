@@ -40,7 +40,13 @@ def get_spark(
     except (TypeError, ValueError):
         n = os.cpu_count() or 8
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, 2 * n)
+        # One partition per core, measured best on the sf0.1 corpus in
+        # clean per-process runs (cores: 43s, half: 48s, 2x: 45s). NOTE:
+        # same-process A/B comparisons are invalid — the second session
+        # reuses a warm JVM and wins by ~20% regardless of setting. At real
+        # scale size this from data volume instead — see
+        # plans/layout.py:recommend_shuffle_partitions.
+        shuffle_partitions = max(8, n)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
