@@ -18,12 +18,16 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from pipegen_spark.queries.registry import all_queries, oracle_queries
-from pipegen_spark.queries.relational import q03_agg_having
+from pipegen_spark.queries.relational3 import q36_curation_decision
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q03_agg_having(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the composed curation pass (exact-dup + quality +
+    language-ID → keep/reject): it exercises scan, window, map-side text
+    analysis and the dual-dialect expression layer in one plan."""
+    return q36_curation_decision(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
