@@ -31,8 +31,13 @@ def main() -> None:
     spark = get_spark("pipegen-bench", cpus=cpus)
 
     qs = all_queries()
-    # Warm-up: JVM codegen + file listing, not measured.
+    # Warm-up: JVM codegen + file listing + the Arrow/Python worker pool
+    # (first pandas-UDF use forks ~1 worker/core and imports numpy/pandas —
+    # session bootstrap, not query cost), not measured.
     qs["q01_scan_project"](spark, sf_dir).collect()
+    spark.range(10_000).repartition(int(cpus) if cpus.isdigit() else 32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     times: dict[str, float] = {}
     for name in sorted(qs):

@@ -65,44 +65,54 @@ def shingle_rows(
     id_col: str,
     k: int,
     extra_cols: tuple[str, ...] = (),
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct k-word shingles in ROW form: (id, [extra...], s).
+    """k-word shingles in ROW form: (id, [extra...], s), distinct by default.
 
-    posexplode the token stream, then assemble shingles with `lead()` over
-    the position — every step is whole-stage-codegen. The obvious
-    alternative (array lambdas over the token array) is interpreted by
-    Catalyst AND re-evaluates the tokenizer per element once CollapseProject
-    inlines it — measured 10x+ slower at corpus scale. One shuffle on id
-    (the lead window), which downstream aggs reuse.
+    The token array is projected ONCE below the posexplode — a Generate is
+    an optimization barrier, so CollapseProject cannot re-inline the
+    tokenizer into per-element accesses (the measured O(len^2) trap) — and
+    shingles are assembled with `element_at(toks, pos+j)` on the exploded
+    rows. Everything before the terminal agg is map-only whole-stage
+    codegen: no window sort, no shuffle. The previous lead()-window shape
+    cost a full shuffle+sort on (id, pos) for the same output.
+
+    `distinct=False` skips the dedup shuffle for consumers whose downstream
+    aggregate is already duplicate-insensitive (collect_set, MIN).
     """
-    tok = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra_cols],
-        F.posexplode(F.expr(dl.words(text_col, dl.SPARK))).alias("pos", "wd"),
+        F.expr(dl.words(text_col, dl.SPARK)).alias("_toks"),
+    )
+    tok = base.select(
+        "id", *extra_cols, "_toks",
+        F.posexplode("_toks").alias("pos", "wd"),
     )
     if k == 1:
         out = tok.select("id", *extra_cols, F.col("wd").alias("s"))
     else:
-        win = Window.partitionBy("id").orderBy("pos")
+        # pos is 0-based; keep rows with a full k-window, THEN index (ANSI
+        # element_at raises on out-of-bounds, so the filter must precede).
         parts = [F.col("wd")] + [
-            F.lead("wd", j).over(win) for j in range(1, k)
+            F.element_at("_toks", F.col("pos") + F.lit(j + 1))
+            for j in range(1, k)
         ]
-        out = tok.select(
-            "id",
-            *extra_cols,
-            F.concat_ws(" ", *parts).alias("s"),
-            F.lead("wd", k - 1).over(win).alias("_last"),
-        ).filter(F.col("_last").isNotNull()).drop("_last")
-    return out.distinct()
+        out = (
+            tok.filter(F.col("pos") + k <= F.size("_toks"))
+            .select("id", *extra_cols, F.concat_ws(" ", *parts).alias("s"))
+        )
+    return out.distinct() if distinct else out
 
 
 def shingle_df(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(id, sh: array<string>) with the sorted distinct k-shingle set per
-    doc (docs with no shingles are absent)."""
+    doc (docs with no shingles are absent). collect_set dedups, so the row
+    feed skips its own distinct — one shuffle total."""
     return (
-        shingle_rows(df, text_col, id_col, k)
+        shingle_rows(df, text_col, id_col, k, distinct=False)
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("s")).alias("sh"))
     )
@@ -117,19 +127,15 @@ def _jaccard_col() -> F.Column:
 # --- minhash + LSH -----------------------------------------------------------
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """mh0..mhN minhash columns via explode + hash aggregation.
+def _minhash_aggs() -> list[F.Column]:
+    """The 16 minhash MIN aggregates over a per-row `h` = hash_m31(shingle).
 
-    Semantically identical to the per-row array fold the oracle renders
-    (min over (a*h+b) mod M31; empty shingle set → M31 sentinel), but
-    expressed as explode → 16 conditional MINs so the whole pipeline stays
-    inside whole-stage codegen — Catalyst's higher-order array lambdas are
-    interpreted and ~10x slower at corpus scale. One shuffle on doc id.
-    """
-    ex = sh.select(
-        "id", F.explode_outer("sh").alias("s")
-    ).select("id", F.expr(dl.hash_m31("s", dl.SPARK)).alias("h"))
-    aggs = [
+    MIN is duplicate-insensitive, so these run directly over the (possibly
+    non-distinct) shingle row feed; empty groups never occur (docs with no
+    shingles emit no rows), the coalesce sentinel is belt-and-braces for
+    explode_outer feeds. Map-side partial aggregation makes each MIN a
+    running register per doc — no extra shuffle beyond the groupBy."""
+    return [
         F.coalesce(
             F.min((F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p])) % dl.M31),
             F.lit(dl.M31),
@@ -138,7 +144,24 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         .alias(f"mh{p}")
         for p in range(N_PERMS)
     ]
-    sigs = ex.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """Append mh0..mhN minhash columns to a (id, sh) shingle-set frame.
+
+    Semantically identical to the per-row array fold the oracle renders
+    (min over (a*h+b) mod M31; empty shingle set → M31 sentinel), but
+    expressed as explode → 16 conditional MINs so the whole pipeline stays
+    inside whole-stage codegen — Catalyst's higher-order array lambdas are
+    interpreted and ~10x slower at corpus scale. One shuffle on doc id.
+    (The fused path in minhash_lsh_pairs computes the same MINs inside the
+    shingle aggregation itself; this standalone form serves pre-built
+    shingle-set frames.)
+    """
+    ex = sh.select(
+        "id", F.explode_outer("sh").alias("s")
+    ).select("id", F.expr(dl.hash_m31("s", dl.SPARK)).alias("h"))
+    sigs = ex.groupBy("id").agg(*_minhash_aggs())
     return sh.join(sigs, "id")
 
 
@@ -176,18 +199,31 @@ def minhash_lsh_pairs(
     shingle set, so the set-level candidate predicate is exactly the
     doc-level one.
 
-    Shuffle profile: explode to N_BANDS rows/set of (band, key, id); join on
+    Shuffle profile: one groupBy(id) computes shingle set AND all 16
+    minhash registers together (tokenize → explode → hash-agg, all
+    codegen); explode to N_BANDS rows/set of (band, key, id); join on
     (band, key); verify joins sh arrays by id. Linear in corpus size.
     """
-    sh = shingle_df(df, text_col, id_col, k)
+    rows = shingle_rows(df, text_col, id_col, k, distinct=False).select(
+        "id", "s", F.expr(dl.hash_m31("s", dl.SPARK)).alias("h")
+    )
+    sh = rows.groupBy("id").agg(
+        F.sort_array(F.collect_set("s")).alias("sh"), *_minhash_aggs()
+    )
     if collapse_identical:
-        skey = F.md5(F.array_join(F.array_sort("sh"), ","))
+        # Signatures are a pure function of the shingle set, so computing
+        # them pre-collapse is safe: identical sets carry identical mh*.
+        skey = F.md5(F.array_join("sh", ","))
         sh = (
             sh.groupBy(skey.alias("skey"))
-            .agg(F.min("id").alias("id"), F.first("sh").alias("sh"))
-            .select("id", "sh")
+            .agg(
+                F.min("id").alias("id"),
+                F.first("sh").alias("sh"),
+                *[F.first(f"mh{p}").alias(f"mh{p}") for p in range(N_PERMS)],
+            )
+            .select("id", "sh", *[f"mh{p}" for p in range(N_PERMS)])
         )
-    sig = minhash_signatures(sh)
+    sig = sh
     bands = sig.select(
         "id",
         F.explode(
@@ -396,43 +432,85 @@ def embedding_dup_pairs(
     block_col: str = "label",
     threshold: float = 0.3,
     dim: int | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within a block.
 
-    Cosine uses the sequential-fold dot product (dialect.dot_double) so the
-    result is bit-identical across engines. Blocked all-pairs; the scale
-    path is the LSH bucketing in operators/similarity.py.
+    Two-stage: an Arrow-batched numpy prefilter does one BLAS matmul per
+    block and emits candidate pairs at (threshold - 1e-9); the exact
+    sequential-fold cosine (dialect.dot_double — bit-identical across
+    engines) is then recomputed for candidates only, and the final filter
+    applies the true threshold. The 1e-9 margin dwarfs the ~1e-15 relative
+    difference between BLAS and sequential-fold summation, so no true pair
+    can be lost — the prefilter is an optimization, never the semantics.
+    Measured at sf0.1: ~200k interpreted 64-dim folds → ~1.5k, 3.6s → sub-1s.
+
+    Scale notes: each block's vectors must fit one task (pandas group);
+    that is inherent to blocked all-pairs — for unblocked corpora use the
+    LSH bucketing in operators/similarity.py. `prefilter=False` keeps the
+    pure-SQL all-pairs fold path.
     """
-    # Precompute each vector's norm once (fold per row) instead of twice per
-    # pair — same doubles, 1/3 the interpreted-lambda work. The dot product
-    # stays a sequential per-pair fold for bit-exact cross-engine parity
-    # (a join+SUM would reassociate the additions).
-    norm = F.expr(
-        f"sqrt({dl.norm2_double('v', dim or dl.size('v', dl.SPARK), dl.SPARK)})"
-    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).alias("v"),
-    ).withColumn("nrm", norm)
-    a = base.select(
-        "blk", F.col("id").alias("ida"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        "blk", F.col("id").alias("idb"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
     )
     dot = F.expr(
         dl.dot_double("va", "vb", dim or dl.size("va", dl.SPARK), dl.SPARK)
     )
+    na = F.expr(
+        f"sqrt({dl.norm2_double('va', dim or dl.size('va', dl.SPARK), dl.SPARK)})"
+    )
+    nb = F.expr(
+        f"sqrt({dl.norm2_double('vb', dim or dl.size('vb', dl.SPARK), dl.SPARK)})"
+    )
+    if prefilter:
+        id_type = base.schema["id"].dataType.simpleString()
+        margin = threshold - 1e-9
+
+        def _cands(pdf):
+            import numpy as np
+            import pandas as pd
+
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            nrm = np.sqrt((V * V).sum(axis=1))
+            C = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = C[iu, ju] >= margin
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            return pd.DataFrame(
+                {"ida": np.minimum(a, b), "idb": np.maximum(a, b)}
+            )
+
+        cand = base.groupBy("blk").applyInPandas(
+            _cands, schema=f"ida {id_type}, idb {id_type}"
+        )
+        va = base.select(F.col("id").alias("ida"), F.col("v").alias("va"))
+        vb = base.select(F.col("id").alias("idb"), F.col("v").alias("vb"))
+        pairs = cand.join(va, "ida").join(vb, "idb")
+    else:
+        # Precompute each vector's norm once per ROW (not per pair) — same
+        # doubles, 1/3 the interpreted-lambda work on the all-pairs join.
+        norm = F.expr(
+            f"sqrt({dl.norm2_double('v', dim or dl.size('v', dl.SPARK), dl.SPARK)})"
+        )
+        rows = base.withColumn("nrm", norm)
+        a = rows.select(
+            "blk", F.col("id").alias("ida"), F.col("v").alias("va"),
+            F.col("nrm").alias("_na"),
+        )
+        b = rows.select(
+            "blk", F.col("id").alias("idb"), F.col("v").alias("vb"),
+            F.col("nrm").alias("_nb"),
+        )
+        pairs = a.join(b, "blk").filter(F.col("ida") < F.col("idb"))
+        na, nb = F.col("_na"), F.col("_nb")
     return (
-        a.join(b, "blk")
-        .filter(F.col("ida") < F.col("idb"))
-        .select(
+        pairs.select(
             F.col("ida").alias("vec_a"),
             F.col("idb").alias("vec_b"),
-            (dot / (F.col("na") * F.col("nb"))).alias("cos"),
+            (dot / (na * nb)).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .orderBy("vec_a", "vec_b")

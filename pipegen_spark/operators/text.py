@@ -36,9 +36,12 @@ STOPWORDS: tuple[str, ...] = LANG_WORDLISTS["en"]
 # --- shared dual-dialect expression builders --------------------------------
 
 
-def token_stats_exprs(text: str, d: str) -> dict[str, str]:
-    """Column-name → SQL fragment for token counting."""
-    w = dl.words(text, d)
+def token_stats_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
+    """Column-name → SQL fragment for token counting.
+
+    `w` overrides the token-array expression (e.g. a pre-materialized
+    column); defaults to tokenizing `text` inline."""
+    w = w or dl.words(text, d)
     return {
         "n_tokens": f"CAST({dl.size(w, d)} AS BIGINT)",
         "n_types": f"CAST({dl.size(dl.arr_distinct(w, d), d)} AS BIGINT)",
@@ -51,36 +54,53 @@ def token_stats_exprs(text: str, d: str) -> dict[str, str]:
     }
 
 
-def quality_exprs(text: str, d: str) -> dict[str, str]:
-    """Quality-scoring fragments: ratios are per-row double math (identical
-    IEEE results in both engines)."""
-    w = dl.words(text, d)
-    n_tokens = f"CAST({dl.size(w, d)} AS BIGINT)"
+def quality_primitives(
+    text: str, d: str, w: str | None = None
+) -> dict[str, str]:
+    """Integer counting primitives the quality ratios are built from."""
+    w = w or dl.words(text, d)
     tok_chars = dl.fold(
         dl.transform(w, "x -> CAST(length(x) AS BIGINT)", d),
         "CAST(0 AS BIGINT)",
         "(acc,x) -> acc + x",
         d,
     )
-    n_chars = f"CAST(length({text}) AS BIGINT)"
     _stripped = dl.regexp_replace_all(f"lower({text})", "[^a-z0-9]", "", d)
-    alpha_chars = f"CAST(length({_stripped}) AS BIGINT)"
     stop_arr = (
         "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
         if d == dl.SPARK
         else "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
     )
     stop_lam = "x -> " + dl.contains(stop_arr, "x", d)
-    stop_hits = f"CAST({dl.size(dl.filter_(w, stop_lam, d), d)} AS BIGINT)"
-    avg_tok = f"(CAST({tok_chars} AS DOUBLE) / CAST(greatest({n_tokens}, 1) AS DOUBLE))"
-    alpha_ratio = f"(CAST({alpha_chars} AS DOUBLE) / CAST(greatest({n_chars}, 1) AS DOUBLE))"
-    stop_ratio = f"(CAST({stop_hits} AS DOUBLE) / CAST(greatest({n_tokens}, 1) AS DOUBLE))"
+    return {
+        "n_tokens": f"CAST({dl.size(w, d)} AS BIGINT)",
+        "tok_chars": f"({tok_chars})",
+        "n_chars": f"CAST(length({text}) AS BIGINT)",
+        "alpha_chars": f"CAST(length({_stripped}) AS BIGINT)",
+        "stop_hits": f"CAST({dl.size(dl.filter_(w, stop_lam, d), d)} AS BIGINT)",
+    }
+
+
+def quality_ratios(p: dict[str, str]) -> dict[str, str]:
+    """Ratio/score fragments over primitive fragments (or column names) —
+    plain double math, identical IEEE results in both engines."""
+    avg_tok = (
+        f"(CAST({p['tok_chars']} AS DOUBLE)"
+        f" / CAST(greatest({p['n_tokens']}, 1) AS DOUBLE))"
+    )
+    alpha_ratio = (
+        f"(CAST({p['alpha_chars']} AS DOUBLE)"
+        f" / CAST(greatest({p['n_chars']}, 1) AS DOUBLE))"
+    )
+    stop_ratio = (
+        f"(CAST({p['stop_hits']} AS DOUBLE)"
+        f" / CAST(greatest({p['n_tokens']}, 1) AS DOUBLE))"
+    )
     score = (
-        f"(least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0) * 0.5"
+        f"(least(CAST({p['n_tokens']} AS DOUBLE) / 100.0, 1.0) * 0.5"
         f" + {alpha_ratio} * 0.3 + {stop_ratio} * 0.2)"
     )
     return {
-        "n_tokens": n_tokens,
         "avg_token_len": avg_tok,
         "alpha_ratio": alpha_ratio,
         "stopword_ratio": stop_ratio,
@@ -88,9 +108,15 @@ def quality_exprs(text: str, d: str) -> dict[str, str]:
     }
 
 
-def langid_exprs(text: str, d: str) -> dict[str, str]:
+def quality_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
+    """Quality-scoring fragments (primitives inlined into the ratios)."""
+    p = quality_primitives(text, d, w)
+    return {"n_tokens": p["n_tokens"], **quality_ratios(p)}
+
+
+def langid_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
     """Per-language stopword-hit scores + argmax prediction."""
-    w = dl.words(text, d)
+    w = w or dl.words(text, d)
     out: dict[str, str] = {}
     for lang, wl in LANG_WORDLISTS.items():
         arr = (
@@ -120,23 +146,74 @@ def fingerprint_expr(text: str, d: str) -> str:
 # --- Spark operators ---------------------------------------------------------
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier: a unit explode (one-element literal array).
+
+    A plain projection is not an optimization barrier — CollapseProject
+    re-inlines projected expressions into every downstream use — but a
+    Generate is. Columns computed below this barrier are evaluated exactly
+    once per row no matter how many downstream fragments reference them.
+    Map-only: no shuffle, row count and values unchanged.
+    """
+    return df.select(
+        "*", F.explode(F.array(F.lit(1))).alias("_one")
+    ).drop("_one")
+
+
+def _tokens_once(df: DataFrame, text_col: str) -> DataFrame:
+    """Token array materialized once per row (tokenizer below a barrier).
+
+    Without this, an operator whose fragments reference the token array N
+    times re-runs the regex tokenizer N times per row (measured 4x here).
+    """
+    return _barrier(
+        df.select("*", F.expr(dl.words(text_col, dl.SPARK)).alias("_toks"))
+    )
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append token-count columns (map-only, JVM-side)."""
-    exprs = token_stats_exprs(text_col, dl.SPARK)
-    return df.select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+    exprs = token_stats_exprs(text_col, dl.SPARK, w="_toks")
+    return (
+        _tokens_once(df, text_col)
+        .select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+        .drop("_toks")
+    )
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    exprs = quality_exprs(text_col, dl.SPARK)
-    return df.select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+    """Two-staged: counting primitives below a second barrier, ratios above
+    — `quality_score` re-references the ratio fragments, so un-staged the
+    stopword filter lambda would run twice per row."""
+    prims = quality_primitives(text_col, dl.SPARK, w="_toks")
+    stage1 = _tokens_once(df, text_col).select(
+        "*", *[F.expr(e).alias(f"_p_{n}") for n, e in prims.items()]
+    )
+    ratios = quality_ratios({n: f"_p_{n}" for n in prims})
+    return (
+        _barrier(stage1)
+        .select(
+            "*",
+            F.col("_p_n_tokens").alias("n_tokens"),
+            *[F.expr(e).alias(n) for n, e in ratios.items()],
+        )
+        .drop("_toks", *[f"_p_{n}" for n in prims])
+    )
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
-    exprs = langid_exprs(text_col, dl.SPARK)
-    out = df
-    for n, e in exprs.items():
-        out = out.withColumn(n, F.expr(e))
-    return out
+    """Two-staged: per-language scores below a barrier, argmax above — the
+    CASE re-references each score up to |langs|-1 times."""
+    exprs = langid_exprs(text_col, dl.SPARK, w="_toks")
+    scores = {n: e for n, e in exprs.items() if n != "pred_lang"}
+    stage1 = _tokens_once(df, text_col).select(
+        "*", *[F.expr(e).alias(n) for n, e in scores.items()]
+    )
+    return (
+        _barrier(stage1)
+        .withColumn("pred_lang", F.expr(exprs["pred_lang"]))
+        .drop("_toks")
+    )
 
 
 def fingerprint(text_col: str = "text") -> Column:
