@@ -137,6 +137,14 @@ def seq(lo: str, hi: str, d: str) -> str:
     return f"sequence({lo},{hi})" if d == SPARK else f"range({lo},({hi})+1)"
 
 
+def regexp_count(s: str, pat: str, d: str) -> str:
+    """Number of non-overlapping matches of `pat` in `s`."""
+    _check(d)
+    if d == SPARK:
+        return f"regexp_count({s}, '{pat}')"
+    return f"len(regexp_extract_all({s}, '{pat}'))"
+
+
 def regexp_replace_all(s: str, pat: str, rep: str, d: str) -> str:
     """Global regexp replace (DuckDB defaults to first-match-only)."""
     _check(d)

@@ -1,0 +1,245 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, repetition scoring, PII/regex redaction,
+deterministic stratified sampling, and token-budget sequence packing.
+
+Scale design (100 TB discipline):
+- Decontamination joins shingle ROWS against a (small) benchmark shingle
+  set — broadcast hash join, no quadratic term, candidates never leave
+  their partition.
+- Repetition / redaction are pure map operators: no shuffle, text column
+  only, pushdown-safe.
+- Stratified sampling is a deterministic per-row hash gate (no sampling
+  state, no driver round-trip, reproducible across runs and engines).
+- Sequence packing is one window per (lang, source) partition — at real
+  scale pack within finer shards (add a shard column to part_cols) so no
+  single window partition exceeds one task.
+
+All fragments come from functions/dialect.py so the DuckDB oracle renders
+the identical computation.
+
+Reference parity: the reference (mcolomerc/pipegen) has no curation
+operators; these extend it per the north star (SURVEY.md §2B-B29 [EXT]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipegen_spark.functions import dialect as dl
+from pipegen_spark.operators import dedup as dd
+
+# PII-ish redaction patterns. No backslash classes — the same literal
+# pattern string must parse identically in Java regex and DuckDB RE2.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "phone": "[0-9]{3}[-][0-9]{3,4}[-][0-9]{4}",
+    "digits": "[0-9]{6,}",
+}
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def contamination_check(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval corpus.
+
+    The standard decontamination pass: a training document whose n-grams
+    overlap an evaluation set is flagged before training. Returns
+    (id, n_ngrams, n_overlap, contamination, is_contaminated) for EVERY
+    row of df (documents shorter than n tokens get zeros).
+
+    Shape: distinct shingle rows for candidates (map + one dedup shuffle),
+    benchmark shingles deduped and BROADCAST — the benchmark set is small
+    by construction, so the overlap join is map-side and candidates never
+    shuffle on content.
+    """
+    cand = dd.shingle_rows(df, text_col, id_col, n)
+    bench = (
+        dd.shingle_rows(bench_df, text_col, id_col, n)
+        .select("s")
+        .distinct()
+    )
+    per_doc = cand.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        cand.join(F.broadcast(bench), "s")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long")
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    contamination = F.when(
+        n_ngrams > 0, n_overlap.cast("double") / n_ngrams.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        ids.join(per_doc, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            n_ngrams.alias("n_ngrams"),
+            n_overlap.alias("n_overlap"),
+            contamination.alias("contamination"),
+            (contamination >= threshold).alias("is_contaminated"),
+        )
+    )
+
+
+# --- intra-document repetition ------------------------------------------------
+
+
+def repetition_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
+    """Repetition-score fragments over a token-array expression.
+
+    rep_ratio = 1 - distinct_ngrams / total_ngrams: boilerplate and
+    copy-paste-heavy documents score high; 0 for docs shorter than n.
+    """
+    n = REPETITION_N  # module constant so the oracle renders the same n
+    w = w or dl.words(text, d)
+    total = f"greatest({dl.size(w, d)} - {n - 1}, 0)"
+    distinct = dl.size(dl.word_shingles(w, n, d), d)
+    ratio = (
+        f"CASE WHEN ({total}) > 0 THEN 1.0 - "
+        f"(CAST({distinct} AS DOUBLE) / CAST({total} AS DOUBLE)) "
+        f"ELSE 0.0 END"
+    )
+    return {
+        "n_ngrams": f"CAST({total} AS BIGINT)",
+        "n_distinct": f"CAST({distinct} AS BIGINT)",
+        "rep_ratio": ratio,
+    }
+
+
+REPETITION_N = 3
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append repetition-score columns (map-only, JVM-side; token array
+    materialized once behind a Generate barrier — see operators/text.py)."""
+    from pipegen_spark.operators.text import _tokens_once
+
+    exprs = repetition_exprs(text_col, dl.SPARK, w="_toks")
+    return (
+        _tokens_once(df, text_col)
+        .select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+        .drop("_toks")
+    )
+
+
+# --- PII / regex redaction ----------------------------------------------------
+
+
+def redact_exprs(
+    text: str, d: str, patterns: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Per-pattern hit counts + the fully redacted text.
+
+    Redaction applies patterns in dict order, each replaced globally with
+    `<NAME>`; counts are measured on the ORIGINAL text (a pattern firing
+    inside an earlier replacement token never counts).
+    """
+    patterns = patterns or PII_PATTERNS
+    out: dict[str, str] = {}
+    red = text
+    for name, pat in patterns.items():
+        out[f"n_{name}"] = (
+            f"CAST({dl.regexp_count(text, pat, d)} AS BIGINT)"
+        )
+        red = dl.regexp_replace_all(red, pat, f"<{name.upper()}>", d)
+    out["redacted"] = red
+    return out
+
+
+def with_redaction(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Append redaction columns (map-only, JVM-side regex)."""
+    exprs = redact_exprs(text_col, dl.SPARK, patterns)
+    return df.select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+
+
+# --- deterministic stratified sampling ----------------------------------------
+
+
+def sample_gate_expr(
+    id_col: str, stratum_col: str, rates_bps: dict[str, int],
+    default_bps: int, d: str,
+) -> str:
+    """Boolean keep-gate: hash60(id) % 10000 < stratum rate (basis points).
+
+    Deterministic, stateless, engine-portable: the same row is kept or
+    dropped everywhere, reruns are reproducible, and no coordination is
+    needed across 1000 executors (unlike reservoir/Bernoulli samplers)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {bps}" for s, bps in sorted(rates_bps.items())
+    )
+    rate = f"CASE {stratum_col} {whens} ELSE {default_bps} END"
+    bucket = f"({dl.hash60(f'CAST({id_col} AS STRING)', d)} % 10000)"
+    return f"({bucket} < {rate})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_bps: dict[str, int],
+    default_bps: int = 1000,
+) -> DataFrame:
+    """Filter to a deterministic per-stratum sample (map-only)."""
+    gate = sample_gate_expr(
+        id_col, stratum_col, rates_bps, default_bps, dl.SPARK
+    )
+    return df.filter(F.expr(gate))
+
+
+# --- token-budget sequence packing --------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    part_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    id order within each (part_cols) stream and sliced into fixed
+    `budget`-token training sequences; each doc is labeled with the chunk
+    its first token lands in (seq_id) and its offset inside that chunk.
+
+    One window per stream — at 100 TB add a shard column to part_cols so
+    no stream exceeds a single task's memory; chunk ids stay deterministic
+    because the shard is part of the stream key.
+    """
+    n_tokens = F.expr(
+        f"CAST({dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)} AS BIGINT)"
+    )
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), *part_cols, n_tokens.alias("n_tokens")
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    # floor() explicitly on BOTH engines: a bare long/int division is double
+    # division in each, but a later CAST truncates in Spark and ROUNDS in
+    # DuckDB — floor-then-cast is the only portable integer division here.
+    return base.select(
+        "id", *part_cols, "n_tokens",
+        offset.alias("tok_offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
+        (offset % F.lit(budget)).cast("long").alias("seq_off"),
+    )

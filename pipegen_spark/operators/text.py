@@ -46,9 +46,7 @@ def token_stats_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]
         "n_tokens": f"CAST({dl.size(w, d)} AS BIGINT)",
         "n_types": f"CAST({dl.size(dl.arr_distinct(w, d), d)} AS BIGINT)",
         "n_bpe": (
-            f"CAST(regexp_count(lower({text}), '{BPE_PATTERN}') AS BIGINT)"
-            if d == dl.SPARK
-            else f"CAST(len(regexp_extract_all(lower({text}), '{BPE_PATTERN}')) AS BIGINT)"
+            f"CAST({dl.regexp_count(f'lower({text})', BPE_PATTERN, d)} AS BIGINT)"
         ),
         "n_chars_m": f"CAST(length({text}) AS BIGINT)",
     }

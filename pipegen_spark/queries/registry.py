@@ -21,7 +21,7 @@ def _collect(module) -> dict[str, QueryFn]:
     out = {}
     for name in dir(module):
         if name.startswith("q") or name.startswith(
-            ("dedup_", "simsearch_", "text_", "multimodal_")
+            ("dedup_", "simsearch_", "text_", "multimodal_", "curate_")
         ):
             fn = getattr(module, name)
             if callable(fn):

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pipegen_spark.catalog import table
 from pipegen_spark.functions import dialect as dl
+from pipegen_spark.operators import curation as cu
 from pipegen_spark.operators import dedup as dd
 from pipegen_spark.operators import similarity as sim
 from pipegen_spark.operators import text as tx
@@ -41,6 +42,13 @@ N_QUERY_VECS = 5  # query vectors: vec_id < 5
 PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
 CENTROID_LO, CENTROID_HI = 200, 215  # IVF centroids: vec_id in [200, 215]
 PAIR_LIMIT = 500  # deterministic cap on pair outputs (ordered first)
+# Curation-family parameters (shared with the oracle):
+CONTAM_N = 8  # 8-grams: only genuinely duplicated passages collide
+CONTAM_THRESHOLD = 0.5
+CONTAM_BENCH_MOD = 53  # benchmark set = doc_id % 53 == 0 (deterministic)
+SAMPLE_RATES_BPS = {"en": 5000, "es": 2500, "de": 1250, "fr": 625}
+SAMPLE_DEFAULT_BPS = 1000
+PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
 # --- deduplication -----------------------------------------------------------
@@ -149,6 +157,71 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", tx.fingerprint("text").alias("fp")
     ).orderBy("doc_id")
+
+
+# --- corpus curation ----------------------------------------------------------
+
+
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing 8-grams with
+    the (deterministic) benchmark slice doc_id % 53 == 0."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    cand = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return (
+        cu.contamination_check(
+            cand, bench, "text", "doc_id",
+            n=CONTAM_N, threshold=CONTAM_THRESHOLD,
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def curate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        cu.with_repetition(docs.select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def curate_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: per-pattern hit counts + md5 of the redacted
+    text (the synthetic corpus is PII-free, so counts verify as zeros and
+    the md5 verifies the transform is a no-op where nothing matches;
+    tests/test_curation.py proves detection on crafted PII)."""
+    docs = table(spark, sf_dir, "documents")
+    out = cu.with_redaction(docs.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name in cu.PII_PATTERNS],
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        cu.stratified_sample(
+            docs, "doc_id", "lang", SAMPLE_RATES_BPS, SAMPLE_DEFAULT_BPS
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        cu.pack_sequences(
+            docs, "text", "doc_id", budget=PACK_BUDGET,
+            part_cols=("lang", "source"),
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # --- multimodal plumbing (binary column stats) -------------------------------

@@ -9,6 +9,7 @@ order for every floating-point fold.
 from __future__ import annotations
 
 from pipegen_spark.functions import dialect as dl
+from pipegen_spark.operators import curation as cu
 from pipegen_spark.operators import dedup as dd
 from pipegen_spark.operators import text as tx
 from pipegen_spark.queries import training_data as td
@@ -209,6 +210,87 @@ def _ivf_sql() -> str:
     """
 
 
+def _contamination_sql() -> str:
+    mod = td.CONTAM_BENCH_MOD
+    return f"""
+    WITH {_W_CTE},
+    sh AS (SELECT id, {_shingles(td.CONTAM_N)} AS sh FROM w),
+    rows AS (SELECT id, unnest(sh) AS s FROM sh),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE id % {mod} = 0),
+    perdoc AS (SELECT id, CAST(len(sh) AS BIGINT) AS n_ngrams FROM sh),
+    hits AS (
+        SELECT r.id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM rows r JOIN bench b ON r.s = b.s
+        GROUP BY r.id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_ngrams, 0) AS n_ngrams,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                     / CAST(p.n_ngrams AS DOUBLE)
+                ELSE 0.0 END AS contamination,
+           (CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                 THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                      / CAST(p.n_ngrams AS DOUBLE)
+                 ELSE 0.0 END) >= {td.CONTAM_THRESHOLD} AS is_contaminated
+    FROM documents d
+    LEFT JOIN perdoc p ON d.doc_id = p.id
+    LEFT JOIN hits h ON d.doc_id = h.id
+    WHERE d.doc_id % {mod} <> 0
+    ORDER BY d.doc_id
+    """
+
+
+def _sample_sql() -> str:
+    gate = cu.sample_gate_expr(
+        "doc_id", "lang", td.SAMPLE_RATES_BPS, td.SAMPLE_DEFAULT_BPS, D
+    )
+    return (
+        f"SELECT doc_id, lang, source FROM documents WHERE {gate} "
+        "ORDER BY doc_id"
+    )
+
+
+def _pack_sql() -> str:
+    n_tok = f"CAST({dl.size(dl.words('text', D), D)} AS BIGINT)"
+    b = td.PACK_BUDGET
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS id, lang, source, {n_tok} AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT id, lang, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+        FROM base
+    )
+    SELECT id AS doc_id, lang, source, n_tokens, tok_offset,
+           CAST(floor(tok_offset / {b}) AS BIGINT) AS seq_id,
+           CAST(tok_offset % {b} AS BIGINT) AS seq_off
+    FROM cum ORDER BY doc_id
+    """
+
+
+def _repetition_sql() -> str:
+    exprs = cu.repetition_exprs("text", D, w="w")
+    cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return (
+        f"WITH {_W_CTE} SELECT id AS doc_id, {cols} FROM w ORDER BY doc_id"
+    )
+
+
+def _redact_sql() -> str:
+    exprs = cu.redact_exprs("text", D)
+    cols = ", ".join(
+        f"{exprs[f'n_{name}']} AS n_{name}" for name in cu.PII_PATTERNS
+    )
+    return (
+        f"SELECT doc_id, {cols}, md5({exprs['redacted']}) AS redacted_md5 "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def _proj_sql(exprs: dict[str, str]) -> str:
     cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
     return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
@@ -234,6 +316,11 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_quality": _proj_sql(tx.quality_exprs("text", D)),
     "text_langid": _proj_sql(tx.langid_exprs("text", D)),
     "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
+    "curate_contamination": _contamination_sql(),
+    "curate_repetition": _repetition_sql(),
+    "curate_redact": _redact_sql(),
+    "curate_sample": _sample_sql(),
+    "curate_pack": _pack_sql(),
     "multimodal_binary_stats": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

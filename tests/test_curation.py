@@ -1,0 +1,123 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipegen_spark.operators import curation as cu
+
+
+def test_redaction_detects_and_redacts_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 555-123-4567 now"),
+            (2, "server at 10.0.42.7 leaked id 123456789"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cu.with_redaction(df, "text").collect()
+    }
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["n_digits"] == 1
+    assert "<EMAIL>" in rows[1]["redacted"]
+    assert "<PHONE>" in rows[1]["redacted"]
+    assert "bob@example.com" not in rows[1]["redacted"]
+    assert "<IPV4>" in rows[2]["redacted"]
+    assert rows[3]["redacted"] == "nothing sensitive here"
+    assert rows[3]["n_email"] == 0
+
+
+def test_contamination_flags_benchmark_overlap(spark):
+    phrase = "one two three four five six seven eight"
+    bench = spark.createDataFrame(
+        [(100, phrase)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, phrase + " nine"),  # 2 8-grams, 1 shared -> ratio 0.5
+            (2, "totally different words entirely here and everywhere now"),
+            (3, "short"),  # < 8 tokens -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in cu.contamination_check(
+            cand, bench, "text", "doc_id", n=8, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["n_overlap"] >= 1 and out[1]["is_contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["is_contaminated"]
+    assert out[3]["n_ngrams"] == 0 and out[3]["contamination"] == 0.0
+
+
+def test_repetition_scores_repeated_text_higher(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "every word here is completely distinct friend"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cu.with_repetition(df, "text").collect()}
+    assert rows[1]["rep_ratio"] > 0.8
+    assert rows[2]["rep_ratio"] == 0.0
+    assert rows[2]["n_distinct"] == rows[2]["n_ngrams"]
+
+
+def test_stratified_sample_deterministic_and_rate_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 5000, "fr": 500}
+    s1 = cu.stratified_sample(df, "doc_id", "lang", rates).collect()
+    s2 = cu.stratified_sample(df, "doc_id", "lang", rates).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    by_lang = {"en": 0, "fr": 0}
+    for r in s1:
+        by_lang[r["lang"]] += 1
+    # en sampled at 50% of 1000, fr at 5% of 1000 — wide margins
+    assert 350 < by_lang["en"] < 650
+    assert by_lang["fr"] < 150
+    assert by_lang["en"] > by_lang["fr"]
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    # 5 docs of 10 tokens each in one stream, budget 25:
+    # offsets 0,10,20,30,40 -> seq ids 0,0,0,1,1
+    text = " ".join(["tok"] * 10)
+    df = spark.createDataFrame(
+        [(i, "en", "s0", text) for i in range(5)],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = sorted(
+        cu.pack_sequences(df, "text", "doc_id", budget=25).collect(),
+        key=lambda r: r["id"],
+    )
+    assert [r["tok_offset"] for r in rows] == [0, 10, 20, 30, 40]
+    assert [r["seq_id"] for r in rows] == [0, 0, 0, 1, 1]
+    assert [r["seq_off"] for r in rows] == [0, 10, 20, 5, 15]
+    assert all(r["n_tokens"] == 10 for r in rows)
+
+
+def test_pack_sequences_streams_are_independent(spark):
+    text = " ".join(["tok"] * 10)
+    df = spark.createDataFrame(
+        [
+            (1, "en", "s0", text),
+            (2, "fr", "s0", text),
+            (3, "en", "s0", text),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = {
+        r["id"]: r for r in cu.pack_sequences(df, "text", "doc_id", 2048).collect()
+    }
+    # fr stream restarts at offset 0 regardless of en docs
+    assert rows[2]["tok_offset"] == 0
+    assert rows[1]["tok_offset"] == 0 and rows[3]["tok_offset"] == 10
