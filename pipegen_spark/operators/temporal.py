@@ -1,0 +1,124 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+windowed range join/aggregate.
+
+Spark-first shapes (no UDFs, no driver loops):
+
+- `asof_join` is the classic distributed as-of: union both sides with a
+  tag, ONE shuffle+sort per partition key, then `last(..., ignorenulls)`
+  over a rows-frame window carries the most recent right-side payload
+  forward onto each left row. Cost is a single sort-shuffle on the `by`
+  key regardless of how many right rows precede each left row — against
+  the naive range-join-then-argmax (a join blow-up plus a second
+  aggregation shuffle) this is strictly less data movement, and it's the
+  standard shape pandas' merge_asof distributes to.
+- `range_agg` is an equi-join on the partition key with the time-range
+  predicate applied as a post-join filter: Catalyst plans a hash join on
+  the key, the range filter never materializes out-of-window pairs past
+  the probe, and AQE's skew handling splits hot keys.
+
+Semantics of asof_join (backward): for each left row, the right row with
+the greatest ts <= left.ts within the same `by` group; ts ties include the
+right row (<=), multiple right rows on the same ts resolve to the largest
+tiebreaker. Deterministic by construction: the window order
+(ts, side-tag, tiebreaker) is a total order.
+
+Reference parity: the reference (mcolomerc/pipegen) expresses no as-of /
+range joins (its SQL surface is FlinkSQL pass-through); these extend the
+engine per SURVEY.md §2B [EXT].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    tiebreak_cols: tuple[str, str],
+    payload_cols: tuple[str, ...],
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join. Returns left rows + `{prefix}{payload}` columns
+    from the matched right row (NULL where no right row precedes).
+
+    `tiebreak_cols` is a (left, right) pair of unique numeric columns that
+    totalize the window order (the right one also breaks equal-ts ties:
+    largest wins). Left rows keep all their columns. One shuffle+sort on
+    `by`.
+    """
+    l_tb, r_tb = tiebreak_cols
+    l_keep = [c for c in left.columns if c not in (by, ts_col)]
+    lt = left.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_il"),
+        F.col(l_tb).cast("long").alias("_tb"),
+        *[F.col(c).alias(f"_l_{c}") for c in l_keep],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in payload_cols],
+    )
+    rt = right.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_il"),
+        F.col(r_tb).cast("long").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in l_keep],
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_ts", "_il", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(
+                f"{payload_prefix}{c}"
+            )
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_il") == 1).select(
+        F.col("_by").alias(by),
+        F.col("_ts").alias(ts_col),
+        *[F.col(f"_l_{c}").alias(c) for c in l_keep],
+        *[F.col(f"{payload_prefix}{c}") for c in payload_cols],
+    )
+
+
+def range_agg(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    window_expr: str,
+    aggs: list[Column],
+) -> DataFrame:
+    """Per-left-row aggregate of right rows with
+    left.ts - window <= right.ts < left.ts within the same `by` group.
+
+    `window_expr` is a SQL interval literal (e.g. "INTERVAL 1 HOUR").
+    Left join semantics: left rows with no in-window right rows survive
+    with empty-aggregate values (COUNT 0 / NULL sums — coalesce in `aggs`).
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {window_expr}"))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}"))
+    )
+    grouped = (
+        l.join(r, cond, "left")
+        .groupBy(*[F.col(f"l.{c}") for c in left.columns])
+        .agg(*aggs)
+    )
+    return grouped

@@ -87,4 +87,52 @@ RELATIONAL3_ORACLE: dict[str, str] = {
         FROM orders ORDER BY o_orderkey LIMIT 200
     """,
     "q36_curation_decision": _curation_sql(),
+    # Backward as-of join as portable window SQL (union + carry-forward).
+    # epoch_ns // 1000 floor-matches the engine's nanos->micros ingest
+    # truncation (catalog.py: timestamp_micros(ts div 1000)).
+    "q37_asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        u AS (
+            SELECT user_id, ts, 1 AS il, event_id AS tb,
+                   event_id, NULL::BIGINT AS cid, NULL::TIMESTAMP_NS AS cts
+            FROM p
+            UNION ALL
+            SELECT user_id, ts, 0, click_id, NULL, click_id, ts FROM c
+        ),
+        m AS (
+            SELECT user_id, ts, il, event_id,
+                   last_value(cid IGNORE NULLS) OVER w AS click_id,
+                   last_value(cts IGNORE NULLS) OVER w AS click_ts
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, il, tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+               click_id,
+               CAST(epoch_ns(click_ts) // 1000 AS BIGINT) AS click_ts_us,
+               CAST(epoch_ns(ts) // 1000 - epoch_ns(click_ts) // 1000
+                    AS BIGINT) AS gap_us
+        FROM m WHERE il = 1 ORDER BY event_id
+    """,
+    "q38_range_agg": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS c_ts,
+                     CAST(value AS DECIMAL(18,2)) AS c_value
+              FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               COUNT(c.c_ts) AS n_clicks,
+               CAST(COALESCE(SUM(c.c_value), 0) AS DECIMAL(18,2))
+                   AS click_value
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+         AND c.c_ts < p.ts
+        GROUP BY p.event_id, p.user_id
+        ORDER BY p.event_id
+    """,
 }

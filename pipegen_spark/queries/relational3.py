@@ -97,6 +97,78 @@ def q35_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q37/Q38: temporal joins (as-of, windowed range aggregate) ---------------
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent preceding click by the same user
+    (backward as-of join; distributed union+window shape, one sort-shuffle
+    on user_id — see operators/temporal.py)."""
+    from pipegen_spark.operators import temporal as tp
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "ts",
+    )
+    joined = tp.asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        ts_col="ts",
+        tiebreak_cols=("event_id", "click_id"),
+        payload_cols=("click_id", "click_ts"),
+        payload_prefix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "click_id",
+        F.expr("unix_micros(click_ts)").alias("click_ts_us"),
+        (F.expr("unix_micros(ts)") - F.expr("unix_micros(click_ts)")).alias(
+            "gap_us"
+        ),
+    ).orderBy("event_id")
+
+
+def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: count + decimal-sum of the same user's clicks in the
+    preceding hour (equi-join on user + range filter; money-style sum
+    routed through DECIMAL(18,2) for cross-engine determinism)."""
+    from pipegen_spark.operators import temporal as tp
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").cast(DEC).alias("c_value"),
+    )
+    out = tp.range_agg(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        window_expr="INTERVAL 1 HOUR",
+        aggs=[
+            F.count(F.col("r.c_ts")).alias("n_clicks"),
+            F.coalesce(F.sum("r.c_value"), F.lit(0))
+            .cast(DEC)
+            .alias("click_value"),
+        ],
+    )
+    return out.select(
+        "event_id", "user_id", "n_clicks", "click_value"
+    ).orderBy("event_id")
+
+
 # --- Q36: composed curation decision (the training-data story) ---------------
 def q36_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators composed the way a 100 TB curation pass runs them:

@@ -1,0 +1,106 @@
+"""Unit tests for as-of join and range aggregate (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pipegen_spark.operators import temporal as tp
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01T10:00:00")),
+            (11, 1, _ts("2024-01-01T12:00:00")),
+            (12, 2, _ts("2024-01-01T09:00:00")),  # no preceding right row
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T09:30:00")),
+            (1, 101, _ts("2024-01-01T10:00:00")),  # equal ts -> matches (<=)
+            (1, 102, _ts("2024-01-01T10:00:00")),  # tie -> larger id wins
+            (1, 103, _ts("2024-01-01T11:00:00")),
+            (2, 104, _ts("2024-01-01T09:30:00")),  # after left row of user 2
+        ],
+        "user_id long, click_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_backward_match_ties_and_nulls(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r
+        for r in tp.asof_join(
+            left,
+            right.withColumn("click_ts", F.col("ts")),
+            by="user_id",
+            ts_col="ts",
+            tiebreak_cols=("event_id", "click_id"),
+            payload_cols=("click_id", "click_ts"),
+            payload_prefix="",
+        ).collect()
+    }
+    # equal-ts rows match; among the 10:00 tie, click_id 102 (larger) wins
+    assert out[10]["click_id"] == 102
+    # most recent preceding click for the 12:00 purchase is 11:00
+    assert out[11]["click_id"] == 103
+    # user 2's only click is AFTER the purchase -> no match
+    assert out[12]["click_id"] is None and out[12]["click_ts"] is None
+    # left columns survive
+    assert out[11]["user_id"] == 1
+
+
+def test_asof_plan_has_single_shuffle(spark):
+    left, right = _frames(spark)
+    out = tp.asof_join(
+        left,
+        right.withColumn("click_ts", F.col("ts")),
+        by="user_id",
+        ts_col="ts",
+        tiebreak_cols=("event_id", "click_id"),
+        payload_cols=("click_id",),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + window => exactly one Exchange (the partitionBy(user_id) sort)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_range_agg_counts_window_only(spark):
+    left, right = _frames(spark)
+    clicks = right.select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.lit(1.0).cast("decimal(18,2)").alias("c_value"),
+    )
+    out = {
+        r["event_id"]: r
+        for r in tp.range_agg(
+            left,
+            clicks,
+            by="user_id",
+            left_ts="ts",
+            right_ts="c_ts",
+            window_expr="INTERVAL 1 HOUR",
+            aggs=[
+                F.count(F.col("r.c_ts")).alias("n_clicks"),
+                F.coalesce(F.sum("r.c_value"), F.lit(0))
+                .cast("decimal(18,2)")
+                .alias("v"),
+            ],
+        ).collect()
+    }
+    # 10:00 purchase: only the 09:30 click is in [09:00, 10:00)
+    assert out[10]["n_clicks"] == 1
+    # 12:00 purchase: the 11:00 click is in [11:00, 12:00)
+    assert out[11]["n_clicks"] == 1 and float(out[11]["v"]) == 1.0
+    # user 2: click at 09:30 is not BEFORE the 09:00 purchase
+    assert out[12]["n_clicks"] == 0 and float(out[12]["v"]) == 0.0
