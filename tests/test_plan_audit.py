@@ -1,0 +1,81 @@
+"""Plan-quality audit over the whole query corpus.
+
+Every registered query's PHYSICAL plan is checked for scale red flags:
+
+- `BatchEvalPython` (row-at-a-time Python UDF) — never acceptable.
+- Arrow/pandas exec nodes — only where a BLAS kernel is the design
+  (embedding prefilter), never as an accidental fallback.
+- `CartesianProduct` — only in the explicitly-cross-join queries.
+- Unpruned scans — the text/curation family must read only (doc_id, text
+  [, lang, source]) from documents, never the full row.
+
+This is the `.explain("formatted")` discipline as a regression gate: a
+refactor that silently de-optimizes a plan fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipegen_spark.queries.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose DESIGN includes a pandas/Arrow stage.
+PANDAS_OK = {"dedup_embedding_cosine"}
+# Queries that intentionally build an unconstrained pair space.
+CARTESIAN_OK = {"q26_cross_join"}
+
+
+def _plan(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in sorted(all_queries().items()):
+        out[name] = _plan(spark, name, fn)
+    return out
+
+
+def test_no_row_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_pandas_stages_only_where_designed(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if n not in PANDAS_OK
+        and ("ArrowEvalPython" in p or "FlatMapGroupsInPandas" in p
+             or "MapInPandas" in p)
+    ]
+    assert not offenders, offenders
+
+
+def test_no_accidental_cartesian_products(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if n not in CARTESIAN_OK and "CartesianProduct" in p
+    ]
+    assert not offenders, offenders
+
+
+def test_text_family_scans_are_column_pruned(plans):
+    # Map-only text/curation operators must not drag the full documents row
+    # (notably n_chars) through the scan.
+    for name in ("text_tokens", "text_quality", "text_langid",
+                 "text_fingerprint", "curate_repetition", "curate_redact"):
+        scan = [ln for ln in plans[name].splitlines() if "ReadSchema" in ln]
+        assert scan, f"{name}: no parquet scan found"
+        assert "n_chars" not in scan[0], f"{name}: unpruned scan: {scan[0]}"
+
+
+def test_dimension_joins_are_broadcast(plans):
+    # The explicit-broadcast dim joins must plan as broadcast hash joins.
+    for name in ("q04_join_broadcast", "q05_multi_join"):
+        assert "BroadcastHashJoin" in plans[name], name
