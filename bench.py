@@ -56,6 +56,16 @@ def main() -> None:
     except Exception:
         pass
 
+    # Streaming sanity vs BASELINE.md: the reference documents 100 msg/s as
+    # its default and 50 000 msg/s as its high-throughput benchmark target
+    # (docs-site/advanced/performance.md:375-379). Measure the synthetic
+    # generator -> watermarked window agg path at the documented target.
+    streaming = None
+    try:
+        streaming = _stream_throughput(spark, target_rps=50_000, seconds=8)
+    except Exception:
+        pass
+
     out = {
         "metric": "corpus_total_wall",
         "value": total,
@@ -67,8 +77,55 @@ def main() -> None:
     }
     if baseline is not None:
         out["duckdb_baseline"] = baseline
+    if streaming is not None:
+        out["streaming"] = streaming
     print(json.dumps(out))
     spark.stop()
+
+
+def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
+    """Achieved rows/sec of a full streaming pipeline (synthetic generator →
+    watermark → 1 s tumbling window agg → memory sink) at `target_rps`."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.generator.synthetic import synthetic_stream
+
+    fields = [
+        {"name": "id", "type": "string"},
+        {"name": "event_type", "type": "string"},
+        {"name": "amount", "type": "double"},
+        {"name": "quantity", "type": "int"},
+    ]
+    stream = synthetic_stream(spark, fields, target_rps)
+    agg = (
+        stream.withWatermark("_emit_ts", "2 seconds")
+        .groupBy(F.window("_emit_ts", "1 second"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("amt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bench_tp")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    _time.sleep(seconds)
+    progress = list(q.recentProgress)
+    q.stop()
+    # Drop the warm-up batch; rate = processed rows / processing wall time.
+    rows = sum(int(p["numInputRows"]) for p in progress[1:])
+    dur = sum(
+        float(p["batchDuration"]) for p in progress[1:]
+    ) / 1000.0 or 1.0
+    achieved = rows / max(dur, 1e-9)
+    return {
+        "target_rps": target_rps,
+        "achieved_rps": round(achieved, 1),
+        "batches": len(progress),
+        "sustained_target": bool(achieved >= target_rps),
+    }
 
 
 def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:

@@ -58,20 +58,28 @@ def contamination_check(
     (id, n_ngrams, n_overlap, contamination, is_contaminated) for EVERY
     row of df (documents shorter than n tokens get zeros).
 
-    Shape: distinct shingle rows for candidates (map + one dedup shuffle),
-    benchmark shingles deduped and BROADCAST — the benchmark set is small
-    by construction, so the overlap join is map-side and candidates never
-    shuffle on content.
+    Shape: n-grams are FINGERPRINTED to 60-bit hashes map-side before
+    anything shuffles — dedup, counts, and the overlap join all move
+    8-byte longs instead of raw n-gram strings (at 100 TB that is the
+    difference between shuffling fingerprints and shuffling the corpus).
+    The benchmark fingerprint set is deduped and BROADCAST, so the overlap
+    join is map-side. The oracle hashes identically, so any fingerprint
+    collision is symmetric and parity is exact.
     """
-    cand = dd.shingle_rows(df, text_col, id_col, n)
+    h = F.expr(dl.hash60("s", dl.SPARK)).alias("h")
+    cand = (
+        dd.shingle_rows(df, text_col, id_col, n, distinct=False)
+        .select("id", h)
+        .distinct()
+    )
     bench = (
-        dd.shingle_rows(bench_df, text_col, id_col, n)
-        .select("s")
+        dd.shingle_rows(bench_df, text_col, id_col, n, distinct=False)
+        .select(h)
         .distinct()
     )
     per_doc = cand.groupBy("id").agg(F.count("*").alias("n_ngrams"))
     hits = (
-        cand.join(F.broadcast(bench), "s")
+        cand.join(F.broadcast(bench), "h")
         .groupBy("id")
         .agg(F.count("*").alias("n_overlap"))
     )

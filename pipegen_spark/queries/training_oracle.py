@@ -215,12 +215,18 @@ def _contamination_sql() -> str:
     return f"""
     WITH {_W_CTE},
     sh AS (SELECT id, {_shingles(td.CONTAM_N)} AS sh FROM w),
-    rows AS (SELECT id, unnest(sh) AS s FROM sh),
-    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE id % {mod} = 0),
-    perdoc AS (SELECT id, CAST(len(sh) AS BIGINT) AS n_ngrams FROM sh),
+    rows AS (
+        SELECT DISTINCT id, {dl.hash60('s', D)} AS h
+        FROM (SELECT id, unnest(sh) AS s FROM sh) t
+    ),
+    bench AS (SELECT DISTINCT h FROM rows WHERE id % {mod} = 0),
+    perdoc AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+        FROM rows GROUP BY id
+    ),
     hits AS (
         SELECT r.id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-        FROM rows r JOIN bench b ON r.s = b.s
+        FROM rows r JOIN bench b ON r.h = b.h
         GROUP BY r.id
     )
     SELECT d.doc_id,
