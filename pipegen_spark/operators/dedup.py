@@ -264,6 +264,69 @@ def minhash_lsh_pairs(
     )
 
 
+# --- duplicate clustering (connected components) -----------------------------
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters: every node gets
+    cluster_id = min node id of its connected component (singletons map to
+    themselves), plus the component size.
+
+    Distributed min-label propagation: each round joins current labels
+    across the (undirected) edge set and keeps the elementwise min —
+    converges in component-diameter rounds, and near-dup components are
+    shallow by construction (they exist because members are mutually
+    similar). The loop is driver-controlled but moves no data to the
+    driver beyond a scalar convergence count; each round localCheckpoints
+    to truncate lineage (at cluster scale use checkpoint() on durable
+    storage instead). This is the standard iterative-algorithm escape
+    hatch — the per-round plan is pure joins/aggregates.
+    """
+    nid = F.col(id_col)
+    labels = nodes.select(nid.alias("id"), nid.cast("long").alias("lbl"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(prop, labels["id"] == prop["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("_chg"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("_chg")).count()
+        labels = merged.drop("_chg")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 # --- simhash -----------------------------------------------------------------
 
 

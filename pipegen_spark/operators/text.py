@@ -136,6 +136,140 @@ def langid_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
     return out
 
 
+# Lexicon for the wordlist sentiment heuristic (reference parity: SURVEY
+# §2B-B29 names sentiment among the [EXT] text ops; no reference impl).
+SENTIMENT_LEXICON: dict[str, tuple[str, ...]] = {
+    "pos": ("good", "great", "excellent", "love", "best", "fast", "happy",
+            "win", "nice", "perfect"),
+    "neg": ("bad", "terrible", "awful", "hate", "worst", "slow", "sad",
+            "fail", "broken", "bug"),
+}
+
+
+def sentiment_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
+    """Lexicon hit counts + net score in [-1, 1] + 3-way label."""
+    w = w or dl.words(text, d)
+    hits = {}
+    for pol, wl in SENTIMENT_LEXICON.items():
+        arr = (
+            "array(" + ",".join(f"'{s}'" for s in wl) + ")"
+            if d == dl.SPARK
+            else "[" + ",".join(f"'{s}'" for s in wl) + "]"
+        )
+        lam = "x -> " + dl.contains(arr, "x", d)
+        hits[pol] = f"CAST({dl.size(dl.filter_(w, lam, d), d)} AS BIGINT)"
+    n_tokens = f"CAST({dl.size(w, d)} AS BIGINT)"
+    score = (
+        f"(CAST({hits['pos']} - {hits['neg']} AS DOUBLE)"
+        f" / CAST(greatest({n_tokens}, 1) AS DOUBLE))"
+    )
+    label = (
+        f"CASE WHEN {hits['pos']} > {hits['neg']} THEN 'positive' "
+        f"WHEN {hits['neg']} > {hits['pos']} THEN 'negative' "
+        f"ELSE 'neutral' END"
+    )
+    return {
+        "n_pos": hits["pos"],
+        "n_neg": hits["neg"],
+        "sentiment_score": score,
+        "sentiment": label,
+    }
+
+
+def with_sentiment(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append sentiment columns (map-only; score/label fragments re-use the
+    hit counts, so they are staged behind a second barrier)."""
+    exprs = sentiment_exprs(text_col, dl.SPARK, w="_toks")
+    counts = {n: exprs[n] for n in ("n_pos", "n_neg")}
+    stage1 = _tokens_once(df, text_col).select(
+        "*", *[F.expr(e).alias(n) for n, e in counts.items()]
+    )
+    derived = {
+        "sentiment_score": (
+            "(CAST(n_pos - n_neg AS DOUBLE)"
+            " / CAST(greatest(CAST(size(_toks) AS BIGINT), 1) AS DOUBLE))"
+        ),
+        "sentiment": (
+            "CASE WHEN n_pos > n_neg THEN 'positive' "
+            "WHEN n_neg > n_pos THEN 'negative' ELSE 'neutral' END"
+        ),
+    }
+    return (
+        _barrier(stage1)
+        .select("*", *[F.expr(e).alias(n) for n, e in derived.items()])
+        .drop("_toks")
+    )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF relevance of every document against a fixed query-term set.
+
+    Distributed shape: one explode → conditional-count aggregation per doc
+    (term frequencies), corpus document frequencies reduced to a SINGLE
+    broadcast row, and the score assembled as a FIXED left-to-right
+    multiply-add chain — the addition order never depends on row order, so
+    the doubles are bit-identical across engines and partitionings.
+
+    idf is the LOG-FREE rational BM25 numerator (N - df + 0.5)/(df + 0.5):
+    IEEE 754 guarantees correctly-rounded + - * /, so rational idf is
+    bit-identical everywhere, whereas ln() is implementation-defined and
+    measurably differs by 1 ulp between the JVM and DuckDB's libm.
+
+    At 100 TB: the token explode never shuffles raw text (only (id, term)
+    pairs for matching terms), document frequencies are one tiny
+    aggregate, and the scoring join is a literal broadcast.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+        )
+        .filter(F.col("t").isin(*terms))
+    )
+    tf = tok.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ]
+    )
+    dfreq = tok.distinct().groupBy().agg(
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i, term in enumerate(terms)
+        ]
+    )
+    n_docs = df.select(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    score_terms = " + ".join(
+        f"(CAST(tf{i} AS DOUBLE)"
+        f" * ((CAST(n_docs - df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5)))"
+        for i in range(len(terms))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(tf, "id", "left")
+        .na.fill(0, [f"tf{i}" for i in range(len(terms))])
+        .join(F.broadcast(dfreq))
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            *[F.col(f"tf{i}") for i in range(len(terms))],
+            F.expr(f"({score_terms})").alias("tfidf"),
+        )
+    )
+
+
 def fingerprint_expr(text: str, d: str) -> str:
     """Order-sensitive rolling-hash fingerprint of the token stream."""
     return f"CAST({dl.rolling_fingerprint(dl.words(text, d), d)} AS BIGINT)"

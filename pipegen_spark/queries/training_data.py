@@ -49,6 +49,8 @@ CONTAM_BENCH_MOD = 53  # benchmark set = doc_id % 53 == 0 (deterministic)
 SAMPLE_RATES_BPS = {"en": 5000, "es": 2500, "de": 1250, "fr": 625}
 SAMPLE_DEFAULT_BPS = 1000
 PACK_BUDGET = 2048  # tokens per packed training sequence
+TFIDF_TERMS = ("spark", "table", "fast", "merge")  # fixed retrieval query
+TFIDF_TOPK = 100
 
 
 # --- deduplication -----------------------------------------------------------
@@ -68,6 +70,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
     ).limit(PAIR_LIMIT)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: minhash pairs → connected components; every
+    doc labeled with its component's min doc_id + component size."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    )
+    return dd.dup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +161,25 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.with_langid(docs.select("doc_id", "text"), "text")
         .drop("text")
         .orderBy("doc_id")
+    )
+
+
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        tx.with_sentiment(docs.select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by TF-IDF against the fixed query-term set."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        tx.tfidf_scores(docs, TFIDF_TERMS, "text", "doc_id")
+        .orderBy(F.col("tfidf").desc(), "doc_id")
+        .limit(TFIDF_TOPK)
     )
 
 

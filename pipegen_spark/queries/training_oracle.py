@@ -36,7 +36,9 @@ def _jac(sa: str, sb: str) -> str:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """Shared CTE chain ending in `pairs(doc_a, doc_b, jac)` (unfiltered);
+    consumers apply the threshold."""
     mh_cols = ",\n           ".join(
         f"{dl.minhash_sig_entry('sh', dd.PERM_A[p], dd.PERM_B[p], D)} AS mh{p}"
         for p in range(dd.N_PERMS)
@@ -44,8 +46,7 @@ def _minhash_sql() -> str:
     band_cases = " ".join(
         f"WHEN {b} THEN {dd._band_key(b, D)}" for b in range(dd.N_BANDS)
     )
-    return f"""
-    WITH {_W_CTE},
+    return f"""{_W_CTE},
     sh0 AS (SELECT id, {_shingles(td.MINHASH_K)} AS sh FROM w),
     sh AS (
         SELECT MIN(id) AS id, ANY_VALUE(sh) AS sh
@@ -66,10 +67,42 @@ def _minhash_sql() -> str:
         FROM cand
         JOIN (SELECT id, sh AS sa FROM sh) A ON cand.ida = A.id
         JOIN (SELECT id, sh AS sb FROM sh) B ON cand.idb = B.id
-    )
+    )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
     SELECT doc_a, doc_b, jac FROM pairs
     WHERE jac >= {td.MINHASH_THRESHOLD}
     ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
+def _clusters_sql() -> str:
+    """Connected components of the near-dup pair graph via WITH RECURSIVE
+    reachability: cluster_id(v) = MIN over nodes that can reach v =
+    component minimum (edges are undirected)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION
+        SELECT doc_b, doc_a FROM dup
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, CAST(doc_id AS BIGINT) FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+    ),
+    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT l.doc_id, l.cluster_id, c.cluster_size
+    FROM lab l JOIN (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM lab GROUP BY cluster_id
+    ) c USING (cluster_id)
+    ORDER BY l.doc_id
     """
 
 
@@ -278,6 +311,45 @@ def _pack_sql() -> str:
     """
 
 
+def _tfidf_sql() -> str:
+    terms = td.TFIDF_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    # Rational idf, not ln(): transcendentals are implementation-defined
+    # (JVM vs libm differ by 1 ulp); + - * / are IEEE-exact everywhere.
+    score = " + ".join(
+        f"(CAST(COALESCE(tf.tf{i}, 0) AS DOUBLE)"
+        f" * ((CAST(nd.n_docs - dfr.df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(dfr.df{i} AS DOUBLE) + 0.5)))"
+        for i in range(len(terms))
+    )
+    tf_out = ", ".join(
+        f"COALESCE(tf.tf{i}, 0) AS tf{i}" for i in range(len(terms))
+    )
+    return f"""
+    WITH {_W_CTE},
+    tok AS (
+        SELECT id, t FROM (SELECT id, unnest(w) AS t FROM w) u
+        WHERE t IN ({in_list})
+    ),
+    tf AS (SELECT id, {tf_cols} FROM tok GROUP BY id),
+    dfr AS (SELECT {df_cols} FROM (SELECT DISTINCT id, t FROM tok) u),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT d.doc_id, {tf_out}, ({score}) AS tfidf
+    FROM documents d
+    LEFT JOIN tf ON d.doc_id = tf.id
+    CROSS JOIN dfr CROSS JOIN nd
+    ORDER BY tfidf DESC, d.doc_id LIMIT {td.TFIDF_TOPK}
+    """
+
+
 def _repetition_sql() -> str:
     exprs = cu.repetition_exprs("text", D, w="w")
     cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
@@ -312,6 +384,7 @@ TRAINING_ORACLE: dict[str, str] = {
         ) t ORDER BY doc_id
     """,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_embedding_cosine": _emb_dup_sql(),
@@ -321,6 +394,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_tokens": _proj_sql(tx.token_stats_exprs("text", D)),
     "text_quality": _proj_sql(tx.quality_exprs("text", D)),
     "text_langid": _proj_sql(tx.langid_exprs("text", D)),
+    "text_sentiment": _proj_sql(tx.sentiment_exprs("text", D)),
+    "text_tfidf": _tfidf_sql(),
     "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
     "curate_contamination": _contamination_sql(),
     "curate_repetition": _repetition_sql(),

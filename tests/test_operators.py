@@ -122,3 +122,65 @@ def test_frame_sample_counts(spark):
     )
     out = mm.frame_sample(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    # chain 1-2, 2-3 must collapse transitively into one cluster labeled 1;
+    # 4-5 a separate pair-cluster; 6 a singleton.
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dd.dup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[4] == (4, 2) and out[5] == (4, 2)
+    assert out[6] == (6, 1)
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a path graph needs diameter rounds; 12 nodes exercises the loop
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    out = dd.dup_clusters(nodes, pairs, "doc_id").collect()
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
+
+
+def test_sentiment_labels_and_score(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "this is a great product i love it best purchase"),
+            (2, "terrible awful experience worst bug ever hate it"),
+            (3, "the fox jumps over the dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.with_sentiment(df, "text").collect()}
+    assert out[1]["sentiment"] == "positive" and out[1]["sentiment_score"] > 0
+    assert out[2]["sentiment"] == "negative" and out[2]["sentiment_score"] < 0
+    assert out[3]["sentiment"] == "neutral" and out[3]["sentiment_score"] == 0.0
+    assert out[2]["n_neg"] == 5
+
+
+def test_tfidf_ranks_matching_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark table"),   # heavy on query terms
+            (2, "spark table"),
+            (3, "no relevant words here"),
+            (4, "rare rare rare"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.tfidf_scores(
+        df, ("spark", "table"), "text", "doc_id").collect()}
+    assert out[1]["tfidf"] > out[2]["tfidf"] > 0
+    assert out[3]["tfidf"] == 0.0 and out[3]["tf0"] == 0
+    assert out[1]["tf0"] == 3 and out[1]["tf1"] == 1
