@@ -270,6 +270,94 @@ def tfidf_scores(
     )
 
 
+def bm25_score_expr(n_terms: int, k1: str = "1.2", b: str = "0.75") -> str:
+    """BM25 score as ONE expression string shared verbatim by the Spark plan
+    and the DuckDB oracle (over identically-named columns tf{i}, df{i},
+    dlen, sum_dlen, n_docs).
+
+    Sharing the TEXT matters: ``1.2 + 1.0`` and the literal ``2.2`` can
+    differ in the last ulp after decimal→binary conversion, but the same
+    expression evaluated by two IEEE-754 engines cannot. Only + - * / are
+    used (rational idf — see tfidf_scores for why no ln()); avgdl is
+    inlined as sum_dlen/n_docs, both exact BIGINTs.
+    """
+    per_term = (
+        f"(((CAST(n_docs - df{{i}} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{{i}} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{{i}} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf{{i}} AS DOUBLE) + {k1} * ((1.0 - {b}) + {b}"
+        f" * (CAST(dlen AS DOUBLE)"
+        f" / (CAST(sum_dlen AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+    )
+    return "(" + " + ".join(
+        per_term.format(i=i) for i in range(n_terms)
+    ) + ")"
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set — tfidf_scores plus per-document length normalization.
+
+    Same distributed shape as tfidf_scores (explode → conditional-count TF,
+    single broadcast df/N row), with two additions: a map-only per-doc token
+    count (dlen) and corpus totals (sum_dlen, n_docs) reduced to one
+    broadcast row. The score is the shared fixed-order expression from
+    bm25_score_expr — bit-identical across engines. A zero-tf term
+    contributes exactly 0.0, so docs matching no term score 0.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+        )
+        .filter(F.col("t").isin(*terms))
+    )
+    tf = tok.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ]
+    )
+    dfreq = tok.distinct().groupBy().agg(
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i, term in enumerate(terms)
+        ]
+    )
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"CAST({dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)}"
+            " AS BIGINT)"
+        ).alias("dlen"),
+    )
+    glob = lens.groupBy().agg(
+        F.sum("dlen").cast("long").alias("sum_dlen"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return (
+        lens.join(tf, "id", "left")
+        .na.fill(0, [f"tf{i}" for i in range(len(terms))])
+        .join(F.broadcast(dfreq))
+        .join(F.broadcast(glob))
+        .select(
+            F.col("id").alias(id_col),
+            "dlen",
+            *[F.col(f"tf{i}") for i in range(len(terms))],
+            F.expr(bm25_score_expr(len(terms))).alias("bm25"),
+        )
+    )
+
+
 def fingerprint_expr(text: str, d: str) -> str:
     """Order-sensitive rolling-hash fingerprint of the token stream."""
     return f"CAST({dl.rolling_fingerprint(dl.words(text, d), d)} AS BIGINT)"

@@ -183,6 +183,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by Okapi BM25 against the fixed query-term set."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        tx.bm25_scores(docs, TFIDF_TERMS, "text", "doc_id")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(TFIDF_TOPK)
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(

@@ -350,6 +350,50 @@ def _tfidf_sql() -> str:
     """
 
 
+def _bm25_sql() -> str:
+    terms = td.TFIDF_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_out = ", ".join(
+        f"COALESCE(tf.tf{i}, 0) AS tf{i}" for i in range(len(terms))
+    )
+    # Pre-coalesce tf{i}/df{i} into plain columns so the shared score text
+    # (bm25_score_expr) resolves identically on both engines.
+    return f"""
+    WITH {_W_CTE},
+    tok AS (
+        SELECT id, t FROM (SELECT id, unnest(w) AS t FROM w) u
+        WHERE t IN ({in_list})
+    ),
+    tfr AS (SELECT id, {tf_cols} FROM tok GROUP BY id),
+    dfr AS (SELECT {df_cols} FROM (SELECT DISTINCT id, t FROM tok) u),
+    lens AS (SELECT id, CAST({dl.size('w', D)} AS BIGINT) AS dlen FROM w),
+    gstats AS (
+        SELECT CAST(SUM(dlen) AS BIGINT) AS sum_dlen,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM lens
+    ),
+    joined AS (
+        SELECT l.id AS doc_id, l.dlen, {tf_out},
+               dfr.*, gstats.sum_dlen, gstats.n_docs
+        FROM lens l
+        LEFT JOIN tfr tf ON l.id = tf.id
+        CROSS JOIN dfr CROSS JOIN gstats
+    )
+    SELECT doc_id, dlen, {", ".join(f"tf{i}" for i in range(len(terms)))},
+           {tx.bm25_score_expr(len(terms))} AS bm25
+    FROM joined
+    ORDER BY bm25 DESC, doc_id LIMIT {td.TFIDF_TOPK}
+    """
+
+
 def _repetition_sql() -> str:
     exprs = cu.repetition_exprs("text", D, w="w")
     cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
@@ -396,6 +440,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_langid": _proj_sql(tx.langid_exprs("text", D)),
     "text_sentiment": _proj_sql(tx.sentiment_exprs("text", D)),
     "text_tfidf": _tfidf_sql(),
+    "text_bm25": _bm25_sql(),
     "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
     "curate_contamination": _contamination_sql(),
     "curate_repetition": _repetition_sql(),

@@ -184,3 +184,22 @@ def test_tfidf_ranks_matching_docs(spark):
     assert out[1]["tfidf"] > out[2]["tfidf"] > 0
     assert out[3]["tfidf"] == 0.0 and out[3]["tf0"] == 0
     assert out[1]["tf0"] == 3 and out[1]["tf1"] == 1
+
+
+def test_bm25_length_normalizes(spark):
+    # same tf=1 for 'spark': the shorter doc must outrank the longer one,
+    # and a no-match doc scores exactly 0.0
+    df = spark.createDataFrame(
+        [
+            (1, "spark"),
+            (2, "spark " + "pad " * 40),
+            (3, "nothing to see"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.bm25_scores(
+        df, ("spark",), "text", "doc_id").collect()}
+    assert out[1]["tf0"] == out[2]["tf0"] == 1
+    assert out[1]["bm25"] > out[2]["bm25"] > 0
+    assert out[3]["bm25"] == 0.0
+    assert out[2]["dlen"] == 41
