@@ -95,6 +95,11 @@ def arr_min(arr: str, d: str) -> str:
     return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
 
 
+def arr_max(arr: str, d: str) -> str:
+    _check(d)
+    return f"array_max({arr})" if d == SPARK else f"list_max({arr})"
+
+
 def intersect_size(a: str, b: str, d: str) -> str:
     """|A ∩ B| for distinct arrays."""
     _check(d)

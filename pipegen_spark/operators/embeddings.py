@@ -1,0 +1,191 @@
+"""Embedding preprocessing operators: L2 normalization, int8 quantization,
+and fixed-iteration k-means clustering.
+
+These are the vector-side complements of the text curation family (ref
+parity: the reference's pipeline treats embeddings as first-class columns;
+SURVEY.md §2B-B29 [EXT]). All numeric paths follow the repo's determinism
+contract (functions/dialect.py): fixed-association double chains, no
+transcendentals except IEEE-exact sqrt, and — for k-means — integer-scaled
+centroid sums, because a double SUM across partitions is addition-order-
+dependent and would break the bit-exact oracle gate.
+
+Scale notes (100 TB):
+- normalize / quantize are map-only single passes — no shuffle at all.
+- k-means shuffles once per iteration on (cluster, dim) for the centroid
+  reduction (a partial-aggregated sum of longs), and assignment is a
+  broadcast of K tiny centroid rows — the base table is never shuffled.
+- the int64 scaled sums hold ~9e9 unit-scale vectors per cluster before
+  overflow; beyond that, swap the LONG for DECIMAL(38,0) (still exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipegen_spark.functions import dialect as dl
+
+# Fixed-point scale for exact centroid means: floor(x*SCALE + 0.5) as LONG.
+# Integer sums are associative, so the mean is partitioning-independent.
+MEAN_SCALE = "1000000000.0"  # 1e9 — ~9 significant digits of the mean
+
+
+def _unit_barrier(df: DataFrame) -> DataFrame:
+    """Generate-node optimization barrier (see operators/text.py:_barrier):
+    a plain projection gets CollapseProject-inlined into every downstream
+    use; a one-element explode does not. Map-only, values unchanged."""
+    return df.select(
+        "*", F.explode(F.array(F.lit(1))).alias("_one")
+    ).drop("_one")
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, nrm, unit): L2 norm and the unit-normalized vector.
+
+    The norm (a 64-term codegen'd multiply-add chain + sqrt) is
+    materialized behind a barrier FIRST — otherwise the per-element divide
+    lambda re-inlines the whole chain per element (O(dim^2)/row).
+    Zero vectors normalize to all-zeros rather than NaN.
+    """
+    # Fold form, not the explicit chain: measured faster on this workload
+    # (see training_data.py EMB_DIM note) and bit-identical by construction.
+    dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
+    nrm = F.expr(f"sqrt({dl.norm2_double('v', dim_e, dl.SPARK)})")
+    staged = _unit_barrier(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            nrm.alias("nrm"),
+        )
+    )
+    unit = dl.transform(
+        "v",
+        "x -> CASE WHEN nrm = 0.0 THEN 0.0"
+        " ELSE CAST(x AS DOUBLE) / nrm END",
+        dl.SPARK,
+    )
+    return staged.select(
+        F.col("id").alias(id_col), "nrm", F.expr(unit).alias("unit")
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, maxabs, qvec): symmetric per-vector int8 quantization.
+
+    q_i = floor(x_i * 127 / maxabs + 0.5)  (half-up; floor is IEEE-exact,
+    unlike engine CAST-to-int rounding, which truncates on Spark and
+    rounds on DuckDB). maxabs == 0 quantizes to all zeros. Map-only.
+    """
+    maxabs = dl.arr_max(
+        dl.transform("v", "x -> abs(CAST(x AS DOUBLE))", dl.SPARK), dl.SPARK
+    )
+    staged = _unit_barrier(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.expr(maxabs).alias("maxabs"),
+        )
+    )
+    q = dl.transform(
+        "v",
+        "x -> CASE WHEN maxabs = 0.0 THEN 0 ELSE"
+        " CAST(floor(((CAST(x AS DOUBLE) * 127.0) / maxabs) + 0.5) AS INT)"
+        " END",
+        dl.SPARK,
+    )
+    return staged.select(
+        F.col("id").alias(id_col), "maxabs", F.expr(q).alias("qvec")
+    )
+
+
+def mean_expr(s: str, n: str) -> str:
+    """Exact-input centroid mean: scaled-long sum back to double. The text
+    is shared verbatim with the DuckDB oracle (same IEEE result)."""
+    return f"((CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)) / {MEAN_SCALE})"
+
+
+def scaled_long_expr(x: str) -> str:
+    """floor(x*SCALE + 0.5) as LONG — exact, associative, overflow-safe to
+    ~9e9 unit-scale rows per group (see module docstring)."""
+    return f"CAST(floor((CAST({x} AS DOUBLE) * {MEAN_SCALE}) + 0.5) AS BIGINT)"
+
+
+def _assign(vecs: DataFrame, cents: DataFrame, dim) -> DataFrame:
+    """argmin_cid dist2(v, cv) with total (dist2, cid) tie-break; centroids
+    are broadcast (K rows) — the base table never shuffles."""
+    dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
+    d2 = F.expr(dl.dist2_double("v", "cv", dim_e, dl.SPARK))
+    w = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("id", "v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", F.col("cid").alias("cluster_id"), "d2")
+    )
+
+
+def kmeans_fixed(
+    base: DataFrame,
+    init_pred,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means with a FIXED iteration count and deterministic
+    seeding (`init_pred` selects the initial centroid rows out of `base`).
+
+    Per iteration: broadcast-assign every vector to its nearest centroid,
+    then recompute centroids as per-dimension means via posexplode →
+    sum-of-scaled-longs → rebuild array ordered by dimension. Integer sums
+    make the mean independent of partitioning AND expressible in ANSI SQL,
+    so the whole algorithm (unrolled) has an exact DuckDB oracle — the
+    usual double-mean Lloyd step is summation-order-dependent and is not.
+    Clusters keep their seed row's id as a stable label; a cluster that
+    loses all members simply drops out (both engines agree).
+
+    Output: (id_col, cluster_id, d2) — final assignment + squared distance.
+    """
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = base.filter(init_pred).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = _assign(vecs, cents, dim)
+    for _ in range(iters - 1):
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.expr(scaled_long_expr("x"))).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        cents = (
+            sums.select(
+                F.col("cluster_id").alias("cid"),
+                "pos",
+                F.expr(mean_expr("s", "n")).alias("m"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " p -> p.m)"
+                ).alias("cv")
+            )
+        )
+        assigned = _assign(vecs, cents, dim)
+    return assigned.select(F.col("id").alias(id_col), "cluster_id", "d2")

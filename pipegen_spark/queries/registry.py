@@ -21,7 +21,8 @@ def _collect(module) -> dict[str, QueryFn]:
     out = {}
     for name in dir(module):
         if name.startswith("q") or name.startswith(
-            ("dedup_", "simsearch_", "text_", "multimodal_", "curate_")
+            ("dedup_", "simsearch_", "text_", "multimodal_", "curate_",
+             "embed_")
         ):
             fn = getattr(module, name)
             if callable(fn):

@@ -16,6 +16,7 @@ from pipegen_spark.catalog import table
 from pipegen_spark.functions import dialect as dl
 from pipegen_spark.operators import curation as cu
 from pipegen_spark.operators import dedup as dd
+from pipegen_spark.operators import embeddings as em
 from pipegen_spark.operators import similarity as sim
 from pipegen_spark.operators import text as tx
 
@@ -51,6 +52,8 @@ SAMPLE_DEFAULT_BPS = 1000
 PACK_BUDGET = 2048  # tokens per packed training sequence
 TFIDF_TERMS = ("spark", "table", "fast", "merge")  # fixed retrieval query
 TFIDF_TOPK = 100
+KMEANS_K = 8  # k-means seeds: vec_id < 8 (deterministic)
+KMEANS_ITERS = 2
 
 
 # --- deduplication -----------------------------------------------------------
@@ -132,6 +135,31 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE,
         k=TOPK_IVF,
     )
+
+
+# --- embedding preprocessing -------------------------------------------------
+
+
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = table(spark, sf_dir, "embeddings")
+    return em.l2_normalize(vecs, "embedding", "vec_id").orderBy("vec_id")
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = table(spark, sf_dir, "embeddings")
+    return em.quantize_int8(vecs, "embedding", "vec_id").orderBy("vec_id")
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means: final assignment + squared dist."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return em.kmeans_fixed(
+        vecs,
+        F.col("vec_id") < KMEANS_K,
+        iters=KMEANS_ITERS,
+        vec_col="embedding",
+        id_col="vec_id",
+    ).orderBy("vec_id")
 
 
 # --- text analysis -----------------------------------------------------------

@@ -350,6 +350,83 @@ def _tfidf_sql() -> str:
     """
 
 
+def _emb_normalize_sql() -> str:
+    norm = f"sqrt({dl.norm2_double('v', dl.size('v', D), D)})"
+    unit = dl.transform(
+        "v",
+        "x -> CASE WHEN nrm = 0.0 THEN 0.0"
+        " ELSE CAST(x AS DOUBLE) / nrm END",
+        D,
+    )
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    n AS (SELECT id, v, {norm} AS nrm FROM v)
+    SELECT id AS vec_id, nrm, {unit} AS unit FROM n ORDER BY vec_id
+    """
+
+
+def _emb_quantize_sql() -> str:
+    maxabs = dl.arr_max(
+        dl.transform("v", "x -> abs(CAST(x AS DOUBLE))", D), D
+    )
+    q = dl.transform(
+        "v",
+        "x -> CASE WHEN maxabs = 0.0 THEN 0 ELSE"
+        " CAST(floor(((CAST(x AS DOUBLE) * 127.0) / maxabs) + 0.5) AS INT)"
+        " END",
+        D,
+    )
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    m AS (SELECT id, v, {maxabs} AS maxabs FROM v)
+    SELECT id AS vec_id, maxabs, {q} AS qvec FROM m ORDER BY vec_id
+    """
+
+
+def _emb_kmeans_sql() -> str:
+    """Lloyd unrolled to KMEANS_ITERS as a CTE chain — the same broadcast-
+    assign / exact-scaled-mean steps as operators/embeddings.py."""
+    import pipegen_spark.operators.embeddings as em
+
+    d2 = dl.dist2_double("v.v", "c.cv", dl.size("v.v", D), D)
+    val = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
+    ctes = [
+        "v AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < {td.KMEANS_K})""",
+    ]
+    for it in range(td.KMEANS_ITERS):
+        ctes.append(f"""a{it} AS (
+        SELECT id, v, cid AS cluster_id, d2 FROM (
+            SELECT v.id, v.v, c.cid, {d2} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY v.id
+                                      ORDER BY {d2}, c.cid) AS rn
+            FROM v CROSS JOIN c{it} c
+        ) t WHERE rn = 1
+    )""")
+        if it == td.KMEANS_ITERS - 1:
+            break
+        ctes.append(f"""s{it + 1} AS (
+        SELECT cluster_id, CAST(r.range AS INT) AS pos,
+               SUM({em.scaled_long_expr(val)}) AS s,
+               COUNT(*) AS n
+        FROM a{it} CROSS JOIN range(0, {td.EMB_DIM}) r
+        GROUP BY cluster_id, pos
+    )""")
+        ctes.append(f"""c{it + 1} AS (
+        SELECT cluster_id AS cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT cluster_id, pos, {em.mean_expr('s', 'n')} AS m FROM s{it + 1}
+        ) t GROUP BY cluster_id
+    )""")
+    last = td.KMEANS_ITERS - 1
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id AS vec_id, cluster_id, d2 FROM a{last}"
+        " ORDER BY vec_id\n    "
+    )
+
+
 def _bm25_sql() -> str:
     terms = td.TFIDF_TERMS
     in_list = ", ".join(f"'{t}'" for t in terms)
@@ -441,6 +518,9 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_sentiment": _proj_sql(tx.sentiment_exprs("text", D)),
     "text_tfidf": _tfidf_sql(),
     "text_bm25": _bm25_sql(),
+    "embed_normalize": _emb_normalize_sql(),
+    "embed_quantize": _emb_quantize_sql(),
+    "embed_kmeans": _emb_kmeans_sql(),
     "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
     "curate_contamination": _contamination_sql(),
     "curate_repetition": _repetition_sql(),
