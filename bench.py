@@ -129,10 +129,9 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
 
 
 def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:
-    """Time the oracle corpus in DuckDB, fastest-queries-first, stopping at
-    the budget (one pathological query — the all-pairs n-gram oracle —
-    takes ~190s at sf0.1 where the Spark shape takes ~2.5s; the skipped
-    list makes that comparison explicit rather than hiding it)."""
+    """Time the oracle corpus in DuckDB, stopping at the budget (a started
+    query can't be preempted, so anything left when the budget trips is
+    reported as skipped rather than hiding the comparison)."""
     import duckdb
 
     from pipegen_spark.queries.registry import oracle_queries
@@ -146,15 +145,10 @@ def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = oracle_queries()
-    # Known-pathological in DuckDB (not in Spark): the blocked all-pairs
-    # n-gram Jaccard (~190s at sf0.1 vs 2.5s for the Spark shape) and the
-    # 60-fold simhash CTE (~18s vs 3.5s). A started query can't be
-    # preempted, so they are excluded up front and reported.
-    heavy = {"dedup_ngram_jaccard", "dedup_simhash"}
-    order = sorted(k for k in oracles if k not in heavy)
+    order = sorted(oracles)
     t0 = time.perf_counter()
     completed = 0
-    skipped: list[str] = sorted(heavy & set(oracles))
+    skipped: list[str] = []
     for name in order:
         if time.perf_counter() - t0 > budget_sec:
             skipped.append(name)

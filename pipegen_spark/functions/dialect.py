@@ -158,6 +158,21 @@ def regexp_replace_all(s: str, pat: str, rep: str, d: str) -> str:
     return f"regexp_replace({s},'{pat}','{rep}','g')"
 
 
+def money(x: str, d: str) -> str:
+    """Portable DOUBLE -> DECIMAL(18,2) with half-up cent rounding.
+
+    A raw double->DECIMAL(18,2) cast is engine-sensitive at `.xx5` edges:
+    Spark HALF_UPs the shortest decimal repr while DuckDB rounds the binary
+    value, so the same double can land one cent apart (the round-1
+    q38_range_agg hash mismatch). Quantizing first — floor(x*100 + 0.5)/100
+    — happens entirely in IEEE double arithmetic, bit-identical everywhere;
+    the decimal cast then sees a double within ~1 ulp of an exact n/100,
+    which every engine rounds to the same n cents (the nearest halfway
+    point is 0.005 away — 13 orders of magnitude beyond double error)."""
+    _check(d)
+    return f"CAST(floor(({x}) * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))"
+
+
 def shr(x: str, n: str, d: str) -> str:
     _check(d)
     return f"shiftright({x},{n})" if d == SPARK else f"(({x}) >> ({n}))"

@@ -1,7 +1,8 @@
 """DuckDB oracle SQL for the extended relational surface (relational2.py).
 
-q23_approx_distinct has NO oracle by design: HyperLogLog estimates are
-estimator-specific, so the driver records the rows-only check for it.
+q23_approx_distinct is oracled as a bounded-error check: the estimate
+itself is estimator-specific, so the comparable output is the exact count
+plus a within-±5% boolean (TRUE on the oracle side).
 """
 
 from pipegen_spark.functions import dialect as dl
@@ -14,6 +15,14 @@ _FOLD_SUM = dl.fold(
 )
 
 RELATIONAL2_ORACLE: dict[str, str] = {
+    # Estimator values are engine-specific; the comparable contract is
+    # "estimate within ±5% of exact" — the Spark side emits that boolean,
+    # the oracle asserts it must be TRUE alongside the exact count.
+    "q23_approx_distinct": """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+               TRUE AS within_tol
+        FROM orders
+    """,
     "q20_cube": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS st,
                COALESCE(o_orderpriority, 'ALL') AS pri,

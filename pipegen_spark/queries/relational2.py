@@ -73,14 +73,23 @@ def q22_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q23: approximate distinct (no oracle — estimator-specific) --------------
+# --- Q23: approximate distinct (bounded-error oracle) ------------------------
 def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate; cross-engine estimators differ by
-    design, so the driver records the rows-only check for this one."""
+    """HyperLogLog++ distinct estimate. Estimators are engine-specific by
+    design, so the hash-comparable output is the exact count plus a boolean
+    asserting the estimate landed within ±5% of it (rsd=0.02 makes ±5% a
+    ~2.5-sigma bound); the oracle emits the exact count and literal TRUE."""
     orders = table(spark, sf_dir, "orders")
-    return orders.agg(
+    agg = orders.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
         F.countDistinct("o_custkey").alias("exact_cust"),
+    )
+    return agg.select(
+        F.col("exact_cust").cast("long").alias("exact_cust"),
+        (
+            F.abs(F.col("approx_cust") - F.col("exact_cust"))
+            <= 0.05 * F.col("exact_cust")
+        ).alias("within_tol"),
     )
 
 

@@ -138,7 +138,10 @@ def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per purchase: count + decimal-sum of the same user's clicks in the
     preceding hour (equi-join on user + range filter; money-style sum
-    routed through DECIMAL(18,2) for cross-engine determinism)."""
+    routed through dialect.money() — half-up double quantization BEFORE
+    the DECIMAL(18,2) cast, so no engine-sensitive binary rounding — and
+    an explicitly typed zero in the COALESCE)."""
+    from pipegen_spark.functions import dialect as dl
     from pipegen_spark.operators import temporal as tp
 
     ev = table(spark, sf_dir, "events")
@@ -148,7 +151,7 @@ def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         F.col("ts").alias("c_ts"),
-        F.col("value").cast(DEC).alias("c_value"),
+        F.expr(dl.money("value", dl.SPARK)).alias("c_value"),
     )
     out = tp.range_agg(
         purchases,
@@ -159,7 +162,7 @@ def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_expr="INTERVAL 1 HOUR",
         aggs=[
             F.count(F.col("r.c_ts")).alias("n_clicks"),
-            F.coalesce(F.sum("r.c_value"), F.lit(0))
+            F.coalesce(F.sum("r.c_value"), F.lit("0").cast(DEC))
             .cast(DEC)
             .alias("click_value"),
         ],

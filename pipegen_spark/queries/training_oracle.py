@@ -107,14 +107,42 @@ def _clusters_sql() -> str:
 
 
 def _simhash_sql() -> str:
-    sh_expr = dd.simhash_expr("text", D)
+    """Join-based simhash oracle mirroring operators/dedup.py with_simhash:
+    unnest tokens -> hash60 once per token -> 60 conditional SUMs per doc ->
+    sign-pack. The previous form rendered dd.simhash_expr (60 list_reduce
+    folds, each re-tokenizing + re-md5-ing the document) — the ~minutes-scale
+    DuckDB query that truncated the round-1 driver gate. Same values: bit_j =
+    sign(sum over the token MULTISET of (2*bit_j(hash60(t)) - 1)); tokenless
+    docs get simhash 0 via the LEFT JOIN coalesce (Spark: explode_outer)."""
+    bit_sums = ",\n               ".join(
+        f"SUM((({dl.shr('h', str(j), D)}) & 1) * 2 - 1) AS b{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {dl.shl('CAST(1 AS BIGINT)', j, D)}"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
     band_keys = " ".join(
         f"WHEN {i} THEN ({dl.shr('simhash', str(i * dd.SIMHASH_BAND_BITS), D)}"
         f" & {(1 << dd.SIMHASH_BAND_BITS) - 1})"
         for i in range(dd.SIMHASH_BANDS)
     )
     return f"""
-    WITH sig AS (SELECT doc_id AS id, {sh_expr} AS simhash FROM documents),
+    WITH tok AS (
+        SELECT id, {dl.hash60("t", D)} AS h FROM (
+            SELECT doc_id AS id, unnest({dl.words("text", D)}) AS t
+            FROM documents
+        ) u
+    ),
+    sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+    sig AS (
+        SELECT d.doc_id AS id,
+               COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+        FROM documents d
+        LEFT JOIN (SELECT id, ({sim_terms}) AS simhash FROM sums) s
+          ON d.doc_id = s.id
+    ),
     bands AS (
         SELECT id, simhash, t.band, CASE t.band {band_keys} END AS bkey
         FROM sig CROSS JOIN (SELECT CAST(r.range AS INT) AS band FROM range(0,{dd.SIMHASH_BANDS}) r) t
@@ -132,12 +160,38 @@ def _simhash_sql() -> str:
 
 
 def _ngram_sql() -> str:
+    """Join-based n-gram Jaccard oracle mirroring operators/dedup.py
+    ngram_jaccard_pairs: shingle ROWS -> equi-join on (block, shingle) ->
+    hash-agg intersection counts -> jac = inter/(na+nb-inter). The previous
+    form did all-pairs list_intersect/list_distinct over raw string arrays —
+    the measured ~190s DuckDB query that blew the round-1 driver budget.
+    Identical values: only pairs sharing >= 1 shingle materialize, which is
+    exactly the jac > 0 support set (threshold > 0)."""
     return f"""
     WITH {_W_CTE},
-    sh AS (SELECT id, lang AS blk, {_shingles(td.NGRAM_N)} AS sh FROM w)
+    sh AS (
+        SELECT DISTINCT id, blk, s FROM (
+            SELECT id, lang AS blk, unnest({_shingles(td.NGRAM_N)}) AS s
+            FROM w
+        ) u
+    ),
+    sizes AS (
+        SELECT id, blk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sh GROUP BY id, blk
+    ),
+    inter AS (
+        SELECT a.id AS ida, b.id AS idb, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b
+          ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
     SELECT doc_a, doc_b, jac FROM (
-        SELECT a.id AS doc_a, b.id AS doc_b, {_jac("a.sh", "b.sh")} AS jac
-        FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+        SELECT i.ida AS doc_a, i.idb AS doc_b,
+               CAST(i.inter AS DOUBLE)
+                   / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jac
+        FROM inter i
+        JOIN sizes na ON i.ida = na.id
+        JOIN sizes nb ON i.idb = nb.id
     ) p WHERE jac >= {td.NGRAM_THRESHOLD}
     ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
     """
