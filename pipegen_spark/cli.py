@@ -37,6 +37,9 @@ def cmd_init(args) -> int:
             fh.write(content)
         print(f"  wrote {path}")
 
+    if getattr(args, "describe", None):
+        return _init_from_description(args, name, write)
+
     if args.input_csv:
         res = CSVAnalyzer(args.input_csv).analyze()
         cols = ",\n    ".join(analysis_to_ddl(res).split(", "))
@@ -79,6 +82,69 @@ def cmd_init(args) -> int:
         tpl.README.format(project_name=name, project_dir=project_dir),
     )
     print(f"project '{name}' initialized at {project_dir}")
+    return 0
+
+
+def _init_from_description(args, name: str, write) -> int:
+    """LLM-generated project scaffold (reference cmd/init.go describe mode →
+    internal/llm/service.go). Provider comes from the environment; with
+    PIPEGEN_MOCK_OPENAI=true the whole path runs offline."""
+    from pipegen_spark import templates as tpl
+    from pipegen_spark.llm.service import LLMService, LLMServiceError
+
+    svc = LLMService()
+    if not svc.enabled:
+        print(
+            "error: LLM service not enabled. Set PIPEGEN_OPENAI_API_KEY or "
+            "PIPEGEN_OLLAMA_MODEL environment variable"
+        )
+        return 2
+    domain = getattr(args, "domain", None) or "general"
+    try:
+        if args.avro_schema:
+            with open(args.avro_schema, encoding="utf-8") as fh:
+                schema_json = fh.read()
+            gen = svc.generate_pipeline_with_schema(
+                schema_json, args.describe, domain
+            )
+        elif args.input_csv:
+            from pipegen_spark.schema.inference import (
+                CSVAnalyzer,
+                analysis_to_avro,
+            )
+
+            res = CSVAnalyzer(args.input_csv).analyze()
+            summary = "\n".join(
+                f"- {c.name}: {c.type}" for c in res.columns
+            )
+            gen = svc.generate_pipeline_with_csv(
+                args.describe, domain, summary, analysis_to_avro(name, res)
+            )
+        else:
+            gen = svc.generate_pipeline(args.describe, domain)
+    except LLMServiceError as err:
+        print(f"error: LLM generation failed: {err}")
+        return 1
+
+    sql_files = gen["sql_files"] or {
+        f"{i + 1:02d}_statement": s
+        for i, s in enumerate(gen["sql_statements"])
+    }
+    for fname in sorted(sql_files):
+        rel = fname if fname.endswith(".sql") else f"{fname}.sql"
+        write(os.path.join("sql", rel), sql_files[fname].rstrip() + "\n")
+    if gen["input_schema"]:
+        write("schemas/input.avsc", gen["input_schema"])
+    if gen["output_schema"]:
+        write("schemas/output.avsc", gen["output_schema"])
+    write("pipeline.yaml", tpl.PIPELINE_YAML.format(project_name=name))
+    readme = [f"# {name}", "", gen["description"] or args.describe, ""]
+    if gen["optimizations"]:
+        readme += ["## Suggested optimizations", ""]
+        readme += [f"- {o}" for o in gen["optimizations"]]
+        readme.append("")
+    write("README.md", "\n".join(readme))
+    print(f"project '{name}' generated from description at {args.project_dir}")
     return 0
 
 
@@ -196,6 +262,15 @@ def main(argv: list[str] | None = None) -> int:
     p_init.add_argument("--project-name")
     p_init.add_argument("--input-csv", help="ground the schema on a CSV file")
     p_init.add_argument("--avro-schema", help="use an existing .avsc schema")
+    p_init.add_argument(
+        "--describe",
+        help="generate the pipeline from a natural-language description "
+        "(uses the configured LLM provider; see PIPEGEN_OLLAMA_URL / "
+        "PIPEGEN_OPENAI_API_KEY / PIPEGEN_MOCK_OPENAI)",
+    )
+    p_init.add_argument(
+        "--domain", help="business domain hint for --describe generation"
+    )
     p_init.set_defaults(fn=cmd_init)
 
     p_val = sub.add_parser("validate", help="validate project structure + SQL")

@@ -174,17 +174,25 @@ def coerce_string_list(value) -> list[str]:
 
 def parse_generated_pipeline(response: str) -> dict:
     """Parse a pipeline-generation response into normalized fields:
-    input_schema, output_schema, sql_statements (list), description,
-    optimizations (list)."""
+    input_schema, output_schema, sql_statements (list), sql_files
+    (filename → statement, when the model returned the object form the
+    prompt asks for), description, optimizations (list)."""
     doc = repair_json(response)
     if not isinstance(doc, dict):
         raise ValueError("LLM response is not a JSON object")
-    sql = doc.get("sql_statements") or doc.get("sqlStatements") or []
-    if isinstance(sql, (str, dict)):
-        sql = [coerce_string_field(sql)]
+    sql_raw = doc.get("sql_statements") or doc.get("sqlStatements") or []
+    sql_files: dict[str, str] = {}
+    if isinstance(sql_raw, dict):
+        sql_files = {
+            str(k): coerce_string_field(v) for k, v in sql_raw.items()
+        }
+        sql = [sql_files[k] for k in sorted(sql_files)]
+    elif isinstance(sql_raw, str):
+        sql = [coerce_string_field(sql_raw)]
     else:
-        sql = [coerce_string_field(x) for x in sql]
+        sql = [coerce_string_field(x) for x in sql_raw]
     return {
+        "sql_files": sql_files,
         "input_schema": coerce_string_field(
             doc.get("input_schema") or doc.get("inputSchema")
         ),
