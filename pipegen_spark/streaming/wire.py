@@ -1,19 +1,24 @@
 """Confluent Schema Registry wire format: magic 0x00 + 4-byte big-endian
 schema id + Avro binary (internal/pipeline/producer.go:424-447).
 
-`from_avro`/`to_avro` need the external spark-avro package on the
-classpath; availability is probed lazily and a clear error raised if the
-jar is absent (this container ships pyspark without it). The header
-composition/stripping itself is plain binary expression work and fully
-usable/testable without Avro.
+Body encode/decode prefers the JVM spark-avro `to_avro`/`from_avro`
+(whole-stage, zero Python) when the jar is on the classpath, and falls
+back automatically to the pure-Python Avro codec
+(schema/avro_codec.py) over Arrow-batched `mapInPandas` — the same
+role goavro plays for the reference's producer. The fallback is
+distributed (per-partition Arrow batches, codec built once per task),
+so it scales with the cluster; the jar path is simply faster per row.
 """
 
 from __future__ import annotations
+
+import datetime as _dt
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAGIC = b"\x00"
+_EPOCH = _dt.date(1970, 1, 1)
 
 
 def wire_header(schema_id: int) -> bytes:
@@ -46,48 +51,142 @@ def validate_magic(value_col: str = "value") -> Column:
     return F.expr(f"substring({value_col}, 1, 1) = X'00'")
 
 
-def _require_avro(spark) -> None:
-    try:
-        from pyspark.sql.avro.functions import to_avro  # noqa: F401
+_AVRO_JAR_STATE: dict[str, bool] = {}
 
-        spark.range(1).select(
-            to_avro(F.struct(F.col("id")), '{"type":"record","name":"probe",'
-            '"fields":[{"name":"id","type":"long"}]}')
-        ).collect()
-    except Exception as e:  # pragma: no cover — environment-dependent
-        raise RuntimeError(
-            "spark-avro is not on the classpath; start the session with "
-            "spark.jars.packages=org.apache.spark:spark-avro_2.13:<version> "
-            "to use Confluent-format encode/decode"
-        ) from e
+
+def have_avro_jar(spark) -> bool:
+    """Probe (once per session) whether spark-avro is on the classpath."""
+    key = str(id(spark))
+    if key not in _AVRO_JAR_STATE:
+        try:
+            from pyspark.sql.avro.functions import to_avro  # noqa: F401
+
+            spark.range(1).select(
+                to_avro(
+                    F.struct(F.col("id")),
+                    '{"type":"record","name":"probe",'
+                    '"fields":[{"name":"id","type":"long"}]}',
+                )
+            ).collect()
+            _AVRO_JAR_STATE[key] = True
+        except Exception:  # pragma: no cover — environment-dependent
+            _AVRO_JAR_STATE[key] = False
+    return _AVRO_JAR_STATE[key]
+
+
+def _to_avro_native(v, dtype):
+    """One pandas cell → Avro-native value for the pure-Python codec."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.value // 1_000  # ns → logical timestamp-micros long
+    if isinstance(v, _dt.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _EPOCH).days  # logical date int
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
 
 
 def encode_confluent_avro(
     df: DataFrame, avro_schema_json: str, schema_id: int, cols: list[str]
 ) -> DataFrame:
-    """struct(cols) → wire-format `value` column (needs spark-avro)."""
-    _require_avro(df.sparkSession)
-    from pyspark.sql.avro.functions import to_avro
+    """struct(cols) → wire-format `value` column.
 
-    payload = to_avro(F.struct(*[F.col(c) for c in cols]), avro_schema_json)
-    return df.select(wrap_payload(payload, schema_id).alias("value"))
+    JVM to_avro when spark-avro is present; otherwise the pure-Python
+    codec over mapInPandas (distributed, Arrow-batched)."""
+    if have_avro_jar(df.sparkSession):
+        from pyspark.sql.avro.functions import to_avro
+
+        payload = to_avro(
+            F.struct(*[F.col(c) for c in cols]), avro_schema_json
+        )
+        return df.select(wrap_payload(payload, schema_id).alias("value"))
+    return encode_confluent_avro_py(df, avro_schema_json, schema_id, cols)
+
+
+def encode_confluent_avro_py(
+    df: DataFrame, avro_schema_json: str, schema_id: int, cols: list[str]
+) -> DataFrame:
+    """Pure-Python wire encode (no jar): header + AvroCodec body."""
+    header = wire_header(schema_id)
+    dtypes = dict(df.select(*cols).dtypes)
+
+    def _encode(batches):
+        import pandas as pd
+
+        from pipegen_spark.schema.avro_codec import AvroCodec
+
+        codec = AvroCodec(avro_schema_json)
+        for pdf in batches:
+            values = [
+                header
+                + codec.encode(
+                    {
+                        c: _to_avro_native(v, dtypes[c])
+                        for c, v in zip(cols, row)
+                    }
+                )
+                for row in pdf[cols].itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame({"value": values})
+
+    return df.select(*cols).mapInPandas(_encode, "value binary")
 
 
 def decode_confluent_avro(df: DataFrame, spec) -> DataFrame:
-    """Kafka `value` → typed columns using the TableSpec's schema
-    (needs spark-avro). For JSON-format topics use decode_json instead."""
-    from pipegen_spark.schema.avsc import struct_to_avro
+    """Kafka `value` → typed columns using the TableSpec's schema.
 
-    _require_avro(df.sparkSession)
-    from pyspark.sql.avro.functions import from_avro
+    JVM from_avro when spark-avro is present; otherwise the pure-Python
+    codec. For JSON-format topics use decode_json instead."""
+    from pipegen_spark.schema.avsc import struct_to_avro
     from pyspark.sql.types import _parse_datatype_string
 
     st = _parse_datatype_string(spec.schema_ddl())
     avro_json = struct_to_avro(st, spec.name)
-    payload = F.expr("substring(value, 6, length(value)-5)")
-    return df.select(
-        from_avro(payload, avro_json).alias("r")
-    ).select("r.*")
+    if have_avro_jar(df.sparkSession):
+        from pyspark.sql.avro.functions import from_avro
+
+        payload = F.expr("substring(value, 6, length(value)-5)")
+        return df.select(
+            from_avro(payload, avro_json).alias("r")
+        ).select("r.*")
+    return decode_confluent_avro_py(df, avro_json, st)
+
+
+def decode_confluent_avro_py(df: DataFrame, avro_json: str, st) -> DataFrame:
+    """Pure-Python wire decode (no jar): strip header, AvroCodec body."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    names = [f.name for f in st.fields]
+    ts_cols = [f.name for f in st.fields if isinstance(f.dataType, TimestampType)]
+    date_cols = [f.name for f in st.fields if isinstance(f.dataType, DateType)]
+
+    def _decode(batches):
+        import pandas as pd
+
+        from pipegen_spark.schema.avro_codec import AvroCodec
+
+        codec = AvroCodec(avro_json)
+        for pdf in batches:
+            recs = [codec.decode(bytes(v)[5:]) for v in pdf["value"]]
+            out = pd.DataFrame.from_records(recs, columns=names)
+            for c in ts_cols:
+                out[c] = pd.to_datetime(out[c], unit="us")
+            for c in date_cols:
+                out[c] = out[c].map(
+                    lambda d: _EPOCH + _dt.timedelta(days=int(d))
+                    if d is not None
+                    else None
+                )
+            yield out
+
+    return df.select("value").mapInPandas(_decode, st)
 
 
 def decode_json(df: DataFrame, schema_ddl: str) -> DataFrame:
