@@ -8,6 +8,12 @@ pattern; the built-in file sink is also exactly-once but locks you into its
 own log format — this one produces plain directories any reader can
 consume with `committed_batches`/`read_committed`).
 
+Marker existence/creation and directory listing go through the Hadoop
+FileSystem API (the same filesystem the DataFrame writer resolves), so the
+exactly-once contract holds for hdfs:// and s3a:// paths, not just the
+driver's local disk. A driver-local os fallback remains only for calls made
+with no live SparkSession.
+
 The reference is at-least-once end-to-end (auto-commit consumer,
 SURVEY.md §2C) — this is a strict upgrade, documented as such.
 """
@@ -21,30 +27,57 @@ from pyspark.sql import DataFrame, SparkSession
 COMMIT_MARKER = "_COMMIT"
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class, Path) for `path` on the session's Hadoop
+    conf — resolves the scheme (file://, hdfs://, s3a://, ...) the same way
+    `df.write.save(path)` does."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path, jpath
+
+
 def idempotent_dir_sink(path: str, fmt: str = "parquet"):
     """Returns a foreachBatch callable: exactly-once batch directories."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_dir = os.path.join(path, f"batch={batch_id}")
-        marker = os.path.join(batch_dir, COMMIT_MARKER)
-        if os.path.exists(marker):
+        spark = batch_df.sparkSession
+        batch_dir = f"{path.rstrip('/')}/batch={batch_id}"
+        fs, jpath_cls, _ = _hadoop_fs(spark, path)
+        marker = jpath_cls(f"{batch_dir}/{COMMIT_MARKER}")
+        if fs.exists(marker):
             return  # replayed batch — already committed
         batch_df.write.mode("overwrite").format(fmt).save(batch_dir)
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write(str(batch_id))
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(str(batch_id), "utf-8"))
+        finally:
+            out.close()
 
     return write
 
 
-def committed_batches(path: str) -> list[int]:
+def committed_batches(path: str, spark: SparkSession | None = None) -> list[int]:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:  # driver-local fallback (plain local paths only)
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(path)
+            if e.startswith("batch=")
+            and os.path.exists(os.path.join(path, e, COMMIT_MARKER))
+        )
+    fs, jpath_cls, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
     out = []
-    if not os.path.isdir(path):
-        return out
-    for entry in os.listdir(path):
-        if entry.startswith("batch=") and os.path.exists(
-            os.path.join(path, entry, COMMIT_MARKER)
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("batch=") and fs.exists(
+            jpath_cls(status.getPath(), COMMIT_MARKER)
         ):
-            out.append(int(entry.split("=", 1)[1]))
+            out.append(int(name.split("=", 1)[1]))
     return sorted(out)
 
 
@@ -54,7 +87,8 @@ def read_committed(
     """Read only committed batch directories (uncommitted ones are invisible
     to consumers — the other half of the exactly-once contract)."""
     dirs = [
-        os.path.join(path, f"batch={b}") for b in committed_batches(path)
+        f"{path.rstrip('/')}/batch={b}"
+        for b in committed_batches(path, spark)
     ]
     if not dirs:
         raise FileNotFoundError(f"no committed batches under {path}")
