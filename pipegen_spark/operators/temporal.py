@@ -108,8 +108,16 @@ def range_agg(
     `window_expr` is a SQL interval literal (e.g. "INTERVAL 1 HOUR").
     Left join semantics: left rows with no in-window right rows survive
     with empty-aggregate values (COUNT 0 / NULL sums — coalesce in `aggs`).
+
+    Contract notes:
+    - Duplicate left rows are preserved: each left ROW (not each distinct
+      left tuple) gets its own output row, via an internal
+      monotonically_increasing_id group key.
+    - Point `aggs` at RIGHT-side columns (e.g. ``F.count("r.c_ts")``, not
+      ``F.count("*")``): the left join emits one all-NULL right row for
+      match-less left rows, which a * count would count as 1.
     """
-    l = left.alias("l")
+    l = left.withColumn("_lrow", F.monotonically_increasing_id()).alias("l")
     r = right.alias("r")
     cond = (
         (F.col(f"l.{by}") == F.col(f"r.{by}"))
@@ -118,7 +126,10 @@ def range_agg(
     )
     grouped = (
         l.join(r, cond, "left")
-        .groupBy(*[F.col(f"l.{c}") for c in left.columns])
+        .groupBy(
+            F.col("l._lrow"), *[F.col(f"l.{c}") for c in left.columns]
+        )
         .agg(*aggs)
+        .drop("_lrow")
     )
     return grouped

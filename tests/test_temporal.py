@@ -104,3 +104,27 @@ def test_range_agg_counts_window_only(spark):
     assert out[11]["n_clicks"] == 1 and float(out[11]["v"]) == 1.0
     # user 2: click at 09:30 is not BEFORE the 09:00 purchase
     assert out[12]["n_clicks"] == 0 and float(out[12]["v"]) == 0.0
+
+
+def test_range_agg_preserves_duplicate_left_rows(spark):
+    """Two identical left rows must each produce their own output row with
+    UN-doubled right-side aggregates (internal row-id group key)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00"), (1, "2024-01-01 09:45:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("c_ts"))
+    rows = tp.range_agg(
+        left,
+        right,
+        by="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        window_expr="INTERVAL 1 HOUR",
+        aggs=[F.count(F.col("r.c_ts")).alias("n")],
+    ).collect()
+    assert len(rows) == 2
+    assert [r["n"] for r in rows] == [2, 2]
