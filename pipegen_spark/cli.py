@@ -246,6 +246,33 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_deploy(args) -> int:
+    """Local stack deploy (reference cmd/deploy.go): generate compose,
+    docker compose up, TCP health-wait. --generate-only writes the compose
+    file and stops (the only mode exercised where docker is absent)."""
+    from pipegen_spark.sources.deploy import (
+        DeployError,
+        StackDeployer,
+        write_compose,
+    )
+
+    if args.generate_only:
+        path = write_compose(args.project_dir)
+        print(f"wrote {path}")
+        return 0
+    try:
+        out = StackDeployer(args.project_dir).deploy(
+            clean=args.clean, startup_timeout=args.startup_timeout
+        )
+    except DeployError as err:
+        print(f"error: {err}")
+        return 1
+    for w in out["warnings"]:
+        print(f"warning: {w}")
+    print("stack deployed: " + ", ".join(out["services"]))
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import bench
 
@@ -284,6 +311,15 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("project_dir")
     p_run.add_argument("--report-dir")
     p_run.set_defaults(fn=cmd_run)
+
+    p_dep = sub.add_parser("deploy", help="deploy the local Kafka stack")
+    p_dep.add_argument("project_dir")
+    p_dep.add_argument("--generate-only", action="store_true",
+                       help="write docker-compose.yml and exit")
+    p_dep.add_argument("--clean", action="store_true",
+                       help="docker compose down before deploying")
+    p_dep.add_argument("--startup-timeout", type=float, default=120.0)
+    p_dep.set_defaults(fn=cmd_deploy)
 
     p_bench = sub.add_parser("bench", help="run the benchmark corpus")
     p_bench.set_defaults(fn=cmd_bench)

@@ -83,3 +83,10 @@ def test_init_validate_run_loop(tmp_path, spark, monkeypatch):
         assert any(r.endswith(".html") for r in reports)
     finally:
         monkeypatch.undo()
+
+
+def test_deploy_generate_only(tmp_path, capsys):
+    proj = str(tmp_path / "dp")
+    os.makedirs(proj)
+    assert main(["deploy", proj, "--generate-only"]) == 0
+    assert os.path.exists(os.path.join(proj, "docker-compose.yml"))

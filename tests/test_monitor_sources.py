@@ -4,6 +4,7 @@ scaffolding, rate-controlled producer."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -166,3 +167,85 @@ def test_rate_controlled_producer(spark, tmp_path):
     assert producer.stats.rows > 0
     targets = {rate for _, rate in sink_rows}
     assert 50 in targets  # base rate observed
+
+
+# --- stack deployer (fake runner — no docker in this environment) ------------
+
+
+def _fake_runner_factory(log, fail_on=None, fail_clean=False):
+    def runner(cmd):
+        log.append(cmd)
+        if fail_clean and "down" in cmd and "--volumes" in cmd:
+            return 1, "no such stack"
+        if fail_on and fail_on(cmd):
+            return 1, "boom"
+        return 0, "ok"
+
+    return runner
+
+
+def test_stack_deployer_happy_path(tmp_path):
+    from pipegen_spark.sources.deploy import StackDeployer
+
+    log = []
+    dep = StackDeployer(
+        str(tmp_path),
+        runner=_fake_runner_factory(log),
+        waiter=lambda h, p, timeout: True,
+    )
+    out = dep.deploy(clean=True)
+    assert os.path.exists(out["compose_path"])
+    assert [c[:2] for c in log] == [
+        ["docker", "info"],
+        ["docker", "compose"],
+        ["docker", "compose"],
+    ]
+    assert log[1][-2:] == ["down", "--volumes"]
+    assert log[2][-2:] == ["up", "-d"]
+    assert out["services"] == ["localhost:9092", "localhost:8082"]
+    assert out["warnings"] == []
+
+
+def test_stack_deployer_clean_failure_is_warning(tmp_path):
+    from pipegen_spark.sources.deploy import StackDeployer
+
+    log = []
+    dep = StackDeployer(
+        str(tmp_path),
+        runner=_fake_runner_factory(log, fail_clean=True),
+        waiter=lambda h, p, timeout: True,
+    )
+    out = dep.deploy(clean=True)
+    assert out["warnings"] and "clean" in out["warnings"][0]
+
+
+def test_stack_deployer_errors(tmp_path):
+    from pipegen_spark.sources.deploy import DeployError, StackDeployer
+
+    with pytest.raises(DeployError, match="does not exist"):
+        StackDeployer(str(tmp_path / "missing")).deploy()
+
+    log = []
+    dep = StackDeployer(
+        str(tmp_path),
+        runner=_fake_runner_factory(
+            log, fail_on=lambda c: c == ["docker", "info"]
+        ),
+    )
+    with pytest.raises(DeployError, match="docker is not running"):
+        dep.deploy()
+
+    dep = StackDeployer(
+        str(tmp_path),
+        runner=_fake_runner_factory(log, fail_on=lambda c: "up" in c),
+    )
+    with pytest.raises(DeployError, match="failed to start"):
+        dep.deploy()
+
+    dep = StackDeployer(
+        str(tmp_path),
+        runner=_fake_runner_factory(log),
+        waiter=lambda h, p, timeout: p != 8082,
+    )
+    with pytest.raises(DeployError, match="localhost:8082"):
+        dep.deploy(startup_timeout=0.1)
