@@ -220,33 +220,53 @@ def pack_sequences(
     id_col: str = "doc_id",
     budget: int = 2048,
     part_cols: tuple[str, ...] = ("lang", "source"),
+    max_stream_rows: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are concatenated in
     id order within each (part_cols) stream and sliced into fixed
     `budget`-token training sequences; each doc is labeled with the chunk
     its first token lands in (seq_id) and its offset inside that chunk.
 
-    One window per stream — at 100 TB add a shard column to part_cols so
-    no stream exceeds a single task's memory; chunk ids stay deterministic
-    because the shard is part of the stream key.
+    One window per stream — a hot stream would sort in a single task. With
+    `max_stream_rows` set, streams larger than the budget are split by a
+    deterministic hash shard (`_shard` output column): shard count =
+    ceil(rows/max_stream_rows) from a cheap per-stream count, shard id =
+    hash60(id) % count, and the shard joins part_cols in the window key so
+    no task ever sorts more than ~max_stream_rows rows. Chunk ids are then
+    per (stream, shard) — deterministic for a given input, and the shard
+    column in the output keeps them interpretable. Leave None (default)
+    for globally-contiguous chunks when streams are known to be bounded.
     """
     n_tokens = F.expr(
         f"CAST({dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)} AS BIGINT)"
     )
-    w = (
-        Window.partitionBy(*part_cols)
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     base = df.select(
         F.col(id_col).alias("id"), *part_cols, n_tokens.alias("n_tokens")
+    )
+    eff_parts: list[str] = list(part_cols)
+    if max_stream_rows is not None:
+        counts = base.groupBy(*part_cols).agg(F.count("*").alias("_sn"))
+        nsh = F.ceil(F.col("_sn") / F.lit(max_stream_rows)).cast("long")
+        shard = (
+            F.expr(dl.hash60("CAST(id AS STRING)", dl.SPARK)) % nsh
+        ).cast("long")
+        base = (
+            base.join(F.broadcast(counts), list(part_cols))
+            .withColumn("_shard", shard)
+            .drop("_sn")
+        )
+        eff_parts.append("_shard")
+    w = (
+        Window.partitionBy(*eff_parts)
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     # floor() explicitly on BOTH engines: a bare long/int division is double
     # division in each, but a later CAST truncates in Spark and ROUNDS in
     # DuckDB — floor-then-cast is the only portable integer division here.
     return base.select(
-        "id", *part_cols, "n_tokens",
+        "id", *eff_parts, "n_tokens",
         offset.alias("tok_offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
         (offset % F.lit(budget)).cast("long").alias("seq_off"),

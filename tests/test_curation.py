@@ -121,3 +121,46 @@ def test_pack_sequences_streams_are_independent(spark):
     # fr stream restarts at offset 0 regardless of en docs
     assert rows[2]["tok_offset"] == 0
     assert rows[1]["tok_offset"] == 0 and rows[3]["tok_offset"] == 10
+
+
+def test_pack_sequences_auto_shard_bounds_streams(spark):
+    """A deliberately hot stream gets hash-sharded: no (stream, shard)
+    group exceeds ~max_stream_rows-scale, tokens are conserved, and the
+    window math stays valid inside each shard."""
+    docs = spark.createDataFrame(
+        [(i, "en", "web", "alpha beta gamma") for i in range(200)]
+        + [(1000 + i, "fr", "web", "un deux") for i in range(5)],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = cu.pack_sequences(
+        docs, "text", "doc_id", budget=10,
+        part_cols=("lang", "source"), max_stream_rows=50,
+    ).collect()
+    assert len(out) == 205
+    assert all(hasattr(r, "_shard") for r in out)
+    from collections import Counter
+
+    groups = Counter((r.lang, r.source, r._shard) for r in out)
+    hot = {k: v for k, v in groups.items() if k[0] == "en"}
+    assert len(hot) > 1, "hot stream must split into multiple shards"
+    # hash-uniform split: no shard should be anywhere near the full stream
+    assert max(hot.values()) < 200
+    # per-shard window math: offsets within each shard are cumulative
+    by_group: dict = {}
+    for r in sorted(out, key=lambda r: r.id):
+        key = (r.lang, r.source, r._shard)
+        expected = by_group.get(key, 0)
+        assert r.tok_offset == expected, (key, r.id)
+        assert r.seq_id == expected // 10 and r.seq_off == expected % 10
+        by_group[key] = expected + r.n_tokens
+    # the small stream must not shard
+    assert len({k for k in groups if k[0] == "fr"}) == 1
+
+
+def test_pack_sequences_no_shard_by_default(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "web", "a b c")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = cu.pack_sequences(docs, "text", "doc_id")
+    assert "_shard" not in out.columns

@@ -203,3 +203,34 @@ def test_bm25_length_normalizes(spark):
     assert out[1]["bm25"] > out[2]["bm25"] > 0
     assert out[3]["bm25"] == 0.0
     assert out[2]["dlen"] == 41
+
+
+def test_embedding_dup_block_guard_falls_back_distributed(spark):
+    """Blocks over max_block_rows must bypass the single-task pandas
+    prefilter (no FlatMapGroupsInPandas over them) and still produce
+    byte-identical pairs via the distributed SQL path."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # hot block: 30 vectors, several near-dup pairs; cold block: 5
+    for i in range(30):
+        base = [1.0, 2.0, 3.0, 4.0]
+        rows.append((i, "hot", [x + rng.uniform(-0.2, 0.2) for x in base]))
+    for i in range(30, 35):
+        rows.append((i, "cold", [rng.uniform(-1, 1) for _ in range(4)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+    guarded = dd.embedding_dup_pairs(
+        df, threshold=0.9, dim=4, max_block_rows=10
+    )
+    unguarded = dd.embedding_dup_pairs(
+        df, threshold=0.9, dim=4, max_block_rows=10_000
+    )
+    exact = dd.embedding_dup_pairs(df, threshold=0.9, dim=4, prefilter=False)
+    got = [(r.vec_a, r.vec_b, r.cos) for r in guarded.collect()]
+    assert got == [(r.vec_a, r.vec_b, r.cos) for r in unguarded.collect()]
+    assert got == [(r.vec_a, r.vec_b, r.cos) for r in exact.collect()]
+    assert len(got) > 0
