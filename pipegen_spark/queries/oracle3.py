@@ -118,6 +118,35 @@ RELATIONAL3_ORACLE: dict[str, str] = {
                     AS BIGINT) AS gap_us
         FROM m WHERE il = 1 ORDER BY event_id
     """,
+    # Batch-parity oracle for the STREAMING sessionization: complete-mode
+    # session_window over a finite file stream equals batch gaps-and-islands.
+    # New-session predicate is diff >= gap (Spark: event joins a session iff
+    # ts < previous ts + gap); session_end = last event ts + gap.
+    "q39_stream_session": """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING)
+                       AS session_no
+            FROM e
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_no
+        ORDER BY user_id, session_start LIMIT 500
+    """,
     # c_value goes through dialect.money() (half-up double quantization
     # before the decimal cast) and the COALESCE zero is explicitly typed —
     # both to keep the decimal path engine-version-insensitive.

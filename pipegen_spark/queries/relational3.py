@@ -172,6 +172,73 @@ def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# --- Q39: STREAMING sessionization (Structured Streaming superset) -----------
+def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-STREAM sessionization: readStream over events.parquet →
+    session_window(30 min) per user → memory sink in complete mode,
+    processAllAvailable(), return the final table. On a finite input the
+    final complete-mode state equals batch sessionization, which is what
+    the gaps-and-islands oracle computes — so the streaming path gets a
+    real hash-checked correctness row (SURVEY §2C), not just unit tests.
+
+    The memory/complete sink is driver-bound by design — it exists for
+    this parity harness; production streams use the idempotent file sink
+    (streaming/sink.py) in append/update mode with a watermark."""
+    import os
+
+    from pipegen_spark.catalog import table as _table
+
+    _table(spark, sf_dir, "events")  # sets the nanos-as-long conf
+    path = os.path.join(sf_dir, "events.parquet")
+    # The file-stream source requires a DIRECTORY; stage a symlink dir
+    # (testdata is read-only, so link rather than copy).
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream_dir = os.path.join("/tmp", f"pipegen_stream_events_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    qname = "q39_stream_session_sink"
+    spark.catalog.dropTempView(qname) if qname in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .orderBy("user_id", "session_start")
+        .limit(500)
+    )
+
+
 # --- Q36: composed curation decision (the training-data story) ---------------
 def q36_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators composed the way a 100 TB curation pass runs them:
