@@ -76,12 +76,19 @@ def contamination_check(
         dd.shingle_rows(bench_df, text_col, id_col, n, distinct=False)
         .select(h)
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    per_doc = cand.groupBy("id").agg(F.count("*").alias("n_ngrams"))
-    hits = (
-        cand.join(F.broadcast(bench), "h")
+    # ONE aggregation computes both counts: the broadcast left join tags
+    # each candidate fingerprint map-side, then a single groupBy(id) does
+    # conditional counts — vs the previous two-groupBy + three-way-join
+    # shape this removes a shuffle and a join from the hot path.
+    stats = (
+        cand.join(F.broadcast(bench), "h", "left")
         .groupBy("id")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("_hit").alias("n_overlap"),
+        )
     )
     ids = df.select(F.col(id_col).alias("id"))
     n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long")
@@ -90,8 +97,7 @@ def contamination_check(
         n_ngrams > 0, n_overlap.cast("double") / n_ngrams.cast("double")
     ).otherwise(F.lit(0.0))
     return (
-        ids.join(per_doc, "id", "left")
-        .join(hits, "id", "left")
+        ids.join(stats, "id", "left")
         .select(
             "id",
             n_ngrams.alias("n_ngrams"),
