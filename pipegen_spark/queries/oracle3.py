@@ -118,6 +118,43 @@ RELATIONAL3_ORACLE: dict[str, str] = {
                     AS BIGINT) AS gap_us
         FROM m WHERE il = 1 ORDER BY event_id
     """,
+    # Batch oracle for the stream-stream interval join: inner-join
+    # emission is watermark-independent on finite input.
+    "q41_stream_join": """
+        WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+              FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               CAST(epoch_ns(p.p_ts) // 1000 AS BIGINT) AS p_ts_us,
+               c.click_id,
+               CAST(epoch_ns(c.c_ts) // 1000 AS BIGINT) AS c_ts_us
+        FROM p JOIN c
+          ON p.user_id = c.c_user
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts < p.p_ts
+        ORDER BY p.event_id, c.click_id
+    """,
+    # Hopping windows arithmetically: 15 min slide = 900_000_000 us,
+    # 30 min size = 1_800_000_000 us; every event belongs to exactly
+    # size/slide = 2 windows with starts floor(us/slide)*slide - k*slide.
+    "q40_hopping_window": """
+        WITH e AS (
+            SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events
+        ),
+        w AS (
+            SELECT event_type,
+                   (us // 900000000) * 900000000 - k.k * 900000000
+                       AS start_us
+            FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+        )
+        SELECT make_timestamp(start_us) AS win_start,
+               make_timestamp(start_us + 1800000000) AS win_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM w GROUP BY start_us, event_type
+        ORDER BY win_start, event_type
+    """,
     # Batch-parity oracle for the STREAMING sessionization: complete-mode
     # session_window over a finite file stream equals batch gaps-and-islands.
     # New-session predicate is diff >= gap (Spark: event joins a session iff

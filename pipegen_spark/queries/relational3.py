@@ -239,6 +239,102 @@ def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q40: hopping (sliding) window aggregate ---------------------------------
+def q40_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP/sliding window: 30-minute windows every 15 minutes — each event
+    lands in size/slide = 2 windows. Spark's window(ts, size, slide)
+    explodes to the overlapping windows before a single hash-agg shuffle;
+    the oracle derives the same window starts arithmetically
+    (floor(us/slide)*slide - k*slide for k in 0..size/slide-1, epoch-
+    aligned in UTC exactly like Spark's window())."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# --- Q41: STREAMING stream-stream interval join ------------------------------
+def q41_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join (Structured Streaming superset):
+    purchases stream ⋈ clicks stream on user with the click in the hour
+    before the purchase, both sides watermarked (state-cleanup bound).
+    Inner-join emission is watermark-independent, so on a finite input the
+    appended result equals the batch interval join the oracle runs."""
+    import hashlib
+    import os
+
+    from pipegen_spark.catalog import table as _table
+
+    _table(spark, sf_dir, "events")  # nanos-as-long conf
+    path = os.path.join(sf_dir, "events.parquet")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream_dir = os.path.join("/tmp", f"pipegen_stream_events_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+
+    def _stream():
+        s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s
+
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(p_ts)").alias("p_ts_us"),
+        "click_id",
+        F.expr("unix_micros(c_ts)").alias("c_ts_us"),
+    )
+    qname = "q41_stream_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("event_id", "click_id")
+
+
 # --- Q36: composed curation decision (the training-data story) ---------------
 def q36_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators composed the way a 100 TB curation pass runs them:
