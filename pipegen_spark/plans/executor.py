@@ -199,6 +199,12 @@ class SQLPipelineExecutor:
                 .start()
             )
         else:
+            # In-process tables use the memory sink; aggregated inserts need
+            # complete mode, whose state lives in driver memory. That is the
+            # intended scope — this executor IS the in-process parity mode
+            # (the reference's Flink-gateway equivalent); a production-scale
+            # aggregated stream should target a filesystem connector, which
+            # takes the append path above with watermark-bounded state.
             mode = "complete" if _has_aggregation(df) else "append"
             q = (
                 df.writeStream.format("memory")
