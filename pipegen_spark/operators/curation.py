@@ -277,3 +277,39 @@ def pack_sequences(
         F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
         (offset % F.lit(budget)).cast("long").alias("seq_off"),
     )
+
+
+def mixture_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    part_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Data-mixture report per stream: doc count, token count, and each
+    stream's share of corpus tokens — the input for sampling-weight
+    decisions in any multi-source training mix.
+
+    One groupBy over the stream key; the corpus total joins back as a
+    1-row broadcast (no second scan — computed from the grouped frame).
+    token_share is a double division of two exact longs: deterministic
+    across engines.
+    """
+    n_tokens = F.expr(
+        f"CAST({dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)} AS BIGINT)"
+    )
+    grouped = (
+        df.select(*part_cols, n_tokens.alias("_nt"))
+        .groupBy(*part_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+    )
+    total = grouped.agg(F.sum("n_tokens").alias("_total"))
+    return grouped.crossJoin(F.broadcast(total)).select(
+        *part_cols,
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.col("_total").cast("double")
+        ).alias("token_share"),
+    )

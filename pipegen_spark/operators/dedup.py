@@ -56,6 +56,32 @@ def exact_dedup(
     )
 
 
+def prefix_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+) -> DataFrame:
+    """Boilerplate/prefix dedup: flag documents sharing the same first-k-
+    token fingerprint (the standard cheap pass for template headers and
+    mirrored pages before fuzzy dedup). Keep-first semantics like
+    exact_dedup; also emits the prefix-group size. Map-only expression +
+    one hash-partitioned window on the prefix hash."""
+    toks = dl.words(text_col, dl.SPARK)
+    prefix = dl.arr_join(dl.slice_(toks, 1, k, dl.SPARK), " ", dl.SPARK)
+    w = Window.partitionBy("prefix_hash").orderBy(id_col)
+    wn = Window.partitionBy("prefix_hash")
+    return (
+        df.withColumn("prefix_hash", F.expr(f"md5({prefix})"))
+        .withColumn(
+            "is_prefix_dup", F.row_number().over(w) > 1
+        )
+        .withColumn(
+            "n_same_prefix", F.count("*").over(wn).cast("long")
+        )
+    )
+
+
 # --- shingling ---------------------------------------------------------------
 
 

@@ -438,3 +438,34 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(text_col: str = "text") -> Column:
     return F.expr(fingerprint_expr(text_col, dl.SPARK))
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary extraction: the k most frequent tokens with term
+    frequency (total occurrences) and document frequency (docs containing
+    the token). The standard input for stopword lists, tokenizer vocab
+    sizing, and frequency-based filtering.
+
+    Shape: explode → one groupBy(token) with count + approx-free exact
+    countDistinct(id); map-side partial aggregation means only per-token
+    partials shuffle. Deterministic order (tf DESC, token) before the cap.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+    )
+    return (
+        ex.groupBy("t")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("id").alias("df"),
+        )
+        .select(F.col("t").alias("token"), "tf", "df")
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(k)
+    )

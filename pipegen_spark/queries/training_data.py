@@ -54,6 +54,8 @@ TFIDF_TERMS = ("spark", "table", "fast", "merge")  # fixed retrieval query
 TFIDF_TOPK = 100
 KMEANS_K = 8  # k-means seeds: vec_id < 8 (deterministic)
 KMEANS_ITERS = 2
+PREFIX_K = 12  # prefix-dedup fingerprint length (tokens)
+VOCAB_TOPK = 50  # corpus vocabulary report size
 
 
 # --- deduplication -----------------------------------------------------------
@@ -97,6 +99,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         docs, "text", "doc_id", "lang", n=NGRAM_N, threshold=NGRAM_THRESHOLD
     ).limit(PAIR_LIMIT)
+
+
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/prefix dedup: same first-PREFIX_K-token fingerprint →
+    keep-first flag + prefix-group size."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        dd.prefix_dup(docs, "text", "doc_id", k=PREFIX_K)
+        .select("doc_id", "prefix_hash", "is_prefix_dup", "n_same_prefix")
+        .orderBy("doc_id")
+    )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,3 +321,32 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("md5(encode(text, 'UTF-8'))").alias("blob_md5"),
     ).orderBy("doc_id")
+
+
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-VOCAB_TOPK tokens by term frequency with
+    document frequency — stopword/vocab input for tokenizer decisions."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.vocab_topk(docs, "text", "doc_id", k=VOCAB_TOPK).select(
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report per (lang, source) stream: docs, tokens, and
+    token share of the corpus — sampling-weight input for multi-source
+    training mixes."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        cu.mixture_stats(docs, "text", ("lang", "source"))
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "token_share",
+        )
+        .orderBy("lang", "source")
+    )

@@ -549,7 +549,55 @@ def _proj_sql(exprs: dict[str, str]) -> str:
     return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
 
 
+def _prefix_sql() -> str:
+    w = dl.words("text", D)
+    prefix = dl.arr_join(dl.slice_(w, 1, td.PREFIX_K, D), " ", D)
+    return f"""
+    SELECT doc_id, prefix_hash, is_prefix_dup, n_same_prefix FROM (
+        SELECT doc_id,
+               md5({prefix}) AS prefix_hash,
+               ROW_NUMBER() OVER (PARTITION BY md5({prefix})
+                                  ORDER BY doc_id) > 1 AS is_prefix_dup,
+               CAST(COUNT(*) OVER (PARTITION BY md5({prefix})) AS BIGINT)
+                   AS n_same_prefix
+        FROM documents
+    ) t ORDER BY doc_id
+    """
+
+
+def _vocab_sql() -> str:
+    return f"""
+    WITH {_W_CTE},
+    tok AS (SELECT id, unnest(w) AS t FROM w)
+    SELECT t AS token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+    FROM tok GROUP BY t
+    ORDER BY tf DESC, token LIMIT {td.VOCAB_TOPK}
+    """
+
+
+def _mix_sql() -> str:
+    n_tok = f"CAST({dl.size(dl.words('text', D), D)} AS BIGINT)"
+    return f"""
+    WITH base AS (SELECT lang, source, {n_tok} AS nt FROM documents),
+    g AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM base GROUP BY lang, source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g)
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share
+    FROM g CROSS JOIN t ORDER BY lang, source
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "dedup_prefix": _prefix_sql(),
+    "text_vocab": _vocab_sql(),
+    "curate_mix": _mix_sql(),
     "dedup_exact": """
         SELECT doc_id, content_hash, is_dup FROM (
             SELECT doc_id, md5(text) AS content_hash,

@@ -234,3 +234,50 @@ def test_embedding_dup_block_guard_falls_back_distributed(spark):
     assert got == [(r.vec_a, r.vec_b, r.cos) for r in unguarded.collect()]
     assert got == [(r.vec_a, r.vec_b, r.cos) for r in exact.collect()]
     assert len(got) > 0
+
+
+def test_prefix_dup_flags_shared_prefixes(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l unique tail one"),
+            (2, "a b c d e f g h i j k l other tail here"),
+            (3, "completely different document text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.prefix_dup(docs, k=12).collect()}
+    assert rows[1].prefix_hash == rows[2].prefix_hash
+    assert not rows[1].is_prefix_dup and rows[2].is_prefix_dup
+    assert rows[1].n_same_prefix == 2 and rows[3].n_same_prefix == 1
+
+
+def test_vocab_topk_counts(spark):
+    from pipegen_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    rows = tx.vocab_topk(docs, k=10).collect()
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("alpha", 3, 2), ("beta", 1, 1), ("gamma", 1, 1),
+    ]
+
+
+def test_mixture_stats_shares_sum_to_one(spark):
+    from pipegen_spark.operators import curation as cu
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "one two three"),
+            (2, "en", "web", "four five"),
+            (3, "fr", "book", "un deux trois quatre cinq"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = cu.mixture_stats(docs).collect()
+    got = {(r.lang, r.source): r for r in rows}
+    assert got[("en", "web")].n_docs == 2
+    assert got[("en", "web")].n_tokens == 5
+    assert got[("fr", "book")].n_tokens == 5
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
