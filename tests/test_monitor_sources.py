@@ -249,3 +249,60 @@ def test_stack_deployer_errors(tmp_path):
     )
     with pytest.raises(DeployError, match="localhost:8082"):
         dep.deploy(startup_timeout=0.1)
+
+
+# --- kafka topic admin (fake runner — reference shells out the same way) -----
+
+
+def test_topic_admin_create_and_flags(tmp_path):
+    from pipegen_spark.sources.kafka_admin import KafkaTopicAdmin
+
+    log = []
+    admin = KafkaTopicAdmin(runner=_fake_runner_factory(log))
+    admin.create_topic("orders", partitions=6, replication_factor=2)
+    cmd = log[0]
+    assert cmd[:3] == ["docker", "exec", "broker"]
+    assert "--if-not-exists" in cmd
+    assert cmd[cmd.index("--partitions") + 1] == "6"
+    assert cmd[cmd.index("--replication-factor") + 1] == "2"
+    assert "cleanup.policy=delete" in cmd and "compression.type=snappy" in cmd
+
+
+def test_topic_admin_delete_tolerates_missing():
+    from pipegen_spark.sources.kafka_admin import (
+        KafkaTopicAdmin,
+        TopicAdminError,
+    )
+
+    def runner_missing(cmd):
+        return 1, "Topic 'x' does not exist as expected"
+
+    admin = KafkaTopicAdmin(runner=runner_missing)
+    assert admin.delete_topic("x") is False
+
+    def runner_broken(cmd):
+        return 1, "connection refused"
+
+    admin = KafkaTopicAdmin(runner=runner_broken)
+    with pytest.raises(TopicAdminError, match="failed to delete"):
+        admin.delete_topic("x")
+
+
+def test_topic_admin_list_and_create_all():
+    from pipegen_spark.sources.kafka_admin import KafkaTopicAdmin
+
+    log = []
+
+    def runner(cmd):
+        log.append(cmd)
+        if "--list" in cmd:
+            return 0, "input-events\noutput-results\n"
+        return 0, ""
+
+    admin = KafkaTopicAdmin(runner=runner)
+    assert admin.list_topics() == ["input-events", "output-results"]
+    assert admin.topic_exists("input-events")
+    assert not admin.topic_exists("nope")
+    assert admin.create_all(["a", "b"]) == ["a", "b"]
+    creates = [c for c in log if "--create" in c]
+    assert len(creates) == 2
