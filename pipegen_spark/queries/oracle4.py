@@ -1,0 +1,103 @@
+"""DuckDB oracles for the fourth query tranche (streaming dedup parity +
+TPC-H-shaped analytics). Filter constants and the money() discipline are
+shared with relational4.py so both sides render the same computation."""
+
+from pipegen_spark.functions import dialect as dl
+from pipegen_spark.queries.relational4 import (
+    Q43_CUTOFF,
+    Q44_DATE,
+    Q44_SEGMENT,
+    Q45_HI,
+    Q45_LO,
+    Q45_REGION,
+    Q46_HI,
+    Q46_LO,
+)
+
+
+def _m(expr: str) -> str:
+    return dl.money(expr, dl.DUCK)
+
+
+RELATIONAL4_ORACLE: dict[str, str] = {
+    # Batch oracle for the streaming stateful dedup: only key columns are
+    # emitted, so the finite-input append result is the distinct key set.
+    "q42_stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """,
+    "q43_tpch_pricing": f"""
+        WITH rows_d AS (
+            SELECT l_returnflag, l_linestatus,
+                   {_m("l_quantity")} AS qty_d,
+                   {_m("l_extendedprice")} AS price_d,
+                   {_m("l_extendedprice * (1.0 - l_discount)")} AS disc_d,
+                   {_m("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+                       AS charge_d,
+                   {_m("l_discount")} AS discv_d
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{Q43_CUTOFF}'
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(qty_d) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(price_d) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM(disc_d) AS DECIMAL(18,2)) AS sum_disc_price,
+               CAST(SUM(charge_d) AS DECIMAL(18,2)) AS sum_charge,
+               CAST(SUM(qty_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_qty,
+               CAST(SUM(price_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_price,
+               CAST(SUM(discv_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM rows_d
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q44_tpch_shipping": f"""
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})
+                    AS DECIMAL(18,2)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = '{Q44_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{Q44_DATE}'
+          AND l.l_shipdate > TIMESTAMP '{Q44_DATE}'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+    "q45_tpch_region_volume": f"""
+        SELECT n.n_name,
+               CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})
+                    AS DECIMAL(18,2)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{Q45_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{Q45_LO}'
+          AND o.o_orderdate < TIMESTAMP '{Q45_HI}'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    "q46_tpch_returns": f"""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})
+                    AS DECIMAL(18,2)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{Q46_LO}'
+          AND o.o_orderdate < TIMESTAMP '{Q46_HI}'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+}

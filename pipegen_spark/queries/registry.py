@@ -31,12 +31,18 @@ def _collect(module) -> dict[str, QueryFn]:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from pipegen_spark.queries import relational2, relational3, training_data
+    from pipegen_spark.queries import (
+        relational2,
+        relational3,
+        relational4,
+        training_data,
+    )
 
     out: dict[str, QueryFn] = {}
     out.update(_collect(relational))
     out.update(_collect(relational2))
     out.update(_collect(relational3))
+    out.update(_collect(relational4))
     out.update(_collect(training_data))
     return out
 
@@ -44,10 +50,12 @@ def all_queries() -> dict[str, QueryFn]:
 def oracle_queries() -> dict[str, str]:
     from pipegen_spark.queries.oracle2 import RELATIONAL2_ORACLE
     from pipegen_spark.queries.oracle3 import RELATIONAL3_ORACLE
+    from pipegen_spark.queries.oracle4 import RELATIONAL4_ORACLE
     from pipegen_spark.queries.training_oracle import TRAINING_ORACLE
 
     out = dict(RELATIONAL_ORACLE)
     out.update(RELATIONAL2_ORACLE)
     out.update(RELATIONAL3_ORACLE)
+    out.update(RELATIONAL4_ORACLE)
     out.update(TRAINING_ORACLE)
     return out

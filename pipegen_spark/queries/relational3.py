@@ -184,28 +184,9 @@ def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     The memory/complete sink is driver-bound by design — it exists for
     this parity harness; production streams use the idempotent file sink
     (streaming/sink.py) in append/update mode with a watermark."""
-    import os
+    from pipegen_spark.streaming.filesource import events_file_stream
 
-    from pipegen_spark.catalog import table as _table
-
-    _table(spark, sf_dir, "events")  # sets the nanos-as-long conf
-    path = os.path.join(sf_dir, "events.parquet")
-    # The file-stream source requires a DIRECTORY; stage a symlink dir
-    # (testdata is read-only, so link rather than copy).
-    import hashlib
-
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stream_dir = os.path.join("/tmp", f"pipegen_stream_events_{digest}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+    stream = events_file_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -271,35 +252,16 @@ def q41_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the purchase, both sides watermarked (state-cleanup bound).
     Inner-join emission is watermark-independent, so on a finite input the
     appended result equals the batch interval join the oracle runs."""
-    import hashlib
-    import os
-
-    from pipegen_spark.catalog import table as _table
-
-    _table(spark, sf_dir, "events")  # nanos-as-long conf
-    path = os.path.join(sf_dir, "events.parquet")
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stream_dir = os.path.join("/tmp", f"pipegen_stream_events_{digest}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    raw_schema = spark.read.parquet(path).schema
-
-    def _stream():
-        s = spark.readStream.schema(raw_schema).parquet(stream_dir)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return s
+    from pipegen_spark.streaming.filesource import events_file_stream
 
     purchases = (
-        _stream()
+        events_file_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", F.col("ts").alias("p_ts"))
         .withWatermark("p_ts", "1 hour")
     )
     clicks = (
-        _stream()
+        events_file_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),

@@ -1,0 +1,231 @@
+"""Fourth query tranche: streaming stateful dedup parity (the last §2C
+checklist capability without an oracle row) and TPC-H-shaped multi-join
+analytics (pricing summary, shipping priority, regional volume, returned
+items) — realistic join/agg workloads over the full schema.
+
+Money math discipline (see functions/dialect.money): every double that is
+summed across partitions is half-up-quantized to cents and cast to
+DECIMAL(18,2) per ROW first, so the sum is order-independent and
+engine-exact; averages divide the exact decimal sum by the exact count in
+DOUBLE. 100 TB shapes: dimension sides (region/nation/supplier/filtered
+customer segment) broadcast; fact-fact joins (lineitem ⋈ orders) shuffle
+on the join key with AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipegen_spark.catalog import table
+from pipegen_spark.functions import dialect as dl
+
+DEC = "decimal(18,2)"
+
+# Filter constants shared with oracle4.py (synthetic data spans
+# 1995-01-01 .. 2001-11-04; see TESTDATA.md).
+Q43_CUTOFF = "2001-08-06"  # max(l_shipdate) - 90 days, TPC-H Q1 style
+Q44_SEGMENT = "BUILDING"
+Q44_DATE = "1998-06-01"
+Q45_REGION = "ASIA"
+Q45_LO, Q45_HI = "1996-01-01", "1998-01-01"
+Q46_LO, Q46_HI = "1997-01-01", "1997-07-01"
+
+
+def _money(expr: str):
+    return F.expr(dl.money(expr, dl.SPARK))
+
+
+# --- Q42: STREAMING stateful dedup (dropDuplicatesWithinWatermark) -----------
+def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup — the reference flags duplicates via an
+    `is_duplicate` column in LLM-generated SQL only
+    (internal/llm/service.go:1064); Spark makes it a first-class stateful
+    operator. File-stream events → watermark → dropDuplicatesWithinWatermark
+    on (user_id, event_type) → append sink. Only the key columns are
+    emitted, so the finite-input result is exactly the distinct key set the
+    batch oracle computes (which physical row survives per key is
+    arbitrary; its key is not).
+
+    Scale: state is one entry per live key within the watermark horizon,
+    hash-partitioned on the dedup key — O(keys) memory across executors,
+    no shuffle beyond the state partitioning.
+    """
+    from pipegen_spark.streaming.filesource import (
+        events_file_stream,
+        run_to_memory_table,
+    )
+
+    stream = events_file_stream(spark, sf_dir)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    qname = "q42_stream_dedup_sink"
+    run_to_memory_table(deduped, qname, "append")
+    return spark.table(qname).orderBy("user_id", "event_type")
+
+
+# --- Q43: pricing summary report (TPC-H Q1 shape) ----------------------------
+def q43_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan aggregate over lineitem: per (returnflag, linestatus)
+    decimal sums of qty/price/discounted price/charge plus averages.
+    Map-side partial aggregation collapses 60k rows/sf0.01 into 6 groups
+    before the single shuffle; the shipdate filter pushes to the scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate <= TIMESTAMP '{Q43_CUTOFF}'")
+    )
+    rows = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        _money("l_quantity").alias("qty_d"),
+        _money("l_extendedprice").alias("price_d"),
+        _money("l_extendedprice * (1.0 - l_discount)").alias("disc_d"),
+        _money(
+            "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+        ).alias("charge_d"),
+        _money("l_discount").alias("discv_d"),
+    )
+    cnt = F.count("*")
+    return (
+        rows.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_d").cast(DEC).alias("sum_qty"),
+            F.sum("price_d").cast(DEC).alias("sum_base_price"),
+            F.sum("disc_d").cast(DEC).alias("sum_disc_price"),
+            F.sum("charge_d").cast(DEC).alias("sum_charge"),
+            (F.sum("qty_d").cast("double") / cnt.cast("double")).alias(
+                "avg_qty"
+            ),
+            (F.sum("price_d").cast("double") / cnt.cast("double")).alias(
+                "avg_price"
+            ),
+            (F.sum("discv_d").cast("double") / cnt.cast("double")).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q44: shipping priority (TPC-H Q3 shape) ---------------------------------
+def q44_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 undelivered orders by revenue for one market segment.
+    The filtered customer segment (~1/5 of a dimension table) broadcasts;
+    lineitem ⋈ orders shuffles on orderkey."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q44_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate < TIMESTAMP '{Q44_DATE}'")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate > TIMESTAMP '{Q44_DATE}'")
+    )
+    rev = _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+    return (
+        li.select("l_orderkey", rev)
+        .join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_d").cast(DEC).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q45: regional supplier volume (TPC-H Q5 shape) --------------------------
+def q45_tpch_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation where customer and supplier share the nation,
+    within one region and a date range. Six-way join: the three true
+    dimensions (supplier/nation/region) broadcast; the lineitem ⋈ orders ⋈
+    customer chain shuffles on its keys."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP '{Q45_LO}' "
+            f"AND o_orderdate < TIMESTAMP '{Q45_HI}'"
+        )
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q45_REGION
+    )
+    rev = _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+    return (
+        li.select("l_orderkey", "l_suppkey", rev)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_d").cast(DEC).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --- Q46: returned items (TPC-H Q10 shape) -----------------------------------
+def q46_tpch_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter-pair.
+    Nation broadcasts; customer ⋈ orders ⋈ lineitem shuffles."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP '{Q46_LO}' "
+            f"AND o_orderdate < TIMESTAMP '{Q46_HI}'"
+        )
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+    return (
+        li.select("l_orderkey", rev)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev_d").cast(DEC).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

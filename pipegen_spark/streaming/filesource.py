@@ -1,0 +1,60 @@
+"""File-backed streaming source over the driver testdata.
+
+Structured Streaming's file source requires a *directory* of files, while
+the testdata ships one `events.parquet` per scale factor — and the testdata
+tree is read-only. Stage a per-sf-dir symlink directory under /tmp once and
+readStream from it; the nanosecond timestamp handling mirrors
+`catalog.table` (parquet TIMESTAMP(NANOS) -> read as long -> truncate to
+micros, identical to what micro-precision engines do on ingest).
+
+Used by the streaming parity queries (q39/q41/q42): on a finite input the
+streaming result equals the batch result, which is what their DuckDB
+oracles compute.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the sf dir's events table (micros `ts` column)."""
+    from pipegen_spark.catalog import table as _table
+
+    _table(spark, sf_dir, "events")  # sets the nanos-as-long conf
+    path = os.path.join(sf_dir, "events.parquet")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream_dir = os.path.join("/tmp", f"pipegen_stream_events_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory_table(
+    df: DataFrame, qname: str, output_mode: str
+) -> None:
+    """Run a finite streaming query to completion into a memory-sink table.
+
+    The memory sink is driver-bound by design — it exists for the parity
+    harness; production streams use the idempotent file sink
+    (streaming/sink.py)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
