@@ -279,6 +279,47 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-`size` character chunks with `overlap`
+    (RAG/context-window prep): chunk i covers 1-based char range
+    [i*step+1, i*step+size] with step = size - overlap; chunks are emitted
+    while their start lies inside the text, and an empty document yields
+    one empty chunk so every input row stays represented.
+
+    Shape: pure map-side explode — no shuffle, chunks inherit the input
+    partitioning, and the text column is the only one widened. The
+    sequence is rendered with an explicit +1 step because Spark's
+    `sequence(a, b)` REVERSES when b < a instead of returning empty.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    n_chunks = (
+        "greatest(CAST(ceil(CAST(length(_t) AS DOUBLE) "
+        f"/ {step}.0) AS INT), 1)"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .select(
+            "id",
+            "_t",
+            F.expr(f"explode(sequence(0, {n_chunks} - 1, 1))").alias("_i"),
+        )
+        .select(
+            "id",
+            F.col("_i").cast("long").alias("chunk_id"),
+            (F.col("_i").cast("long") * step + 1).alias("chunk_start"),
+            F.expr(f"substr(_t, _i * {step} + 1, {size})").alias("chunk"),
+        )
+    )
+
+
 def mixture_stats(
     df: DataFrame,
     text_col: str = "text",

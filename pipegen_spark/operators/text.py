@@ -363,6 +363,19 @@ def fingerprint_expr(text: str, d: str) -> str:
     return f"CAST({dl.rolling_fingerprint(dl.words(text, d), d)} AS BIGINT)"
 
 
+def normalize_exprs(text: str, d: str, w: str | None = None) -> dict[str, str]:
+    """Canonical normalized text: lowercase, punctuation stripped,
+    whitespace collapsed to single spaces — rendered as the shared token
+    array re-joined, so normalization and tokenization can never drift
+    apart (the usual pre-dedup canonicalization pass)."""
+    w = w or dl.words(text, d)
+    norm = dl.arr_join(w, " ", d)
+    return {
+        "norm_text": norm,
+        "n_norm_chars": f"CAST(length({norm}) AS BIGINT)",
+    }
+
+
 # --- Spark operators ---------------------------------------------------------
 
 
@@ -438,6 +451,17 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(text_col: str = "text") -> Column:
     return F.expr(fingerprint_expr(text_col, dl.SPARK))
+
+
+def with_normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append `norm_text` / `n_norm_chars` (map-only; token array behind a
+    barrier so the tokenizer runs once even though two fragments use it)."""
+    exprs = normalize_exprs(text_col, dl.SPARK, w="_toks")
+    return (
+        _tokens_once(df, text_col)
+        .select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+        .drop("_toks")
+    )
 
 
 def vocab_topk(

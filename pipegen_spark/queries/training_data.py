@@ -56,6 +56,8 @@ KMEANS_K = 8  # k-means seeds: vec_id < 8 (deterministic)
 KMEANS_ITERS = 2
 PREFIX_K = 12  # prefix-dedup fingerprint length (tokens)
 VOCAB_TOPK = 50  # corpus vocabulary report size
+CHUNK_SIZE = 200  # chars per document chunk
+CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
 
 
 # --- deduplication -----------------------------------------------------------
@@ -332,6 +334,36 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("long").alias("tf"),
         F.col("df").cast("long").alias("df"),
     )
+
+
+def curate_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (RAG/context-window prep): each
+    document exploded into 200-char chunks with 50-char overlap; chunks
+    reported by start offset, length, and content hash."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = cu.chunk_documents(
+        docs, "text", "doc_id", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    return chunks.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "chunk_start",
+        F.expr("CAST(length(chunk) AS BIGINT)").alias("n_chunk_chars"),
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass (pre-dedup): normalized length, hash,
+    and a head sample per document."""
+    docs = table(spark, sf_dir, "documents")
+    out = tx.with_normalized(docs.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id",
+        "n_norm_chars",
+        F.md5("norm_text").alias("norm_md5"),
+        F.expr("substr(norm_text, 1, 40)").alias("norm_head"),
+    ).orderBy("doc_id")
 
 
 def curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

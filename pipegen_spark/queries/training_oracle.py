@@ -577,6 +577,40 @@ def _vocab_sql() -> str:
     """
 
 
+def _chunk_sql() -> str:
+    step = td.CHUNK_SIZE - td.CHUNK_OVERLAP
+    n_chunks = (
+        "greatest(CAST(ceil(CAST(length(text) AS DOUBLE) "
+        f"/ {step}.0) AS BIGINT), 1)"
+    )
+    chunk = f"substr(text, CAST(chunk_id * {step} + 1 AS INT), {td.CHUNK_SIZE})"
+    return f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(range(0, {n_chunks})) AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {step} + 1 AS BIGINT) AS chunk_start,
+           CAST(length({chunk}) AS BIGINT) AS n_chunk_chars,
+           md5({chunk}) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_id
+    """
+
+
+def _normalize_sql() -> str:
+    ne = tx.normalize_exprs("text", D)
+    norm = ne["norm_text"]
+    return f"""
+    SELECT doc_id,
+           {ne['n_norm_chars']} AS n_norm_chars,
+           md5({norm}) AS norm_md5,
+           substr({norm}, 1, 40) AS norm_head
+    FROM documents ORDER BY doc_id
+    """
+
+
 def _mix_sql() -> str:
     n_tok = f"CAST({dl.size(dl.words('text', D), D)} AS BIGINT)"
     return f"""
@@ -598,6 +632,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_prefix": _prefix_sql(),
     "text_vocab": _vocab_sql(),
     "curate_mix": _mix_sql(),
+    "curate_chunk": _chunk_sql(),
+    "text_normalize": _normalize_sql(),
     "dedup_exact": """
         SELECT doc_id, content_hash, is_dup FROM (
             SELECT doc_id, md5(text) AS content_hash,

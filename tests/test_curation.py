@@ -164,3 +164,54 @@ def test_pack_sequences_no_shard_by_default(spark):
     )
     out = cu.pack_sequences(docs, "text", "doc_id")
     assert "_shard" not in out.columns
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    text = "abcdefghij" * 50  # 500 chars
+    df = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "tiny")], "doc_id long, text string"
+    )
+    rows = cu.chunk_documents(
+        df, "text", "doc_id", size=200, overlap=50
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # 500 chars, step 150 -> starts 1,151,301,451 (451 <= 500)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [1, 151, 301, 451]
+    assert all(len(r["chunk"]) == 200 for r in c1[:-1])
+    assert len(c1[-1]["chunk"]) == 50  # tail clamp
+    # consecutive chunks share exactly `overlap` characters
+    assert c1[0]["chunk"][150:] == c1[1]["chunk"][:50]
+    # reconstruction: dropping each chunk's overlap prefix rebuilds the doc
+    rebuilt = c1[0]["chunk"] + "".join(r["chunk"][50:] for r in c1[1:])
+    assert rebuilt == text
+    # empty doc -> exactly one empty chunk; short doc -> one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == ""
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk"] == "tiny"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cu.chunk_documents(df, size=100, overlap=100)
+
+
+def test_with_normalized_canonicalizes(spark):
+    from pipegen_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello,   WORLD!  "),
+            (2, "hello world"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.with_normalized(df, "text").collect()}
+    assert rows[1]["norm_text"] == "hello world"
+    # differently-messy inputs normalize to the same canonical form
+    assert rows[1]["norm_text"] == rows[2]["norm_text"]
+    assert rows[1]["n_norm_chars"] == 11
+    assert rows[3]["norm_text"] == "" and rows[3]["n_norm_chars"] == 0

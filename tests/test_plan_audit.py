@@ -69,7 +69,8 @@ def test_text_family_scans_are_column_pruned(plans):
     # Map-only text/curation operators must not drag the full documents row
     # (notably n_chars) through the scan.
     for name in ("text_tokens", "text_quality", "text_langid",
-                 "text_fingerprint", "curate_repetition", "curate_redact"):
+                 "text_fingerprint", "text_normalize",
+                 "curate_repetition", "curate_redact", "curate_chunk"):
         scan = [ln for ln in plans[name].splitlines() if "ReadSchema" in ln]
         assert scan, f"{name}: no parquet scan found"
         assert "n_chars" not in scan[0], f"{name}: unpruned scan: {scan[0]}"
