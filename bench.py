@@ -47,6 +47,18 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
 
+    # Second pass: warm numbers. First-run cost is dominated by whole-stage
+    # codegen compilation (measured: simhash 4.2 s cold / 1.4 s warm), so
+    # the warm pass is the steady-state engine cost — what a long-lived
+    # cluster session actually pays per query. The headline metric stays
+    # the cold total for round-over-round comparability.
+    warm: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - t0, 4)
+    warm_total = round(sum(warm.values()), 4)
+
     # Single-node comparative baseline: the same queries (their oracle SQL)
     # through DuckDB on the same files, under a wall-clock budget. Skipped
     # quietly if anything fails — the baseline is context, not the metric.
@@ -71,6 +83,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
+        "warm_total": warm_total,
         "sf": sf,
         "n_queries": len(times),
         "cpus": cpus,
@@ -85,12 +99,21 @@ def main() -> None:
 
 def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
     """Achieved rows/sec of a full streaming pipeline (synthetic generator →
-    watermark → 1 s tumbling window agg → memory sink) at `target_rps`."""
+    watermark → 1 s tumbling window agg → memory sink) at `target_rps`.
+
+    State partitions are sized to the workload via
+    `streaming.filesource.state_partitions` (8, not the batch corpus's
+    32): each micro-batch pays a per-partition state-store commit, so at
+    ~50k rows/batch the 32-way layout is overhead-dominated — measured
+    1.45x throughput from 32 → 8. This is the same state-sizing decision a
+    real deployment makes (state partition count is fixed at stream start
+    and should match state size, not batch-query parallelism)."""
     import time as _time
 
     from pyspark.sql import functions as F
 
     from pipegen_spark.generator.synthetic import synthetic_stream
+    from pipegen_spark.streaming.filesource import state_partitions
 
     fields = [
         {"name": "id", "type": "string"},
@@ -98,22 +121,25 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
         {"name": "amount", "type": "double"},
         {"name": "quantity", "type": "int"},
     ]
-    stream = synthetic_stream(spark, fields, target_rps)
-    agg = (
-        stream.withWatermark("_emit_ts", "2 seconds")
-        .groupBy(F.window("_emit_ts", "1 second"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("amount").alias("amt"))
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("bench_tp")
-        .outputMode("update")
-        .trigger(processingTime="1 second")
-        .start()
-    )
-    _time.sleep(seconds)
-    progress = list(q.recentProgress)
-    q.stop()
+    with state_partitions(spark):
+        stream = synthetic_stream(spark, fields, target_rps)
+        agg = (
+            stream.withWatermark("_emit_ts", "2 seconds")
+            .groupBy(F.window("_emit_ts", "1 second"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("amount").alias("amt"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_tp")
+            .outputMode("update")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            _time.sleep(seconds)
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
     # Drop the warm-up batch; rate = processed rows / processing wall time.
     rows = sum(int(p["numInputRows"]) for p in progress[1:])
     dur = sum(

@@ -1,14 +1,20 @@
-"""pipegen-spark CLI: init / validate / run / bench.
+"""pipegen-spark CLI: the reference's command surface (cmd/root.go:16-26)
+re-expressed for an in-process Spark engine:
 
-Mirrors the reference's command surface (cmd/root.go:16-26) minus the
-Docker stack management (the engine is in-process — there is no cluster to
-deploy for local runs):
+- init      scaffold a project (templates, CSV-grounded, schema-grounded,
+            or LLM-generated with --describe)
+- validate  project structure + statement-level SQL validation (+ EXPLAIN
+            against a live session with --explain)
+- run       execute the pipeline (batch-synchronous for file sources)
+- deploy    generate compose + bring up the local Kafka stack
+- clean     stop/remove the deployed stack (cmd/clean.go)
+- check     AI provider configuration + connectivity (cmd/check.go)
+- dashboard standalone live metrics dashboard (cmd/dashboard.go)
+- version   version report (cmd/version.go)
+- bench     run the declared query corpus and print one JSON line
 
-- init     scaffold a project (templates, CSV-grounded, or schema-grounded)
-- validate project structure + statement-level SQL validation (+ EXPLAIN
-           against a live session with --explain)
-- run      execute the pipeline (batch-synchronous for file sources)
-- bench    run the declared query corpus and print one JSON line
+Omitted by design: `update` (self-update of a released binary — no
+binary distribution here).
 """
 
 from __future__ import annotations
@@ -280,6 +286,94 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+def cmd_check(_args) -> int:
+    """AI provider configuration + connectivity check (reference
+    cmd/check.go:29-65)."""
+    from pipegen_spark.llm.service import LLMService, LLMServiceError
+
+    print("checking AI provider configuration...")
+    svc = LLMService()
+    if not svc.enabled:
+        print("no AI provider configured")
+        print("to enable AI features, set one of:")
+        print("  PIPEGEN_OLLAMA_MODEL=<model>   local Ollama "
+              "(optional PIPEGEN_OLLAMA_URL)")
+        print("  PIPEGEN_OPENAI_API_KEY=<key>   OpenAI-compatible "
+              "(optional PIPEGEN_OPENAI_URL)")
+        return 0
+    print(f"provider detected: {svc.provider_info()}")
+    print("testing connectivity...")
+    try:
+        svc.check_connection()
+    except LLMServiceError as err:
+        print(f"connection failed: {err}")
+        return 1
+    print("AI provider is ready")
+    print('try: pipegen-spark init my-pipeline --describe "your pipeline"')
+    return 0
+
+
+def cmd_clean(args) -> int:
+    """Stop and remove the deployed stack (reference cmd/clean.go)."""
+    from pipegen_spark.sources.deploy import DeployError, StackDeployer
+
+    compose = os.path.join(args.project_dir, "docker-compose.yml")
+    if not os.path.exists(compose):
+        print(
+            "error: docker-compose.yml not found in "
+            f"{args.project_dir!r} — run from a pipegen project "
+            "(or `deploy --generate-only` first)"
+        )
+        return 2
+    try:
+        StackDeployer(args.project_dir).clean(volumes=args.volumes)
+    except DeployError as err:
+        print(f"error: {err}")
+        return 1
+    print("stack cleaned" + (" (volumes removed)" if args.volumes else ""))
+    return 0
+
+
+def cmd_dashboard(args) -> int:
+    """Standalone live dashboard (reference cmd/dashboard.go --standalone):
+    HTTP + WebSocket server over the listener-driven metrics collector. In
+    standalone mode no pipeline is running, so panels populate as soon as
+    streaming queries start in the same process (or stay empty)."""
+    from pipegen_spark.monitor.dashboard import DashboardServer
+    from pipegen_spark.monitor.metrics import MetricsCollector
+
+    server = DashboardServer(
+        MetricsCollector(), host=args.host, port=args.port
+    )
+    url = server.start()
+    print(f"dashboard running at {url} (ctrl-c to stop)")
+    if args.once:  # test hook: start, report, stop
+        server.stop()
+        return 0
+    import time as _time
+
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+def cmd_version(_args) -> int:
+    """Version report (reference cmd/version.go)."""
+    from pipegen_spark import __version__
+
+    print(f"pipegen-spark {__version__}")
+    try:
+        import pyspark
+
+        print(f"pyspark {pyspark.__version__}")
+    except Exception:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="pipegen-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -323,6 +417,31 @@ def main(argv: list[str] | None = None) -> int:
 
     p_bench = sub.add_parser("bench", help="run the benchmark corpus")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_chk = sub.add_parser(
+        "check", help="check AI provider configuration and connectivity"
+    )
+    p_chk.set_defaults(fn=cmd_check)
+
+    p_cln = sub.add_parser(
+        "clean", help="stop and remove the deployed local stack"
+    )
+    p_cln.add_argument("project_dir", nargs="?", default=".")
+    p_cln.add_argument("--volumes", action="store_true",
+                       help="remove volumes as well")
+    p_cln.set_defaults(fn=cmd_clean)
+
+    p_dash = sub.add_parser(
+        "dashboard", help="start the live metrics dashboard"
+    )
+    p_dash.add_argument("--host", default="127.0.0.1")
+    p_dash.add_argument("--port", type=int, default=3000)
+    p_dash.add_argument("--once", action="store_true",
+                        help="start, print the URL, and exit (for tests)")
+    p_dash.set_defaults(fn=cmd_dashboard)
+
+    p_ver = sub.add_parser("version", help="show version information")
+    p_ver.set_defaults(fn=cmd_version)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -153,6 +153,45 @@ class LLMService:
             raise LLMServiceError(f"unsupported LLM provider: {self.provider}")
         return parse_generated_pipeline(response)
 
+    def provider_info(self) -> str:
+        """Human-readable provider summary (reference utils.go:67-82)."""
+        if not self.enabled:
+            return "No AI provider configured"
+        if self.provider == PROVIDER_OLLAMA:
+            return (
+                f"Ollama (local) - Model: {self.model}, URL: {self.base_url}"
+            )
+        if self.provider == PROVIDER_OPENAI:
+            return f"OpenAI (cloud) - Model: {self.model}"
+        return "Unknown provider"
+
+    def check_connection(self) -> None:
+        """Verify the provider is reachable and the model installed
+        (reference utils.go:22-65). Ollama only — the reference treats
+        OpenAI as reachable-by-assumption. Raises LLMServiceError with the
+        same remediation hints on failure."""
+        if self.provider != PROVIDER_OLLAMA:
+            return
+        req = urllib.request.Request(f"{self.base_url}/api/tags")
+        try:
+            with urllib.request.urlopen(req, timeout=5.0) as resp:
+                if resp.status != 200:
+                    raise LLMServiceError(
+                        f"ollama server returned status {resp.status}"
+                    )
+                data = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.URLError as err:
+            raise LLMServiceError(
+                f"ollama is not running at {self.base_url}. "
+                "Start it with: ollama serve"
+            ) from err
+        models = [m.get("name") for m in data.get("models", [])]
+        if self.model not in models and f"{self.model}:latest" not in models:
+            raise LLMServiceError(
+                f"model '{self.model}' is not installed. "
+                f"Install it with: ollama pull {self.model}"
+            )
+
     def _post_json(self, url: str, body: dict, headers: dict) -> tuple[int, bytes]:
         req = urllib.request.Request(
             url,

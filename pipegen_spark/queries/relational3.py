@@ -203,16 +203,19 @@ def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(qname) if qname in [
         t.name for t in spark.catalog.listTables()
     ] else None
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from pipegen_spark.streaming.filesource import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(qname)
         .orderBy("user_id", "session_start")
@@ -284,16 +287,19 @@ def q41_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(c_ts)").alias("c_ts_us"),
     )
     qname = "q41_stream_join_sink"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from pipegen_spark.streaming.filesource import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(qname).orderBy("event_id", "click_id")
 
 

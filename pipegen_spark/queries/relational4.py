@@ -54,6 +54,7 @@ def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipegen_spark.streaming.filesource import (
         events_file_stream,
         run_to_memory_table,
+        state_partitions,
     )
 
     stream = events_file_stream(spark, sf_dir)
@@ -64,7 +65,8 @@ def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     qname = "q42_stream_dedup_sink"
-    run_to_memory_table(deduped, qname, "append")
+    with state_partitions(spark):
+        run_to_memory_table(deduped, qname, "append")
     return spark.table(qname).orderBy("user_id", "event_type")
 
 

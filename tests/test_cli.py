@@ -90,3 +90,81 @@ def test_deploy_generate_only(tmp_path, capsys):
     os.makedirs(proj)
     assert main(["deploy", proj, "--generate-only"]) == 0
     assert os.path.exists(os.path.join(proj, "docker-compose.yml"))
+
+
+def test_version_command(capsys):
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out
+    assert "pipegen-spark" in out
+
+
+def test_check_no_provider(monkeypatch, capsys):
+    for var in ("PIPEGEN_OLLAMA_URL", "PIPEGEN_OLLAMA_MODEL",
+                "PIPEGEN_OPENAI_API_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    assert main(["check"]) == 0
+    out = capsys.readouterr().out
+    assert "no AI provider configured" in out
+
+
+def test_check_ollama_mock_server(monkeypatch, capsys):
+    """check against a local /api/tags mock: model present -> ready;
+    model absent -> remediation hint + exit 1 (reference utils.go:22-65)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Tags(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = json.dumps(
+                {"models": [{"name": "llama3.1:latest", "size": 1}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("127.0.0.1", 0), Tags)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        monkeypatch.setenv("PIPEGEN_OLLAMA_URL", url)
+        monkeypatch.setenv("PIPEGEN_OLLAMA_MODEL", "llama3.1")
+        assert main(["check"]) == 0
+        assert "AI provider is ready" in capsys.readouterr().out
+
+        monkeypatch.setenv("PIPEGEN_OLLAMA_MODEL", "notinstalled")
+        assert main(["check"]) == 1
+        assert "ollama pull notinstalled" in capsys.readouterr().out
+    finally:
+        srv.shutdown()
+
+
+def test_clean_requires_compose_file(tmp_path, capsys):
+    assert main(["clean", str(tmp_path)]) == 2
+    assert "docker-compose.yml not found" in capsys.readouterr().out
+
+
+def test_stack_deployer_clean_sequences_commands(tmp_path):
+    from pipegen_spark.sources.deploy import StackDeployer, write_compose
+
+    write_compose(str(tmp_path))
+    calls = []
+
+    def fake_runner(cmd):
+        calls.append(cmd)
+        return 0, ""
+
+    StackDeployer(str(tmp_path), runner=fake_runner).clean(volumes=True)
+    assert calls[-1][-2:] == ["down", "--volumes"]
+    StackDeployer(str(tmp_path), runner=fake_runner).clean()
+    assert calls[-1][-1] == "down"
+
+
+def test_dashboard_once(capsys):
+    assert main(["dashboard", "--port", "0", "--once"]) == 0
+    assert "dashboard running at http://127.0.0.1:" in capsys.readouterr().out

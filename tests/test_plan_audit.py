@@ -78,5 +78,7 @@ def test_text_family_scans_are_column_pruned(plans):
 
 def test_dimension_joins_are_broadcast(plans):
     # The explicit-broadcast dim joins must plan as broadcast hash joins.
-    for name in ("q04_join_broadcast", "q05_multi_join"):
+    for name in ("q04_join_broadcast", "q05_multi_join",
+                 "q44_tpch_shipping", "q45_tpch_region_volume",
+                 "q46_tpch_returns"):
         assert "BroadcastHashJoin" in plans[name], name
