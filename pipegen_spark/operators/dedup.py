@@ -338,32 +338,51 @@ def dup_clusters(
         .distinct()
         .select("id", F.col("id").cast("long").alias("lbl"))
     )
-    for it in range(max_iters):
-        prop = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        merged = (
-            labels.join(prop, labels["id"] == prop["dst"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-                (F.col("nlbl") < F.col("lbl")).alias("_chg"),
+    # Size the LOOP's shuffles to the edge set, not the corpus: each round
+    # is two shuffles over |V(pairs)| rows, and near-dup edge sets are tiny
+    # relative to the corpus, so rounds at batch parallelism are
+    # task-overhead-dominated. Never exceeds the session setting (a 100 TB
+    # deployment's conf still bounds a 1e9-edge loop); the corpus-wide
+    # label/size join below runs AFTER the conf is restored, at full
+    # parallelism. The count is free — `edges` is already materialized.
+    spark = nodes.sparkSession
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(sess_parts, -(-edges.count() // 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for it in range(max_iters):
+            prop = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nlbl"))
             )
-        )
-        # Checkpoint + convergence-count only every `check_every` rounds:
-        # both are an extra job each, and lineage across two rounds of
-        # tiny joins is harmless. The count reuses the materialized frame.
-        if (it + 1) % check_every == 0 or it == max_iters - 1:
-            merged = merged.localCheckpoint(eager=True)
-            labels = merged.drop("_chg")
-            if merged.filter(F.col("_chg")).count() == 0:
-                break
-        else:
-            labels = merged.drop("_chg")
+            merged = (
+                labels.join(prop, labels["id"] == prop["dst"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                    (F.col("nlbl") < F.col("lbl")).alias("_chg"),
+                )
+            )
+            # Checkpoint + convergence-count only every `check_every`
+            # rounds: both are an extra job each, and lineage across two
+            # rounds of tiny joins is harmless. The count reuses the
+            # materialized frame.
+            if (it + 1) % check_every == 0 or it == max_iters - 1:
+                merged = merged.localCheckpoint(eager=True)
+                labels = merged.drop("_chg")
+                if merged.filter(F.col("_chg")).count() == 0:
+                    break
+            else:
+                labels = merged.drop("_chg")
+        # Pin the final labels before restoring the conf — downstream joins
+        # would otherwise re-plan the last (un-checkpointed) rounds at
+        # corpus parallelism.
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
     full = nodes.select(nid.alias("id")).join(labels, "id", "left").select(
         "id", F.coalesce(F.col("lbl"), F.col("id").cast("long")).alias("lbl")
     )
