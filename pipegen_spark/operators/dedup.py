@@ -394,6 +394,33 @@ def dup_clusters(
     )
 
 
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-representative selection: of each near-dup cluster keep
+    the highest-scoring document (id as the deterministic tiebreak) — the
+    decision step that turns cluster labels into a drop list.
+
+    One window over cluster_id: clusters are small by construction
+    (near-dup groups), so no partition skew; singletons keep themselves.
+    The score must be computed identically on both engines for the
+    ranking to agree (quality_score is — see operators/text.py).
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return clusters.join(scores, id_col).select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # --- simhash -----------------------------------------------------------------
 
 

@@ -114,6 +114,20 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline's decision step: minhash pairs → connected
+    components → keep the highest-quality doc per cluster."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    )
+    clusters = dd.dup_clusters(docs, pairs, "doc_id")
+    scores = tx.with_quality(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "quality_score"
+    )
+    return dd.keep_best(clusters, scores).orderBy("doc_id")
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return dd.embedding_dup_pairs(

@@ -106,6 +106,41 @@ def _clusters_sql() -> str:
     """
 
 
+def _keep_best_sql() -> str:
+    """Clusters CTE chain (see _clusters_sql) + quality score + one window:
+    keep = rank 1 by (quality DESC, doc_id) within each cluster."""
+    q = tx.quality_exprs("text", D)
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION
+        SELECT doc_b, doc_a FROM dup
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, CAST(doc_id AS BIGINT) FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+    ),
+    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sized AS (
+        SELECT l.doc_id, l.cluster_id, c.cluster_size
+        FROM lab l JOIN (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM lab GROUP BY cluster_id
+        ) c USING (cluster_id)
+    ),
+    q AS (SELECT doc_id, {q['quality_score']} AS quality_score FROM documents)
+    SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                              ORDER BY q.quality_score DESC, s.doc_id) = 1
+               AS keep
+    FROM sized s JOIN q USING (doc_id)
+    ORDER BY s.doc_id
+    """
+
+
 def _simhash_sql() -> str:
     """Join-based simhash oracle mirroring operators/dedup.py with_simhash:
     unnest tokens -> hash60 once per token -> 60 conditional SUMs per doc ->
@@ -644,6 +679,7 @@ TRAINING_ORACLE: dict[str, str] = {
     """,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
+    "dedup_keep_best": _keep_best_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_embedding_cosine": _emb_dup_sql(),

@@ -281,3 +281,21 @@ def test_mixture_stats_shares_sum_to_one(spark):
     assert got[("en", "web")].n_tokens == 5
     assert got[("fr", "book")].n_tokens == 5
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+
+
+def test_keep_best_picks_highest_score_per_cluster(spark):
+    from pipegen_spark.operators import dedup as dd
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 1)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    rows = {r["doc_id"]: r for r in dd.keep_best(clusters, scores).collect()}
+    assert not rows[1]["keep"]          # lower score loses
+    assert rows[2]["keep"]              # tie -> lowest doc_id wins
+    assert not rows[3]["keep"]
+    assert rows[4]["keep"]              # singleton keeps itself
