@@ -85,6 +85,42 @@ RELATIONAL4_ORACLE: dict[str, str] = {
         GROUP BY n.n_name
         ORDER BY revenue DESC, n.n_name
     """,
+    # Pivot as conditional aggregation — the portable rendering of the
+    # same single hash-agg plan Spark produces for a pinned-values pivot.
+    "q47_pivot": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q48_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+                             AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+    """,
+    "q49_range_frame": """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+            FROM events
+        )
+        SELECT event_id, user_id, ts_us,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+               CAST(ROW_NUMBER() OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    AS BIGINT) AS seq
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     "q46_tpch_returns": f"""
         SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
                CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})

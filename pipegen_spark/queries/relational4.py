@@ -196,6 +196,76 @@ def q45_tpch_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q47: PIVOT --------------------------------------------------------------
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count matrix: priority rows × status columns via the native
+    `.pivot()` with an explicit value list (pinned values keep the output
+    schema static and the plan a SINGLE hash aggregate — no per-value scan,
+    no second shuffle; unpinned pivot adds a distinct-values job)."""
+    orders = table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in "FOP"],
+    ).orderBy("o_orderpriority")
+
+
+# --- Q48: GROUPING SETS ------------------------------------------------------
+def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (beyond q15 ROLLUP / q20 CUBE): per-priority,
+    per-status, and grand-total aggregates in ONE pass — Spark's Expand
+    replicates each input row per set before a single partial-agg shuffle.
+    GROUPING() flags distinguish the all-rows NULL from a data NULL."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q48_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+                             AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        FROM q48_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+# --- Q49: time-RANGE window frame --------------------------------------------
+def q49_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour activity per event via a RANGE window frame over
+    event time — the single-table formulation of q38's range aggregate:
+    ONE sort-shuffle on user_id instead of an equi-join + range filter,
+    which is the shape to prefer at scale when left and right are the
+    same stream. Frame bounds are in epoch seconds (RANGE needs a numeric
+    ordering key that both engines frame identically)."""
+    ev = table(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+    ).createOrReplaceTempView("q49_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts_us,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+               CAST(ROW_NUMBER() OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    AS BIGINT) AS seq
+        FROM q49_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
+
+
 # --- Q46: returned items (TPC-H Q10 shape) -----------------------------------
 def q46_tpch_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 customers by revenue lost to returns in one quarter-pair.
