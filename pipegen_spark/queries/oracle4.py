@@ -121,6 +121,14 @@ RELATIONAL4_ORACLE: dict[str, str] = {
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY event_id
     """,
+    # Sketch values are engine-specific; the comparable contract is
+    # "estimate within ±2% of the exact interpolated median" (q23 pattern).
+    "q50_approx_percentile": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+               TRUE AS within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "q46_tpch_returns": f"""
         SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
                CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})

@@ -266,6 +266,28 @@ def q49_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q50: approximate percentile (bounded-error oracle) ----------------------
+def q50_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna at accuracy 1000 — rank error
+    ≤ 0.1%): like q23's HLL row, sketch values are engine-specific, so the
+    hash-comparable contract is the exact interpolated median plus a
+    boolean asserting the estimate landed within ±2% of it. The sketch is
+    the 100 TB path — q32's exact `percentile` needs a per-group sort."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        (
+            F.abs(F.col("ap") - F.col("exact_p50"))
+            <= 0.02 * F.col("exact_p50")
+        ).alias("within_tol"),
+    ).orderBy("l_returnflag")
+
+
 # --- Q46: returned items (TPC-H Q10 shape) -----------------------------------
 def q46_tpch_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 customers by revenue lost to returns in one quarter-pair.
