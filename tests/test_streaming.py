@@ -210,3 +210,14 @@ def test_validator_rules(spark):
     assert out["missing_name"] == 1
     assert out["badtype_amount"] == 1
     assert out["total_rows"] == 3
+
+
+def test_state_partitions_restores_conf_on_error(spark):
+    from pipegen_spark.streaming.filesource import state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with state_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
