@@ -76,6 +76,20 @@ def test_text_family_scans_are_column_pruned(plans):
         assert "n_chars" not in scan[0], f"{name}: unpruned scan: {scan[0]}"
 
 
+def test_tpch_filters_reach_the_scan(plans):
+    # Date/flag predicates must appear as parquet PushedFilters, not
+    # post-scan Filter nodes — at 100 TB this is the row-group pruning.
+    for name, frag in (
+        ("q43_tpch_pricing", "LessThanOrEqual(l_shipdate"),
+        ("q46_tpch_returns", "EqualTo(l_returnflag,R)"),
+        ("q44_tpch_shipping", "GreaterThan(l_shipdate"),
+    ):
+        pushed = [
+            ln for ln in plans[name].splitlines() if "PushedFilters" in ln
+        ]
+        assert any(frag in ln for ln in pushed), f"{name}: {frag} not pushed"
+
+
 def test_dimension_joins_are_broadcast(plans):
     # The explicit-broadcast dim joins must plan as broadcast hash joins.
     for name in ("q04_join_broadcast", "q05_multi_join",
