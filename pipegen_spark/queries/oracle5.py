@@ -1,0 +1,126 @@
+"""DuckDB oracles for the fifth query tranche (TPC-H Q6/Q4/Q14/Q18/
+Q19/Q16/Q22 shapes). Filter constants and the money() discipline are
+shared with relational5.py so both sides render the same computation."""
+
+from pipegen_spark.functions import dialect as dl
+from pipegen_spark.queries.relational5 import (
+    Q51_HI,
+    Q51_LO,
+    Q52_HI,
+    Q52_LO,
+    Q53_HI,
+    Q53_LO,
+    Q54_QTY,
+    Q56_SIZES,
+)
+
+
+def _m(expr: str) -> str:
+    return dl.money(expr, dl.DUCK)
+
+
+_Q55_ARM = """
+    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+     AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+     AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+     AND l_quantity BETWEEN 20 AND 30)
+"""
+
+RELATIONAL5_ORACLE: dict[str, str] = {
+    "q51_tpch_forecast_revenue": f"""
+        SELECT CAST(SUM({_m("l_extendedprice * l_discount")})
+                    AS DECIMAL(18,2)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q51_LO}'
+          AND l_shipdate < TIMESTAMP '{Q51_HI}'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q52_tpch_priority_check": f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{Q52_LO}'
+          AND o.o_orderdate < TIMESTAMP '{Q52_HI}'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q53_tpch_promo_ratio": f"""
+        WITH rows_d AS (
+            SELECT {_m("l_extendedprice * (1.0 - l_discount)")} AS rev_d,
+                   CASE WHEN p_type = 'PROMO'
+                        THEN {_m("l_extendedprice * (1.0 - l_discount)")}
+                        ELSE CAST(0 AS DECIMAL(18,2)) END AS promo_d
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{Q53_LO}'
+              AND l_shipdate < TIMESTAMP '{Q53_HI}'
+        )
+        SELECT CAST(SUM(promo_d) AS DECIMAL(18,2)) AS promo_revenue,
+               CAST(SUM(rev_d) AS DECIMAL(18,2)) AS total_revenue,
+               100.0 * CAST(SUM(promo_d) AS DOUBLE)
+                     / CAST(SUM(rev_d) AS DOUBLE) AS promo_pct
+        FROM rows_d
+    """,
+    "q54_tpch_big_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM({_m("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM({_m("l_quantity")}) AS DECIMAL(18,2)) > {Q54_QTY}
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               {_m("o.o_totalprice")} AS o_totalprice,
+               big.sum_qty AS total_qty
+        FROM orders o
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    "q55_tpch_disjunctive": f"""
+        SELECT CAST(SUM({_m("l_extendedprice * (1.0 - l_discount)")})
+                    AS DECIMAL(18,2)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {_Q55_ARM}
+    """,
+    "q56_tpch_supplier_cnt": f"""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type <> 'PROMO'
+          AND p_size IN {Q56_SIZES}
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 100
+    """,
+    "q57_tpch_idle_rich": f"""
+        WITH thresh AS (
+            SELECT CAST(SUM({_m("c_acctbal")}) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM({_m("c_acctbal")}) AS DECIMAL(18,2)) AS totacctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        CROSS JOIN thresh
+        WHERE c.c_acctbal > thresh.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+}

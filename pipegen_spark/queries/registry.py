@@ -35,6 +35,7 @@ def all_queries() -> dict[str, QueryFn]:
         relational2,
         relational3,
         relational4,
+        relational5,
         training_data,
     )
 
@@ -43,6 +44,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(_collect(relational2))
     out.update(_collect(relational3))
     out.update(_collect(relational4))
+    out.update(_collect(relational5))
     out.update(_collect(training_data))
     return out
 
@@ -51,11 +53,13 @@ def oracle_queries() -> dict[str, str]:
     from pipegen_spark.queries.oracle2 import RELATIONAL2_ORACLE
     from pipegen_spark.queries.oracle3 import RELATIONAL3_ORACLE
     from pipegen_spark.queries.oracle4 import RELATIONAL4_ORACLE
+    from pipegen_spark.queries.oracle5 import RELATIONAL5_ORACLE
     from pipegen_spark.queries.training_oracle import TRAINING_ORACLE
 
     out = dict(RELATIONAL_ORACLE)
     out.update(RELATIONAL2_ORACLE)
     out.update(RELATIONAL3_ORACLE)
     out.update(RELATIONAL4_ORACLE)
+    out.update(RELATIONAL5_ORACLE)
     out.update(TRAINING_ORACLE)
     return out

@@ -1,0 +1,279 @@
+"""Fifth query tranche: the remaining classic TPC-H decision-support
+shapes adapted to this schema (the testdata lacks partsupp /
+l_shipmode / l_commitdate / c_phone, so Q4/Q16/Q22 predicates are
+re-targeted to columns that exist — the *plan shapes* are the point):
+
+- q51: Q6  — single-table filter-everything aggregate (pushdown showcase)
+- q52: Q4  — EXISTS rewritten to a left-semi join against a filtered fact
+- q53: Q14 — conditional-aggregate ratio over a broadcast dimension join
+- q54: Q18 — grouped-HAVING IN subquery feeding a 3-way join (big orders)
+- q55: Q19 — disjunctive OR-of-ANDs predicate spanning both join sides
+- q56: Q16 — COUNT(DISTINCT) with a NOT IN exclusion subquery
+- q57: Q22 — scalar-aggregate threshold + anti join, grouped by nation
+
+Money math discipline as in relational4.py (dialect.money: per-row
+half-up quantization to DECIMAL(18,2) cents before any cross-partition
+sum; ratios/averages divide the exact decimal sums as doubles — one IEEE
+op on identical inputs is engine-exact).
+
+100 TB shapes: every dimension side (part, supplier, nation, the HAVING
+key list, the scalar threshold) broadcasts; the only shuffles are
+lineitem⋈orders on orderkey and the final small-group hash aggregates.
+Reference parity: the reference executes arbitrary user FlinkSQL
+(internal/pipeline/sql.go:27-76), so the de-facto query surface is the
+engine's — these queries pin the decision-support corner of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipegen_spark.catalog import table
+from pipegen_spark.functions import dialect as dl
+
+DEC = "decimal(18,2)"
+
+# Filter constants shared with oracle5.py (data spans 1995..2001).
+Q51_LO, Q51_HI = "1996-01-01", "1997-01-01"
+Q52_LO, Q52_HI = "1996-01-01", "1996-04-01"
+Q53_LO, Q53_HI = "1997-01-01", "1997-03-01"
+Q54_QTY = 300
+Q56_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def _money(expr: str):
+    return F.expr(dl.money(expr, dl.SPARK))
+
+
+# --- Q51: forecast revenue change (TPC-H Q6 shape) ---------------------------
+def q51_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three predicates (date range, discount band, quantity cap) push
+    to the parquet scan; the aggregate reduces map-side to one row per
+    partition before a single-row exchange. At 100 TB this is the
+    I/O-bound floor query: no join, no wide shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            f"l_shipdate >= TIMESTAMP '{Q51_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{Q51_HI}' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        )
+    )
+    return li.select(
+        _money("l_extendedprice * l_discount").alias("rev_d")
+    ).agg(
+        F.sum("rev_d").cast(DEC).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --- Q52: priority check (TPC-H Q4 shape: EXISTS → semi join) ----------------
+def q52_tpch_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 counts orders per priority where EXISTS a late lineitem;
+    without l_commitdate the existence predicate is retargeted to
+    returned items (l_returnflag = 'R'). Spark plans the EXISTS as a
+    left-semi hash join on orderkey — no row duplication, and the
+    returnflag filter prunes the build side at the scan."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP '{Q52_LO}' "
+            f"AND o_orderdate < TIMESTAMP '{Q52_HI}'"
+        )
+    )
+    returned = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned,
+            orders.o_orderkey == returned.l_orderkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q53: promotion effect (TPC-H Q14 shape) ---------------------------------
+def q53_tpch_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio: promo revenue share over a month of
+    shipments. part broadcasts (it is the small side); the ratio divides
+    the two exact decimal sums as doubles, so it is engine-exact."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            f"l_shipdate >= TIMESTAMP '{Q53_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{Q53_HI}'"
+        )
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = _money("l_extendedprice * (1.0 - l_discount)")
+    agg = joined.select(
+        rev.alias("rev_d"),
+        F.when(F.col("p_type") == "PROMO", rev)
+        .otherwise(F.lit("0").cast(DEC))
+        .alias("promo_d"),
+    ).agg(
+        F.sum("promo_d").cast(DEC).alias("promo_revenue"),
+        F.sum("rev_d").cast(DEC).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0)
+            * F.col("promo_revenue").cast("double")
+            / F.col("total_revenue").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+# --- Q54: large-volume customers (TPC-H Q18 shape) ---------------------------
+def q54_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with customer
+    detail. The HAVING subquery reduces lineitem to a small key list that
+    broadcasts into the semi join; the surviving orders then join
+    customer (broadcast) and re-join lineitem for the quantity sum.
+    Quantities are integral doubles — their sum is exact in any order —
+    but they still route through DECIMAL for the output contract."""
+    li = table(spark, sf_dir, "lineitem")
+    big_keys = (
+        li.select("l_orderkey", _money("l_quantity").alias("qty_d"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty_d").cast(DEC).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q54_QTY)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            F.broadcast(big_keys),
+            orders.o_orderkey == big_keys.l_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _money("o_totalprice").alias("o_totalprice"),
+            F.col("sum_qty").cast(DEC).alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+# --- Q55: discounted revenue (TPC-H Q19 shape: OR-of-ANDs) -------------------
+def q55_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive predicate spanning both join sides: three
+    (brand, size-range, quantity-range) arms OR'd together. Catalyst
+    keeps the partkey equi-join as the join condition and evaluates the
+    disjunction as a post-join filter; the common `p_size <= 15` /
+    `l_quantity <= 30` envelopes are derivable per-side, and part still
+    broadcasts, so no shuffle is added by the complex predicate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = (
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+        " AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+        " AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+        " AND l_quantity BETWEEN 20 AND 30)"
+    )
+    return (
+        joined.filter(F.expr(arm))
+        .select(
+            _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+        )
+        .agg(
+            F.sum("rev_d").cast(DEC).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- Q56: parts/supplier relationship (TPC-H Q16 shape) ----------------------
+def q56_tpch_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT supplier) per part group, excluding suppliers from
+    a NOT IN subquery (retargeted: negative account balance stands in
+    for the complaints predicate; the subquery can be empty at small SF
+    — NOT IN over an empty, null-free list keeps every row on both
+    engines). The exclusion list broadcasts as a left-anti join; the
+    distinct aggregate shuffles once on the (brand, type, size) group
+    key with partial distinct applied map-side."""
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*Q56_SIZES)
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(100)
+    )
+
+
+# --- Q57: idle rich customers (TPC-H Q22 shape) ------------------------------
+def q57_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the positive-balance average with no URGENT order
+    (every synthetic customer has orders, so Q22's 'no orders at all'
+    is retargeted to priority), grouped by nation. The threshold is a
+    broadcast scalar (exact decimal sum ÷ count, divided as doubles);
+    the urgent-order exclusion is a left-anti join whose build side is
+    pre-filtered at the orders scan."""
+    cust = table(spark, sf_dir, "customer")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_money("c_acctbal")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_money("c_acctbal")).cast(DEC).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

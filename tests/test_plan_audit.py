@@ -34,9 +34,17 @@ def _plan(spark, name, fn):
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    out = {}
-    for name, fn in sorted(all_queries().items()):
-        out[name] = _plan(spark, name, fn)
+    # Default metadata truncation (100 chars) hides most of a long
+    # PushedFilters list; widen it so the pushdown assertions see the
+    # whole list.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        out = {}
+        for name, fn in sorted(all_queries().items()):
+            out[name] = _plan(spark, name, fn)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     return out
 
 
@@ -83,6 +91,10 @@ def test_tpch_filters_reach_the_scan(plans):
         ("q43_tpch_pricing", "LessThanOrEqual(l_shipdate"),
         ("q46_tpch_returns", "EqualTo(l_returnflag,R)"),
         ("q44_tpch_shipping", "GreaterThan(l_shipdate"),
+        ("q51_tpch_forecast_revenue", "LessThan(l_quantity,24.0)"),
+        ("q51_tpch_forecast_revenue", "GreaterThanOrEqual(l_discount,0.05)"),
+        ("q52_tpch_priority_check", "EqualTo(l_returnflag,R)"),
+        ("q53_tpch_promo_ratio", "GreaterThanOrEqual(l_shipdate"),
     ):
         pushed = [
             ln for ln in plans[name].splitlines() if "PushedFilters" in ln
@@ -94,5 +106,15 @@ def test_dimension_joins_are_broadcast(plans):
     # The explicit-broadcast dim joins must plan as broadcast hash joins.
     for name in ("q04_join_broadcast", "q05_multi_join",
                  "q44_tpch_shipping", "q45_tpch_region_volume",
-                 "q46_tpch_returns"):
+                 "q46_tpch_returns", "q53_tpch_promo_ratio",
+                 "q55_tpch_disjunctive", "q56_tpch_supplier_cnt",
+                 "q57_tpch_idle_rich"):
         assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_semi_anti_rewrites(plans):
+    # EXISTS / NOT IN / anti-exclusion queries must plan as (left) semi or
+    # anti hash joins — never as row-duplicating inner joins + distinct.
+    assert "LeftSemi" in plans["q52_tpch_priority_check"]
+    assert "LeftAnti" in plans["q56_tpch_supplier_cnt"]
+    assert "LeftAnti" in plans["q57_tpch_idle_rich"]
