@@ -493,3 +493,107 @@ def vocab_topk(
         .orderBy(F.col("tf").desc(), "token")
         .limit(k)
     )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+WINNOW_K = 3  # words per k-gram
+WINNOW_W = 4  # winnowing window, in consecutive k-grams
+_W40 = 1 << 40  # k-gram hashes reduced to 40 bits so that
+_POSCAP = 1 << 20  # (hash, position) packs into one ordered BIGINT key
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    per_doc: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-word gram, slide a w-gram window, keep
+    each window's minimum hash (ties → rightmost), output the distinct
+    selected (hash, position) set per document — the standard
+    local-fingerprinting scheme that guarantees any shared run of
+    w + k - 1 words between two documents shares a fingerprint.
+
+    Shape (100 TB): posexplode word positions → lead(k-1) gram build →
+    per-document window min — all whole-stage-codegen window/explode ops
+    partitioned by doc_id, no array lambdas in the hot path, one shuffle
+    on doc_id. The rightmost-min tie rule is encoded arithmetically:
+    key = (2^40-1 - hash40) * 2^20 + pos, so MAX(key) over the window is
+    the rightmost minimal hash (positions per doc must stay < 2^20 —
+    split longer documents upstream with curate_chunk).
+
+    Documents with fewer than k words produce no grams and are absent
+    from the output (same on the oracle side). Documents with fewer than
+    w grams winnow to a single whole-document minimum.
+
+    Output: one row per document — fingerprint count, checksum (exact
+    integer sum of selected 40-bit hashes — order-independent), min/max.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(dl.words(text_col, dl.SPARK))).alias(
+            "p0", "tok"
+        ),
+    ).select("id", (F.col("p0") + 1).alias("pos"), "tok")
+    wd = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(wd) for j in range(1, k)]
+    )
+    g = toks.select(
+        "id",
+        "pos",
+        gram.alias("gram"),
+        F.count("*").over(Window.partitionBy("id")).alias("n_tok"),
+    ).filter(F.col("pos") <= F.col("n_tok") - (k - 1))
+    h40 = F.expr(dl.hash60("gram", dl.SPARK)) % F.lit(_W40)
+    keyed = g.select(
+        "id",
+        "pos",
+        ((F.lit(_W40 - 1) - h40) * F.lit(_POSCAP) + F.col("pos")).alias(
+            "key"
+        ),
+        (F.col("n_tok") - (k - 1)).alias("n_gram"),
+    )
+    sel = keyed.select(
+        "id",
+        "pos",
+        "n_gram",
+        F.max("key").over(wd.rowsBetween(0, w - 1)).alias("selkey"),
+    ).filter(F.col("pos") <= F.greatest(F.lit(1), F.col("n_gram") - (w - 1)))
+    fps = (
+        sel.select("id", "selkey")
+        .distinct()
+        .select(
+            "id",
+            (F.lit(_W40 - 1) - F.expr(f"selkey div {_POSCAP}")).alias(
+                "fp_hash"
+            ),
+            (F.col("selkey") % _POSCAP).alias("fp_pos"),
+        )
+    )
+    if not per_doc:
+        return fps.select(
+            F.col("id").alias(id_col), "fp_pos", "fp_hash"
+        )
+    return (
+        fps.groupBy("id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.sum("fp_hash").alias("fp_checksum"),
+            F.min("fp_hash").alias("fp_min"),
+            F.max("fp_hash").alias("fp_max"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_fp",
+            "fp_checksum",
+            "fp_min",
+            "fp_max",
+        )
+    )

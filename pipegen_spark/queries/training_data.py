@@ -41,6 +41,10 @@ TOPK_IVF = 5
 IVF_NPROBE = 2
 N_QUERY_VECS = 5  # query vectors: vec_id < 5
 PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
+# Recall measurement uses a coarser index (2 planes -> 4 buckets): with 8
+# planes over random near-orthogonal vectors recall@5 is uniformly 0,
+# which checks nothing; 4 wide buckets give a 0.2-0.8 spread to verify.
+RECALL_PLANE_LO, RECALL_PLANE_HI = 100, 101
 CENTROID_LO, CENTROID_HI = 200, 215  # IVF centroids: vec_id in [200, 215]
 PAIR_LIMIT = 500  # deterministic cap on pair outputs (ordered first)
 # Curation-family parameters (shared with the oracle):
@@ -395,4 +399,48 @@ def curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share",
         )
         .orderBy("lang", "source")
+    )
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document: count, checksum,
+    min/max of the selected 40-bit k-gram hashes."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.winnow_fingerprints(docs).orderBy("doc_id")
+
+
+def simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@k of the LSH bucket probe against
+    the exact brute-force top-k, per query vector. The standard way to
+    tune bucket width vs accuracy before scaling the index out; both
+    sides compute both rankings, so the metric itself is oracle-checked.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    brute = sim.brute_force_topk(emb, queries, k=TOPK_LSH).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = sim.lsh_bucket_topk(
+        emb,
+        F.col("vec_id") < N_QUERY_VECS,
+        F.col("vec_id").between(RECALL_PLANE_LO, RECALL_PLANE_HI),
+        k=TOPK_LSH,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = brute.join(lsh, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )

@@ -671,7 +671,120 @@ def _mix_sql() -> str:
     """
 
 
+def _winnow_sql() -> str:
+    k, w = tx.WINNOW_K, tx.WINNOW_W
+    w40, poscap = (1 << 40), (1 << 20)
+    words = dl.words("text", D)
+    gram = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER wd" for j in range(1, k)]
+    )
+    h40 = f"({dl.hash60('gram', D)} % {w40})"
+    return f"""
+    WITH warr AS (SELECT doc_id AS id, {words} AS wa FROM documents),
+    tok AS (
+        SELECT id, unnest(wa) AS tok,
+               unnest(range(1, len(wa) + 1)) AS pos
+        FROM warr
+    ),
+    g AS (
+        SELECT id, pos, {gram} AS gram,
+               COUNT(*) OVER (PARTITION BY id) AS n_tok
+        FROM tok WINDOW wd AS (PARTITION BY id ORDER BY pos)
+    ),
+    keyed AS (
+        SELECT id, pos,
+               ({w40 - 1} - {h40}) * {poscap} + pos AS key,
+               n_tok - {k - 1} AS n_gram
+        FROM g WHERE pos <= n_tok - {k - 1}
+    ),
+    sel AS (
+        SELECT id, pos, n_gram,
+               MAX(key) OVER (PARTITION BY id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {w - 1} FOLLOWING) AS selkey
+        FROM keyed
+    ),
+    fp AS (
+        SELECT DISTINCT id, selkey FROM sel
+        WHERE pos <= GREATEST(1, n_gram - {w - 1})
+    ),
+    fph AS (
+        SELECT id, {w40 - 1} - (selkey // {poscap}) AS fp_hash FROM fp
+    )
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(fp_hash) AS BIGINT) AS fp_checksum,
+           CAST(MIN(fp_hash) AS BIGINT) AS fp_min,
+           CAST(MAX(fp_hash) AS BIGINT) AS fp_max
+    FROM fph GROUP BY id ORDER BY doc_id
+    """
+
+
+def _recall_sql() -> str:
+    k = td.TOPK_LSH
+    dot = dl.dot_double("e.embedding", "p.pv", dl.size("e.embedding", D), D)
+    cos_b = dl.cosine_double("q.qv", "e.embedding", dl.size("q.qv", D), D)
+    cos_l = dl.cosine_double("q.qv", "bv.v", dl.size("q.qv", D), D)
+    return f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {td.N_QUERY_VECS}),
+    scored_b AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {cos_b} AS cos
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.query_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rnk
+            FROM scored_b
+        ) t WHERE rnk <= {k}
+    ),
+    planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
+               embedding AS pv
+        FROM embeddings
+        WHERE vec_id BETWEEN {td.RECALL_PLANE_LO} AND {td.RECALL_PLANE_HI}
+    ),
+    buckets AS (
+        SELECT e.vec_id AS id,
+               CAST(SUM(CASE WHEN {dot} > 0
+                        THEN (CAST(1 AS BIGINT) << p.bit)
+                        ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    bv AS (SELECT b.id, b.bucket, e.embedding AS v
+           FROM buckets b JOIN embeddings e ON b.id = e.vec_id),
+    q2 AS (SELECT id AS query_id, bucket, v AS qv FROM bv
+           WHERE id < {td.N_QUERY_VECS}),
+    scored_l AS (
+        SELECT q.query_id, bv.id AS neighbor_id, {cos_l} AS cos
+        FROM bv JOIN q2 q ON bv.bucket = q.bucket AND bv.id <> q.query_id
+    ),
+    lshk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rnk
+            FROM scored_l
+        ) t WHERE rnk <= {k}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS recall_at_k
+    FROM brute b LEFT JOIN lshk l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "text_winnow": _winnow_sql(),
+    "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),
     "text_vocab": _vocab_sql(),
     "curate_mix": _mix_sql(),

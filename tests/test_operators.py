@@ -299,3 +299,34 @@ def test_keep_best_picks_highest_score_per_cluster(spark):
     assert rows[2]["keep"]              # tie -> lowest doc_id wins
     assert not rows[3]["keep"]
     assert rows[4]["keep"]              # singleton keeps itself
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    # Winnowing guarantee: any shared run of w + k - 1 words between two
+    # documents yields at least one common fingerprint hash.
+    run = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 words
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"{run} seven eight nine ten eleven twelve"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = tx.winnow_fingerprints(df, per_doc=False).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a hash"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    # Fewer than w grams -> one whole-document minimum; fewer than k
+    # words -> no grams, absent from output.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_fp for r in tx.winnow_fingerprints(df).collect()}
+    assert out == {1: 1}
