@@ -684,3 +684,72 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- duplicate-span statistics (approximate substring dedup) ----------------
+
+SPAN_N = 4  # words per span
+
+
+def span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the measurement half of
+    exact substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): every n-word span is
+    fingerprinted, and a span counts as *duplicated* when it occurs in
+    >= 2 distinct documents. The output is the boilerplate signal used to
+    drop or trim documents dominated by corpus-wide repeated runs
+    (headers, license blocks, navigation chrome).
+
+    Reference parity: extends the fingerprint/dedup family
+    (internal/pipeline/dedup semantics) from whole-document to span
+    granularity.
+
+    Shape (100 TB): shingle occurrence rows (map-only explode) -> ONE
+    explicit repartition on span-hash -> groupBy (span-hash, doc) and
+    the distinct-doc COUNT(*) window both run shuffle-free on that
+    partitioning -> groupBy doc. TWO shuffles total, no join-back.
+    (Grouping by (h, id) first would partition on the pair, forcing a
+    second span-volume shuffle for the per-hash window; pre-partitioning
+    on h alone satisfies both and halves the bytes exchanged — within-doc
+    repeats are too rare for the lost map-side combine to matter.) Spans
+    travel as 60-bit fingerprints, never strings; collisions are
+    symmetric on the oracle side (same md5-prefix hash on both engines).
+
+    Docs with fewer than n words have no spans and are absent (same on
+    the oracle side).
+    """
+    occ = shingle_rows(df, text_col, id_col, n, distinct=False)
+    per = (
+        occ.select("id", F.expr(dl.hash60("s", dl.SPARK)).alias("h"))
+        .repartition("h")
+        .groupBy("h", "id")
+        .agg(F.count("*").alias("c"))
+    )
+    tagged = per.select(
+        "id",
+        "c",
+        (F.count("*").over(Window.partitionBy("h")) >= 2).alias("dup"),
+    )
+    return tagged.groupBy("id").agg(
+        F.sum("c").alias("n_spans"),
+        F.sum(F.when(F.col("dup"), F.col("c")).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+        F.count("*").alias("n_unique_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_unique"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_spans",
+        "n_dup_spans",
+        "n_unique_spans",
+        "n_dup_unique",
+        (
+            F.col("n_dup_spans").cast("double")
+            / F.col("n_spans").cast("double")
+        ).alias("dup_ratio"),
+    )

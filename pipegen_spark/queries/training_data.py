@@ -444,3 +444,11 @@ def simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span (approximate substring dedup) statistics per
+    document: span occurrences, cross-document-duplicated occurrences,
+    and the boilerplate dup_ratio."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.span_dup_stats(docs).orderBy("doc_id")

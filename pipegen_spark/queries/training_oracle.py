@@ -782,7 +782,45 @@ def _recall_sql() -> str:
     """
 
 
+def _span_sql() -> str:
+    n = dd.SPAN_N
+    # Occurrence (NON-distinct) spans: `_shingles`/word_shingles dedups
+    # per doc by design (right for Jaccard sets, wrong for counting), so
+    # the span list is built inline here.
+    body = " || ' ' || ".join(
+        dl.elem("w", f"(i+{j})" if j else "i", D) for j in range(n)
+    )
+    idx = dl.seq("1", f"{dl.size('w', D)}-{n - 1}", D)
+    occ_spans = dl.transform(idx, f"i -> {body}", D)
+    return f"""
+    WITH {_W_CTE},
+    occ AS (
+        SELECT id, unnest({occ_spans}) AS s FROM w
+        WHERE {dl.size('w', D)} >= {n}
+    ),
+    per AS (
+        SELECT {dl.hash60('s', D)} AS h, id, COUNT(*) AS c
+        FROM occ GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT id, c, (COUNT(*) OVER (PARTITION BY h)) >= 2 AS dup
+        FROM per
+    )
+    SELECT id AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN dup THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_spans,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_unique,
+           CAST(SUM(CASE WHEN dup THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS dup_ratio
+    FROM tagged GROUP BY id ORDER BY doc_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "dedup_span_stats": _span_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),

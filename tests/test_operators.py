@@ -330,3 +330,36 @@ def test_winnow_short_doc_single_fingerprint(spark):
     )
     out = {r.doc_id: r.n_fp for r in tx.winnow_fingerprints(df).collect()}
     assert out == {1: 1}
+
+
+def test_winnow_plan_single_shuffle(docs):
+    # SCALE.md claim: posexplode + gram windows + distinct + per-doc agg
+    # all reuse ONE hash partitioning on doc_id — exactly one Exchange.
+    out = tx.winnow_fingerprints(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_dup_stats_flags_shared_boilerplate(spark):
+    bp = "this document is provided under the sample license"  # 8 words
+    df = spark.createDataFrame(
+        [
+            (1, f"{bp} alpha beta gamma delta"),
+            (2, f"{bp} epsilon zeta eta theta"),
+            (3, "wholly original words nothing shared anywhere at all"),
+            (4, "tiny doc"),  # < n words -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dd.span_dup_stats(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # the 8-word boilerplate contributes 5 shared 4-grams to each doc
+    assert out[1].n_dup_spans == 5 and out[2].n_dup_spans == 5
+    assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
+    assert out[1].n_spans == 9  # 12 words -> 9 span occurrences
+    assert 0 < out[1].dup_ratio < 1
+    # two shuffles: groupBy(h,id) + groupBy(id); the hash window reuses
+    # the first agg's partitioning
+    plan = dd.span_dup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
