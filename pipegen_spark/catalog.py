@@ -33,16 +33,30 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy parquet scan).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark rejects
-    by default — read it as long and truncate to microseconds (identical to
-    what micro-precision engines do on ingest).
+    Timestamp handling: the testdata's temporal columns are parquet
+    TIMESTAMP(isAdjustedToUTC=false) (naive wall-clock values; some earlier
+    generations used NANOS precision). Two session-level normalizations make
+    every downstream query deterministic regardless of the host timezone:
+
+    - `spark.sql.session.timeZone` is pinned to UTC, so TIMESTAMP literals
+      in predicates and any NTZ<->LTZ coercion Catalyst inserts resolve to
+      the same instants on every machine (a host-local timezone would shift
+      `col <= TIMESTAMP '...'` cutoffs by the UTC offset).
+    - `events.ts` is cast to TIMESTAMP (LTZ): event-time operators —
+      `window()`, watermarks, `unix_micros()` — require the instant type.
+      Under the UTC session zone the cast is value-preserving (naive value
+      == UTC wall-clock), so collected results still match a naive oracle.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":  # legacy NANOS generation, read raw
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -56,8 +56,13 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":  # legacy NANOS generation, read raw
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        # Watermarks require the instant (LTZ) type; under the UTC session
+        # zone pinned by catalog.table the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

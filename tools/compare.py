@@ -65,10 +65,13 @@ def main():
 
     spark = get_spark("compare", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
+    import time as _time
+
     n_pass = n_fail = 0
-    for name, fn in sorted(qs.items()):
+    for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -77,9 +80,11 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        _ts = _time.perf_counter() - _t0
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows)")
+            print(f"SKIP {name}: no oracle ({len(srows)} rows) [spark {_ts:.2f}s]")
             continue
+        _t0 = _time.perf_counter()
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
@@ -88,6 +93,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        _td = _time.perf_counter() - _t0
         sc, sv = table_canon(scols, [tuple(r) for r in srows])
         dc, dv = table_canon(dcols, drows)
         if sc != dc:
@@ -104,7 +110,7 @@ def main():
                 print(f"   duckdb: {dv[i]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sv)} rows)")
+            print(f"PASS {name} ({len(sv)} rows) [spark {_ts:.2f}s duckdb {_td:.2f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     spark.stop()
