@@ -3,6 +3,20 @@
 The driver contract (`__spark_entry__.py`) re-exports these: every operator
 claimed in SURVEY.md §2 has a `queries()` entry here, and (when
 SQL-expressible) a matching oracle for the correctness gate.
+
+Enumeration order is part of the contract: the driver's correctness gate
+hashes the FIRST 50 entries in dict order, so `all_queries()` front-loads
+the queries that most need a hard signal this round:
+
+1. the 34 training-data operators (dedup/ANN/text/curation/embedding —
+   the [EXT] north-star family, ungated in rounds 2-3),
+2. the 10 extended relational queries q48-q57,
+3. six long-stable relational canaries as regression sentinels
+   (q03 agg, q13 window TVF, q37 as-of, q38 range-agg, q43 pricing,
+   q47 pivot — q38/q43 included while they clear their r02/r03 reds),
+
+= exactly 50, followed by the remaining relational corpus (all of which
+stays verifiable locally via tools/compare.py).
 """
 
 from __future__ import annotations
@@ -15,6 +29,32 @@ from pipegen_spark.queries import relational
 from pipegen_spark.queries.oracle import RELATIONAL_ORACLE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Long-stable relational queries kept inside the 50-row gate window as
+#: regression sentinels (plus the two under-repair hash-reds q38/q43).
+GATE_CANARIES = (
+    "q03_agg_having",
+    "q13_event_window",
+    "q37_asof_join",
+    "q38_range_agg",
+    "q43_tpch_pricing",
+    "q47_pivot",
+)
+
+#: Extended relational tranche (TPC-H decision-support + window/sketch
+#: shapes) that had no driver row in rounds 2-3.
+EXTENDED_RELATIONAL = (
+    "q48_grouping_sets",
+    "q49_range_frame",
+    "q50_approx_percentile",
+    "q51_tpch_forecast_revenue",
+    "q52_tpch_priority_check",
+    "q53_tpch_promo_ratio",
+    "q54_tpch_big_orders",
+    "q55_tpch_disjunctive",
+    "q56_tpch_supplier_cnt",
+    "q57_tpch_idle_rich",
+)
 
 
 def _collect(module) -> dict[str, QueryFn]:
@@ -39,13 +79,25 @@ def all_queries() -> dict[str, QueryFn]:
         training_data,
     )
 
+    pool: dict[str, QueryFn] = {}
+    pool.update(_collect(relational))
+    pool.update(_collect(relational2))
+    pool.update(_collect(relational3))
+    pool.update(_collect(relational4))
+    pool.update(_collect(relational5))
+    pool.update(_collect(training_data))
+
     out: dict[str, QueryFn] = {}
-    out.update(_collect(relational))
-    out.update(_collect(relational2))
-    out.update(_collect(relational3))
-    out.update(_collect(relational4))
-    out.update(_collect(relational5))
-    out.update(_collect(training_data))
+    # Gate window (first 50): training-data ops, extended relational, canaries.
+    for name in sorted(_collect(training_data)):
+        out[name] = pool[name]
+    for name in EXTENDED_RELATIONAL:
+        out[name] = pool[name]
+    for name in GATE_CANARIES:
+        out[name] = pool[name]
+    # Everything else, in module-then-alphabetical order as before.
+    for name, fn in pool.items():
+        out.setdefault(name, fn)
     return out
 
 

@@ -1,0 +1,38 @@
+"""The driver's correctness gate hashes the FIRST 50 `queries()` entries in
+dict order — this pins the gate window so a refactor can't silently rotate
+the training-data family (or the q38/q43 repair canaries) back out of the
+hard signal (round-2 regression: a module reorder ungated all 44 [EXT]
+queries for two rounds)."""
+
+from __future__ import annotations
+
+from pipegen_spark.queries.registry import (
+    EXTENDED_RELATIONAL,
+    GATE_CANARIES,
+    all_queries,
+    oracle_queries,
+)
+
+GATE_ROWS = 50
+
+
+def test_gate_window_composition():
+    qs = list(all_queries())
+    gate = qs[:GATE_ROWS]
+    training = {n for n in qs if not n.startswith("q")}
+    assert len(training) == 34
+    missing_training = training - set(gate)
+    assert not missing_training, f"training ops outside gate: {missing_training}"
+    assert set(EXTENDED_RELATIONAL) <= set(gate)
+    assert set(GATE_CANARIES) <= set(gate)
+    # The window is exactly these three families — nothing wasted.
+    assert set(gate) == training | set(EXTENDED_RELATIONAL) | set(GATE_CANARIES)
+
+
+def test_registry_complete_and_oracle_keyed():
+    qs = all_queries()
+    oracles = oracle_queries()
+    assert len(qs) >= 94
+    # Every oracle key must have a query (the reverse may be weaker:
+    # non-SQL-expressible ops get a rows-only check).
+    assert set(oracles) <= set(qs)
