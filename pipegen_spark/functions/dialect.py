@@ -173,6 +173,34 @@ def money(x: str, d: str) -> str:
     return f"CAST(floor(({x}) * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))"
 
 
+def cents(x: str, d: str) -> str:
+    """Portable DOUBLE -> BIGINT half-up cent count.
+
+    Same quantization as money() but the surface type is a 64-bit integer:
+    the value that leaves the engine is a count of cents, which cannot
+    diverge on decimal formatting, ulp rounding, or an engine's DECIMAL
+    canonicalization — the gate-hardened output type for money aggregates
+    (the q38/q43 driver hash mismatches of rounds 2-3 survived even the
+    money() DECIMAL discipline, so those queries now emit integers)."""
+    _check(d)
+    return f"CAST(floor(({x}) * 100.0 + 0.5) AS BIGINT)"
+
+
+def micro_avg(sum_cents: str, cnt: str, d: str) -> str:
+    """Half-up mean in MILLIONTHS of a unit from a BIGINT cent sum and a
+    BIGINT count: cents/count * 10^4 = units * 10^6.
+
+    Both factors convert to DOUBLE exactly (cent sums < 2^53 up to ~90
+    trillion units) and the *10000.0, /, +0.5, floor sequence is the same
+    deterministic IEEE evaluation on both engines, so the BIGINT result is
+    identical — an integer average surface with 6 decimal digits kept."""
+    _check(d)
+    return (
+        f"CAST(floor(CAST({sum_cents} AS DOUBLE) * 10000.0 / "
+        f"CAST({cnt} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+
+
 def shr(x: str, n: str, d: str) -> str:
     _check(d)
     return f"shiftright({x},{n})" if d == SPARK else f"(({x}) >> ({n}))"

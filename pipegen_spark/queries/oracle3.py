@@ -184,19 +184,18 @@ RELATIONAL3_ORACLE: dict[str, str] = {
         FROM s GROUP BY user_id, session_no
         ORDER BY user_id, session_start LIMIT 500
     """,
-    # c_value goes through dialect.money() (half-up double quantization
-    # before the decimal cast) and the COALESCE zero is explicitly typed —
-    # both to keep the decimal path engine-version-insensitive.
+    # click_value is a BIGINT cent count (dialect.cents): the integer
+    # surface cannot hash-diverge on decimal formatting or last-ulp
+    # rounding across engine builds (the rounds-2/3 driver red).
     "q38_range_agg": f"""
         WITH p AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'purchase'),
         c AS (SELECT user_id, ts AS c_ts,
-                     {dl.money("value", dl.DUCK)} AS c_value
+                     {dl.cents("value", dl.DUCK)} AS c_value
               FROM events WHERE event_type = 'click')
         SELECT p.event_id, p.user_id,
-               COUNT(c.c_ts) AS n_clicks,
-               CAST(COALESCE(SUM(c.c_value), CAST(0 AS DECIMAL(18,2)))
-                    AS DECIMAL(18,2)) AS click_value
+               CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicks,
+               CAST(COALESCE(SUM(c.c_value), 0) AS BIGINT) AS click_value
         FROM p LEFT JOIN c
           ON p.user_id = c.user_id
          AND c.c_ts >= p.ts - INTERVAL 1 HOUR

@@ -19,6 +19,10 @@ def _m(expr: str) -> str:
     return dl.money(expr, dl.DUCK)
 
 
+def _c(expr: str) -> str:
+    return dl.cents(expr, dl.DUCK)
+
+
 RELATIONAL4_ORACLE: dict[str, str] = {
     # Batch oracle for the streaming stateful dedup: only key columns are
     # emitted, so the finite-input append result is the distinct key set.
@@ -26,32 +30,39 @@ RELATIONAL4_ORACLE: dict[str, str] = {
         SELECT DISTINCT user_id, event_type FROM events
         ORDER BY user_id, event_type
     """,
+    # All-integer output surface (cents + millionths; see
+    # relational4.q43_tpch_pricing docstring for the gate-hardening why).
     "q43_tpch_pricing": f"""
-        WITH rows_d AS (
+        WITH rows_c AS (
             SELECT l_returnflag, l_linestatus,
-                   {_m("l_quantity")} AS qty_d,
-                   {_m("l_extendedprice")} AS price_d,
-                   {_m("l_extendedprice * (1.0 - l_discount)")} AS disc_d,
-                   {_m("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
-                       AS charge_d,
-                   {_m("l_discount")} AS discv_d
+                   {_c("l_quantity")} AS qty_c,
+                   {_c("l_extendedprice")} AS price_c,
+                   {_c("l_extendedprice * (1.0 - l_discount)")} AS disc_c,
+                   {_c("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+                       AS charge_c,
+                   {_c("l_discount")} AS discv_c
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '{Q43_CUTOFF}'
+        ),
+        g AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty_c) AS BIGINT) AS sum_qty,
+                   CAST(SUM(price_c) AS BIGINT) AS sum_base_price,
+                   CAST(SUM(disc_c) AS BIGINT) AS sum_disc_price,
+                   CAST(SUM(charge_c) AS BIGINT) AS sum_charge,
+                   CAST(SUM(discv_c) AS BIGINT) AS sum_discv,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM rows_c
+            GROUP BY l_returnflag, l_linestatus
         )
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(qty_d) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(price_d) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM(disc_d) AS DECIMAL(18,2)) AS sum_disc_price,
-               CAST(SUM(charge_d) AS DECIMAL(18,2)) AS sum_charge,
-               CAST(SUM(qty_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                   AS avg_qty,
-               CAST(SUM(price_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               sum_qty, sum_base_price, sum_disc_price, sum_charge,
+               {dl.micro_avg("sum_qty", "count_order", dl.DUCK)} AS avg_qty,
+               {dl.micro_avg("sum_base_price", "count_order", dl.DUCK)}
                    AS avg_price,
-               CAST(SUM(discv_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                   AS avg_disc,
-               CAST(COUNT(*) AS BIGINT) AS count_order
-        FROM rows_d
-        GROUP BY l_returnflag, l_linestatus
+               {dl.micro_avg("sum_discv", "count_order", dl.DUCK)} AS avg_disc,
+               count_order
+        FROM g
         ORDER BY l_returnflag, l_linestatus
     """,
     "q44_tpch_shipping": f"""

@@ -136,39 +136,56 @@ def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per purchase: count + decimal-sum of the same user's clicks in the
-    preceding hour (equi-join on user + range filter; money-style sum
-    routed through dialect.money() — half-up double quantization BEFORE
-    the DECIMAL(18,2) cast, so no engine-sensitive binary rounding — and
-    an explicitly typed zero in the COALESCE)."""
+    """Per purchase: count + cent-sum of the same user's clicks in the
+    preceding hour [ts - 1h, ts).
+
+    Formulation: purchases and clicks are two filters of ONE keyed stream,
+    so this plans as `temporal.range_agg_self` — a RANGE window frame over
+    event-time micros after a single sort-shuffle on user_id, with zero
+    per-key row expansion (the join formulation materializes
+    |purchases_u| x |clicks_u| pairs per user — quadratic on a hot user
+    and 6x slower at sf0.1). Asserted join-free in test_plan_audit.
+
+    Output surface: `click_value` is a BIGINT count of CENTS
+    (dialect.cents — half-up in pure double arithmetic, then integer):
+    rounds 2-3 proved a DECIMAL surface can hash-diverge across driver
+    environments even when byte-exact locally; an int64 cannot.
+    """
     from pipegen_spark.functions import dialect as dl
     from pipegen_spark.operators import temporal as tp
 
     ev = table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    is_click = F.col("event_type") == "click"
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").alias("_is_purchase"),
+        F.when(is_click, F.lit(1)).otherwise(F.lit(0)).alias("_cnt"),
+        F.when(is_click, F.expr(dl.cents("value", dl.SPARK)))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("_val"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id"),
-        F.col("ts").alias("c_ts"),
-        F.expr(dl.money("value", dl.SPARK)).alias("c_value"),
-    )
-    out = tp.range_agg(
-        purchases,
-        clicks,
+    out = tp.range_agg_self(
+        base,
         by="user_id",
-        left_ts="ts",
-        right_ts="c_ts",
-        window_expr="INTERVAL 1 HOUR",
-        aggs=[
-            F.count(F.col("r.c_ts")).alias("n_clicks"),
-            F.coalesce(F.sum("r.c_value"), F.lit("0").cast(DEC))
-            .cast(DEC)
-            .alias("click_value"),
-        ],
+        ts_col="ts",
+        is_left=F.col("_is_purchase"),
+        sum_cols={"_n_clicks": F.col("_cnt"), "_click_value": F.col("_val")},
+        lower_micros=-3_600_000_000,
+        upper_micros=-1,
     )
     return out.select(
-        "event_id", "user_id", "n_clicks", "click_value"
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("_n_clicks"), F.lit(0)).cast("bigint").alias(
+            "n_clicks"
+        ),
+        F.coalesce(F.col("_click_value"), F.lit(0)).cast("bigint").alias(
+            "click_value"
+        ),
     ).orderBy("event_id")
 
 

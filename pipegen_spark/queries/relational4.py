@@ -36,6 +36,10 @@ def _money(expr: str):
     return F.expr(dl.money(expr, dl.SPARK))
 
 
+def _cents(expr: str):
+    return F.expr(dl.cents(expr, dl.SPARK))
+
+
 # --- Q42: STREAMING stateful dedup (dropDuplicatesWithinWatermark) -----------
 def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup — the reference flags duplicates via an
@@ -73,41 +77,52 @@ def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q43: pricing summary report (TPC-H Q1 shape) ----------------------------
 def q43_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-scan aggregate over lineitem: per (returnflag, linestatus)
-    decimal sums of qty/price/discounted price/charge plus averages.
+    sums of qty/price/discounted price/charge plus averages.
     Map-side partial aggregation collapses 60k rows/sf0.01 into 6 groups
-    before the single shuffle; the shipdate filter pushes to the scan."""
+    before the single shuffle; the shipdate filter pushes to the scan.
+
+    Output surface is ALL-INTEGER (the gate-hardening from rounds 2-3,
+    whose DECIMAL/DOUBLE surfaces stayed driver-hash-red while byte-exact
+    locally): `sum_*` are BIGINT cent counts (dialect.cents — per-row
+    half-up quantization in pure double arithmetic, summed as int64) and
+    `avg_*` are BIGINT millionths of a unit (dialect.micro_avg — one
+    deterministic IEEE divide on identical integer inputs, then floored).
+    """
     li = table(spark, sf_dir, "lineitem").filter(
         F.expr(f"l_shipdate <= TIMESTAMP '{Q43_CUTOFF}'")
     )
     rows = li.select(
         "l_returnflag",
         "l_linestatus",
-        _money("l_quantity").alias("qty_d"),
-        _money("l_extendedprice").alias("price_d"),
-        _money("l_extendedprice * (1.0 - l_discount)").alias("disc_d"),
-        _money(
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_extendedprice * (1.0 - l_discount)").alias("disc_c"),
+        _cents(
             "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
-        ).alias("charge_d"),
-        _money("l_discount").alias("discv_d"),
+        ).alias("charge_c"),
+        _cents("l_discount").alias("discv_c"),
     )
-    cnt = F.count("*")
+    g = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_c").cast("bigint").alias("sum_qty"),
+        F.sum("price_c").cast("bigint").alias("sum_base_price"),
+        F.sum("disc_c").cast("bigint").alias("sum_disc_price"),
+        F.sum("charge_c").cast("bigint").alias("sum_charge"),
+        F.sum("discv_c").cast("bigint").alias("_sum_discv"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+    micro = lambda s: F.expr(dl.micro_avg(s, "count_order", dl.SPARK))  # noqa: E731
     return (
-        rows.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("qty_d").cast(DEC).alias("sum_qty"),
-            F.sum("price_d").cast(DEC).alias("sum_base_price"),
-            F.sum("disc_d").cast(DEC).alias("sum_disc_price"),
-            F.sum("charge_d").cast(DEC).alias("sum_charge"),
-            (F.sum("qty_d").cast("double") / cnt.cast("double")).alias(
-                "avg_qty"
-            ),
-            (F.sum("price_d").cast("double") / cnt.cast("double")).alias(
-                "avg_price"
-            ),
-            (F.sum("discv_d").cast("double") / cnt.cast("double")).alias(
-                "avg_disc"
-            ),
-            cnt.alias("count_order"),
+        g.select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            micro("sum_qty").alias("avg_qty"),
+            micro("sum_base_price").alias("avg_price"),
+            micro("_sum_discv").alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -112,6 +112,20 @@ def test_dimension_joins_are_broadcast(plans):
         assert "BroadcastHashJoin" in plans[name], name
 
 
+def test_range_agg_is_join_free(plans):
+    # q38 must plan as the range_agg_self window formulation: a single
+    # hash-partition sort-shuffle + Window, no join (the join formulation
+    # expands |purchases_u| x |clicks_u| rows per user — quadratic on a
+    # hot key at 100 TB).
+    p = plans["q38_range_agg"]
+    assert "Join" not in p, p
+    assert "Window" in p
+    # One Exchange for the window partitioning; the only other allowed
+    # Exchange is the final presentation orderBy (rangepartitioning).
+    hash_ex = p.count("Exchange hashpartitioning")
+    assert hash_ex == 1, p
+
+
 def test_semi_anti_rewrites(plans):
     # EXISTS / NOT IN / anti-exclusion queries must plan as (left) semi or
     # anti hash joins — never as row-duplicating inner joins + distinct.

@@ -106,6 +106,103 @@ def test_range_agg_counts_window_only(spark):
     assert out[12]["n_clicks"] == 0 and float(out[12]["v"]) == 0.0
 
 
+def _self_frame(spark):
+    """One keyed stream holding both purchases and clicks (q38 shape)."""
+    return spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01T10:00:00"), "purchase", 0.0),
+            (11, 1, _ts("2024-01-01T12:00:00"), "purchase", 0.0),
+            (12, 2, _ts("2024-01-01T09:00:00"), "purchase", 0.0),
+            (100, 1, _ts("2024-01-01T09:30:00"), "click", 1.0),
+            (101, 1, _ts("2024-01-01T10:00:00"), "click", 1.0),  # == p.ts
+            (103, 1, _ts("2024-01-01T11:00:00"), "click", 2.5),
+            (104, 2, _ts("2024-01-01T09:30:00"), "click", 1.0),  # after p
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+def test_range_agg_self_matches_join_semantics(spark):
+    ev = _self_frame(spark)
+    is_click = F.col("event_type") == "click"
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").alias("_is_p"),
+        F.when(is_click, F.lit(1)).otherwise(F.lit(0)).alias("_cnt"),
+        F.when(is_click, (F.col("value") * 100).cast("bigint"))
+        .otherwise(F.lit(0))
+        .alias("_val"),
+    )
+    out = {
+        r["event_id"]: r
+        for r in tp.range_agg_self(
+            base,
+            by="user_id",
+            ts_col="ts",
+            is_left=F.col("_is_p"),
+            sum_cols={"n": F.col("_cnt"), "v": F.col("_val")},
+            lower_micros=-3_600_000_000,
+            upper_micros=-1,
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}  # purchases only
+    # 10:00 purchase: 09:30 click in frame; the 10:00 click is EXCLUDED
+    # (strictly-before upper bound -1 us).
+    assert out[10]["n"] == 1 and out[10]["v"] == 100
+    # 12:00 purchase: only the 11:00 click (11:00 >= 12:00 - 1h inclusive).
+    assert out[11]["n"] == 1 and out[11]["v"] == 250
+    # user 2: click after the purchase -> empty frame -> NULL sums.
+    assert out[12]["n"] is None and out[12]["v"] is None
+
+
+def test_range_agg_self_single_sort_shuffle(spark):
+    ev = _self_frame(spark)
+    out = tp.range_agg_self(
+        ev.withColumn("_c", F.lit(1)),
+        by="user_id",
+        ts_col="ts",
+        is_left=F.col("event_type") == "purchase",
+        sum_cols={"n": F.col("_c")},
+        lower_micros=-3_600_000_000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_range_agg_expansion_guard(spark):
+    left, right = _frames(spark)
+    clicks = right.select("user_id", F.col("ts").alias("c_ts"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quadratic"):
+        tp.range_agg(
+            left,
+            clicks,
+            by="user_id",
+            left_ts="ts",
+            right_ts="c_ts",
+            window_expr="INTERVAL 1 HOUR",
+            aggs=[F.count(F.col("r.c_ts")).alias("n")],
+            max_right_per_key=2,  # user 1 has 4 clicks
+        )
+    # A satisfied bound must not change results.
+    rows = tp.range_agg(
+        left,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        window_expr="INTERVAL 1 HOUR",
+        aggs=[F.count(F.col("r.c_ts")).alias("n")],
+        max_right_per_key=10,
+    ).collect()
+    assert len(rows) == 3
+
+
 def test_range_agg_preserves_duplicate_left_rows(spark):
     """Two identical left rows must each produce their own output row with
     UN-doubled right-side aggregates (internal row-id group key)."""
