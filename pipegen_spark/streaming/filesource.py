@@ -3,11 +3,13 @@
 Structured Streaming's file source requires a *directory* of files, while
 the testdata ships one `events.parquet` per scale factor — and the testdata
 tree is read-only. Stage a per-sf-dir symlink directory under /tmp once and
-readStream from it; the nanosecond timestamp handling mirrors
-`catalog.table` (parquet TIMESTAMP(NANOS) -> read as long -> truncate to
-micros, identical to what micro-precision engines do on ingest).
+readStream from it. Timestamp handling mirrors `catalog.table` for both
+testdata generations: the current generation's TIMESTAMP_NTZ `ts` is cast
+NTZ->LTZ (value-preserving under the UTC session zone the catalog pins —
+watermarks need the instant type), and the legacy TIMESTAMP(NANOS)
+generation is read as long and truncated to micros.
 
-Used by the streaming parity queries (q39/q41/q42): on a finite input the
+Used by the streaming parity queries (q39-q42): on a finite input the
 streaming result equals the batch result, which is what their DuckDB
 oracles compute.
 """

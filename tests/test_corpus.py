@@ -7,31 +7,10 @@ The reference has no value-level query assertions at all
 
 from __future__ import annotations
 
-import math
-from datetime import date, datetime
-
 import pytest
 
+from pipegen_spark.queries.canon import table_canon as _canon_table
 from tests.conftest import SF_SMOKE
-
-
-def canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        return "nan" if math.isnan(v) else repr(v)
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.isoformat()
-    return str(v)
-
-
-def _canon_table(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], sorted(
-        tuple(canon(r[i]) for i in order) for r in rows
-    )
 
 
 def _keys():

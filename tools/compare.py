@@ -2,43 +2,27 @@
 
 Runs every `queries()` entry on Spark and its `oracle_sql()` on DuckDB over
 the same sf dir, then compares row count, column names and order-insensitive
-values (columns sorted by name, rows sorted canonically). Usage:
+values (columns sorted by name, rows sorted canonically — see
+pipegen_spark/queries/canon.py, shared with bench.py). Each PASS/FAIL line
+carries the sha256 of the canonical Spark result so a driver-side hash red
+can be diffed against the repo's own hash.
+
+Queries run in REGISTRY order (NOT alphabetical — intentional): the
+registry enumerates the driver's 50-row gate window first, so the first 50
+lines of this report are exactly the hard-signal set. Usage:
 
     python tools/compare.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
-from datetime import date, datetime
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-
-def canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # repr keeps full precision — both engines must emit identical doubles
-        return repr(v)
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
-
-
-def table_canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+from pipegen_spark.queries.canon import result_sha256, table_canon  # noqa: E402
 
 
 def main():
@@ -81,8 +65,13 @@ def main():
             n_fail += 1
             continue
         _ts = _time.perf_counter() - _t0
+        srows = [tuple(r) for r in srows]
+        digest = result_sha256(scols, srows)[:16]
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows) [spark {_ts:.2f}s]")
+            print(
+                f"SKIP {name}: no oracle ({len(srows)} rows) "
+                f"[spark {_ts:.2f}s sha:{digest}]"
+            )
             continue
         _t0 = _time.perf_counter()
         try:
@@ -94,7 +83,7 @@ def main():
             n_fail += 1
             continue
         _td = _time.perf_counter() - _t0
-        sc, sv = table_canon(scols, [tuple(r) for r in srows])
+        sc, sv = table_canon(scols, srows)
         dc, dv = table_canon(dcols, drows)
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
@@ -110,7 +99,10 @@ def main():
                 print(f"   duckdb: {dv[i]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sv)} rows) [spark {_ts:.2f}s duckdb {_td:.2f}s]")
+            print(
+                f"PASS {name} ({len(sv)} rows) "
+                f"[spark {_ts:.2f}s duckdb {_td:.2f}s sha:{digest}]"
+            )
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     spark.stop()
