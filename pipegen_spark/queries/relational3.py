@@ -5,6 +5,8 @@ families, exact percentiles, and the composed curation-decision pipeline
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -191,53 +193,71 @@ def q38_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q39: STREAMING sessionization (Structured Streaming superset) -----------
 def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-STREAM sessionization: readStream over events.parquet →
-    session_window(30 min) per user → memory sink in complete mode,
-    processAllAvailable(), return the final table. On a finite input the
-    final complete-mode state equals batch sessionization, which is what
-    the gaps-and-islands oracle computes — so the streaming path gets a
-    real hash-checked correctness row (SURVEY §2C), not just unit tests.
+    """File-STREAM sessionization, end-to-end distributed: readStream over
+    events.parquet → the custom arbitrary-stateful sessionizer
+    (`streaming/stateful.py`, applyInPandasWithState, O(1) state/key) in
+    UPDATE mode (each batch emits closed sessions plus the current extent
+    of touched open sessions) → foreachBatch into the idempotent file
+    sink, batch-stamped, executor-side — no driver-bound memory/complete
+    sink anywhere in the pipeline → final compaction read
+    (`sink.compact_session_updates`: a session row is superseded iff a
+    later batch emitted an overlapping interval for the same user).
 
-    The memory/complete sink is driver-bound by design — it exists for
-    this parity harness; production streams use the idempotent file sink
-    (streaming/sink.py) in append/update mode with a watermark."""
-    from pipegen_spark.streaming.filesource import events_file_stream
+    On a finite input the compacted update stream equals batch
+    sessionization, which is what the gaps-and-islands oracle computes —
+    so the streaming path gets a real hash-checked correctness row
+    (SURVEY §2C), not just unit tests. At scale this is also the
+    production shape: update emissions are proportional to CHANGED state
+    per batch (complete mode would re-emit ALL state every batch), the
+    sink write is distributed, and the compaction joins on the session
+    key. `session_window`-style bounds are restored by adding the gap to
+    the operator's last-event `session_end`."""
+    import tempfile
+
+    from pipegen_spark.streaming.filesource import (
+        events_file_stream,
+        state_partitions,
+    )
+    from pipegen_spark.streaming.sink import (
+        compact_session_updates,
+        idempotent_dir_sink,
+        read_committed,
+    )
+    from pipegen_spark.streaming.stateful import sessionize_stream
 
     stream = events_file_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
-        )
-        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
+    sessions = sessionize_stream(
+        stream.select("user_id", "ts"),
+        gap="30 minutes",
+        emit_open=True,
     )
-    qname = "q39_stream_session_sink"
-    spark.catalog.dropTempView(qname) if qname in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
-    from pipegen_spark.streaming.filesource import state_partitions
-
+    work_dir = tempfile.mkdtemp(prefix="pipegen_q39_")
+    sink_dir = os.path.join(work_dir, "out")
     with state_partitions(spark):
         q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
+            sessions.writeStream.foreachBatch(
+                idempotent_dir_sink(sink_dir, stamp_batch=True)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    return (
-        spark.table(qname)
-        .orderBy("user_id", "session_start")
-        .limit(500)
+    final = compact_session_updates(
+        read_committed(spark, sink_dir),
+        by="user_id",
+        start_col="session_start",
+        end_col="session_end",
     )
+    return final.select(
+        "user_id",
+        "session_start",
+        F.expr("session_end + INTERVAL 30 MINUTE").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "session_start").limit(500)
 
 
 # --- Q40: hopping (sliding) window aggregate ---------------------------------

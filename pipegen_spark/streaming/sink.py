@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 COMMIT_MARKER = "_COMMIT"
 
@@ -37,8 +38,12 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path, jpath
 
 
-def idempotent_dir_sink(path: str, fmt: str = "parquet"):
-    """Returns a foreachBatch callable: exactly-once batch directories."""
+def idempotent_dir_sink(path: str, fmt: str = "parquet", stamp_batch: bool = False):
+    """Returns a foreachBatch callable: exactly-once batch directories.
+
+    With `stamp_batch`, each row carries a `_batch_id` column — required by
+    `compact_session_updates` (update-mode readers need to know which of
+    several emissions of the same evolving aggregate is newest)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -47,6 +52,8 @@ def idempotent_dir_sink(path: str, fmt: str = "parquet"):
         marker = jpath_cls(f"{batch_dir}/{COMMIT_MARKER}")
         if fs.exists(marker):
             return  # replayed batch — already committed
+        if stamp_batch:
+            batch_df = batch_df.withColumn("_batch_id", F.lit(batch_id))
         batch_df.write.mode("overwrite").format(fmt).save(batch_dir)
         out = fs.create(marker, True)
         try:
@@ -55,6 +62,47 @@ def idempotent_dir_sink(path: str, fmt: str = "parquet"):
             out.close()
 
     return write
+
+
+def compact_session_updates(
+    df: DataFrame,
+    by: str,
+    start_col: str,
+    end_col: str,
+    batch_col: str = "_batch_id",
+) -> DataFrame:
+    """Resolve an update-mode session-window stream (written batch-stamped
+    through `idempotent_dir_sink`) to its final session set.
+
+    Update mode re-emits a session every micro-batch that changes it, and
+    session windows only ever GROW or MERGE — a later emission's interval
+    contains every earlier interval of its chain. So a row is stale iff a
+    LATER batch emitted an overlapping interval for the same key; the
+    anti-join keeps exactly the newest version of each chain plus every
+    session that never changed again.
+
+    Overlap is tested with INCLUSIVE bounds: a one-event session is the
+    degenerate interval [t, t] (under the raw last-event end convention),
+    and its grown successor starts at exactly t — strict bounds would
+    leave the stale row alive. Inclusive bounds cannot conflate two
+    DISTINCT sessions of one key: a new session only opens when the next
+    event is strictly more than the gap after the previous session's last
+    event, so consecutive intervals never touch (under either the
+    last-event or the +gap end convention).
+
+    Physical shape: one hash join partitioned on the session key — per-key
+    cardinality is (sessions x batches-that-touched-them), bounded per
+    compaction horizon, so the compaction scales with state size, not
+    stream length.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    newer_overlap = (
+        (F.col(f"a.{by}") == F.col(f"b.{by}"))
+        & (F.col(f"b.{batch_col}") > F.col(f"a.{batch_col}"))
+        & (F.col(f"b.{start_col}") <= F.col(f"a.{end_col}"))
+        & (F.col(f"b.{end_col}") >= F.col(f"a.{start_col}"))
+    )
+    return a.join(b, newer_overlap, "left_anti").drop(batch_col)
 
 
 def committed_batches(path: str, spark: SparkSession | None = None) -> list[int]:

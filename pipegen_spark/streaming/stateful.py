@@ -29,7 +29,7 @@ STATE_SCHEMA = "start long, last long, n long"
 _US = 1_000_000  # timestamps tracked as epoch micros in state
 
 
-def _sessionize_fn(gap_seconds: float, idle_timeout: bool):
+def _sessionize_fn(gap_seconds: float, idle_timeout: bool, emit_open: bool):
     gap_us = int(gap_seconds * _US)
 
     def fn(
@@ -62,19 +62,25 @@ def _sessionize_fn(gap_seconds: float, idle_timeout: bool):
             state.update((start, last, n))
             if idle_timeout:
                 state.setTimeoutDuration(int(gap_seconds * 1000))
-        out = pd.DataFrame(
+        out = closed
+        if emit_open and start is not None:
+            # Update-mode emission: also surface the still-open session's
+            # CURRENT extent. Re-emitted (grown) each batch that touches
+            # it; a downstream compaction keeps the newest overlapping row
+            # per key (sink.compact_session_updates).
+            out = closed + [(start, last, n)]
+        yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(closed),
+                "user_id": [user_id] * len(out),
                 "session_start": [
-                    pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    pd.Timestamp(s, unit="us") for s, _, _ in out
                 ],
                 "session_end": [
-                    pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    pd.Timestamp(e, unit="us") for _, e, _ in out
                 ],
-                "n_events": [n for _, _, n in closed],
+                "n_events": [n for _, _, n in out],
             }
         )
-        yield out
 
     return fn
 
@@ -85,6 +91,7 @@ def sessionize_stream(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     idle_timeout: bool = False,
+    emit_open: bool = False,
 ) -> DataFrame:
     """Emit closed sessions (user_id, session_start, session_end, n_events).
 
@@ -93,6 +100,15 @@ def sessionize_stream(
     Leave it off for finite/batch-tested streams: armed timeouts make the
     engine schedule micro-batches indefinitely, so `processAllAvailable`
     never settles. Input needs (user_col, ts_col) columns.
+
+    With `emit_open` (update-mode semantics), every batch ALSO emits the
+    current extent of each touched key's open session; pair with a
+    batch-stamped sink + `sink.compact_session_updates` so the newest
+    emission of each session chain wins. This is how a finite stream
+    reaches exact batch parity — the final batch's open-session row IS the
+    batch result's last session — without complete-mode state dumps.
+    `session_end` is the LAST EVENT time; add the gap downstream if
+    session_window-style [start, last+gap) bounds are wanted.
     """
     n, unit = gap.split()
     seconds = float(n) * {
@@ -107,10 +123,10 @@ def sessionize_stream(
         f"{user_col} AS user_id", f"{ts_col} AS ts"
     )
     return renamed.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(seconds, idle_timeout),
+        _sessionize_fn(seconds, idle_timeout, emit_open),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
-        outputMode="append",
+        outputMode="update" if emit_open else "append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
             if idle_timeout

@@ -45,6 +45,90 @@ def test_sessionize_stateful(spark, tmp_path):
         q.stop()
 
 
+def test_sessionize_update_mode_multibatch_compaction(spark, tmp_path):
+    """emit_open + batch-stamped idempotent sink + compaction must equal
+    batch sessionization across MULTIPLE micro-batches, including the
+    degenerate single-event interval growing from its own start point
+    (the inclusive-overlap edge) and a session closed then followed by a
+    new one."""
+    import os
+    import time as _time
+
+    from pipegen_spark.streaming.sink import (
+        compact_session_updates,
+        idempotent_dir_sink,
+        read_committed,
+    )
+    from pipegen_spark.streaming.stateful import sessionize_stream
+
+    def write_file(rows, name, mtime):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("user_id", "ts")
+        staging = str(tmp_path / "staging" / name)
+        df.coalesce(1).write.parquet(staging)
+        (tmp_path / "in").mkdir(exist_ok=True)
+        # The file source lists plain FILES in the watched dir — move the
+        # single part file there; its mtime orders the micro-batches.
+        dest = str(tmp_path / "in" / f"{name}.parquet")
+        shutil.copyfile(glob.glob(f"{staging}/part-*.parquet")[0], dest)
+        os.utime(dest, (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    # Batch 1: user 1 single event (degenerate [t,t] open session);
+    # user 2 two events (open session).
+    write_file(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00"),
+         (2, "2024-01-01 01:10:00")],
+        "f1",
+        t0,
+    )
+    # Batch 2: user 1's session grows from exactly its start point; then a
+    # >gap jump closes it and opens a second session. User 3 appears.
+    write_file(
+        [(1, "2024-01-01 00:20:00"), (1, "2024-01-01 03:00:00"),
+         (3, "2024-01-01 05:00:00")],
+        "f2",
+        t0 + 100,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = sessionize_stream(stream, gap="30 minutes", emit_open=True)
+    sink_dir = str(tmp_path / "out")
+    q = (
+        out.writeStream.foreachBatch(
+            idempotent_dir_sink(sink_dir, stamp_batch=True)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    committed = read_committed(spark, sink_dir)
+    assert committed.select("_batch_id").distinct().count() == 2
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in compact_session_updates(
+            committed, "user_id", "session_start", "session_end"
+        ).collect()
+    ]
+    assert sorted(got) == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 2),
+        (1, "2024-01-01 03:00:00", "2024-01-01 03:00:00", 1),
+        (2, "2024-01-01 01:00:00", "2024-01-01 01:10:00", 2),
+        (3, "2024-01-01 05:00:00", "2024-01-01 05:00:00", 1),
+    ]
+
+
 @pytest.fixture
 def rate_project(tmp_path):
     proj = tmp_path / "rproj"
