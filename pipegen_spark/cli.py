@@ -13,8 +13,11 @@ re-expressed for an in-process Spark engine:
 - version   version report (cmd/version.go)
 - bench     run the declared query corpus and print one JSON line
 
-Omitted by design: `update` (self-update of a released binary — no
-binary distribution here).
+- update    check the package index for a newer release and print the
+            upgrade command (cmd/update.go — the reference self-replaces
+            its binary from the latest GitHub release; a pip-installed
+            package must not overwrite itself at runtime, so the Spark
+            port reports and instructs instead)
 """
 
 from __future__ import annotations
@@ -374,6 +377,64 @@ def cmd_version(_args) -> int:
     return 0
 
 
+def _fetch_latest_version(package: str, timeout: float = 10.0) -> str:
+    """Latest released version string from the PyPI JSON API.
+
+    Mirrors the reference's getLatestVersion (cmd/update.go:37-61, GitHub
+    releases API) against the Python package index. stdlib-HTTP only;
+    raises on any network/shape problem — the caller degrades gracefully.
+    """
+    import json as _json
+    import urllib.request
+
+    url = f"https://pypi.org/pypi/{package}/json"
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        data = _json.loads(resp.read().decode("utf-8"))
+    version = data.get("info", {}).get("version", "")
+    if not version:
+        raise ValueError("no version found in index response")
+    return version
+
+
+def _version_tuple(v: str) -> tuple:
+    parts = []
+    for p in v.strip().lstrip("v").split("."):
+        digits = "".join(ch for ch in p if ch.isdigit())
+        parts.append(int(digits) if digits else 0)
+    return tuple(parts)
+
+
+def cmd_update(args, fetcher=_fetch_latest_version) -> int:
+    """Check for a newer release (reference cmd/update.go).
+
+    The reference downloads and swaps its own binary; for a pip-installed
+    package the correct move is to surface the upgrade command, not mutate
+    site-packages from inside a running process. `fetcher` is injectable
+    for tests/offline."""
+    from pipegen_spark import __version__
+
+    package = "pipegen-spark"
+    print(f"[INFO] Current version: {__version__}")
+    try:
+        latest = fetcher(package)
+    except Exception as e:
+        print(f"[ERROR] Failed to fetch latest version: {e}", file=sys.stderr)
+        print(
+            "[INFO] Offline or unpublished package — upgrade manually with:\n"
+            f"  pip install --upgrade {package}",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"[INFO] Latest version: {latest}")
+    if _version_tuple(latest) > _version_tuple(__version__):
+        print(
+            f"[INFO] Update available — run:\n  pip install --upgrade {package}"
+        )
+    else:
+        print("[SUCCESS] Already up to date!")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="pipegen-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -442,6 +503,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p_ver = sub.add_parser("version", help="show version information")
     p_ver.set_defaults(fn=cmd_version)
+
+    p_upd = sub.add_parser(
+        "update", help="check the package index for a newer release"
+    )
+    p_upd.set_defaults(fn=cmd_update)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -168,3 +168,32 @@ def test_stack_deployer_clean_sequences_commands(tmp_path):
 def test_dashboard_once(capsys):
     assert main(["dashboard", "--port", "0", "--once"]) == 0
     assert "dashboard running at http://127.0.0.1:" in capsys.readouterr().out
+
+
+def test_update_reports_newer_version(capsys):
+    from pipegen_spark.cli import cmd_update
+
+    assert cmd_update(None, fetcher=lambda pkg: "99.0.0") == 0
+    out = capsys.readouterr().out
+    assert "Latest version: 99.0.0" in out
+    assert "pip install --upgrade pipegen-spark" in out
+
+
+def test_update_already_current(capsys):
+    from pipegen_spark import __version__
+    from pipegen_spark.cli import cmd_update
+
+    assert cmd_update(None, fetcher=lambda pkg: __version__) == 0
+    assert "Already up to date" in capsys.readouterr().out
+
+
+def test_update_degrades_gracefully_offline(capsys):
+    from pipegen_spark.cli import cmd_update
+
+    def down(pkg):
+        raise OSError("network unreachable")
+
+    assert cmd_update(None, fetcher=down) == 1
+    err = capsys.readouterr().err
+    assert "Failed to fetch latest version" in err
+    assert "pip install --upgrade" in err
