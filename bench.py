@@ -37,9 +37,13 @@ from concurrent.futures import ThreadPoolExecutor
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Streaming parity queries mutate session-level state-partitioning conf and
-# run micro-batch machinery — excluded from the concurrent pool.
-STREAMING_PREFIXES = ("q39_", "q40_", "q41_", "q42_")
+# Excluded from the concurrent pool: streaming parity queries (micro-batch
+# machinery + state-partition conf) and the label-propagation queries
+# (dup_clusters temporarily resizes spark.sql.shuffle.partitions for its
+# loop — harmless for correctness but it would nondeterministically
+# re-plan concurrently-submitted queries at loop parallelism).
+SEQUENTIAL_ONLY = ("q39_", "q40_", "q41_", "q42_", "dedup_clusters",
+                   "dedup_keep_best")
 POOL_THREADS = 8
 
 
@@ -96,8 +100,8 @@ def main() -> None:
     def _run(name: str) -> None:
         qs[name](spark, sf_dir).collect()
 
-    pooled = [n for n in qs if not n.startswith(STREAMING_PREFIXES)]
-    sequential = [n for n in qs if n.startswith(STREAMING_PREFIXES)]
+    pooled = [n for n in qs if not n.startswith(SEQUENTIAL_ONLY)]
+    sequential = [n for n in qs if n.startswith(SEQUENTIAL_ONLY)]
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=POOL_THREADS) as pool:
         list(pool.map(_run, pooled))

@@ -11,7 +11,11 @@ Queries run in REGISTRY order (NOT alphabetical — intentional): the
 registry enumerates the driver's 50-row gate window first, so the first 50
 lines of this report are exactly the hard-signal set. Usage:
 
-    python tools/compare.py [sf_dir] [query ...]
+    python tools/compare.py [--vanilla] [--gate] [sf_dir] [query ...]
+
+`--vanilla` mirrors the driver even harder: a bare local[8] SparkSession
+with none of the engine's session confs (catches reliance on tuned-session
+behavior). `--gate` runs only the 50-row gate window.
 """
 
 from __future__ import annotations
@@ -27,6 +31,9 @@ from pipegen_spark.queries.canon import result_sha256, table_canon  # noqa: E402
 
 def main():
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    gate_only = "--gate" in args
+    args = [a for a in args if a not in ("--vanilla", "--gate")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
 
@@ -47,12 +54,29 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    spark = get_spark("compare", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("compare-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(
+            "compare", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8")
+        )
 
     import time as _time
 
+    names = list(qs)
+    if gate_only:
+        names = names[:50]
     n_pass = n_fail = 0
-    for name, fn in qs.items():
+    for name in names:
+        fn = qs[name]
         if only and name not in only:
             continue
         _t0 = _time.perf_counter()
