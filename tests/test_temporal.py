@@ -2,8 +2,10 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
+from hypothesis import given, settings
+from hypothesis import strategies as hst
 from pyspark.sql import functions as F
 
 from pipegen_spark.operators import temporal as tp
@@ -171,6 +173,70 @@ def test_range_agg_self_single_sort_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+# Tie-heavy offsets: multiples of 15 min force frequent exact collisions
+# at the frame bounds (ts, ts-1h) where off-by-one-microsecond bugs live.
+_OFFSETS = [0, 900, 1800, 3600, 4500, 5400, 7200, 7201]
+
+_events_strategy = hst.lists(
+    hst.tuples(
+        hst.integers(0, 3),              # user_id
+        hst.sampled_from(_OFFSETS),      # ts offset seconds
+        hst.booleans(),                  # is purchase
+        hst.integers(0, 1000),           # click value (cents)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=_events_strategy)
+@settings(max_examples=12, deadline=None)
+def test_range_agg_self_matches_bruteforce_model(spark, events):
+    """The window-frame formulation must equal the O(n^2) reference model
+    (count + sum of same-user clicks with p.ts - 1h <= c.ts < p.ts),
+    including boundary ties and duplicate timestamps."""
+    base_ts = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base_ts + timedelta(seconds=off), bool(p), v)
+        for i, (u, off, p, v) in enumerate(events)
+    ]
+    expected = {}
+    for i, u, ts, is_p, _v in rows:
+        if not is_p:
+            continue
+        lo = ts - timedelta(hours=1)
+        hits = [
+            v2
+            for (_j, u2, ts2, p2, v2) in rows
+            if u2 == u and not p2 and lo <= ts2 < ts
+        ]
+        expected[i] = (len(hits), sum(hits) if hits else None)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, is_p boolean, v long"
+    )
+    out = tp.range_agg_self(
+        df.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "is_p",
+            F.when(~F.col("is_p"), F.lit(1)).otherwise(0).alias("_c"),
+            F.when(~F.col("is_p"), F.col("v")).otherwise(0).alias("_v"),
+        ),
+        by="user_id",
+        ts_col="ts",
+        is_left=F.col("is_p"),
+        sum_cols={"n": F.col("_c"), "val": F.col("_v")},
+        lower_micros=-3_600_000_000,
+        upper_micros=-1,
+    ).collect()
+    got = {
+        r["event_id"]: (r["n"] or 0, r["val"] if (r["n"] or 0) else None)
+        for r in out
+    }
+    assert got == expected
 
 
 def test_range_agg_expansion_guard(spark):
