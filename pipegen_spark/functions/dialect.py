@@ -121,19 +121,25 @@ def contains(arr: str, x: str, d: str) -> str:
     return f"array_contains({arr},{x})" if d == SPARK else f"list_contains({arr},{x})"
 
 
-def slice_(arr: str, start: int, length: int, d: str) -> str:
-    """1-based slice of `length` elements starting at `start`."""
+def slice_(arr: str, start: int | str, length: int, d: str) -> str:
+    """1-based slice of `length` elements starting at `start` (an int or a
+    SQL expression, e.g. a lambda variable)."""
     _check(d)
     if d == SPARK:
         return f"slice({arr},{start},{length})"
-    return f"({arr})[{start}:{start + length - 1}]"
+    if isinstance(start, int):
+        return f"({arr})[{start}:{start + length - 1}]"
+    return f"({arr})[({start}):({start})+{length - 1}]"
 
 
 def arr_join(arr: str, sep: str, d: str) -> str:
+    """Join array elements to a string; empty array -> '' on BOTH engines
+    (Spark's array_join already does; DuckDB's array_to_string returns
+    NULL for an empty list, so it is wrapped)."""
     _check(d)
     if d == SPARK:
         return f"array_join({arr},'{sep}')"
-    return f"array_to_string({arr},'{sep}')"
+    return f"COALESCE(array_to_string({arr},'{sep}'), '')"
 
 
 def seq(lo: str, hi: str, d: str) -> str:

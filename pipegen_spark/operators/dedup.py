@@ -753,3 +753,87 @@ def span_dup_stats(
             / F.col("n_spans").cast("double")
         ).alias("dup_ratio"),
     )
+
+
+def span_dedup_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+) -> DataFrame:
+    """Exact substring DEDUPLICATION — the removal half of Lee et al.
+    (span_dup_stats is the measurement half): every n-word span is
+    fingerprinted; for each span value that occurs more than once in the
+    corpus, the single globally-first occurrence (minimum (doc_id, pos),
+    encoded as one BIGINT key) is canonical and every other occurrence is
+    removed — a token is dropped when any non-canonical duplicated span
+    covers it. Output per document: token counts before/after and the
+    reconstructed deduplicated text (whitespace-normalized, like every
+    `words()`-based operator).
+
+    Determinism: the canonical choice is a pure function of (doc_id, pos)
+    order, the fingerprints are the shared 60-bit md5 hash, and the output
+    surface is integers + strings — nothing engine-sensitive.
+
+    Shape (100 TB): span occurrences explode map-only (spans travel as
+    60-bit fingerprints); ONE explicit repartition on span-hash feeds both
+    per-hash windows (occurrence count + canonical key) shuffle-free;
+    dropped starts aggregate per doc (second shuffle, keyed on doc);
+    reconstruction is a doc-keyed join + per-token array lambda. The
+    per-doc lambda is O(tokens x dropped-starts) — bounded because
+    documents are bounded (curate_chunk is the long-document path).
+    """
+    w_expr = dl.words(text_col, dl.SPARK)
+    toks = df.select(F.col(id_col).alias("id"), F.expr(w_expr).alias("toks"))
+    span_str = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, pos + {j})" for j in range(n)
+    ) + ")"
+    occ = (
+        toks.filter(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "id",
+            "toks",
+            F.explode(
+                F.expr(f"sequence(1, size(toks) - {n - 1})")
+            ).alias("pos"),
+        )
+        .select(
+            "id", "pos", F.expr(dl.hash60(span_str, dl.SPARK)).alias("h")
+        )
+    )
+    key = F.expr("id * 4294967296 + pos")  # (doc_id, pos) as one BIGINT
+    wh = Window.partitionBy("h")
+    tagged = occ.repartition("h").select(
+        "id",
+        "pos",
+        F.count("*").over(wh).alias("cnt"),
+        F.min(key).over(wh).alias("mk"),
+        key.alias("k"),
+    )
+    ds = (
+        tagged.filter((F.col("cnt") >= 2) & (F.col("k") != F.col("mk")))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ds"))
+    )
+    kept_expr = (
+        "filter(transform("
+        "CASE WHEN size(toks) >= 1 THEN sequence(1, size(toks)) "
+        "ELSE cast(array() as array<int>) END, "
+        f"p -> CASE WHEN size(filter(ds, s -> s <= p AND p <= s + {n - 1}))"
+        " = 0 THEN element_at(toks, p) END), x -> x IS NOT NULL)"
+    )
+    return (
+        toks.join(ds, "id", "left")
+        .select(
+            "id",
+            "toks",
+            F.expr("coalesce(ds, cast(array() as array<int>))").alias("ds"),
+        )
+        .select("id", "toks", F.expr(kept_expr).alias("kept"))
+        .select(
+            F.col("id").alias(id_col),
+            F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
+            F.expr("cast(size(kept) as bigint)").alias("n_kept"),
+            F.expr("array_join(kept, ' ')").alias("dedup_text"),
+        )
+    )

@@ -41,6 +41,11 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
+#: Queries added AFTER the round-4 gate window was pinned: enumerated
+#: after position 50 so the hard-signal set stays the planned one
+#: (they remain fully verified by the local mirror + corpus tests).
+GATE_DEFERRED = ("dedup_substring",)
+
 #: Extended relational tranche (TPC-H decision-support + window/sketch
 #: shapes) that had no driver row in rounds 2-3.
 EXTENDED_RELATIONAL = (
@@ -90,6 +95,8 @@ def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     # Gate window (first 50): training-data ops, extended relational, canaries.
     for name in sorted(_collect(training_data)):
+        if name in GATE_DEFERRED:
+            continue
         out[name] = pool[name]
     for name in EXTENDED_RELATIONAL:
         out[name] = pool[name]

@@ -452,3 +452,12 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the boilerplate dup_ratio."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.span_dup_stats(docs).orderBy("doc_id")
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al.): every non-canonical
+    occurrence of a corpus-duplicated span is removed from the text; the
+    globally-first (min doc_id, pos) occurrence survives. The removal
+    half of dedup_span_stats."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.span_dedup_text(docs).orderBy("doc_id")

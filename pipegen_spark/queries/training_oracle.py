@@ -819,8 +819,64 @@ def _span_sql() -> str:
     """
 
 
+def _substring_sql() -> str:
+    """Mirror of operators/dedup.span_dedup_text: same span strings
+    (element-joined, non-distinct), same 60-bit fingerprints, same
+    (doc_id, pos)->BIGINT canonical key, same token-coverage filter."""
+    n = dd.SPAN_N
+    body = " || ' ' || ".join(
+        dl.elem("w", f"(i+{j})" if j else "i", D) for j in range(n)
+    )
+    idx = dl.seq("1", f"{dl.size('w', D)}-{n - 1}", D)
+    occ_spans = dl.transform(idx, f"i -> {body}", D)
+    tok_idx = dl.seq("1", dl.size("toks", D), D)
+    covered = dl.filter_(
+        "COALESCE(d.ds, [])", f"s -> s <= p AND p <= s + {n - 1}", D
+    )
+    kept = dl.filter_(
+        dl.transform(
+            tok_idx,
+            f"p -> CASE WHEN {dl.size(covered, D)} = 0 "
+            f"THEN {dl.elem('toks', 'p', D)} END",
+            D,
+        ),
+        "x -> x IS NOT NULL",
+        D,
+    )
+    return f"""
+    WITH {_W_CTE},
+    base AS (SELECT id, w AS toks FROM w),
+    occ AS (
+        SELECT id, unnest({occ_spans}) AS s, unnest({idx}) AS pos
+        FROM w WHERE {dl.size('w', D)} >= {n}
+    ),
+    hocc AS (SELECT id, pos, {dl.hash60('s', D)} AS h FROM occ),
+    tagged AS (
+        SELECT id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS cnt,
+               MIN(id * 4294967296 + pos) OVER (PARTITION BY h) AS mk,
+               id * 4294967296 + pos AS k
+        FROM hocc
+    ),
+    dropped AS (
+        SELECT id, list_sort(list(pos)) AS ds FROM tagged
+        WHERE cnt >= 2 AND k <> mk GROUP BY id
+    ),
+    fin AS (
+        SELECT b.id, b.toks, {kept} AS kept
+        FROM base b LEFT JOIN dropped d ON b.id = d.id
+    )
+    SELECT id AS doc_id,
+           CAST({dl.size('toks', D)} AS BIGINT) AS n_tokens,
+           CAST({dl.size('kept', D)} AS BIGINT) AS n_kept,
+           {dl.arr_join('kept', ' ', D)} AS dedup_text
+    FROM fin ORDER BY doc_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
     "dedup_span_stats": _span_sql(),
+    "dedup_substring": _substring_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),

@@ -363,3 +363,31 @@ def test_span_dup_stats_flags_shared_boilerplate(spark):
     # the first agg's partitioning
     plan = dd.span_dup_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
+
+
+def test_span_dedup_text_removes_non_canonical_occurrences(spark):
+    """d2 repeats d1's leading 4-token span -> its occurrence is cut;
+    d3 IS that span exactly -> fully removed; short docs untouched."""
+    from pipegen_spark.operators.dedup import span_dedup_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x x a b c d y"),
+            (3, "a b c d"),
+            (4, "p q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["dedup_text"])
+        for r in span_dedup_text(docs, n=4).collect()
+    }
+    # canonical (min (doc_id, pos)) occurrence of "a b c d" is doc 1 pos 1
+    assert got[1] == (6, 6, "a b c d e f")
+    # doc 2: span at pos 3 dropped -> tokens 3..6 removed
+    assert got[2] == (7, 3, "x x y")
+    # doc 3: its only span is a duplicate -> everything removed
+    assert got[3] == (4, 0, "")
+    # doc 4: shorter than a span -> untouched
+    assert got[4] == (2, 2, "p q")

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pipegen_spark.queries.registry import (
     EXTENDED_RELATIONAL,
     GATE_CANARIES,
+    GATE_DEFERRED,
     all_queries,
     oracle_queries,
 )
@@ -20,13 +21,17 @@ def test_gate_window_composition():
     qs = list(all_queries())
     gate = qs[:GATE_ROWS]
     training = {n for n in qs if not n.startswith("q")}
-    assert len(training) == 34
-    missing_training = training - set(gate)
+    assert len(training) == 34 + len(GATE_DEFERRED)
+    missing_training = training - set(GATE_DEFERRED) - set(gate)
     assert not missing_training, f"training ops outside gate: {missing_training}"
     assert set(EXTENDED_RELATIONAL) <= set(gate)
     assert set(GATE_CANARIES) <= set(gate)
-    # The window is exactly these three families — nothing wasted.
-    assert set(gate) == training | set(EXTENDED_RELATIONAL) | set(GATE_CANARIES)
+    # The window is exactly these three families — nothing wasted; queries
+    # added after the window was pinned enumerate behind it.
+    assert set(gate) == (
+        training - set(GATE_DEFERRED)
+    ) | set(EXTENDED_RELATIONAL) | set(GATE_CANARIES)
+    assert set(GATE_DEFERRED) <= set(qs) - set(gate)
 
 
 def test_registry_complete_and_oracle_keyed():
