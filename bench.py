@@ -37,14 +37,12 @@ from concurrent.futures import ThreadPoolExecutor
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Excluded from the concurrent pool: streaming parity queries (micro-batch
-# machinery + state-partition conf; q40 is the BATCH hopping-window query
-# and pools fine) and the label-propagation queries (dup_clusters
-# temporarily resizes spark.sql.shuffle.partitions for its loop —
-# harmless for correctness but it would nondeterministically re-plan
-# concurrently-submitted queries at loop parallelism).
-SEQUENTIAL_ONLY = ("q39_", "q41_", "q42_", "dedup_clusters",
-                   "dedup_keep_best")
+# Excluded from the concurrent pool: streaming parity queries — they
+# resize state partitioning via a session conf and run micro-batch
+# machinery (q40 is the BATCH hopping-window query and pools fine). The
+# label-propagation queries pool too: with AQE on, dup_clusters leaves
+# the session conf alone.
+SEQUENTIAL_ONLY = ("q39_", "q41_", "q42_")
 POOL_THREADS = 8
 
 

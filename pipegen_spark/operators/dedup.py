@@ -341,14 +341,24 @@ def dup_clusters(
     # Size the LOOP's shuffles to the edge set, not the corpus: each round
     # is two shuffles over |V(pairs)| rows, and near-dup edge sets are tiny
     # relative to the corpus, so rounds at batch parallelism are
-    # task-overhead-dominated. Never exceeds the session setting (a 100 TB
-    # deployment's conf still bounds a 1e9-edge loop); the corpus-wide
-    # label/size join below runs AFTER the conf is restored, at full
-    # parallelism. The count is free — `edges` is already materialized.
+    # task-overhead-dominated. With AQE enabled its partition coalescing
+    # already does exactly this per-stage (measured equal-or-faster than
+    # the manual resize on the sf0.1 corpus), so the session conf is left
+    # ALONE — important for callers running queries concurrently, where a
+    # session-global mutation would re-plan unrelated queries. Only when
+    # AQE is off does the loop fall back to the explicit resize (restored
+    # after; never exceeds the session setting, so a 100 TB deployment's
+    # conf still bounds a 1e9-edge loop). The corpus-wide label/size join
+    # below always runs at full parallelism.
     spark = nodes.sparkSession
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = max(1, min(sess_parts, -(-edges.count() // 500_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    aqe_on = (
+        spark.conf.get("spark.sql.adaptive.enabled", "false").lower()
+        == "true"
+    )
+    if not aqe_on:
+        loop_parts = max(1, min(sess_parts, -(-edges.count() // 500_000)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         for it in range(max_iters):
             prop = (
@@ -382,7 +392,8 @@ def dup_clusters(
         # corpus parallelism.
         labels = labels.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+        if not aqe_on:
+            spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
     full = nodes.select(nid.alias("id")).join(labels, "id", "left").select(
         "id", F.coalesce(F.col("lbl"), F.col("id").cast("long")).alias("lbl")
     )
