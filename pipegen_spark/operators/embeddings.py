@@ -189,3 +189,65 @@ def kmeans_fixed(
         )
         assigned = _assign(vecs, cents, dim)
     return assigned.select(F.col("id").alias(id_col), "cluster_id", "d2")
+
+
+# Fixed-point scale for the Gram accumulation: products of two
+# 15-bit-scaled coordinates stay ~2^30 per term, so the int64 cell sum
+# holds ~8.6e9 unit-scale vectors before overflow (same envelope as the
+# k-means sums; swap LONG for DECIMAL(38,0) beyond that — still exact).
+GRAM_SCALE_BITS = 15
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = GRAM_SCALE_BITS,
+) -> DataFrame:
+    """Upper-triangle second-moment (Gram) matrix of an embedding column —
+    the accumulation step of PCA/whitening over a training corpus
+    (covariance = gram/N minus the mean outer product; the d x d eigen
+    solve on the driver is fixed-size work, never data-size work).
+
+    Exactness: coordinates quantize to floor(x * 2^scale_bits + 0.5) as
+    LONG per row (one deterministic IEEE multiply+floor on both engines),
+    and every cross-partition aggregate is an INTEGER sum — associative,
+    partitioning-independent, oracle-bit-exact. Same discipline as the
+    k-means centroid sums above.
+
+    Shape (100 TB): one scan; each row explodes to its dim*(dim+1)/2
+    upper-triangle terms which partial-aggregate map-side into at most
+    2080 (d=64) cells per partition BEFORE the single tiny shuffle —
+    shuffle volume is partitions x cells, independent of corpus size.
+    Output: (dim_i, dim_j, gram, n_vectors) with gram scaled by
+    2^(2*scale_bits).
+    """
+    s = 1 << scale_bits
+    q = (
+        f"transform({vec_col}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT))"
+    )
+    ex = (
+        df.select(F.expr(q).alias("q"))
+        .select("q", F.explode(F.expr(f"sequence(1, {dim})")).alias("i"))
+        .select(
+            "i",
+            F.explode(F.expr(f"sequence(i, {dim})")).alias("j"),
+            F.expr("element_at(q, i)").alias("qi"),
+            "q",
+        )
+        .select("i", "j", (F.col("qi") * F.expr("element_at(q, j)")).alias("v"))
+    )
+    return (
+        ex.groupBy("i", "j")
+        .agg(
+            F.sum("v").cast("bigint").alias("gram"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            "gram",
+            "n_vectors",
+        )
+    )

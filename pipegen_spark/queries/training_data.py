@@ -461,3 +461,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of dedup_span_stats."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.span_dedup_text(docs).orderBy("doc_id")
+
+
+def embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact upper-triangle Gram (second-moment) matrix of the
+    embedding corpus — the distributed accumulation half of PCA/whitening
+    (the d x d eigen solve is fixed-size driver work)."""
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    return em.gram_matrix(emb, dim=EMB_DIM).orderBy("dim_i", "dim_j")

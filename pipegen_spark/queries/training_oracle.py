@@ -874,9 +874,38 @@ def _substring_sql() -> str:
     """
 
 
+def _gram_sql() -> str:
+    """Mirror of operators/embeddings.gram_matrix: same per-coordinate
+    fixed-point quantization, integer sums, upper triangle."""
+    from pipegen_spark.operators import embeddings as em
+
+    s = 1 << em.GRAM_SCALE_BITS
+    dim = td.EMB_DIM
+    return f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5)
+                        AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    terms AS (
+        SELECT i, j, (q[i]) * (q[j]) AS v
+        FROM q,
+             UNNEST(range(1, {dim + 1})) AS t(i),
+             UNNEST(range(1, {dim + 1})) AS u(j)
+        WHERE j >= i
+    )
+    SELECT i AS dim_i, j AS dim_j,
+           CAST(SUM(v) AS BIGINT) AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM terms GROUP BY i, j ORDER BY dim_i, dim_j
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
+    "embed_gram": _gram_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),
