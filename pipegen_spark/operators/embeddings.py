@@ -251,3 +251,78 @@ def gram_matrix(
             "n_vectors",
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 8,
+) -> tuple[DataFrame, "object"]:
+    """PCA projection of an embedding corpus to `k` components.
+
+    Returns (projected DataFrame with (id, proj array<double>), numpy
+    (eigenvalues desc, eigenvectors [k x dim])).
+
+    Distribution contract: the DATA-SIZE work is two exact integer
+    aggregations — per-dim scaled sums (mean) and the `gram_matrix`
+    upper triangle — both map-side partial-aggregated to fixed-size
+    results; only d + d(d+1)/2 scalars ever reach the driver, where the
+    d x d symmetric eigen solve is O(d^3) FIXED-size work (numpy eigh).
+    The projection back over the corpus is a broadcast of k tiny
+    eigenvector literals into a codegen multiply-add chain — map-only,
+    no Python in the row path. Eigenvector sign is fixed (largest-|c|
+    component made positive) so the output is deterministic.
+
+    Not oracle-expressible (eigen solves aren't SQL) — covered by unit
+    tests against numpy's full PCA instead; NOT part of `queries()`,
+    which stays 100% oracle-checked.
+    """
+    import numpy as np
+
+    s = 1 << GRAM_SCALE_BITS
+    sums = df.select(
+        F.explode(F.expr(f"sequence(1, {dim})")).alias("i"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {s}.0"
+            " + 0.5) AS BIGINT))"
+        ).alias("q"),
+    ).select("i", F.expr("element_at(q, i)").alias("v"))
+    mrows = (
+        sums.groupBy("i")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = mrows[0]["n"]
+    mu = np.zeros(dim)
+    for r in mrows:
+        mu[r["i"] - 1] = r["sv"] / s / n
+    grows = gram_matrix(df, vec_col, dim).collect()
+    G = np.zeros((dim, dim))
+    for r in grows:
+        v = r["gram"] / (s * s)
+        G[r["dim_i"] - 1, r["dim_j"] - 1] = v
+        G[r["dim_j"] - 1, r["dim_i"] - 1] = v
+    cov = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals, evecs = evals[order], evecs[:, order]  # [dim, k]
+    # Deterministic sign: largest-|component| coordinate positive.
+    for c in range(k):
+        j = int(np.abs(evecs[:, c]).argmax())
+        if evecs[j, c] < 0:
+            evecs[:, c] = -evecs[:, c]
+    comps = []
+    for c in range(k):
+        terms = " + ".join(
+            f"((CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) - "
+            f"CAST({mu[i]!r} AS DOUBLE)) * CAST({evecs[i, c]!r} AS DOUBLE))"
+            for i in range(dim)
+        )
+        comps.append(f"({terms})")
+    proj = df.select(
+        F.col(id_col).alias("id"),
+        F.expr("array(" + ", ".join(comps) + ")").alias("proj"),
+    )
+    return proj, (evals, evecs.T)

@@ -391,3 +391,50 @@ def test_span_dedup_text_removes_non_canonical_occurrences(spark):
     assert got[3] == (4, 0, "")
     # doc 4: shorter than a span -> untouched
     assert got[4] == (2, 2, "p q")
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed exact-integer accumulation + driver eigh must agree
+    with numpy PCA on the collected data (same quantization applied)."""
+    import numpy as np
+
+    from pipegen_spark.operators.embeddings import GRAM_SCALE_BITS, pca_project
+
+    rng = np.random.RandomState(7)
+    dim, n, k = 6, 200, 3
+    # Anisotropic data so component order is unambiguous.
+    base = rng.randn(n, dim) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    s = 1 << GRAM_SCALE_BITS
+    quant = np.floor(base.astype(np.float64) * s + 0.5) / s
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    proj_df, (evals, evecs) = pca_project(df, dim=dim, k=k)
+    # numpy reference on the same quantized values (float32 ingestion:
+    # quantization happens after the FLOAT->DOUBLE cast, so quantize the
+    # float32-rounded data).
+    q32 = np.floor(base.astype(np.float32).astype(np.float64) * s + 0.5) / s
+    mu = q32.mean(axis=0)
+    cov = (q32 - mu).T @ (q32 - mu) / n
+    # cov here uses exact mean-centering; the operator uses G/n - mu mu^T,
+    # algebraically identical.
+    ref_evals, ref_evecs = np.linalg.eigh(cov)
+    order = np.argsort(ref_evals)[::-1][:k]
+    ref_evals, ref_evecs = ref_evals[order], ref_evecs[:, order]
+    assert np.allclose(evals, ref_evals, rtol=1e-8, atol=1e-10)
+    # Eigenvectors match up to the fixed sign convention.
+    for c in range(k):
+        r = ref_evecs[:, c]
+        j = int(np.abs(r).argmax())
+        if r[j] < 0:
+            r = -r
+        assert np.allclose(evecs[c], r, atol=1e-8)
+    # Projection rows match (x - mu) @ V computed locally.
+    got = {r["id"]: np.array(r["proj"]) for r in proj_df.collect()}
+    V = evecs.T  # [dim, k]
+    raw32 = base.astype(np.float32).astype(np.float64)
+    for i in range(0, n, 37):
+        assert np.allclose(got[i], (raw32[i] - mu) @ V, atol=1e-8)
+    # Orthonormal components.
+    assert np.allclose(evecs @ evecs.T, np.eye(k), atol=1e-9)
