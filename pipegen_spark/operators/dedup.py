@@ -150,6 +150,18 @@ def _jaccard_col() -> F.Column:
     return (inter.cast("double") / union.cast("double")).alias("jac")
 
 
+def _containment_col() -> F.Column:
+    """Broder containment |A∩B| / min(|A|,|B|): detects SUBSET duplication
+    (one doc embedded in a larger one) that symmetric Jaccard dilutes —
+    a 100-shingle doc fully contained in a 1000-shingle doc has jac 0.1
+    but containment 1.0. One int division per pair — engine-exact."""
+    inter = F.expr(dl.intersect_size("sa", "sb", dl.SPARK))
+    mn = F.least(
+        F.expr(dl.size("sa", dl.SPARK)), F.expr(dl.size("sb", dl.SPARK))
+    )
+    return (inter.cast("double") / mn.cast("double")).alias("containment")
+
+
 # --- minhash + LSH -----------------------------------------------------------
 
 
@@ -210,10 +222,17 @@ def minhash_lsh_pairs(
     k: int = 1,
     threshold: float = 0.8,
     collapse_identical: bool = True,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """Near-duplicate pairs via minhash banding + exact-Jaccard verification.
+    """Near-duplicate pairs via minhash banding + exact verification.
 
     Returns (doc_a, doc_b, jac) with doc_a < doc_b and jac >= threshold.
+    With measure="containment" the verified column/filter is Broder
+    containment |A∩B|/min(|A|,|B|) instead (column `containment`) —
+    subset-duplication detection over the same LSH candidates. Candidate
+    RECALL is still Jaccard-band-driven either way: a tiny doc buried in
+    a huge one may not band-collide; for guaranteed containment recall,
+    band on the smaller side's shingles (documented trade-off).
 
     With `collapse_identical` (default), documents with IDENTICAL shingle
     sets are first collapsed to their min-id representative (exact-set
@@ -283,9 +302,14 @@ def minhash_lsh_pairs(
         .select(
             F.col("ida").alias("doc_a"),
             F.col("idb").alias("doc_b"),
-            _jaccard_col(),
+            _containment_col() if measure == "containment" else _jaccard_col(),
         )
-        .filter(F.col("jac") >= threshold)
+        .filter(
+            F.col(
+                "containment" if measure == "containment" else "jac"
+            )
+            >= threshold
+        )
         .orderBy("doc_a", "doc_b")
     )
 

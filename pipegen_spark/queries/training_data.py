@@ -25,6 +25,7 @@ MINHASH_K = 2  # bigram shingles: unigram sets over the 31-word test vocab
 #                are near-identical corpus-wide, which floods every LSH
 #                bucket; bigrams leave only true near-dups above threshold
 MINHASH_THRESHOLD = 0.8
+CONTAINMENT_THRESHOLD = 0.9
 SIMHASH_MAX_HAMMING = 8
 NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
 NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
@@ -469,3 +470,14 @@ def embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the d x d eigen solve is fixed-size driver work)."""
     emb = table(spark, sf_dir, "embeddings").select("embedding")
     return em.gram_matrix(emb, dim=EMB_DIM).orderBy("dim_i", "dim_j")
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs: Broder containment |A∩B|/min(|A|,|B|)
+    over the LSH candidate set (detects a document embedded inside a
+    larger one, which symmetric Jaccard dilutes)."""
+    docs = table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K,
+        threshold=CONTAINMENT_THRESHOLD, measure="containment",
+    ).limit(PAIR_LIMIT)

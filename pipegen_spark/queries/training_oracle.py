@@ -79,6 +79,27 @@ def _minhash_sql() -> str:
     """
 
 
+def _containment_sql() -> str:
+    """Same CTE chain; the verified measure is Broder containment
+    |A∩B| / min(|A|,|B|) (see operators/dedup._containment_col)."""
+    cont = (
+        f"CAST({dl.intersect_size('A.sa', 'B.sb', D)} AS DOUBLE) / "
+        f"CAST(LEAST({dl.size('A.sa', D)}, {dl.size('B.sb', D)}) AS DOUBLE)"
+    )
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    cpairs AS (
+        SELECT ida AS doc_a, idb AS doc_b, {cont} AS containment
+        FROM cand
+        JOIN (SELECT id, sh AS sa FROM sh) A ON cand.ida = A.id
+        JOIN (SELECT id, sh AS sb FROM sh) B ON cand.idb = B.id
+    )
+    SELECT doc_a, doc_b, containment FROM cpairs
+    WHERE containment >= {td.CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
 _REACH_CTES = f"""
     dup AS MATERIALIZED (
         SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}
@@ -905,6 +926,7 @@ def _gram_sql() -> str:
 TRAINING_ORACLE: dict[str, str] = {
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
+    "dedup_containment": _containment_sql(),
     "embed_gram": _gram_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
