@@ -219,3 +219,14 @@ def lsh_bucket_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def rrf_expr(k: int = 60) -> str:
+    """Reciprocal-rank-fusion score over columns r_lex, r_dense — ONE
+    expression string shared verbatim by the Spark plan and the DuckDB
+    oracle (two rational terms, fixed order: IEEE-identical on both
+    engines; no transcendentals)."""
+    return (
+        f"(1.0 / ({k}.0 + CAST(r_lex AS DOUBLE))"
+        f" + 1.0 / ({k}.0 + CAST(r_dense AS DOUBLE)))"
+    )

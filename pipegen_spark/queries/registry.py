@@ -44,7 +44,12 @@ GATE_CANARIES = (
 #: Queries added AFTER the round-4 gate window was pinned: enumerated
 #: after position 50 so the hard-signal set stays the planned one
 #: (they remain fully verified by the local mirror + corpus tests).
-GATE_DEFERRED = ("dedup_substring", "dedup_containment", "embed_gram")
+GATE_DEFERRED = (
+    "dedup_substring",
+    "dedup_containment",
+    "embed_gram",
+    "simsearch_hybrid",
+)
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch
 #: shapes) that had no driver row in rounds 2-3.

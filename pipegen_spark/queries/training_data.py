@@ -26,6 +26,9 @@ MINHASH_K = 2  # bigram shingles: unigram sets over the 31-word test vocab
 #                bucket; bigrams leave only true near-dups above threshold
 MINHASH_THRESHOLD = 0.8
 CONTAINMENT_THRESHOLD = 0.9
+HYBRID_QUERY_VEC = 0
+RRF_K = 60
+HYBRID_TOPK = 20
 SIMHASH_MAX_HAMMING = 8
 NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
 NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
@@ -481,3 +484,52 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=MINHASH_K,
         threshold=CONTAINMENT_THRESHOLD, measure="containment",
     ).limit(PAIR_LIMIT)
+
+
+def simsearch_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+    ranking by reciprocal rank fusion (RRF, k=60) — the standard
+    lexical+vector fusion of modern retrieval stacks, over the aligned
+    documents/embeddings corpora (doc_id == vec_id).
+
+    Ranks here are corpus-global row_numbers (exact, oracle-checkable;
+    the unpartitioned window is the documented small-corpus path). At
+    100 TB fuse per-side top-N lists instead: an absent rank contributes
+    < 1/(k+N), so bounded lists give the same top-k for any sensible N —
+    then each side is a distributed top-N and the fusion joins two tiny
+    frames."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = tx.bm25_scores(docs, TFIDF_TERMS).select("doc_id", "bm25")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    dense = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(
+            dl.cosine_double("embedding", "qv", EMB_DIM, dl.SPARK)
+        ).alias("cos"),
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("r_lex"),
+    )
+    denser = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("r_dense"),
+    )
+    fused = lexr.join(denser, "doc_id").select(
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        F.expr(sim.rrf_expr(RRF_K)).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(HYBRID_TOPK)

@@ -545,7 +545,9 @@ def _emb_kmeans_sql() -> str:
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_chain() -> str:
+    """Shared CTE chain ending at `joined` (per-doc tf/df/dlen + corpus
+    stats, score-ready): consumed by _bm25_sql and _hybrid_sql."""
     terms = td.TFIDF_TERMS
     in_list = ", ".join(f"'{t}'" for t in terms)
     tf_cols = ", ".join(
@@ -561,8 +563,7 @@ def _bm25_sql() -> str:
     )
     # Pre-coalesce tf{i}/df{i} into plain columns so the shared score text
     # (bm25_score_expr) resolves identically on both engines.
-    return f"""
-    WITH {_W_CTE},
+    return f"""{_W_CTE},
     tok AS (
         SELECT id, t FROM (SELECT id, unnest(w) AS t FROM w) u
         WHERE t IN ({in_list})
@@ -581,11 +582,54 @@ def _bm25_sql() -> str:
         FROM lens l
         LEFT JOIN tfr tf ON l.id = tf.id
         CROSS JOIN dfr CROSS JOIN gstats
-    )
+    )"""
+
+
+def _bm25_sql() -> str:
+    terms = td.TFIDF_TERMS
+    return f"""
+    WITH {_bm25_chain()}
     SELECT doc_id, dlen, {", ".join(f"tf{i}" for i in range(len(terms)))},
            {tx.bm25_score_expr(len(terms))} AS bm25
     FROM joined
     ORDER BY bm25 DESC, doc_id LIMIT {td.TFIDF_TOPK}
+    """
+
+
+def _hybrid_sql() -> str:
+    """Mirror of queries/training_data.simsearch_hybrid: BM25 ranks +
+    dense cosine ranks fused by the shared rrf_expr text."""
+    from pipegen_spark.operators import similarity as sim_ops
+
+    cos = dl.cosine_double("embedding", "qv", td.EMB_DIM, D)
+    return f"""
+    WITH {_bm25_chain()},
+    scored AS (
+        SELECT doc_id, {tx.bm25_score_expr(len(td.TFIDF_TERMS))} AS bm25
+        FROM joined
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {td.HYBRID_QUERY_VEC}),
+    dense AS (
+        SELECT vec_id AS doc_id, {cos} AS cos
+        FROM embeddings CROSS JOIN qv
+    ),
+    lexr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS r_lex
+        FROM scored
+    ),
+    denser AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                    AS BIGINT) AS r_dense
+        FROM dense
+    )
+    SELECT l.doc_id, l.r_lex, d.r_dense,
+           {sim_ops.rrf_expr(td.RRF_K)} AS rrf
+    FROM lexr l JOIN denser d ON l.doc_id = d.doc_id
+    ORDER BY rrf DESC, l.doc_id LIMIT {td.HYBRID_TOPK}
     """
 
 
@@ -928,6 +972,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),
     "embed_gram": _gram_sql(),
+    "simsearch_hybrid": _hybrid_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),
