@@ -354,3 +354,70 @@ def mixture_stats(
             F.col("n_tokens").cast("double") / F.col("_total").cast("double")
         ).alias("token_share"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_cols: tuple[str, ...] = ("lang", "source"),
+    budget_fraction: str = "0.5",
+) -> DataFrame:
+    """Token-budgeted mixture sampling — the DECISION half of
+    mixture_stats: rebalance the corpus to `budget_fraction` of its total
+    tokens, spread uniformly across streams, as deterministic per-doc
+    keep/drop decisions.
+
+    Each stream's sampling rate is min(1, target_tokens / stream_tokens)
+    with target = total * fraction / n_streams (over-budget streams
+    down-sample; under-budget streams keep everything — the standard
+    token-budget rebalance). The per-doc decision is a hash-Bernoulli:
+    keep iff hash_m31(doc_id) < floor(rate * (2^31-1)) — a pure function
+    of the id, so re-runs, retries, and the oracle all agree; no RNG
+    state anywhere.
+
+    Shape (100 TB): one tiny groupBy over the stream key, a 1-row corpus
+    total + stream count broadcast back, then a map-only threshold test
+    per row. `budget_fraction` is passed as SQL TEXT so both engines
+    parse the identical literal.
+    """
+    n_tokens = F.expr(
+        f"CAST({dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)} AS BIGINT)"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), *part_cols, n_tokens.alias("doc_tokens")
+    )
+    grouped = base.groupBy(*part_cols).agg(
+        F.sum("doc_tokens").alias("stream_tokens")
+    )
+    totals = grouped.agg(
+        F.sum("stream_tokens").alias("total_tokens"),
+        F.count("*").alias("n_streams"),
+    )
+    rate = (
+        f"LEAST(1.0, (CAST(total_tokens AS DOUBLE) * {budget_fraction}"
+        " / CAST(n_streams AS DOUBLE)) / CAST(stream_tokens AS DOUBLE))"
+    )
+    keyed = (
+        base.join(F.broadcast(grouped), list(part_cols))
+        .join(F.broadcast(totals))
+        .select(
+            "id",
+            *part_cols,
+            "doc_tokens",
+            F.expr(rate).alias("rate"),
+            F.expr(
+                dl.hash_m31("CAST(id AS STRING)", dl.SPARK)
+            ).alias("_h"),
+        )
+    )
+    return keyed.select(
+        F.col("id").alias(id_col),
+        *part_cols,
+        "doc_tokens",
+        "rate",
+        (
+            F.col("_h")
+            < F.expr("CAST(floor(rate * 2147483647.0) AS BIGINT)")
+        ).alias("keep"),
+    )

@@ -49,6 +49,7 @@ GATE_DEFERRED = (
     "dedup_containment",
     "embed_gram",
     "simsearch_hybrid",
+    "curate_budget",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -533,3 +533,11 @@ def simsearch_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(sim.rrf_expr(RRF_K)).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(HYBRID_TOPK)
+
+
+def curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget rebalance decisions: sample the corpus down to half
+    its tokens, uniform across (lang, source) streams, with
+    deterministic per-doc hash-Bernoulli keep/drop."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.mixture_sample(docs).orderBy("doc_id")

@@ -967,12 +967,51 @@ def _gram_sql() -> str:
     """
 
 
+def _budget_sql() -> str:
+    """Mirror of operators/curation.mixture_sample (budget_fraction 0.5
+    over (lang, source) streams)."""
+    rate = (
+        "LEAST(1.0, (CAST(total_tokens AS DOUBLE) * 0.5"
+        " / CAST(n_streams AS DOUBLE)) / CAST(stream_tokens AS DOUBLE))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS id, lang, source,
+               CAST({dl.size(dl.words('text', D), D)} AS BIGINT)
+                   AS doc_tokens
+        FROM documents
+    ),
+    grouped AS (
+        SELECT lang, source, CAST(SUM(doc_tokens) AS BIGINT)
+                   AS stream_tokens
+        FROM base GROUP BY lang, source
+    ),
+    totals AS (
+        SELECT CAST(SUM(stream_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_streams
+        FROM grouped
+    ),
+    keyed AS (
+        SELECT b.id, b.lang, b.source, b.doc_tokens,
+               {rate} AS rate,
+               {dl.hash_m31('CAST(id AS STRING)', D)} AS h
+        FROM base b
+        JOIN grouped g ON b.lang = g.lang AND b.source = g.source
+        CROSS JOIN totals
+    )
+    SELECT id AS doc_id, lang, source, doc_tokens, rate,
+           h < CAST(floor(rate * 2147483647.0) AS BIGINT) AS keep
+    FROM keyed ORDER BY doc_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),
     "embed_gram": _gram_sql(),
     "simsearch_hybrid": _hybrid_sql(),
+    "curate_budget": _budget_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),

@@ -215,3 +215,34 @@ def test_with_normalized_canonicalizes(spark):
     assert rows[1]["norm_text"] == rows[2]["norm_text"]
     assert rows[1]["n_norm_chars"] == 11
     assert rows[3]["norm_text"] == "" and rows[3]["n_norm_chars"] == 0
+
+
+def test_mixture_sample_budget_semantics(spark):
+    """Rates: under-budget streams keep everything (rate 1.0);
+    over-budget streams down-sample toward the uniform per-stream
+    target; decisions are a pure function of doc_id."""
+    from pipegen_spark.operators.curation import mixture_sample
+
+    rows = []
+    # stream A: 10 docs x 100 tokens = 1000 tokens; stream B: 10 x 10.
+    for i in range(10):
+        rows.append((i, "en", "web", " ".join(["tok"] * 100)))
+        rows.append((100 + i, "en", "book", " ".join(["tok"] * 10)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = mixture_sample(df, budget_fraction="0.5").collect()
+    # total 1100 tokens, budget 550, 2 streams -> 275 target/stream.
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r["source"], []).append(r)
+    web_rate = by_stream["web"][0]["rate"]
+    book_rate = by_stream["book"][0]["rate"]
+    assert book_rate == 1.0          # 100 tokens < 275 target
+    assert abs(web_rate - 0.275) < 1e-12  # 275/1000
+    # determinism: same decisions on a second run
+    again = {r["doc_id"]: r["keep"] for r in mixture_sample(
+        df, budget_fraction="0.5").collect()}
+    assert {r["doc_id"]: r["keep"] for r in out} == again
+    # every under-budget doc kept
+    assert all(r["keep"] for r in by_stream["book"])
