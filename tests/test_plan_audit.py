@@ -126,6 +126,22 @@ def test_range_agg_is_join_free(plans):
     assert hash_ex == 1, p
 
 
+def test_new_training_ops_plan_shapes(plans):
+    # embed_gram: map-side partial agg into <=2080 cells, ONE hash
+    # exchange (plus the presentation orderBy's range exchange).
+    p = plans["embed_gram"]
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
+    # simsearch_hybrid: the 1-row query vector must broadcast (never a
+    # shuffled or cartesian join against the corpus).
+    assert "Broadcast" in plans["simsearch_hybrid"]
+    # dedup_substring: span-hash windows run on an explicit h-partitioning.
+    assert "hashpartitioning(h" in plans["dedup_substring"]
+    # curate_budget: stream stats join back as broadcasts — the per-doc
+    # side never shuffles on the stream key.
+    assert "Broadcast" in plans["curate_budget"]
+
+
 def test_semi_anti_rewrites(plans):
     # EXISTS / NOT IN / anti-exclusion queries must plan as (left) semi or
     # anti hash joins — never as row-duplicating inner joins + distinct.
