@@ -597,3 +597,52 @@ def winnow_fingerprints(
             "fp_max",
         )
     )
+
+
+def rarity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_freq: int = 2,
+) -> DataFrame:
+    """Corpus-relative rarity signal per document: the fraction of token
+    OCCURRENCES whose corpus-wide frequency is <= max_freq. High ratios
+    flag gibberish/OCR noise (hapax-dominated text); near-zero ratios
+    flag boilerplate — the corpus-level complement of the doc-local
+    quality_score.
+
+    Shape (100 TB): one hash-agg shuffle builds the token->frequency
+    table, one equi-join on token annotates occurrences (AQE broadcasts
+    it only when the vocabulary is actually small — the rare tail is
+    usually NOT broadcastable), one per-doc agg. Zero-token docs keep
+    ratio 0.0. The ratio is one int division in DOUBLE — engine-exact.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    per = (
+        tok.join(freq, "t")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("f") <= max_freq, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0 "
+                "ELSE CAST(coalesce(n_rare, 0) AS DOUBLE)"
+                " / CAST(n_tokens AS DOUBLE) END"
+            ).alias("rare_ratio"),
+        )
+    )

@@ -50,6 +50,7 @@ GATE_DEFERRED = (
     "embed_gram",
     "simsearch_hybrid",
     "curate_budget",
+    "text_rarity",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -29,6 +29,7 @@ CONTAINMENT_THRESHOLD = 0.9
 HYBRID_QUERY_VEC = 0
 RRF_K = 60
 HYBRID_TOPK = 20
+RARITY_MAX_FREQ = 2
 SIMHASH_MAX_HAMMING = 8
 NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
 NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
@@ -541,3 +542,11 @@ def curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic per-doc hash-Bernoulli keep/drop."""
     docs = table(spark, sf_dir, "documents")
     return cu.mixture_sample(docs).orderBy("doc_id")
+
+
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of token occurrences with corpus frequency <=
+    RARITY_MAX_FREQ — the corpus-relative gibberish/boilerplate signal
+    complementing the doc-local quality score."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.rarity_scores(docs, max_freq=RARITY_MAX_FREQ).orderBy("doc_id")

@@ -967,6 +967,30 @@ def _gram_sql() -> str:
     """
 
 
+def _rarity_sql() -> str:
+    """Mirror of operators/text.rarity_scores (max_freq from
+    td.RARITY_MAX_FREQ)."""
+    return f"""
+    WITH {_W_CTE},
+    tok AS (SELECT id, unnest(w) AS t FROM w),
+    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    per AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN f <= {td.RARITY_MAX_FREQ} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_rare
+        FROM tok JOIN freq USING (t) GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_rare, 0) AS BIGINT) AS n_rare,
+           CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(p.n_rare, 0) AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE) END AS rare_ratio
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.id
+    ORDER BY d.doc_id
+    """
+
+
 def _budget_sql() -> str:
     """Mirror of operators/curation.mixture_sample (budget_fraction 0.5
     over (lang, source) streams)."""
@@ -1012,6 +1036,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "embed_gram": _gram_sql(),
     "simsearch_hybrid": _hybrid_sql(),
     "curate_budget": _budget_sql(),
+    "text_rarity": _rarity_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),
