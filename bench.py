@@ -52,6 +52,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Python workers inherit this in local mode: keeps pandas/Arrow
+    # FutureWarnings out of a merged stdout/stderr capture.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore")
+
     from pipegen_spark.queries.canon import result_sha256
     from pipegen_spark.queries.registry import all_queries
     from pipegen_spark.session import get_spark
@@ -59,7 +63,15 @@ def main() -> None:
     spark = get_spark(
         "pipegen-bench",
         cpus=cpus,
-        extra_conf={"spark.scheduler.mode": "FAIR"},
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            # The console progress bar writes "[Stage N:...]" with bare \r
+            # (no trailing \n); whatever is printed next lands on the SAME
+            # line, so the final JSON line can end up prefixed with
+            # progress-bar junk and fail a line-oriented json.loads. Rounds
+            # 1-3 all recorded "parsed": null for exactly this reason.
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
     qs = all_queries()
@@ -145,7 +157,12 @@ def main() -> None:
         out["duckdb_baseline"] = baseline
     if streaming is not None:
         out["streaming"] = streaming
-    print(json.dumps(out))
+    # Leading newline: guarantees the JSON starts its own line even if a
+    # previous writer left an unterminated line on stdout (see the
+    # showConsoleProgress note above); explicit flush so the driver's
+    # capture sees it even if the JVM teardown below is killed.
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 
