@@ -148,6 +148,25 @@ def seq(lo: str, hi: str, d: str) -> str:
     return f"sequence({lo},{hi})" if d == SPARK else f"range({lo},({hi})+1)"
 
 
+def lines(s: str, d: str) -> str:
+    """Split a text expression on newlines (chr(10) on both engines: a
+    quoted '\\n' literal is an escape in Spark SQL but two characters in
+    DuckDB, so the split char is built with chr() instead of a literal)."""
+    _check(d)
+    if d == SPARK:
+        return f"split({s}, chr(10))"
+    return f"string_split({s}, chr(10))"
+
+
+def rlike(s: str, pat: str, d: str) -> str:
+    """Boolean regexp match (Java regex vs RE2 — keep patterns in the
+    shared subset: char classes, anchors, bounded repetition)."""
+    _check(d)
+    if d == SPARK:
+        return f"({s} rlike '{pat}')"
+    return f"regexp_matches({s}, '{pat}')"
+
+
 def regexp_count(s: str, pat: str, d: str) -> str:
     """Number of non-overlapping matches of `pat` in `s`."""
     _check(d)

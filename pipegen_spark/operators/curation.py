@@ -149,6 +149,130 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- Gopher document-quality rules --------------------------------------------
+
+# Published heuristic-filter thresholds from Gopher (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", Appendix A1.1.1), also used by MassiveText/RefinedWeb-style
+# pipelines. A document is KEPT only if every rule holds.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' or '...' per word
+GOPHER_MAX_BULLET_RATIO = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3  # lines ending with '...'
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8  # words containing >=1 letter
+GOPHER_MIN_REQUIRED_STOPS = 2
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_exprs(
+    text: str,
+    d: str,
+    w: str | None = None,
+    *,
+    min_words: int = GOPHER_MIN_WORDS,
+    min_required_stops: int = GOPHER_MIN_REQUIRED_STOPS,
+) -> dict[str, str]:
+    """Gopher quality-rule fragments over a document text expression.
+
+    Thresholds default to the published Gopher values; `min_words` and
+    `min_required_stops` are overridable because corpus-appropriate values
+    differ by domain (MassiveText tuned per-subset too).
+
+    Every ratio is a double division of two exact integer counts, so both
+    engines produce bit-identical values; the keep decision compares those
+    doubles against literal thresholds — no accumulated float error
+    anywhere. Map-only: no shuffle, text is the only wide column touched,
+    and the whole block stays inside whole-stage codegen.
+    """
+    w = w or dl.words(text, d)
+    tok_chars = dl.fold(
+        dl.transform(w, "x -> CAST(length(x) AS BIGINT)", d),
+        "CAST(0 AS BIGINT)",
+        "(acc,x) -> acc + x",
+        d,
+    )
+    ln = dl.lines(text, d)
+    bullet_lam = "x -> " + dl.rlike("ltrim(x)", "^[-*]", d)
+    ellipsis_lam = "x -> " + dl.rlike("rtrim(x)", "[.]{3}$", d)
+    alpha_lam = "x -> " + dl.rlike("x", "[a-z]", d)
+    req_arr = (
+        "array(" + ",".join(f"'{s}'" for s in GOPHER_REQUIRED_WORDS) + ")"
+        if d == dl.SPARK
+        else "[" + ",".join(f"'{s}'" for s in GOPHER_REQUIRED_WORDS) + "]"
+    )
+    n_words = f"CAST({dl.size(w, d)} AS BIGINT)"
+    n_lines = f"CAST({dl.size(ln, d)} AS BIGINT)"
+    n_symbols = f"CAST({dl.regexp_count(text, '#|[.]{3}', d)} AS BIGINT)"
+    n_bullet = f"CAST({dl.size(dl.filter_(ln, bullet_lam, d), d)} AS BIGINT)"
+    n_ellipsis = (
+        f"CAST({dl.size(dl.filter_(ln, ellipsis_lam, d), d)} AS BIGINT)"
+    )
+    n_alpha = f"CAST({dl.size(dl.filter_(w, alpha_lam, d), d)} AS BIGINT)"
+    n_req = (
+        f"CAST({dl.intersect_size(dl.arr_distinct(w, d), req_arr, d)}"
+        " AS BIGINT)"
+    )
+
+    def _ratio(num: str, den: str) -> str:
+        return (
+            f"(CAST({num} AS DOUBLE) / CAST(greatest({den}, 1) AS DOUBLE))"
+        )
+
+    mean_len = _ratio(f"({tok_chars})", n_words)
+    symbol_ratio = _ratio(n_symbols, n_words)
+    bullet_ratio = _ratio(n_bullet, n_lines)
+    ellipsis_ratio = _ratio(n_ellipsis, n_lines)
+    alpha_ratio = _ratio(n_alpha, n_words)
+    keep = (
+        f"(({n_words}) BETWEEN {min_words} AND {GOPHER_MAX_WORDS}"
+        f" AND {mean_len} BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}"
+        f" AND {GOPHER_MAX_MEAN_WORD_LEN}"
+        f" AND {symbol_ratio} <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {bullet_ratio} <= {GOPHER_MAX_BULLET_RATIO}"
+        f" AND {ellipsis_ratio} <= {GOPHER_MAX_ELLIPSIS_RATIO}"
+        f" AND {alpha_ratio} >= {GOPHER_MIN_ALPHA_WORD_RATIO}"
+        f" AND ({n_req}) >= {min_required_stops})"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_ratio": bullet_ratio,
+        "ellipsis_ratio": ellipsis_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "n_required_stops": n_req,
+        "gopher_keep": keep,
+    }
+
+
+def with_gopher(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = GOPHER_MIN_WORDS,
+    min_required_stops: int = GOPHER_MIN_REQUIRED_STOPS,
+) -> DataFrame:
+    """Append Gopher quality-rule columns (map-only, JVM-side; token array
+    materialized once behind a Generate barrier — see operators/text.py)."""
+    from pipegen_spark.operators.text import _tokens_once
+
+    exprs = gopher_exprs(
+        text_col,
+        dl.SPARK,
+        w="_toks",
+        min_words=min_words,
+        min_required_stops=min_required_stops,
+    )
+    return (
+        _tokens_once(df, text_col)
+        .select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+        .drop("_toks")
+    )
+
+
 # --- PII / regex redaction ----------------------------------------------------
 
 

@@ -51,6 +51,7 @@ GATE_DEFERRED = (
     "simsearch_hybrid",
     "curate_budget",
     "text_rarity",
+    "curate_gopher",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

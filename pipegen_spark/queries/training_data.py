@@ -67,6 +67,9 @@ PREFIX_K = 12  # prefix-dedup fingerprint length (tokens)
 VOCAB_TOPK = 50  # corpus vocabulary report size
 CHUNK_SIZE = 200  # chars per document chunk
 CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
+# Gopher-rule thresholds tuned to the synthetic corpus (see curate_gopher
+# docstring); shared with the oracle.
+GOPHER_TUNE = {"min_words": 30, "min_required_stops": 1}
 
 
 # --- deduplication -----------------------------------------------------------
@@ -542,6 +545,22 @@ def curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic per-doc hash-Bernoulli keep/drop."""
     docs = table(spark, sf_dir, "documents")
     return cu.mixture_sample(docs).orderBy("doc_id")
+
+
+def curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality rules (Rae et al. 2021, Appendix A1): the
+    word-count / mean-word-length / symbol / bullet / ellipsis /
+    alpha-word / required-stopword filters as per-doc signals + the
+    compound keep decision. Two thresholds are tuned to the synthetic
+    corpus (GOPHER_TUNE: its 31-word vocabulary contains only one of the
+    published required stopwords, and docs run 10-99 words) so the gate
+    exercises BOTH keep outcomes; the operator defaults stay published."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        cu.with_gopher(docs, "text", **GOPHER_TUNE)
+        .drop("text")
+        .orderBy("doc_id")
+    )
 
 
 def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1029,7 +1029,21 @@ def _budget_sql() -> str:
     """
 
 
+def _gopher_sql() -> str:
+    # Needs BOTH the raw text (line/symbol rules) and the token array, so
+    # it materializes its own CTE instead of reusing _W_CTE.
+    exprs = cu.gopher_exprs("text", D, w="w", **td.GOPHER_TUNE)
+    cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+    cte = (
+        "w AS (SELECT doc_id AS id, text, "
+        + dl.words("text", D)
+        + " AS w FROM documents)"
+    )
+    return f"WITH {cte} SELECT id AS doc_id, {cols} FROM w ORDER BY doc_id"
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "curate_gopher": _gopher_sql(),
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),

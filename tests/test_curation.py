@@ -246,3 +246,41 @@ def test_mixture_sample_budget_semantics(spark):
     assert {r["doc_id"]: r["keep"] for r in out} == again
     # every under-budget doc kept
     assert all(r["keep"] for r in by_stream["book"])
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs back "
+        "to the barn with plenty of words that have normal length so the "
+        "document passes every published heuristic rule just fine today "
+        "because it keeps going for more than fifty words in total which "
+        "is the gopher minimum word count requirement for a document"
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipsis = "\n".join(f"the line trails off {i} ..." for i in range(10))
+    symbols = "the # doc # with # far # too # many # hash # symbols # here"
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipsis), (4, symbols), (5, short)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cu.with_gopher(df, "text").collect()}
+    assert rows[1]["gopher_keep"]
+    assert rows[1]["n_required_stops"] >= 2
+    assert rows[2]["bullet_ratio"] == 1.0 and not rows[2]["gopher_keep"]
+    assert rows[3]["ellipsis_ratio"] == 1.0 and not rows[3]["gopher_keep"]
+    assert rows[4]["symbol_ratio"] > 0.1 and not rows[4]["gopher_keep"]
+    assert rows[5]["n_words"] < 50 and not rows[5]["gopher_keep"]
+
+
+def test_gopher_threshold_overrides(spark):
+    df = spark.createDataFrame(
+        [(1, "the small doc has these ten plain words here now")],
+        "doc_id long, text string",
+    )
+    strict = cu.with_gopher(df, "text").collect()[0]
+    tuned = cu.with_gopher(
+        df, "text", min_words=5, min_required_stops=1
+    ).collect()[0]
+    assert not strict["gopher_keep"]
+    assert tuned["gopher_keep"]
