@@ -82,6 +82,57 @@ def prefix_dup(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_k: int = 12,
+) -> DataFrame:
+    """Cross-corpus (incremental) dedup: flag new-batch documents already
+    present in an existing reference corpus, exactly (content hash) or by
+    first-`prefix_k`-token fingerprint (boilerplate/template match) — the
+    standard admission check for a continuously-ingesting pipeline, where
+    re-deduplicating the whole corpus per batch is off the table.
+
+    Shape (100 TB): the reference corpus is reduced map-side to DISTINCT
+    16-byte hashes before anything shuffles, so the two semi-joins move
+    hash sets, not text; each is a plain equi-join that Spark resolves as
+    broadcast (small reference) or shuffled hash join (large reference) —
+    never a scan of reference text per new document. Returns every new
+    row's id + content_hash, ref_exact_dup, ref_prefix_dup.
+    """
+    toks = dl.words(text_col, dl.SPARK)
+    prefix = dl.arr_join(dl.slice_(toks, 1, prefix_k, dl.SPARK), " ", dl.SPARK)
+
+    def _hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.expr(f"md5({prefix})").alias("prefix_hash"),
+        )
+
+    new_h = _hashed(new_df)
+    ref_exact = (
+        _hashed(ref_df).select("content_hash").distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    ref_prefix = (
+        _hashed(ref_df).select("prefix_hash").distinct()
+        .withColumn("_pr", F.lit(1))
+    )
+    return (
+        new_h.join(ref_exact, "content_hash", "left")
+        .join(ref_prefix, "prefix_hash", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "content_hash",
+            F.col("_ex").isNotNull().alias("ref_exact_dup"),
+            F.col("_pr").isNotNull().alias("ref_prefix_dup"),
+        )
+    )
+
+
 # --- shingling ---------------------------------------------------------------
 
 

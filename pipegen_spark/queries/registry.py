@@ -52,6 +52,7 @@ GATE_DEFERRED = (
     "curate_budget",
     "text_rarity",
     "curate_gopher",
+    "dedup_incremental",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -70,6 +70,8 @@ CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
 # Gopher-rule thresholds tuned to the synthetic corpus (see curate_gopher
 # docstring); shared with the oracle.
 GOPHER_TUNE = {"min_words": 30, "min_required_stops": 1}
+# Incremental dedup: the "new batch" = the second ten synthetic sources.
+NEW_BATCH_PATTERN = "^src1[0-9]$"
 
 
 # --- deduplication -----------------------------------------------------------
@@ -545,6 +547,20 @@ def curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic per-doc hash-Bernoulli keep/drop."""
     docs = table(spark, sf_dir, "documents")
     return cu.mixture_sample(docs).orderBy("doc_id")
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup: sources src10-src19 arrive as the
+    new batch and are checked against the existing corpus (src0-src9) by
+    content hash and prefix fingerprint. The corpus has no exact
+    cross-source copies (ref_exact_dup verifies all-false; the exact path
+    is proven on crafted data in tests/test_dedup_incremental.py) and ~10
+    prefix-boilerplate matches."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.expr(dl.rlike("source", NEW_BATCH_PATTERN, dl.SPARK))
+    return dd.incremental_dedup(
+        docs.filter(is_new), docs.filter(~is_new), prefix_k=PREFIX_K
+    ).orderBy("doc_id")
 
 
 def curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:

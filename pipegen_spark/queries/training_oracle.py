@@ -1042,8 +1042,32 @@ def _gopher_sql() -> str:
     return f"WITH {cte} SELECT id AS doc_id, {cols} FROM w ORDER BY doc_id"
 
 
+def _incremental_sql() -> str:
+    toks = dl.words("text", D)
+    prefix = dl.arr_join(dl.slice_(toks, 1, td.PREFIX_K, D), " ", D)
+    is_new = dl.rlike("source", td.NEW_BATCH_PATTERN, D)
+    return f"""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS content_hash,
+               md5({prefix}) AS prefix_hash
+        FROM documents
+    ),
+    n AS (SELECT * FROM h WHERE {is_new}),
+    re AS (SELECT DISTINCT content_hash, 1 AS _ex FROM h WHERE NOT {is_new}),
+    rp AS (SELECT DISTINCT prefix_hash, 1 AS _pr FROM h WHERE NOT {is_new})
+    SELECT n.doc_id, n.content_hash,
+           (_ex IS NOT NULL) AS ref_exact_dup,
+           (_pr IS NOT NULL) AS ref_prefix_dup
+    FROM n
+    LEFT JOIN re USING (content_hash)
+    LEFT JOIN rp USING (prefix_hash)
+    ORDER BY n.doc_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
     "curate_gopher": _gopher_sql(),
+    "dedup_incremental": _incremental_sql(),
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),
