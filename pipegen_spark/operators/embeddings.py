@@ -191,6 +191,65 @@ def kmeans_fixed(
     return assigned.select(F.col("id").alias(id_col), "cluster_id", "d2")
 
 
+def semantic_dedup(
+    base: DataFrame,
+    init_pred,
+    threshold: float,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then
+    prune semantic duplicates WITHIN each cluster — a vector is a
+    semantic dup if a lower-id vector in the same cluster has cosine
+    similarity >= `threshold` (keep-first, mirroring exact_dedup).
+
+    Shape (100 TB): the pairwise cosine never goes all-pairs — candidates
+    meet through an equi-join on cluster_id, so the quadratic term is
+    bounded by the largest cluster. That bound is exactly what SemDeDup's
+    k buys: size k ~ corpus_size / target_cluster_size so each cluster's
+    pair block fits one task (same discipline as the enforced block guard
+    in operators/dedup.py embedding near-dup). Assignment itself is
+    broadcast-centroid, map-side.
+
+    Output per vector: (id_col, cluster_id, n_sem_dups, is_semantic_dup)
+    where n_sem_dups counts the lower-id in-cluster vectors above
+    threshold.
+    """
+    assigned = kmeans_fixed(
+        base, init_pred, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim
+    ).select(F.col(id_col).alias("id"), "cluster_id")
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # The assignment feeds three consumers (both sides of the pair join +
+    # the final output); persisting it runs the iterative k-means chain
+    # once instead of three times. The cached rows are (id, cluster_id,
+    # vec) — the corpus once, not a pair expansion.
+    a = vecs.join(assigned, "id").persist()
+    left = a.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id"
+    )
+    right = a.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id"
+    )
+    dim_expr = dim if dim is not None else dl.size("va", dl.SPARK)
+    cos = dl.cosine_double("va", "vb", dim_expr, dl.SPARK)
+    dups = (
+        left.join(right, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"({cos}) >= {threshold}"))
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.count("*").alias("n_sem_dups"))
+    )
+    n = F.coalesce(F.col("n_sem_dups"), F.lit(0)).cast("long")
+    return a.join(dups, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        n.alias("n_sem_dups"),
+        (n > 0).alias("is_semantic_dup"),
+    )
+
+
 # Fixed-point scale for the Gram accumulation: products of two
 # 15-bit-scaled coordinates stay ~2^30 per term, so the int64 cell sum
 # holds ~8.6e9 unit-scale vectors before overflow (same envelope as the

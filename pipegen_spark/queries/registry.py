@@ -53,6 +53,7 @@ GATE_DEFERRED = (
     "text_rarity",
     "curate_gopher",
     "dedup_incremental",
+    "dedup_semantic",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -549,6 +549,22 @@ def curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.mixture_sample(docs).orderBy("doc_id")
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings (same seeds/
+    iterations as embed_kmeans), then flag within-cluster semantic
+    duplicates at cosine >= EMB_DUP_THRESHOLD, keep-first by vec_id."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return em.semantic_dedup(
+        vecs,
+        F.col("vec_id") < KMEANS_K,
+        threshold=EMB_DUP_THRESHOLD,
+        iters=KMEANS_ITERS,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=EMB_DIM,
+    ).orderBy("vec_id")
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (cross-corpus) dedup: sources src10-src19 arrive as the
     new batch and are checked against the existing corpus (src0-src9) by

@@ -501,9 +501,12 @@ def _emb_quantize_sql() -> str:
     """
 
 
-def _emb_kmeans_sql() -> str:
+def _kmeans_chain() -> tuple[list[str], str]:
     """Lloyd unrolled to KMEANS_ITERS as a CTE chain — the same broadcast-
-    assign / exact-scaled-mean steps as operators/embeddings.py."""
+    assign / exact-scaled-mean steps as operators/embeddings.py. Returns
+    (ctes, final_assignment_cte) where the final CTE carries
+    (id, v, cluster_id, d2); consumed by _emb_kmeans_sql and
+    _semdedup_sql."""
     import pipegen_spark.operators.embeddings as em
 
     d2 = dl.dist2_double("v.v", "c.cv", dl.size("v.v", D), D)
@@ -536,12 +539,41 @@ def _emb_kmeans_sql() -> str:
             SELECT cluster_id, pos, {em.mean_expr('s', 'n')} AS m FROM s{it + 1}
         ) t GROUP BY cluster_id
     )""")
-    last = td.KMEANS_ITERS - 1
+    return ctes, f"a{td.KMEANS_ITERS - 1}"
+
+
+def _emb_kmeans_sql() -> str:
+    ctes, last = _kmeans_chain()
     return (
         "\n    WITH "
         + ",\n    ".join(ctes)
-        + f"\n    SELECT id AS vec_id, cluster_id, d2 FROM a{last}"
+        + f"\n    SELECT id AS vec_id, cluster_id, d2 FROM {last}"
         " ORDER BY vec_id\n    "
+    )
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup: the kmeans assignment chain, then within-cluster cosine
+    pruning (pairs meet through the cluster_id equi-join only)."""
+    ctes, last = _kmeans_chain()
+    cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    ctes.append(f"""pairs AS (
+        SELECT b.id AS id, COUNT(*) AS n
+        FROM {last} a JOIN {last} b
+          ON a.cluster_id = b.cluster_id AND a.id < b.id
+        WHERE ({cos}) >= {td.EMB_DUP_THRESHOLD}
+        GROUP BY b.id
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT t.id AS vec_id, t.cluster_id,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_sem_dups,
+           (COALESCE(p.n, 0) > 0) AS is_semantic_dup
+    FROM {last} t LEFT JOIN pairs p ON t.id = p.id
+    ORDER BY vec_id
+    """
     )
 
 
@@ -1068,6 +1100,7 @@ def _incremental_sql() -> str:
 TRAINING_ORACLE: dict[str, str] = {
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
+    "dedup_semantic": _semdedup_sql(),
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),

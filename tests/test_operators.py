@@ -438,3 +438,37 @@ def test_pca_project_matches_numpy(spark):
         assert np.allclose(got[i], (raw32[i] - mu) @ V, atol=1e-8)
     # Orthonormal components.
     assert np.allclose(evecs @ evecs.T, np.eye(k), atol=1e-9)
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    from pipegen_spark.operators import embeddings as em
+
+    # Two well-separated clusters on orthogonal axes; ids 0 and 3 seed
+    # them. Vectors 1 and 2 are near-copies of 0 (same direction); vector
+    # 4 shares cluster 2's axis but is the only other member, and vector 5
+    # is a near-copy of 4.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.98, 0.0, 0.01, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.05]),
+        (4, [0.0, 0.0, 0.9, 0.1]),
+        (5, [0.0, 0.0, 0.91, 0.09]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in em.semantic_dedup(
+            df,
+            df.vec_id.isin(0, 3),
+            threshold=0.95,
+            iters=2,
+            dim=4,
+        ).collect()
+    }
+    assert not out[0]["is_semantic_dup"]  # keep-first in cluster A
+    assert out[1]["is_semantic_dup"] and out[2]["is_semantic_dup"]
+    assert not out[3]["is_semantic_dup"]  # keep-first in cluster B
+    assert out[5]["is_semantic_dup"]  # near-copy of 4 in the same cluster
+    # cross-cluster near-parallel vectors never pair: 0-axis vs 2-axis
+    assert out[1]["n_sem_dups"] == 1  # only vec 0, not anything in B
