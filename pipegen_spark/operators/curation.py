@@ -341,6 +341,58 @@ def stratified_sample(
     return df.filter(F.expr(gate))
 
 
+# --- deterministic train/val/test split ---------------------------------------
+
+# Default split weights in basis points (sum 10000): 90/5/5.
+SPLIT_BPS: tuple[tuple[str, int], ...] = (
+    ("train", 9000),
+    ("val", 500),
+    ("test", 500),
+)
+# Salt appended to the id before hashing so split assignment is
+# independent of the sampling gate's hash of the same id.
+SPLIT_SALT = ":split"
+
+
+def split_expr(
+    id_col: str,
+    d: str,
+    splits: tuple[tuple[str, int], ...] = SPLIT_BPS,
+) -> str:
+    """Split-label expression: hash60(id || salt) % 10000 walked through
+    the cumulative split weights.
+
+    Deterministic and coordination-free like sample_gate_expr: a document
+    lands in the same split on every run, engine, executor count, and
+    corpus size — the property that keeps eval sets stable as the corpus
+    grows (new docs get labels; old labels never move). Map-only.
+    """
+    if sum(w for _, w in splits) != 10000:
+        raise ValueError("split weights must sum to 10000 bps")
+    bucket = dl.hash60(
+        f"(CAST({id_col} AS STRING) || '{SPLIT_SALT}')", d
+    )
+    cum = 0
+    whens = []
+    for name, w in splits[:-1]:
+        cum += w
+        whens.append(f"WHEN ({bucket}) % 10000 < {cum} THEN '{name}'")
+    return (
+        "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+    )
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = SPLIT_BPS,
+) -> DataFrame:
+    """Append the deterministic split label (map-only)."""
+    return df.withColumn(
+        "split", F.expr(split_expr(id_col, dl.SPARK, splits))
+    )
+
+
 # --- token-budget sequence packing --------------------------------------------
 
 

@@ -54,6 +54,7 @@ GATE_DEFERRED = (
     "curate_gopher",
     "dedup_incremental",
     "dedup_semantic",
+    "curate_split",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

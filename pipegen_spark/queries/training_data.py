@@ -549,6 +549,16 @@ def curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.mixture_sample(docs).orderBy("doc_id")
 
 
+def curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5 by salted id
+    hash): per-doc labels plus the doc's stream key, so downstream
+    mixture decisions can be made per split."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return cu.with_split(docs).orderBy("doc_id")
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings (same seeds/
     iterations as embed_kmeans), then flag within-cluster semantic

@@ -1101,6 +1101,11 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(),
+    "curate_split": (
+        "SELECT doc_id, lang, source, "
+        + cu.split_expr("doc_id", D)
+        + " AS split FROM documents ORDER BY doc_id"
+    ),
     "dedup_span_stats": _span_sql(),
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),

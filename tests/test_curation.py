@@ -284,3 +284,28 @@ def test_gopher_threshold_overrides(spark):
     ).collect()[0]
     assert not strict["gopher_keep"]
     assert tuned["gopher_keep"]
+
+
+def test_split_deterministic_and_weighted(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = cu.with_split(df).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~90% of 2000
+    assert 30 < counts["val"] < 200 and 30 < counts["test"] < 200
+    # stable under re-evaluation and partitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cu.with_split(df.repartition(7)).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in cu.with_split(df).collect()}
+    assert first == again
+
+
+def test_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cu.split_expr("doc_id", "spark", (("a", 5000), ("b", 600)))
