@@ -472,11 +472,16 @@ def dup_clusters(
     full = nodes.select(nid.alias("id")).join(labels, "id", "left").select(
         "id", F.coalesce(F.col("lbl"), F.col("id").cast("long")).alias("lbl")
     )
-    sizes = full.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return full.join(sizes, "lbl").select(
+    # Component size as a count-over-window: ONE shuffle on lbl, and the
+    # corpus⋈labels join above runs once — the previous groupBy+join-back
+    # shape planned that join twice (once under the agg, once as the join
+    # left side). Near-dup components are small, so no window-partition
+    # skew; singletons are their own 1-row partitions.
+    wsz = Window.partitionBy("lbl")
+    return full.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
-        "cluster_size",
+        F.count("*").over(wsz).cast("long").alias("cluster_size"),
     )
 
 
