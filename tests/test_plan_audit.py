@@ -148,3 +148,25 @@ def test_semi_anti_rewrites(plans):
     assert "LeftSemi" in plans["q52_tpch_priority_check"]
     assert "LeftAnti" in plans["q56_tpch_supplier_cnt"]
     assert "LeftAnti" in plans["q57_tpch_idle_rich"]
+
+
+def test_round4_ops_plan_shapes(plans):
+    # curate_gopher / curate_split: map-only over a pruned (doc_id[,...])
+    # scan — no shuffle at all except the presentation orderBy.
+    for name in ("curate_gopher", "curate_split"):
+        p = plans[name]
+        assert "Exchange hashpartitioning" not in p, (name, p)
+        assert "Join" not in p, (name, p)
+    # dedup_incremental: two hash equi-joins against DISTINCT reference
+    # hash sets — never a cartesian, never a join on raw text.
+    p = plans["dedup_incremental"]
+    assert "CartesianProduct" not in p
+    assert "content_hash" in p and "prefix_hash" in p
+    # dedup_semantic: candidate pairs meet through the cluster_id
+    # equi-join (bounded per-cluster blocks), and centroid assignment
+    # broadcasts — the corpus is never on the build side of a shuffle
+    # join with itself without the cluster key.
+    p = plans["dedup_semantic"]
+    assert "CartesianProduct" not in p
+    assert "cluster_id" in p
+    assert "Broadcast" in p
