@@ -224,16 +224,38 @@ def semantic_dedup(
     # The assignment feeds three consumers (both sides of the pair join +
     # the final output); persisting it runs the iterative k-means chain
     # once instead of three times. The cached rows are (id, cluster_id,
-    # vec) — the corpus once, not a pair expansion.
-    a = vecs.join(assigned, "id").persist()
+    # vec, nrm) — the corpus once, not a pair expansion.
+    #
+    # The L2 norm is hoisted HERE, per vector, not computed per pair:
+    # (a) O(n) norm chains instead of O(pairs), and (b) the full cosine —
+    # dot + two norms, 3*dim unrolled element_at terms — overflows Janino's
+    # 64 KB method limit inside the join's codegen'd consume function,
+    # silently dropping the whole stage to interpreted mode. dot alone
+    # fits. sqrt(norm2_a)*sqrt(norm2_b) is the same IEEE computation either
+    # side of the join, so results are bit-identical to the inline form.
+    dim_expr = dim if dim is not None else dl.size("v", dl.SPARK)
+    nrm = f"sqrt({dl.norm2_double('v', dim_expr, dl.SPARK)})"
+    a = (
+        vecs.join(assigned, "id")
+        .withColumn("nrm", F.expr(nrm))
+        .persist()
+    )
     left = a.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id"
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster_id",
     )
     right = a.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id"
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster_id",
     )
-    dim_expr = dim if dim is not None else dl.size("va", dl.SPARK)
-    cos = dl.cosine_double("va", "vb", dim_expr, dl.SPARK)
+    pair_dim = dim if dim is not None else dl.size("va", dl.SPARK)
+    cos = (
+        f"({dl.dot_double('va', 'vb', pair_dim, dl.SPARK)}) / (na * nb)"
+    )
     dups = (
         left.join(right, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
