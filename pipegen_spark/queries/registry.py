@@ -55,6 +55,7 @@ GATE_DEFERRED = (
     "dedup_incremental",
     "dedup_semantic",
     "curate_split",
+    "multimodal_features",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -17,6 +17,7 @@ from pipegen_spark.functions import dialect as dl
 from pipegen_spark.operators import curation as cu
 from pipegen_spark.operators import dedup as dd
 from pipegen_spark.operators import embeddings as em
+from pipegen_spark.operators import multimodal as mm
 from pipegen_spark.operators import similarity as sim
 from pipegen_spark.operators import text as tx
 
@@ -351,6 +352,22 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("md5(encode(text, 'UTF-8'))").alias("blob_md5"),
     ).orderBy("doc_id")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow `mapInPandas` decode path itself, under the oracle gate:
+    documents become a media table (content = UTF-8 blob), and
+    `operators/multimodal.extract_features` runs the deterministic fake
+    decoder over real Arrow batches. `fake_decode` is sha256-based, so
+    DuckDB mirrors it exactly (sha256 + hex-field arithmetic) — the one
+    [EXT] family whose hot path is Python gets the same hard signal as
+    the JVM-side operators."""
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("encode(text, 'UTF-8')").alias("content"),
+    )
+    return mm.extract_features(media).orderBy("media_id")
 
 
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1097,7 +1097,31 @@ def _incremental_sql() -> str:
     """
 
 
+def _multimodal_features_sql() -> str:
+    """Mirror of multimodal.fake_decode: 8 features = consecutive 4-hex-char
+    fields of sha256(payload), feat_norm = sum of their squares. Each field
+    is < 2^16, each square < 2^32, 8 terms — BIGINT-exact."""
+    feats = [
+        f"CAST(('0x' || substr(sha, {i * 4 + 1}, 4)) AS BIGINT)"
+        for i in range(8)
+    ]
+    norm = " + ".join(f"({f} * {f})" for f in feats)
+    return f"""
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents
+    )
+    SELECT media_id, n_bytes, sha AS content_sha,
+           CAST(8 AS INTEGER) AS feat_dim,
+           CAST({norm} AS BIGINT) AS feat_norm
+    FROM b ORDER BY media_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "multimodal_features": _multimodal_features_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(),
