@@ -105,6 +105,63 @@ def extract_features(
     ).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resampler: tags the payload
+    digest with the target geometry. Replace with a PIL/libvips-backed
+    callable in production."""
+    if payload is None:
+        payload = b""
+    digest = hashlib.sha256(payload).digest()
+    return b"RSZ1|%dx%d|" % (width, height) + digest
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = fake_resize,
+) -> DataFrame:
+    """Arrow-batched resize/transcode pass: (id, content) → (id, new
+    content, new dims). Same stub boundary as `extract_features` —
+    `resizer=None` raises at first batch so a missing codec is an explicit
+    error, never silent passthrough. Map-only; payloads cross the Arrow
+    boundary once each way, metadata columns re-join on id JVM-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer is None:
+            raise NotImplementedError(
+                "no media resizer available in this environment — supply "
+                "`resizer=` (e.g. PIL-backed) or use fake_resize"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "content": [
+                        resizer(p, width, height) for p in pdf[content_col]
+                    ],
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col)
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     every_ms: int = 1000,

@@ -116,6 +116,27 @@ def test_multimodal_decoder_stub_raises(spark):
         mm.extract_features(df, decoder=None).collect()
 
 
+def test_multimodal_resize(spark):
+    rows = [(1, b"payload-one"), (2, None)]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    out = {r.media_id: r for r in mm.resize_media(df, 224, 224).collect()}
+    assert out[1].meta_width == 224 and out[1].meta_height == 224
+    assert bytes(out[1].content).startswith(b"RSZ1|224x224|")
+    assert bytes(out[2].content).startswith(b"RSZ1|")  # null payload handled
+    # deterministic: same payload + geometry → same bytes
+    again = {r.media_id: r for r in mm.resize_media(df, 224, 224).collect()}
+    assert bytes(out[1].content) == bytes(again[1].content)
+    assert bytes(out[1].content) != bytes(
+        mm.resize_media(df, 64, 64).collect()[0].content
+    )
+
+
+def test_multimodal_resizer_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], ["media_id", "content"])
+    with pytest.raises(Exception, match="resizer"):
+        mm.resize_media(df, 8, 8, resizer=None).collect()
+
+
 def test_frame_sample_counts(spark):
     df = spark.createDataFrame(
         [(1, 3500)], ["media_id", "meta_duration_ms"]
