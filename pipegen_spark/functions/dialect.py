@@ -236,6 +236,24 @@ def shl(x: str, n: int, d: str) -> str:
     return f"shiftleft({x},{n})" if d == SPARK else f"(({x}) << {n})"
 
 
+def idiv(a: str, b: str, d: str) -> str:
+    """Integer (floor-toward-zero) division of BIGINTs — exact and
+    engine-identical, the log-free way to emit a rational score with a
+    pinned scale (numerator pre-multiplied by the scale)."""
+    _check(d)
+    return f"(({a}) DIV ({b}))" if d == SPARK else f"(({a}) // ({b}))"
+
+
+def bigram_idx(words_expr: str, d: str) -> str:
+    """Index array [1 .. size-1] over a token array — the left positions
+    of its adjacent bigrams. Safe on 0/1-token docs (empty result):
+    a bare sequence(1, size-1) would DESCEND on Spark when size < 2."""
+    _check(d)
+    n = size(words_expr, d)
+    guarded = seq("1", f"greatest(({n}) - 1, 1)", d)
+    return filter_(guarded, f"i -> i <= ({n}) - 1", d)
+
+
 # --- composite builders ------------------------------------------------------
 
 

@@ -272,6 +272,99 @@ def semantic_dedup(
     )
 
 
+def pq_subdist_expr(
+    a: str, b: str, sub: int, sub_dim: int, scale_bits: int, d: str
+) -> str:
+    """Integer-exact squared distance over subspace `sub` (0-based):
+    coordinates quantize to floor(x*2^scale_bits + 0.5) BIGINT, the
+    distance is a sum of squared integer differences — associative and
+    bit-identical on both engines. sub_dim=8 at scale_bits=15 keeps each
+    term < 2^32 and the sum < 2^36."""
+    s = 1 << scale_bits
+
+    def q(arr: str, j: int) -> str:
+        return (
+            f"CAST(floor(CAST({dl.elem(arr, str(j), d)} AS DOUBLE)"
+            f" * {s}.0 + 0.5) AS BIGINT)"
+        )
+
+    terms = []
+    for j in range(sub * sub_dim + 1, (sub + 1) * sub_dim + 1):
+        diff = f"({q(a, j)} - {q(b, j)})"
+        terms.append(f"({diff} * {diff})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_encode(
+    base: DataFrame,
+    codebook_pred,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 15,
+) -> DataFrame:
+    """(codebook size K must be <= 8: indices pack 3 bits per subspace.)
+
+    Product-quantization encode: split each vector into `m` subspaces,
+    assign each sub-vector to its nearest codeword, and pack the `m`
+    codeword indices into one BIGINT code — the compression step that
+    makes a 100 TB vector corpus storable/searchable (a 64-dim float
+    vector becomes one 3m-bit integer at K=8).
+
+    Codebook rows are deterministic sample vectors out of `base`
+    (`codebook_pred`), the same bootstrap as IVF's centroids
+    (similarity.py ivf_topk): Lloyd-trained codebooks are `kmeans_fixed`'s
+    job and can be fed in by materializing its output. Codeword index =
+    rank of the codeword row's id (stable across engines).
+
+    Shape (100 TB): codewords broadcast (K rows); each vector meets all K
+    in-partition and the per-subspace argmin is a `min(struct(dist, idx))`
+    hash aggregate — it partial-aggregates map-side, so the single shuffle
+    carries one tiny row per vector, never the n*K expansion (contrast the
+    window-based argmin in ivf_topk, which is per-query work there).
+    Distances are integer-exact (see `pq_subdist_expr`), so the code and
+    reconstruction error are oracle-bit-exact.
+
+    Output: (id_col, pq_code, recon_err) — recon_err is the sum of the m
+    squared quantized sub-distances to the chosen codewords (the encode
+    residual, scaled by 2^(2*scale_bits)).
+    """
+    sub_dim = dim // m
+    wc = Window.orderBy("cid")
+    cents = (
+        base.filter(codebook_pred)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cidx", F.row_number().over(wc).cast("long") - 1)
+    )
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ds = [
+        F.expr(
+            pq_subdist_expr("v", "cv", s, sub_dim, scale_bits, dl.SPARK)
+        ).alias(f"d{s}")
+        for s in range(m)
+    ]
+    scored = vecs.crossJoin(F.broadcast(cents)).select("id", "cidx", *ds)
+    mins = scored.groupBy("id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cidx").alias("c"))).alias(f"m{s}")
+            for s in range(m)
+        ]
+    )
+    code = None
+    err = None
+    for s in range(m):
+        c = F.col(f"m{s}.c") * F.lit(1 << (3 * s)).cast("long")
+        code = c if code is None else code + c
+        e = F.col(f"m{s}.d")
+        err = e if err is None else err + e
+    return mins.select(
+        F.col("id").alias(id_col),
+        code.cast("long").alias("pq_code"),
+        err.cast("long").alias("recon_err"),
+    )
+
+
 # Fixed-point scale for the Gram accumulation: products of two
 # 15-bit-scaled coordinates stay ~2^30 per term, so the int64 cell sum
 # holds ~8.6e9 unit-scale vectors before overflow (same envelope as the

@@ -646,3 +646,159 @@ def rarity_scores(
             ).alias("rare_ratio"),
         )
     )
+
+
+def _bigram_occurrences(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair occurrence."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(dl.words(text_col, dl.SPARK)).alias("w"),
+        )
+        .select(
+            "id",
+            F.explode(F.expr(dl.bigram_idx("w", dl.SPARK))).alias("i"),
+            "w",
+        )
+        .select(
+            "id",
+            F.expr(dl.elem("w", "i", dl.SPARK)).alias("w1"),
+            F.expr(dl.elem("w", "i + 1", dl.SPARK)).alias("w2"),
+        )
+    )
+
+
+# Pinned scale for the log-free rational scores below (micro-units).
+PMI_SCALE = 1_000_000
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Corpus collocation mining: top-k adjacent token pairs by pointwise
+    mutual information. PMI is monotone in the lift c_xy*N/(c_x*c_y)
+    (p(xy)=c_xy/N convention), so the score is emitted LOG-FREE as that
+    rational in micro-units via exact integer division — ln() differs in
+    the last ulp across engines and would break the bit-exact oracle.
+
+    Shape (100 TB): two hash-agg shuffles build the unigram and bigram
+    count tables (both partial-aggregate map-side); the pair table joins
+    its two unigram counts by equi-join (AQE broadcasts when the vocab is
+    small); N arrives as a broadcast single-row cross join. Top-k is a
+    global sort of the bigram VOCABULARY (not the corpus), after the
+    min_count filter prunes the hapax tail.
+
+    Overflow: c_xy*N*SCALE stays under 2^63 for corpora to ~3e12 scaled
+    pair-occurrences; beyond that swap the BIGINTs for DECIMAL(38,0) —
+    still exact (same envelope note as operators/embeddings.py k-means).
+
+    Output: (w1, w2, c_xy, c_x, c_y, pmi_micro), pmi_micro descending.
+    """
+    occ = _bigram_occurrences(df, text_col, id_col)
+    uni = (
+        df.select(
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    big = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    scored = (
+        big.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                dl.idiv(
+                    f"c_xy * n_tokens * CAST({PMI_SCALE} AS BIGINT)",
+                    "c_x * c_y",
+                    dl.SPARK,
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), "w1", "w2"
+    ).limit(topk)
+
+
+def lm_bigram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_micro: int = 10_000,
+) -> DataFrame:
+    """Per-document bigram-LM fluency proxy (the KenLM-filter shape from
+    CCNet-style pipelines, log-free): score each document by the corpus
+    conditional probabilities p(w2|w1) = c_xy/c_x of its adjacent pairs.
+    Documents whose transitions are uniformly common read as fluent /
+    templated; low minima or many sub-`rare_micro` transitions flag
+    disfluent or shuffled text. Probabilities are emitted in micro-units
+    via exact integer division — no logs, bit-exact across engines.
+
+    Shape (100 TB): bigram + unigram count tables as in `collocations`,
+    then one equi-join of pair occurrences against each and a per-doc
+    hash agg. Self-inclusive counts (the corpus contains the doc), so
+    every transition is seen >= once and division is never by zero.
+
+    Output: (id, n_bigrams, sum_cond_micro, min_cond_micro, n_rare) with
+    zero-bigram docs kept at (0, 0, 0, 0).
+    """
+    occ = _bigram_occurrences(df, text_col, id_col)
+    uni = (
+        df.select(
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c_x"))
+    )
+    big = occ.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c_xy")
+    )
+    cond = dl.idiv(
+        f"c_xy * CAST({PMI_SCALE} AS BIGINT)", "c_x", dl.SPARK
+    )
+    per = (
+        occ.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("t").alias("w1"), "c_x"), "w1")
+        .select("id", F.expr(cond).cast("long").alias("cm"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("cm").cast("long").alias("sum_cond_micro"),
+            F.min("cm").cast("long").alias("min_cond_micro"),
+            F.sum(F.when(F.col("cm") < rare_micro, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", z).alias("n_bigrams"),
+            F.coalesce("sum_cond_micro", z).alias("sum_cond_micro"),
+            F.coalesce("min_cond_micro", z).alias("min_cond_micro"),
+            F.coalesce("n_rare", z).alias("n_rare"),
+        )
+    )

@@ -56,6 +56,9 @@ GATE_DEFERRED = (
     "dedup_semantic",
     "curate_split",
     "multimodal_features",
+    "embed_pq",
+    "text_pmi",
+    "text_lm_bigram",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -31,6 +31,9 @@ HYBRID_QUERY_VEC = 0
 RRF_K = 60
 HYBRID_TOPK = 20
 RARITY_MAX_FREQ = 2
+PMI_MIN_COUNT = 5  # collocation mining: prune the hapax bigram tail
+PMI_TOPK = 50
+LM_RARE_MICRO = 10_000  # bigram-LM: transitions under 1% flag as rare
 SIMHASH_MAX_HAMMING = 8
 NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
 NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
@@ -52,6 +55,8 @@ PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
 # which checks nothing; 4 wide buckets give a 0.2-0.8 spread to verify.
 RECALL_PLANE_LO, RECALL_PLANE_HI = 100, 101
 CENTROID_LO, CENTROID_HI = 200, 215  # IVF centroids: vec_id in [200, 215]
+PQ_M = 8  # product-quantization subspaces (64 dims -> 8x 8-dim)
+PQ_CENT_LO, PQ_CENT_HI = 200, 207  # PQ codebook: 8 sample vectors (3-bit)
 PAIR_LIMIT = 500  # deterministic cap on pair outputs (ordered first)
 # Curation-family parameters (shared with the oracle):
 CONTAM_N = 8  # 8-grams: only genuinely duplicated passages collide
@@ -576,6 +581,15 @@ def curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.with_split(docs).orderBy("doc_id")
 
 
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embedding corpus: 8 subspaces
+    x 8 sample-bootstrapped codewords -> one 24-bit BIGINT code per
+    vector plus the integer-exact reconstruction residual."""
+    vecs = table(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") >= PQ_CENT_LO) & (F.col("vec_id") <= PQ_CENT_HI)
+    return em.pq_encode(vecs, pred, m=PQ_M, dim=EMB_DIM).orderBy("vec_id")
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings (same seeds/
     iterations as embed_kmeans), then flag within-cluster semantic
@@ -619,6 +633,26 @@ def curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.with_gopher(docs, "text", **GOPHER_TUNE)
         .drop("text")
         .orderBy("doc_id")
+    )
+
+
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — corpus phrase /
+    multi-word-expression mining. Log-free micro-unit lift (see
+    operators/text.py collocations) keeps the surface hash-exact."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.collocations(
+        docs, min_count=PMI_MIN_COUNT, topk=PMI_TOPK
+    )
+
+
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM fluency proxy (KenLM-filter shape, log-free):
+    corpus conditional transition probabilities summarized per document
+    as micro-unit sum/min plus a rare-transition count."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.lm_bigram_scores(docs, rare_micro=LM_RARE_MICRO).orderBy(
+        "doc_id"
     )
 
 

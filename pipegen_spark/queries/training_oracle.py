@@ -1097,6 +1097,121 @@ def _incremental_sql() -> str:
     """
 
 
+def _pq_sql() -> str:
+    """Mirror of embeddings.pq_encode: per-(vector, codeword) integer
+    sub-distances, per-subspace argmin by (dist, codeword index), packed
+    3-bit code + residual sum."""
+    from pipegen_spark.operators import embeddings as em
+
+    sub_dim = td.EMB_DIM // td.PQ_M
+    ds = ",\n               ".join(
+        em.pq_subdist_expr("v", "cv", s, sub_dim, 15, D) + f" AS d{s}"
+        for s in range(td.PQ_M)
+    )
+    unpivot = ", ".join(
+        f"STRUCT_PACK(s := {s}, d := d{s})" for s in range(td.PQ_M)
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cidx,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id BETWEEN {td.PQ_CENT_LO} AND {td.PQ_CENT_HI}
+    ),
+    p AS (
+        SELECT e.vec_id AS id, c.cidx,
+               {ds}
+        FROM (SELECT vec_id, embedding AS v FROM embeddings) e
+        CROSS JOIN c
+    ),
+    u AS (
+        SELECT id, cidx, x.s AS s, x.d AS d
+        FROM p, UNNEST([{unpivot}]) AS t(x)
+    ),
+    best AS (
+        SELECT id, s, cidx, d,
+               row_number() OVER (PARTITION BY id, s ORDER BY d, cidx)
+                   AS rn
+        FROM u
+    )
+    SELECT id AS vec_id,
+           CAST(SUM(cidx * (CAST(1 AS BIGINT) << (3 * s))) AS BIGINT)
+               AS pq_code,
+           CAST(SUM(d) AS BIGINT) AS recon_err
+    FROM best WHERE rn = 1
+    GROUP BY id ORDER BY id
+    """
+
+
+_BIGRAM_CTES = f"""
+    w AS (SELECT doc_id AS id, {dl.words("text", D)} AS w FROM documents),
+    occ AS (
+        SELECT id, {dl.elem("w", "i", D)} AS w1,
+               {dl.elem("w", "i + 1", D)} AS w2
+        FROM (SELECT id, w, unnest({dl.bigram_idx("w", D)}) AS i FROM w)
+    ),
+    uni AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest({dl.words("text", D)}) AS t FROM documents)
+        GROUP BY t
+    ),
+    big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM occ GROUP BY w1, w2
+    )"""
+
+
+def _pmi_sql() -> str:
+    lift = dl.idiv(
+        f"b.c_xy * t.n_tokens * CAST({tx.PMI_SCALE} AS BIGINT)",
+        "u1.c * u2.c",
+        D,
+    )
+    return f"""
+    WITH {_BIGRAM_CTES},
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
+    SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+           CAST({lift} AS BIGINT) AS pmi_micro
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.t
+    JOIN uni u2 ON b.w2 = u2.t
+    CROSS JOIN tot t
+    WHERE b.c_xy >= {td.PMI_MIN_COUNT}
+    ORDER BY pmi_micro DESC, b.w1, b.w2
+    LIMIT {td.PMI_TOPK}
+    """
+
+
+def _lm_bigram_sql() -> str:
+    cond = dl.idiv(f"b.c_xy * CAST({tx.PMI_SCALE} AS BIGINT)", "u.c", D)
+    return f"""
+    WITH {_BIGRAM_CTES},
+    per AS (
+        SELECT o.id, CAST({cond} AS BIGINT) AS cm
+        FROM occ o
+        JOIN big b ON o.w1 = b.w1 AND o.w2 = b.w2
+        JOIN uni u ON o.w1 = u.t
+    ),
+    agg AS (
+        SELECT id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(cm) AS BIGINT) AS sum_cond_micro,
+               CAST(MIN(cm) AS BIGINT) AS min_cond_micro,
+               CAST(SUM(CASE WHEN cm < {td.LM_RARE_MICRO} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare
+        FROM per GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(sum_cond_micro, 0) AS sum_cond_micro,
+           COALESCE(min_cond_micro, 0) AS min_cond_micro,
+           COALESCE(n_rare, 0) AS n_rare
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.id
+    ORDER BY d.doc_id
+    """
+
+
 def _multimodal_features_sql() -> str:
     """Mirror of multimodal.fake_decode: 8 features = consecutive 4-hex-char
     fields of sha256(payload), feat_norm = sum of their squares. Each field
@@ -1122,6 +1237,9 @@ def _multimodal_features_sql() -> str:
 
 TRAINING_ORACLE: dict[str, str] = {
     "multimodal_features": _multimodal_features_sql(),
+    "embed_pq": _pq_sql(),
+    "text_pmi": _pmi_sql(),
+    "text_lm_bigram": _lm_bigram_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(),

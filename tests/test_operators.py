@@ -116,6 +116,50 @@ def test_multimodal_decoder_stub_raises(spark):
         mm.extract_features(df, decoder=None).collect()
 
 
+def test_collocations_pmi_ordering(spark):
+    # "new york" always collocates (lift > 1); "the a" pairs are frequent
+    # but their parts are everywhere, so their lift is lower.
+    rows = [
+        (1, "new york new york new york new york new york"),
+        (2, "the a the a the a the a the"),
+        (3, "the new a york the new a york the"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.collocations(df, min_count=2, topk=10).collect()
+    pairs = [(r.w1, r.w2) for r in out]
+    assert ("new", "york") in pairs
+    ny = next(r for r in out if (r.w1, r.w2) == ("new", "york"))
+    # 5 adjacent "new york" occurrences (doc 1), c_new = c_york = 7
+    # (docs 1+3), N = 28 tokens: lift = 5*28/(7*7) in micro-units, floored
+    assert ny.c_xy == 5 and ny.c_x == 7 and ny.c_y == 7
+    assert ny.pmi_micro == (5 * 28 * 1_000_000) // (7 * 7)
+    # descending by pmi_micro
+    assert [r.pmi_micro for r in out] == sorted(
+        [r.pmi_micro for r in out], reverse=True
+    )
+
+
+def test_lm_bigram_scores_rare_transitions(spark):
+    rows = [
+        (1, "a b a b a b"),  # only common transitions
+        (2, "a b a b z q"),  # one-off transitions b->z, z->q
+        (3, ""),  # zero bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in tx.lm_bigram_scores(df, rare_micro=500_000).collect()
+    }
+    assert out[1].n_bigrams == 5
+    assert out[2].n_bigrams == 5
+    # doc 2's z->q transition: c_zq=1, c_z=1 -> cond = 1.0 (not rare);
+    # b->z: c_bz=1, c_b=5 -> 200000 micro (rare at the 0.5 threshold)
+    assert out[2].min_cond_micro == 200_000
+    assert out[2].n_rare == 1
+    assert out[1].n_rare == 0
+    assert out[3].n_bigrams == 0 and out[3].sum_cond_micro == 0
+
+
 def test_multimodal_resize(spark):
     rows = [(1, b"payload-one"), (2, None)]
     df = spark.createDataFrame(rows, ["media_id", "content"])
@@ -459,6 +503,38 @@ def test_pca_project_matches_numpy(spark):
         assert np.allclose(got[i], (raw32[i] - mu) @ V, atol=1e-8)
     # Orthonormal components.
     assert np.allclose(evecs @ evecs.T, np.eye(k), atol=1e-9)
+
+
+def test_pq_encode_codes_and_residual(spark):
+    from pipegen_spark.operators import embeddings as em
+
+    # 4-dim vectors, 2 subspaces of 2 dims; codewords = rows 10 and 11.
+    # cw0 = [0,0 | 0,0], cw1 = [1,1 | 1,1].
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),  # sub0 -> cw0 (idx 0), sub1 -> cw1 (idx 1)
+        (1, [1.0, 1.0, 0.0, 0.0]),  # sub0 -> cw1, sub1 -> cw0
+        (2, [0.1, 0.0, 0.0, 0.1]),  # both near cw0, nonzero residual
+        (10, [0.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in em.pq_encode(
+            df, df.vec_id.isin(10, 11), m=2, dim=4
+        ).collect()
+    }
+    # code packs 3 bits per subspace: sub0 + sub1*8
+    assert out[0]["pq_code"] == 0 + 1 * 8
+    assert out[1]["pq_code"] == 1 + 0 * 8
+    assert out[2]["pq_code"] == 0
+    assert out[0]["recon_err"] == 0 and out[1]["recon_err"] == 0
+    # residual of vec 2: two coords 0.1 off -> 2 * (0.1 * 2^15)^2 quantized
+    q = int(0.1 * (1 << 15) + 0.5)
+    assert out[2]["recon_err"] == 2 * q * q
+    # codewords encode themselves exactly
+    assert out[10]["pq_code"] == 0 and out[10]["recon_err"] == 0
+    assert out[11]["pq_code"] == 1 + 1 * 8 and out[11]["recon_err"] == 0
 
 
 def test_semantic_dedup_prunes_within_cluster_only(spark):
