@@ -22,7 +22,9 @@ from pipegen_spark.queries.registry import all_queries
 SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose DESIGN includes a pandas/Arrow stage.
-PANDAS_OK = {"dedup_embedding_cosine"}
+# multimodal_features IS the Arrow decode path under the gate — its
+# mapInPandas stage is the thing being tested (operators/multimodal.py).
+PANDAS_OK = {"dedup_embedding_cosine", "multimodal_features"}
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
 
