@@ -597,3 +597,117 @@ def mixture_sample(
             < F.expr("CAST(floor(rate * 2147483647.0) AS BIGINT)")
         ).alias("keep"),
     )
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (Xie et al. use 10k; 256
+#                     keeps every bucket populated on the 31-word test vocab)
+DSIR_SCALE = 1_000_000  # micro-units for the integer likelihood ratio
+
+
+def dsir_features(w: str, d: str) -> str:
+    """Unigram + adjacent-bigram feature MULTISET (with repeats) over a
+    token-array expression — the hashed n-gram feature family of DSIR
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling")."""
+    a, b = dl.elem(w, "i", d), dl.elem(w, "(i+1)", d)
+    pair = f"concat({a}, ' ', {b})" if d == dl.SPARK else f"{a} || ' ' || {b}"
+    bigrams = dl.transform(dl.bigram_idx(w, d), f"i -> {pair}", d)
+    if d == dl.SPARK:
+        return f"concat({w}, {bigrams})"
+    return f"list_concat({w}, {bigrams})"
+
+
+def dsir_scores(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-shaped importance scores: rank raw-pool documents by how much
+    their hashed n-gram profile looks like the TARGET distribution.
+
+    `target` is a boolean Column marking the in-domain/high-quality subset
+    (the "target corpus"); the whole frame is the raw pool. Per hashed
+    bucket b the smoothed likelihood ratio is kept in integer micro-units,
+
+        lr_micro[b] = ((t_cnt[b] + 1) * DSIR_SCALE) DIV (r_cnt[b] + 1),
+
+    and a document's score is the mean lr_micro over its feature
+    OCCURRENCES — the log-free monotone proxy for DSIR's mean
+    log-likelihood ratio (the smoothing normalizers are bucket-constant,
+    so ranking is preserved; integers make the surface engine-exact).
+    `keep` selects documents scoring above the corpus mean, compared in
+    cross-multiplied integers (score_micro * n_docs >= total_score).
+
+    Shape (100 TB): features are hashed to `buckets` longs map-side; the
+    bucket table is one partial-aggregated shuffle and is tiny (256 rows),
+    so the per-doc scoring join BROADCASTS it; the only other shuffle is
+    the per-doc aggregation. Nothing quadratic, nothing driver-side.
+
+    Returns (id_col, n_feats, score_micro, keep) for every input row;
+    feature-less documents score 0 / keep=false.
+    """
+    feats_arr = dsir_features(dl.words(text_col, dl.SPARK), dl.SPARK)
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            target.alias("_t"),
+            F.explode(F.expr(feats_arr)).alias("_f"),
+        )
+        .select(
+            "id",
+            "_t",
+            F.expr(f"({dl.hash60('_f', dl.SPARK)}) % {buckets}").alias(
+                "bucket"
+            ),
+        )
+    )
+    stats = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("t_cnt"),
+        F.count("*").alias("r_cnt"),
+    )
+    lr = stats.select(
+        "bucket",
+        F.expr(
+            dl.idiv(f"(t_cnt + 1) * {DSIR_SCALE}", "(r_cnt + 1)", dl.SPARK)
+        ).alias("lr_micro"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("lr_micro").alias("_score_sum"),
+        )
+        .select(
+            "id",
+            "n_feats",
+            F.expr(dl.idiv("_score_sum", "n_feats", dl.SPARK)).alias(
+                "score_micro"
+            ),
+        )
+    )
+    totals = scored.agg(
+        F.sum("score_micro").alias("_s"), F.count("*").alias("_c")
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(scored, "id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias(
+                "n_feats"
+            ),
+            F.coalesce(F.col("score_micro"), F.lit(0)).cast("long").alias(
+                "score_micro"
+            ),
+            F.coalesce(
+                F.col("score_micro") * F.col("_c") >= F.col("_s"),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )

@@ -59,6 +59,7 @@ GATE_DEFERRED = (
     "embed_pq",
     "text_pmi",
     "text_lm_bigram",
+    "curate_dsir",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

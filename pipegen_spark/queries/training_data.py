@@ -78,6 +78,9 @@ CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
 GOPHER_TUNE = {"min_words": 30, "min_required_stops": 1}
 # Incremental dedup: the "new batch" = the second ten synthetic sources.
 NEW_BATCH_PATTERN = "^src1[0-9]$"
+# DSIR target distribution: the English subset stands in for the
+# in-domain corpus (218/500 docs at sf0.01 — both keep outcomes covered).
+DSIR_TARGET_LANG = "en"
 
 
 # --- deduplication -----------------------------------------------------------
@@ -662,3 +665,14 @@ def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing the doc-local quality score."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.rarity_scores(docs, max_freq=RARITY_MAX_FREQ).orderBy("doc_id")
+
+
+def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bucket statistics of the English (target) subset vs the whole pool,
+    integer micro-unit likelihood ratios, per-doc mean score, and the
+    above-corpus-mean keep decision."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return cu.dsir_scores(
+        docs, target=F.col("lang") == DSIR_TARGET_LANG
+    ).orderBy("doc_id")

@@ -1235,7 +1235,55 @@ def _multimodal_features_sql() -> str:
     """
 
 
+def _dsir_sql() -> str:
+    """Mirror of curation.dsir_scores: hashed unigram+bigram bucket
+    likelihood ratios in integer micro-units, per-doc mean, keep =
+    above-corpus-mean (cross-multiplied integers)."""
+    feats_arr = cu.dsir_features("w", D)
+    bucket = f"({dl.hash60('f', D)}) % {cu.DSIR_BUCKETS}"
+    lr = dl.idiv(f"(t_cnt + 1) * {cu.DSIR_SCALE}", "(r_cnt + 1)", D)
+    score = dl.idiv("score_sum", "n_feats", D)
+    return f"""
+    WITH wdoc AS (
+        SELECT doc_id AS id, lang = '{td.DSIR_TARGET_LANG}' AS t,
+               {dl.words("text", D)} AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT id, t, {bucket} AS bucket
+        FROM (SELECT id, t, unnest({feats_arr}) AS f FROM wdoc)
+    ),
+    stats AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+               CAST(COUNT(*) AS BIGINT) AS r_cnt
+        FROM feats GROUP BY bucket
+    ),
+    lr AS (SELECT bucket, CAST({lr} AS BIGINT) AS lr_micro FROM stats),
+    doc AS (
+        SELECT f.id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(lr_micro) AS BIGINT) AS score_sum
+        FROM feats f JOIN lr USING (bucket) GROUP BY f.id
+    ),
+    sc AS (
+        SELECT id, n_feats, CAST({score} AS BIGINT) AS score_micro FROM doc
+    ),
+    tot AS (
+        SELECT CAST(SUM(score_micro) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sc
+    )
+    SELECT d.doc_id,
+           COALESCE(n_feats, 0) AS n_feats,
+           COALESCE(score_micro, 0) AS score_micro,
+           COALESCE(score_micro * c >= s, FALSE) AS keep
+    FROM documents d LEFT JOIN sc ON sc.id = d.doc_id CROSS JOIN tot
+    ORDER BY d.doc_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "curate_dsir": _dsir_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
     "text_pmi": _pmi_sql(),

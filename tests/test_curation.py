@@ -309,3 +309,38 @@ def test_split_rejects_bad_weights(spark):
 
     with _pytest.raises(ValueError):
         cu.split_expr("doc_id", "spark", (("a", 5000), ("b", 600)))
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    # Target docs are "alpha"-flavored; one candidate matches the target
+    # distribution, one is pure out-of-domain vocabulary.
+    rows = [
+        (1, True, "alpha beta alpha beta alpha beta"),
+        (2, True, "alpha beta gamma alpha beta gamma"),
+        (3, False, "alpha beta alpha beta gamma alpha"),
+        (4, False, "zulu yankee xray zulu yankee xray"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cu.dsir_scores(df, target=F.col("is_target")).collect()
+    }
+    # In-domain candidate outscores the out-of-domain one, and the keep
+    # decision splits exactly at the corpus mean.
+    assert out[3]["score_micro"] > out[4]["score_micro"]
+    assert out[3]["keep"] and not out[4]["keep"]
+    assert all(out[i]["n_feats"] == 11 for i in (1, 2, 3, 4))
+
+
+def test_dsir_featureless_doc_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(1, True, "alpha beta"), (2, False, "...")],
+        "doc_id long, is_target boolean, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cu.dsir_scores(df, target=F.col("is_target")).collect()
+    }
+    assert out[2]["n_feats"] == 0
+    assert out[2]["score_micro"] == 0
+    assert out[2]["keep"] is False
