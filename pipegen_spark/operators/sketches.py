@@ -1,0 +1,126 @@
+"""Streaming-style sketch operators — fixed-size summaries for
+unbounded-cardinality aggregations.
+
+First member: the count-min sketch (Cormode & Muthukrishnan 2005) for
+heavy-hitter / frequent-token estimation. Spark already ships HLL
+(approx_count_distinct, q23) and KLL-style quantiles
+(approx_percentile, q50); CMS covers the remaining classic: frequency
+estimation with bounded state.
+
+Scale design (100 TB discipline):
+- The sketch is a SUM-mergeable d x w integer grid: the groupBy that
+  builds it partial-aggregates map-side, so every task ships at most
+  d*w = 256 rows regardless of input size — that bounded-state property
+  is the whole point of the sketch.
+- The estimate join BROADCASTS the 256-row sketch; candidate tokens
+  never meet each other (no pair space).
+- Everything is integer arithmetic on the shared 60-bit md5 hash
+  (functions/dialect.py), so the DuckDB oracle reproduces the sketch
+  bit-for-bit — including the CMS overestimate guarantee
+  (est >= true), which the gate output exposes as a column.
+
+Reference parity: the reference (mcolomerc/pipegen) has no sketch
+operators; this extends it per the north star (SURVEY.md §2B-B29 [EXT]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipegen_spark.functions import dialect as dl
+
+# d=4 rows x w=64 buckets. Row-hash coefficients are fixed primes; with
+# h < 2^31 the products stay below 2^56 — ANSI-safe in int64.
+CMS_D = 4
+CMS_W = 64
+CMS_A = (1_299_721, 15_485_863, 32_452_843, 49_979_687)
+CMS_B = (104_729, 224_737, 350_377, 479_909)
+
+
+def cms_bucket(h: str, j: int, d: str) -> str:
+    """Bucket of hash-value expression `h` in sketch row j."""
+    return f"((({CMS_A[j]} * ({h}) + {CMS_B[j]}) % {dl.M31}) % {CMS_W})"
+
+
+def cms_sketch(tokens: DataFrame, token_col: str = "t") -> DataFrame:
+    """Build the d x w count-min sketch over a token stream.
+
+    Returns (j, bucket, cnt) — at most CMS_D * CMS_W rows. The groupBy
+    partial-aggregates map-side, so the shuffle carries only sketch
+    cells, never tokens.
+    """
+    h = dl.hash_m31(token_col, dl.SPARK)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(cms_bucket(h, j, dl.SPARK)).alias("bucket"),
+                )
+                for j in range(CMS_D)
+            ]
+        )
+    ).alias("cell")
+    return (
+        tokens.select(cells)
+        .select("cell.j", "cell.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    topk: int = 50,
+) -> DataFrame:
+    """Top-k frequent tokens with their CMS estimate next to the truth.
+
+    One token-stream scan feeds BOTH the sketch (bounded shuffle) and the
+    exact candidate counts (the verification surface); the estimate is
+    min over the d rows of the token's bucket cell. Output
+    (token, true_count, est_count, overcount) — `overcount >= 0` always,
+    by the CMS guarantee; the oracle reproduces the identical sketch so
+    the column is hash-exact.
+
+    At 100 TB the exact-count branch is the one you would drop: the
+    sketch + a per-partition local-top-k candidate pass gives the same
+    heavy hitters with bounded state end-to-end.
+    """
+    toks = df.select(
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t")
+    )
+    sketch = cms_sketch(toks, "t")
+    cand = toks.groupBy("t").agg(F.count("*").alias("true_count"))
+    h = dl.hash_m31("t", dl.SPARK)
+    probes = cand.select(
+        "t",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(cms_bucket(h, j, dl.SPARK)).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("t", "true_count", "cell.j", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("t", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select(
+            F.col("t").alias("token"),
+            "true_count",
+            "est_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(topk)
+    )

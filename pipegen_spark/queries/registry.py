@@ -60,6 +60,7 @@ GATE_DEFERRED = (
     "text_pmi",
     "text_lm_bigram",
     "curate_dsir",
+    "text_cms_topk",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

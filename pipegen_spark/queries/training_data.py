@@ -19,6 +19,7 @@ from pipegen_spark.operators import dedup as dd
 from pipegen_spark.operators import embeddings as em
 from pipegen_spark.operators import multimodal as mm
 from pipegen_spark.operators import similarity as sim
+from pipegen_spark.operators import sketches as sk
 from pipegen_spark.operators import text as tx
 
 # --- shared parameters (imported by training_oracle.py) ---------------------
@@ -78,6 +79,7 @@ CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
 GOPHER_TUNE = {"min_words": 30, "min_required_stops": 1}
 # Incremental dedup: the "new batch" = the second ten synthetic sources.
 NEW_BATCH_PATTERN = "^src1[0-9]$"
+CMS_TOPK = 50  # count-min heavy-hitter report size
 # DSIR target distribution: the English subset stands in for the
 # in-domain corpus (218/500 docs at sf0.01 — both keep outcomes covered).
 DSIR_TARGET_LANG = "en"
@@ -676,3 +678,12 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.dsir_scores(
         docs, target=F.col("lang") == DSIR_TARGET_LANG
     ).orderBy("doc_id")
+
+
+def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-CMS_TOPK tokens by sketch
+    estimate, with the exact count and the (always >= 0) overcount next
+    to it — the bounded-state frequency-estimation path for
+    unbounded-vocabulary corpora."""
+    docs = table(spark, sf_dir, "documents").select("text")
+    return sk.cms_heavy_hitters(docs, "text", topk=CMS_TOPK)

@@ -1235,6 +1235,52 @@ def _multimodal_features_sql() -> str:
     """
 
 
+def _cms_sql() -> str:
+    """Mirror of sketches.cms_heavy_hitters: identical d x w count-min
+    grid from the shared hash, min-over-rows estimate, exact count and
+    overcount alongside."""
+    from pipegen_spark.operators import sketches as sk
+
+    h = dl.hash_m31("t", D)
+    bucket_cases = " ".join(
+        f"WHEN {j} THEN {sk.cms_bucket('h', j, D)}" for j in range(sk.CMS_D)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest({dl.words("text", D)}) AS t FROM documents
+    ),
+    th AS (SELECT t, {h} AS h FROM toks),
+    cells AS (
+        SELECT CAST(r.range AS INT) AS j, h
+        FROM th CROSS JOIN range(0,{sk.CMS_D}) r
+    ),
+    sketch AS (
+        SELECT j, CASE j {bucket_cases} END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT t, ANY_VALUE(h) AS h, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM th GROUP BY t
+    ),
+    probes AS (
+        SELECT t, true_count, CAST(r.range AS INT) AS j,
+               CASE CAST(r.range AS INT) {bucket_cases} END AS bucket
+        FROM cand CROSS JOIN range(0,{sk.CMS_D}) r
+    ),
+    est AS (
+        SELECT t, true_count, CAST(MIN(cnt) AS BIGINT) AS est_count
+        FROM probes JOIN sketch USING (j, bucket)
+        GROUP BY t, true_count
+    )
+    SELECT t AS token, true_count, est_count,
+           est_count - true_count AS overcount
+    FROM est
+    ORDER BY est_count DESC, token
+    LIMIT {td.CMS_TOPK}
+    """
+
+
 def _dsir_sql() -> str:
     """Mirror of curation.dsir_scores: hashed unigram+bigram bucket
     likelihood ratios in integer micro-units, per-doc mean, keep =
@@ -1284,6 +1330,7 @@ def _dsir_sql() -> str:
 
 TRAINING_ORACLE: dict[str, str] = {
     "curate_dsir": _dsir_sql(),
+    "text_cms_topk": _cms_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
     "text_pmi": _pmi_sql(),

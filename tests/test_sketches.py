@@ -1,0 +1,48 @@
+"""Unit tests for the sketch operators (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from pipegen_spark.operators import sketches as sk
+
+
+def test_cms_sketch_is_bounded_and_mass_preserving(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b a"), (2, "b c d d d d")], "doc_id long, text string"
+    )
+    toks = spark.createDataFrame(
+        [(t,) for t in "a b c a b a b c d d d d".split()], "t string"
+    )
+    cells = sk.cms_sketch(toks, "t").collect()
+    assert len(cells) <= sk.CMS_D * sk.CMS_W
+    # Every sketch row preserves the total token mass.
+    per_row = {}
+    for c in cells:
+        per_row[c["j"]] = per_row.get(c["j"], 0) + c["cnt"]
+    assert set(per_row) == set(range(sk.CMS_D))
+    assert all(v == 12 for v in per_row.values())
+
+
+def test_cms_estimate_never_undercounts_and_is_exact_when_sparse(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "x y w w q")], "doc_id long, text string"
+    )
+    out = {r["token"]: r for r in sk.cms_heavy_hitters(df, "text").collect()}
+    assert set(out) == {"x", "y", "z", "w", "q"}
+    for r in out.values():
+        assert r["overcount"] >= 0
+        assert r["est_count"] >= r["true_count"]
+    # 5 distinct tokens in 4x64 cells: collisions are possible but the
+    # exact counts themselves must be right.
+    assert out["x"]["true_count"] == 4
+    assert out["y"]["true_count"] == 3
+    assert out["w"]["true_count"] == 2
+
+
+def test_cms_topk_orders_by_estimate_then_token(spark):
+    df = spark.createDataFrame(
+        [(1, "m m m n n o")], "doc_id long, text string"
+    )
+    rows = sk.cms_heavy_hitters(df, "text", topk=2).collect()
+    assert len(rows) == 2
+    assert rows[0]["token"] == "m"
+    assert rows[0]["est_count"] >= rows[1]["est_count"]
