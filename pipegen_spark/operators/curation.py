@@ -711,3 +711,48 @@ def dsir_scores(
             ).alias("keep"),
         )
     )
+
+
+# --- weighted priority sampling ----------------------------------------------
+
+WSAMPLE_SALT = ":wsample"
+PRIORITY_SCALE = 1_000_000
+
+
+def priority_expr(id_col: str, weight_col: str, d: str) -> str:
+    """Deterministic priority-sampling key (Duffield-Lund-Thorup):
+    priority_i = u_i / w_i with the uniform replaced by the salted id hash
+    — bottom-k by this key is a weight-proportional sample that re-runs,
+    retries, and the oracle all reproduce exactly. Kept in integers:
+    (hash_m31 * PRIORITY_SCALE) DIV max(w, 1); hash < 2^31 so the product
+    stays under 2^52."""
+    h = dl.hash_m31(f"CAST({id_col} AS STRING) || '{WSAMPLE_SALT}'", d)
+    return dl.idiv(
+        f"({h}) * {PRIORITY_SCALE}", f"greatest({weight_col}, 1)", d
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Bottom-k rows by the deterministic priority key — a
+    weight-proportional sample without replacement.
+
+    Shape (100 TB): the priority is map-only; orderBy+limit plans as
+    TakeOrdered (per-partition local top-k, then a k-row merge on one
+    reducer) — no full sort shuffle, no RNG state, no driver loop.
+    Ties break on the id, so the k-th boundary is unambiguous.
+    """
+    pri = F.expr(priority_expr(id_col, weight_col, dl.SPARK))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

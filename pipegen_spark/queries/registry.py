@@ -61,6 +61,7 @@ GATE_DEFERRED = (
     "text_lm_bigram",
     "curate_dsir",
     "text_cms_topk",
+    "curate_weighted_sample",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

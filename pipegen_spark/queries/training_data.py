@@ -80,6 +80,7 @@ GOPHER_TUNE = {"min_words": 30, "min_required_stops": 1}
 # Incremental dedup: the "new batch" = the second ten synthetic sources.
 NEW_BATCH_PATTERN = "^src1[0-9]$"
 CMS_TOPK = 50  # count-min heavy-hitter report size
+WSAMPLE_K = 100  # weighted priority-sample size
 # DSIR target distribution: the English subset stands in for the
 # in-domain corpus (218/500 docs at sf0.01 — both keep outcomes covered).
 DSIR_TARGET_LANG = "en"
@@ -687,3 +688,14 @@ def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-vocabulary corpora."""
     docs = table(spark, sf_dir, "documents").select("text")
     return sk.cms_heavy_hitters(docs, "text", topk=CMS_TOPK)
+
+
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: bottom-
+    WSAMPLE_K docs by the integer priority key (salted id hash DIV
+    n_chars), so longer documents are proportionally likelier — the
+    size-biased counterpart to the rate-gated stratified sample."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return cu.weighted_sample(docs, "n_chars", k=WSAMPLE_K).orderBy(
+        "priority", "doc_id"
+    )

@@ -1281,6 +1281,18 @@ def _cms_sql() -> str:
     """
 
 
+def _wsample_sql() -> str:
+    """Mirror of curation.weighted_sample over (doc_id, n_chars)."""
+    pri = cu.priority_expr("doc_id", "n_chars", D)
+    return f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST({pri} AS BIGINT) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT {td.WSAMPLE_K}
+    """
+
+
 def _dsir_sql() -> str:
     """Mirror of curation.dsir_scores: hashed unigram+bigram bucket
     likelihood ratios in integer micro-units, per-doc mean, keep =
@@ -1331,6 +1343,7 @@ def _dsir_sql() -> str:
 TRAINING_ORACLE: dict[str, str] = {
     "curate_dsir": _dsir_sql(),
     "text_cms_topk": _cms_sql(),
+    "curate_weighted_sample": _wsample_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
     "text_pmi": _pmi_sql(),

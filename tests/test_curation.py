@@ -344,3 +344,23 @@ def test_dsir_featureless_doc_scores_zero(spark):
     assert out[2]["n_feats"] == 0
     assert out[2]["score_micro"] == 0
     assert out[2]["keep"] is False
+
+
+def test_weighted_sample_is_deterministic_and_size_biased(spark):
+    # 200 docs, half weight 10, half weight 1000: the heavy half should
+    # dominate a 50-doc sample under priority = hash/weight.
+    rows = [(i, 10 if i % 2 == 0 else 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out1 = cu.weighted_sample(df, "n_chars", k=50).collect()
+    out2 = cu.weighted_sample(df, "n_chars", k=50).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    heavy = sum(1 for r in out1 if r["weight"] == 1000)
+    assert heavy >= 40
+    # TakeOrdered path: no global sort shuffle in the physical plan.
+    plan = (
+        cu.weighted_sample(df, "n_chars", k=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
