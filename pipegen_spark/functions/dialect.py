@@ -370,3 +370,22 @@ def rolling_fingerprint(words_expr: str, d: str) -> str:
         f"(acc,x) -> (acc * 31 + x) % {M31}",
         d,
     )
+
+
+def zorder16(x: str, y: str, d: str) -> str:
+    """16-bit Morton (z-order) key interleaving the low 8 bits of two
+    integer expressions: bit i of x lands at position 2i, bit i of y at
+    2i+1. Pure integer shifts/masks — identical on both engines.
+
+    Z-ordering is the multi-dimensional layout trick: rows sorted by the
+    interleaved key cluster in BOTH dimensions at once, so min/max
+    column statistics (parquet row groups, Delta/Iceberg file skipping)
+    prune range predicates on either x or y — where a single-column sort
+    only prunes one.
+    """
+    _check(d)
+    terms = []
+    for i in range(8):
+        terms.append(f"({shl(f'({shr(x, str(i), d)}) & 1', 2 * i, d)})")
+        terms.append(f"({shl(f'({shr(y, str(i), d)}) & 1', 2 * i + 1, d)})")
+    return "(" + " + ".join(terms) + ")"

@@ -85,3 +85,41 @@ def recommend_shuffle_partitions(
     ~128 MB (the classic rule of thumb; AQE coalescing refines at runtime).
     """
     return max(1, (input_bytes + target_partition_bytes - 1) // target_partition_bytes)
+
+
+def with_zorder_key(
+    df: DataFrame, x_col: str, y_col: str, key_col: str = "zkey"
+) -> DataFrame:
+    """Attach a 16-bit Morton key interleaving the low 8 bits of two
+    integer columns (dialect.zorder16). Repartitioning by range on this
+    key before a parquet write clusters files in BOTH dimensions, so
+    min/max stats prune range predicates on either column — the
+    DataFrame-level equivalent of Delta/Iceberg ZORDER BY."""
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.functions import dialect as dl
+
+    z = dl.zorder16(f"({x_col} % 256)", f"({y_col} % 256)", dl.SPARK)
+    return df.withColumn(key_col, F.expr(z))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: range-partition on the Morton key
+    (so each output file owns a contiguous zkey band — a 2-D tile), sort
+    within partitions, drop the key from the payload. Readers filtering
+    on either dimension skip whole files via footer min/max stats."""
+    keyed = with_zorder_key(df, x_col, y_col)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

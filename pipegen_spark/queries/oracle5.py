@@ -28,7 +28,21 @@ _Q55_ARM = """
      AND l_quantity BETWEEN 20 AND 30)
 """
 
+from pipegen_spark.functions import dialect as _dl
+
+_Z = _dl.zorder16("(user_id % 256)",
+                  "(CAST(dayofyear(ts) AS BIGINT) % 256)", _dl.DUCK)
+
 RELATIONAL5_ORACLE: dict[str, str] = {
+    "q58_zorder_layout": f"""
+        SELECT zkey // 64 AS tile,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(MIN(zkey) AS BIGINT) AS zmin,
+               CAST(MAX(zkey) AS BIGINT) AS zmax
+        FROM (SELECT {_Z} AS zkey, user_id FROM events)
+        GROUP BY 1 ORDER BY 1
+    """,
     "q51_tpch_forecast_revenue": f"""
         SELECT CAST(SUM({_m("l_extendedprice * l_discount")})
                     AS DECIMAL(18,2)) AS revenue,

@@ -277,3 +277,35 @@ def q57_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- q58: z-order (Morton) layout audit --------------------------------------
+def q58_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering key: interleave the low 8 bits of the
+    user bucket and the day-of-year bucket into a 16-bit Morton key, and
+    report per-tile occupancy (tile = key >> 6).
+
+    This is the write-side layout that makes parquet min/max statistics
+    prune range predicates on EITHER dimension: rows sorted by zkey are
+    simultaneously clustered by user and by time, where a single-column
+    sort clusters only one. dialect.zorder16 is pure integer shifts, so
+    the oracle reproduces the key bit-for-bit. Map-only until the one
+    per-tile aggregation (<= 1024 groups)."""
+    ev = table(spark, sf_dir, "events")
+    x = "(user_id % 256)"
+    y = "(CAST(dayofyear(ts) AS BIGINT) % 256)"
+    z = dl.zorder16(x, y, dl.SPARK)
+    return (
+        ev.select(
+            F.expr(z).alias("zkey"),
+            F.col("user_id"),
+        )
+        .groupBy(F.expr("zkey DIV 64").alias("tile"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+        .orderBy("tile")
+    )

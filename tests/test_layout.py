@@ -95,3 +95,55 @@ def test_recommend_shuffle_partitions():
     assert layout.recommend_shuffle_partitions(128 * mb) == 1
     assert layout.recommend_shuffle_partitions(129 * mb) == 2
     assert layout.recommend_shuffle_partitions(10 * 1024 * mb) == 80
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(5, 3), (0, 255), (255, 0)], "x long, y long"
+    )
+    rows = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in layout.with_zorder_key(df, "x", "y").collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert rows[(5, 3)] == morton(5, 3) == 27
+    assert rows[(0, 255)] == morton(0, 255)
+    assert rows[(255, 0)] == morton(255, 0)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    # 32x32 grid; after the z-order write each file owns a zkey band, so
+    # a narrow filter on EITHER x or y should touch a strict subset of
+    # the files.
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "zordered")
+    layout.zorder_write(df, path, "x", "y", n_files=8)
+
+    import glob
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+
+    def touched(pred):
+        hit = 0
+        for f in files:
+            t = pq.read_table(f)
+            xs = t.column("x").to_pylist()
+            ys = t.column("y").to_pylist()
+            if any(pred(x, y) for x, y in zip(xs, ys)):
+                hit += 1
+        return hit
+
+    # Narrow ranges in each dimension prune files (min/max stats would
+    # skip the untouched ones).
+    assert touched(lambda x, y: x < 4) < len(files)
+    assert touched(lambda x, y: y < 4) < len(files)
