@@ -62,6 +62,7 @@ GATE_DEFERRED = (
     "curate_dsir",
     "text_cms_topk",
     "curate_weighted_sample",
+    "simsearch_pq",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -699,3 +699,18 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.weighted_sample(docs, "n_chars", k=WSAMPLE_K).orderBy(
         "priority", "doc_id"
     )
+
+
+def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (Jegou et al. 2011): the compressed-
+    corpus ANN path — one BIGINT code per vector on the scan side, a
+    broadcast per-query integer distance LUT, top-TOPK_IVF per query."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(
+        vecs,
+        F.col("vec_id").between(PQ_CENT_LO, PQ_CENT_HI),
+        F.col("vec_id") < N_QUERY_VECS,
+        k=TOPK_IVF,
+        m=PQ_M,
+        dim=EMB_DIM,
+    )

@@ -1097,8 +1097,9 @@ def _incremental_sql() -> str:
     """
 
 
-def _pq_sql() -> str:
-    """Mirror of embeddings.pq_encode: per-(vector, codeword) integer
+def _pq_codes_ctes() -> str:
+    """Shared CTE chain mirroring embeddings.pq_encode, ending in
+    `codes(id, pq_code, recon_err)`: per-(vector, codeword) integer
     sub-distances, per-subspace argmin by (dist, codeword index), packed
     3-bit code + residual sum."""
     from pipegen_spark.operators import embeddings as em
@@ -1111,8 +1112,7 @@ def _pq_sql() -> str:
     unpivot = ", ".join(
         f"STRUCT_PACK(s := {s}, d := d{s})" for s in range(td.PQ_M)
     )
-    return f"""
-    WITH c AS (
+    return f"""c AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                    AS cidx,
                embedding AS cv
@@ -1134,13 +1134,70 @@ def _pq_sql() -> str:
                row_number() OVER (PARTITION BY id, s ORDER BY d, cidx)
                    AS rn
         FROM u
+    ),
+    codes AS (
+        SELECT id,
+               CAST(SUM(cidx * (CAST(1 AS BIGINT) << (3 * s))) AS BIGINT)
+                   AS pq_code,
+               CAST(SUM(d) AS BIGINT) AS recon_err
+        FROM best WHERE rn = 1
+        GROUP BY id
+    )"""
+
+
+def _pq_sql() -> str:
+    return f"""
+    WITH {_pq_codes_ctes()}
+    SELECT id AS vec_id, pq_code, recon_err
+    FROM codes ORDER BY vec_id
+    """
+
+
+def _pq_adc_sql() -> str:
+    """Mirror of similarity.pq_adc_topk: per-query LUT of integer
+    sub-distances to every codeword, codes unpacked to (s, cidx)
+    triples, ADC score = sum of the m LUT hits, top-k per query."""
+    from pipegen_spark.operators import embeddings as em
+
+    sub_dim = td.EMB_DIM // td.PQ_M
+    lut_unpivot = ", ".join(
+        "STRUCT_PACK(s := {s}, d := {d})".format(
+            s=s, d=em.pq_subdist_expr("qv", "cv", s, sub_dim, 15, D)
+        )
+        for s in range(td.PQ_M)
     )
-    SELECT id AS vec_id,
-           CAST(SUM(cidx * (CAST(1 AS BIGINT) << (3 * s))) AS BIGINT)
-               AS pq_code,
-           CAST(SUM(d) AS BIGINT) AS recon_err
-    FROM best WHERE rn = 1
-    GROUP BY id ORDER BY id
+    return f"""
+    WITH {_pq_codes_ctes()},
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {td.N_QUERY_VECS}
+    ),
+    lut AS (
+        SELECT query_id, cidx, x.s AS s, x.d AS d
+        FROM (SELECT * FROM q CROSS JOIN c),
+             UNNEST([{lut_unpivot}]) AS t(x)
+    ),
+    ce AS (
+        SELECT id AS neighbor_id, CAST(r.range AS INT) AS s,
+               (pq_code >> (3 * CAST(r.range AS INT))) & 7 AS cidx
+        FROM codes CROSS JOIN range(0,{td.PQ_M}) r
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+        FROM ce JOIN lut USING (s, cidx)
+        WHERE neighbor_id <> query_id
+        GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {td.TOPK_IVF}
+    ORDER BY query_id, rnk
     """
 
 
@@ -1346,6 +1403,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_weighted_sample": _wsample_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
+    "simsearch_pq": _pq_adc_sql(),
     "text_pmi": _pmi_sql(),
     "text_lm_bigram": _lm_bigram_sql(),
     "curate_gopher": _gopher_sql(),

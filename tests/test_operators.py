@@ -569,3 +569,57 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[5]["is_semantic_dup"]  # near-copy of 4 in the same cluster
     # cross-cluster near-parallel vectors never pair: 0-axis vs 2-axis
     assert out[1]["n_sem_dups"] == 1  # only vec 0, not anything in B
+
+
+def test_pq_adc_matches_exact_distances_on_codeword_aligned_vectors(spark):
+    # Codebook: 4 vectors of dim 4 (m=2, sub_dim=2). Base vectors are
+    # built from exact codeword halves, so quantization error is zero and
+    # the ADC distance must equal the exact quantized squared distance.
+    cw = {
+        100: [0.0, 0.0, 0.0, 0.0],
+        101: [1.0, 0.0, 0.0, 1.0],
+        102: [0.0, 1.0, 1.0, 0.0],
+        103: [1.0, 1.0, 1.0, 1.0],
+    }
+    base = [
+        (1, cw[100][:2] + cw[103][2:]),  # subspaces -> (c0, c3)
+        (2, cw[101][:2] + cw[102][2:]),
+        (3, cw[103][:2] + cw[100][2:]),
+    ]
+    query = [(0, [0.2, 0.1, 0.9, 0.8])]
+    rows = [(i, v) for i, v in query + base] + [
+        (i, v) for i, v in cw.items()
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.pq_adc_topk(
+        df,
+        F.col("vec_id") >= 100,
+        F.col("vec_id") == 0,
+        k=10,
+        m=2,
+        dim=4,
+    ).collect()
+
+    def quant(x):
+        import math
+
+        return math.floor(float(np_f32(x)) * (1 << 15) + 0.5)
+
+    def np_f32(x):
+        import numpy as np
+
+        return np.float32(x)
+
+    def exact(q, v):
+        return sum((quant(a) - quant(b)) ** 2 for a, b in zip(q, v))
+
+    got = {r["neighbor_id"]: r["adc_dist"] for r in out}
+    q = query[0][1]
+    for vid, vec in base:
+        assert got[vid] == exact(q, vec), vid
+    # Codeword vectors themselves are also ADC-exact.
+    for vid, vec in cw.items():
+        assert got[vid] == exact(q, vec), vid
+    ranks = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    expect = sorted(got, key=lambda v: (got[v], v))
+    assert ranks == expect
