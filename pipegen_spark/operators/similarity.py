@@ -330,3 +330,47 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def quantized_l2_topk(
+    base: DataFrame,
+    query_pred,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 15,
+) -> DataFrame:
+    """Exact top-k under the integer-quantized squared L2 distance — the
+    ground truth that isolates PQ's QUANTIZATION error in recall
+    measurements (same metric, same integer grid as `pq_adc_topk`, no
+    compression). Broadcast queries, one scan of base, window top-k.
+
+    Output: (query_id, neighbor_id, rnk, l2_dist)."""
+    from pipegen_spark.operators import embeddings as em
+
+    sub_dim = dim // m
+    dist = "(" + " + ".join(
+        em.pq_subdist_expr("qv", "bv", s, sub_dim, scale_bits, dl.SPARK)
+        for s in range(m)
+    ) + ")"
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.expr(dist).alias("l2_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

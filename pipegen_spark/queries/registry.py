@@ -63,6 +63,7 @@ GATE_DEFERRED = (
     "text_cms_topk",
     "curate_weighted_sample",
     "simsearch_pq",
+    "simsearch_pq_recall",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

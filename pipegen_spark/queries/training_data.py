@@ -714,3 +714,41 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         dim=EMB_DIM,
     )
+
+
+def simsearch_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality measurement: recall@k of the ADC code ranking against
+    the exact top-k under the SAME integer-quantized L2 metric — the
+    isolation of pure quantization error (metric mismatch excluded), per
+    query vector. All-integer, so the metric itself is hash-exact."""
+    vecs = table(spark, sf_dir, "embeddings")
+    exact = sim.quantized_l2_topk(
+        vecs, F.col("vec_id") < N_QUERY_VECS, k=TOPK_IVF, m=PQ_M,
+        dim=EMB_DIM,
+    ).select("query_id", "neighbor_id")
+    adc = sim.pq_adc_topk(
+        vecs,
+        F.col("vec_id").between(PQ_CENT_LO, PQ_CENT_HI),
+        F.col("vec_id") < N_QUERY_VECS,
+        k=TOPK_IVF,
+        m=PQ_M,
+        dim=EMB_DIM,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(adc, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

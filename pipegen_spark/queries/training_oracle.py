@@ -1350,6 +1350,77 @@ def _wsample_sql() -> str:
     """
 
 
+def _pq_recall_sql() -> str:
+    """Mirror of simsearch_pq_recall: ADC top-k (the _pq_adc_sql chain)
+    vs exact top-k under the same integer-quantized L2 metric."""
+    from pipegen_spark.operators import embeddings as em
+
+    sub_dim = td.EMB_DIM // td.PQ_M
+    dist = "(" + " + ".join(
+        em.pq_subdist_expr("q.qv", "e.embedding", s, sub_dim, 15, D)
+        for s in range(td.PQ_M)
+    ) + ")"
+    lut_unpivot = ", ".join(
+        "STRUCT_PACK(s := {s}, d := {d})".format(
+            s=s, d=em.pq_subdist_expr("qv", "cv", s, sub_dim, 15, D)
+        )
+        for s in range(td.PQ_M)
+    )
+    return f"""
+    WITH {_pq_codes_ctes()},
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {td.N_QUERY_VECS}
+    ),
+    exact_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST({dist} AS BIGINT) AS l2_dist
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    exact_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY l2_dist, neighbor_id)
+                          AS rnk
+            FROM exact_scored
+        ) t WHERE rnk <= {td.TOPK_IVF}
+    ),
+    lut AS (
+        SELECT query_id, cidx, x.s AS s, x.d AS d
+        FROM (SELECT * FROM q CROSS JOIN c),
+             UNNEST([{lut_unpivot}]) AS t(x)
+    ),
+    ce AS (
+        SELECT id AS neighbor_id, CAST(r.range AS INT) AS s,
+               (pq_code >> (3 * CAST(r.range AS INT))) & 7 AS cidx
+        FROM codes CROSS JOIN range(0,{td.PQ_M}) r
+    ),
+    adc_scored AS (
+        SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+        FROM ce JOIN lut USING (s, cidx)
+        WHERE neighbor_id <> query_id
+        GROUP BY query_id, neighbor_id
+    ),
+    adc_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id)
+                          AS rnk
+            FROM adc_scored
+        ) t WHERE rnk <= {td.TOPK_IVF}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS recall_at_k
+    FROM exact_k e LEFT JOIN adc_k a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
 def _dsir_sql() -> str:
     """Mirror of curation.dsir_scores: hashed unigram+bigram bucket
     likelihood ratios in integer micro-units, per-doc mean, keep =
@@ -1404,6 +1475,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),
+    "simsearch_pq_recall": _pq_recall_sql(),
     "text_pmi": _pmi_sql(),
     "text_lm_bigram": _lm_bigram_sql(),
     "curate_gopher": _gopher_sql(),
