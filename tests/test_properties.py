@@ -111,3 +111,72 @@ def test_repair_json_roundtrips_valid_json(d):
 @settings(max_examples=200, deadline=None)
 def test_extract_json_total(s):
     extract_json_from_markdown(s)  # never raises
+
+
+# --- dialect fragments under DuckDB (no Spark needed) ------------------------
+
+import duckdb as _duckdb
+
+from pipegen_spark.functions import dialect as _dl
+
+_dcon = _duckdb.connect()
+
+
+@given(
+    hst.integers(0, 2**40),
+    hst.integers(0, 2**40),
+)
+@settings(max_examples=150, deadline=None)
+def test_zorder16_matches_python_morton_and_masks_high_bits(x, y):
+    expr = _dl.zorder16(str(x), str(y), _dl.DUCK)
+    got = _dcon.execute(f"SELECT {expr}").fetchone()[0]
+
+    def morton(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == morton(x & 255, y & 255)
+    assert 0 <= got < 2**16
+
+
+def test_zorder16_is_bijective_on_the_8bit_grid():
+    expr = _dl.zorder16("x", "y", _dl.DUCK)
+    n = _dcon.execute(
+        f"""SELECT COUNT(DISTINCT {expr})
+        FROM (SELECT a.range AS x, b.range AS y
+              FROM range(0,256) a CROSS JOIN range(0,256) b)"""
+    ).fetchone()[0]
+    assert n == 256 * 256
+
+
+@given(
+    hst.lists(
+        hst.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_cms_oracle_never_undercounts(tokens):
+    """The CMS overestimate guarantee, checked through the ORACLE SQL on
+    arbitrary small corpora (the Spark side is hash-matched to this SQL
+    by the correctness gate)."""
+    from pipegen_spark.queries.training_oracle import _cms_sql
+
+    con = _duckdb.connect()
+    text = " ".join(tokens).replace("'", "")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{text}' AS text"
+    )
+    rows = con.execute(_cms_sql()).fetchall()
+    from collections import Counter
+
+    truth = Counter(tokens)
+    got = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    for tok, (true_count, est, over) in got.items():
+        assert true_count == truth[tok]
+        assert est >= true_count
+        assert over == est - true_count
