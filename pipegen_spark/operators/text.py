@@ -802,3 +802,51 @@ def lm_bigram_scores(
             F.coalesce("n_rare", z).alias("n_rare"),
         )
     )
+
+
+# --- readability -------------------------------------------------------------
+
+READ_SCALE = 1_000_000  # micro-units for the readability grade
+
+
+def readability_exprs(
+    text: str, d: str, w: str | None = None
+) -> dict[str, str]:
+    """Flesch-Kincaid grade level in integer micro-units.
+
+    FK = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59, with
+    syllables approximated by vowel groups (the classic proxy) and each
+    ratio carried as an integer DIV at 10^6 scale — log/float-free, so
+    the surface is engine-exact. Sentences floor at 1 (the synthetic
+    corpus has no terminal punctuation; real corpora split on [.!?]+).
+    """
+    w = w or dl.words(text, d)
+    n_words = f"CAST({dl.size(w, d)} AS BIGINT)"
+    n_sents = (
+        f"greatest(CAST({dl.regexp_count(text, '[.!?]+', d)} AS BIGINT),"
+        " CAST(1 AS BIGINT))"
+    )
+    n_syll = (
+        f"CAST({dl.regexp_count(f'lower({text})', '[aeiou]+', d)} AS BIGINT)"
+    )
+    fk = (
+        f"({dl.idiv(f'390000 * ({n_words})', n_sents, d)}"
+        f" + {dl.idiv(f'11800000 * ({n_syll})', f'greatest({n_words}, 1)', d)}"
+        f" - 15590000)"
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sents,
+        "n_syllables": n_syll,
+        "fk_micro": f"CAST({fk} AS BIGINT)",
+    }
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append readability columns (map-only, JVM-side)."""
+    exprs = readability_exprs(text_col, dl.SPARK, w="_toks")
+    return (
+        _tokens_once(df, text_col)
+        .select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
+        .drop("_toks")
+    )

@@ -64,6 +64,7 @@ GATE_DEFERRED = (
     "curate_weighted_sample",
     "simsearch_pq",
     "simsearch_pq_recall",
+    "text_readability",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -752,3 +752,11 @@ def simsearch_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability grade in integer micro-units (vowel-
+    group syllable proxy) — the classic doc-complexity quality signal,
+    map-only."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.with_readability(docs).drop("text").orderBy("doc_id")

@@ -1520,6 +1520,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_tokens": _proj_sql(tx.token_stats_exprs("text", D)),
     "text_quality": _proj_sql(tx.quality_exprs("text", D)),
     "text_langid": _proj_sql(tx.langid_exprs("text", D)),
+    "text_readability": _proj_sql(tx.readability_exprs("text", D)),
     "text_sentiment": _proj_sql(tx.sentiment_exprs("text", D)),
     "text_tfidf": _tfidf_sql(),
     "text_bm25": _bm25_sql(),

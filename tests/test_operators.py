@@ -623,3 +623,21 @@ def test_pq_adc_matches_exact_distances_on_codeword_aligned_vectors(spark):
     ranks = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])]
     expect = sorted(got, key=lambda v: (got[v], v))
     assert ranks == expect
+
+
+def test_readability_orders_simple_before_complex(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a cat sat on a mat. it was flat."),
+            (2, "extraordinary considerations necessitate comprehensive reevaluation"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.with_readability(df).collect()}
+    # Two sentences detected for doc 1; doc 2 floors at 1.
+    assert rows[1]["n_sentences"] == 2
+    assert rows[2]["n_sentences"] == 1
+    # The polysyllabic single-sentence doc grades much harder.
+    assert rows[2]["fk_micro"] > rows[1]["fk_micro"]
+    # Vowel-group syllable proxy.
+    assert rows[1]["n_syllables"] == 9
