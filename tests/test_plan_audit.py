@@ -79,7 +79,8 @@ def test_text_family_scans_are_column_pruned(plans):
     # Map-only text/curation operators must not drag the full documents row
     # (notably n_chars) through the scan.
     for name in ("text_tokens", "text_quality", "text_langid",
-                 "text_fingerprint", "text_normalize",
+                 "text_fingerprint", "text_normalize", "text_readability",
+                 "text_cms_topk", "curate_dsir",
                  "curate_repetition", "curate_redact", "curate_chunk"):
         scan = [ln for ln in plans[name].splitlines() if "ReadSchema" in ln]
         assert scan, f"{name}: no parquet scan found"
@@ -172,3 +173,18 @@ def test_round4_ops_plan_shapes(plans):
     assert "CartesianProduct" not in p
     assert "cluster_id" in p
     assert "Broadcast" in p
+
+
+def test_new_round4_operator_plan_shapes(plans):
+    # q58: map-only until the per-tile hash aggregate — events scan must
+    # not read props/value, and the whole plan needs no join.
+    p = plans["q58_zorder_layout"]
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan and "props" not in scan[0] and "value" not in scan[0], scan
+    assert "Join" not in p
+    # CMS estimate + DSIR scoring joins must broadcast their tiny side
+    # (the 256-cell sketch / the 256-row likelihood table).
+    assert "BroadcastHashJoin" in plans["text_cms_topk"]
+    assert "BroadcastHashJoin" in plans["curate_dsir"]
+    # The sampling selection plans as TakeOrdered, not a global sort.
+    assert "TakeOrderedAndProject" in plans["curate_weighted_sample"]
