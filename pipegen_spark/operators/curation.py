@@ -642,6 +642,12 @@ def dsir_scores(
     `keep` selects documents scoring above the corpus mean, compared in
     cross-multiplied integers (score_micro * n_docs >= total_score).
 
+    Overflow bound: (t_cnt+1) * DSIR_SCALE must stay under 2^63, i.e.
+    < ~9.2e12 occurrences per bucket. At a 100 TB corpus (~1e13-1e14
+    feature occurrences) raise `buckets` (Xie et al. use 10^4; occupancy
+    per bucket divides accordingly) — the bucket table stays broadcast-
+    sized at any realistic width.
+
     Shape (100 TB): features are hashed to `buckets` longs map-side and
     pre-aggregated to (doc, bucket) counts in ONE shuffle whose output
     both downstream consumers share (ReusedExchange); the 256-row
