@@ -46,3 +46,24 @@ def test_cms_topk_orders_by_estimate_then_token(spark):
     assert len(rows) == 2
     assert rows[0]["token"] == "m"
     assert rows[0]["est_count"] >= rows[1]["est_count"]
+
+
+def test_cms_sketch_is_mergeable(spark):
+    # Partial sketches summed cell-wise == the sketch of the union: the
+    # property that makes CMS safe for map-side partial aggregation and
+    # streaming state.
+    t1 = spark.createDataFrame([(t,) for t in "a b a c".split()], "t string")
+    t2 = spark.createDataFrame([(t,) for t in "b c d d".split()], "t string")
+    whole = spark.createDataFrame(
+        [(t,) for t in "a b a c b c d d".split()], "t string"
+    )
+    def cells(df):
+        return {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in sk.cms_sketch(df, "t").collect()
+        }
+    c1, c2, cw = cells(t1), cells(t2), cells(whole)
+    merged = dict(c1)
+    for k, v in c2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cw
