@@ -44,6 +44,9 @@ GATE_CANARIES = (
 #: Queries added AFTER the round-4 gate window was pinned: enumerated
 #: after position 50 so the hard-signal set stays the planned one
 #: (they remain fully verified by the local mirror + corpus tests).
+#: Round-5 plan: once CORRECTNESS_r04 records the current window green,
+#: rotate this list into the window (keeping the canaries) so every
+#: query accumulates a driver row across rounds.
 GATE_DEFERRED = (
     "dedup_substring",
     "dedup_containment",
