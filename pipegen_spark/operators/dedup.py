@@ -928,3 +928,111 @@ def span_dedup_text(
             F.expr("array_join(kept, ' ')").alias("dedup_text"),
         )
     )
+
+
+# --- Bloom-filter admission check --------------------------------------------
+
+# 1024 bits / 32 words, 3 salted hash probes. Deliberately small for the
+# test corpus so the false-positive path is exercised (fill ratio ~50%
+# at ~750 set bits -> FP ~14%, i.e. tens of FP rows among 250 probes);
+# at scale size m ≈ -n*ln(p)/ln(2)^2 bits and keep k = round(m/n * ln 2).
+BLOOM_BITS = 1024
+BLOOM_K = 3
+BLOOM_A = (2_654_435_761, 40_503, 2_246_822_519)
+BLOOM_B = (97, 1_013, 65_027)
+
+
+def bloom_positions(h: str, d: str) -> list[str]:
+    """The BLOOM_K deterministic bit positions of a hash-value expression."""
+    return [
+        f"((({a} * ({h}) + {b}) % {dl.M31}) % {BLOOM_BITS})"
+        for a, b in zip(BLOOM_A, BLOOM_B)
+    ]
+
+
+def bloom_admission(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_k: int = 12,
+) -> DataFrame:
+    """Bloom-filter pre-check for incremental dedup: does a new document's
+    prefix fingerprint LOOK like one the reference corpus has seen?
+
+    The at-scale admission pattern: the reference corpus folds into a
+    fixed BLOOM_BITS-bit filter (here 32 32-bit words via bit_or — a
+    sum-mergeable aggregate that partial-aggregates map-side, exactly
+    like the CMS grid), the filter BROADCASTS, and each new row probes
+    BLOOM_K bits map-side. A negative is definitive; a positive routes
+    the row to the exact join (`incremental_dedup`). The output puts the
+    filter's false-positive behavior under the oracle gate:
+    (id, bloom_hit, exact_dup, false_positive) — `bloom_hit` is
+    guaranteed true wherever `exact_dup` is true (no false negatives),
+    and `false_positive` rows are the deterministic hash-collision cost
+    of the fixed filter size.
+    """
+    toks = dl.words(text_col, dl.SPARK)
+    prefix = dl.arr_join(
+        dl.slice_(toks, 1, prefix_k, dl.SPARK), " ", dl.SPARK
+    )
+    h = dl.hash_m31(prefix, dl.SPARK)
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"), F.expr(h).alias("_h")
+        )
+
+    positions = bloom_positions("_h", dl.SPARK)
+    # Build: reference hashes -> k bit positions -> 32 bit_or'd
+    # 32-bit words (32, not 64: a BIGINT 1<<63 overflows DuckDB's checked
+    # shift, and 0..31 shifts are safe-positive on both engines).
+    bits = _keyed(ref_df).select(
+        F.explode(
+            F.array(*[F.expr(p).cast("long") for p in positions])
+        ).alias("pos")
+    )
+    words = bits.groupBy(
+        F.expr("pos DIV 32").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
+        .alias("mask")
+    )
+    # Probe: each new row checks its k bits against the broadcast words.
+    probe = _keyed(new_df).select(
+        "id",
+        "_h",
+        F.explode(
+            F.array(*[F.expr(p).cast("long") for p in positions])
+        ).alias("pos"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(words),
+            F.expr("pos DIV 32") == F.col("word"),
+            "left",
+        )
+        .select(
+            "id",
+            "_h",
+            F.expr(
+                "CASE WHEN mask IS NULL THEN 0 "
+                "ELSE shiftright(mask, CAST(pos % 32 AS INT)) & 1 END"
+            ).alias("bit"),
+        )
+        .groupBy("id", "_h")
+        .agg(F.min("bit").alias("_all_set"))
+    )
+    # Exact ground truth: distinct reference fingerprints, semi-join.
+    ref_hashes = _keyed(ref_df).select("_h").distinct().withColumn(
+        "_in_ref", F.lit(1)
+    )
+    out = hits.join(F.broadcast(ref_hashes), "_h", "left")
+    bloom_hit = F.col("_all_set") == 1
+    exact_dup = F.col("_in_ref").isNotNull()
+    return out.select(
+        F.col("id").alias(id_col),
+        bloom_hit.alias("bloom_hit"),
+        exact_dup.alias("exact_dup"),
+        (bloom_hit & ~exact_dup).alias("false_positive"),
+    )

@@ -68,6 +68,7 @@ GATE_DEFERRED = (
     "simsearch_pq",
     "simsearch_pq_recall",
     "text_readability",
+    "dedup_bloom",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -760,3 +760,15 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.with_readability(docs).drop("text").orderBy("doc_id")
+
+
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission pre-check for the incremental batch: the
+    reference corpus (src0-src9) folds into a broadcast 4096-bit filter;
+    new-batch prefix fingerprints probe it map-side. False positives are
+    part of the checked surface (no false negatives, by construction)."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.expr(dl.rlike("source", NEW_BATCH_PATTERN, dl.SPARK))
+    return dd.bloom_admission(
+        docs.filter(is_new), docs.filter(~is_new), prefix_k=PREFIX_K
+    ).orderBy("doc_id")

@@ -1292,6 +1292,48 @@ def _multimodal_features_sql() -> str:
     """
 
 
+def _bloom_sql() -> str:
+    """Mirror of dedup.bloom_admission: 4096-bit / 128x32-bit-word Bloom
+    filter over reference prefix fingerprints, k=3 salted probes, exact
+    semi-join ground truth and the false_positive surface."""
+    prefix = dl.arr_join(dl.slice_("w", 1, td.PREFIX_K, D), " ", D)
+    h = dl.hash_m31(prefix, D)
+    pos_list = ", ".join(dd.bloom_positions("h", D))
+    return f"""
+    WITH {_W_CTE.replace("SELECT doc_id AS id, lang",
+                         "SELECT doc_id AS id, source")},
+    keyed AS (SELECT id, source, {h} AS h FROM w),
+    refk AS (
+        SELECT h FROM keyed
+        WHERE NOT regexp_matches(source, '{td.NEW_BATCH_PATTERN}')
+    ),
+    bits AS (SELECT unnest([{pos_list}]) AS pos FROM refk),
+    wt AS (
+        SELECT pos // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+        FROM bits GROUP BY 1
+    ),
+    probe AS (
+        SELECT id, h, unnest([{pos_list}]) AS pos FROM keyed
+        WHERE regexp_matches(source, '{td.NEW_BATCH_PATTERN}')
+    ),
+    hits AS (
+        SELECT id, h,
+               MIN(CASE WHEN mask IS NULL THEN 0
+                   ELSE (mask >> CAST(pos % 32 AS INT)) & 1 END) AS all_set
+        FROM probe LEFT JOIN wt ON pos // 32 = wt.word
+        GROUP BY id, h
+    ),
+    refd AS (SELECT DISTINCT h FROM refk)
+    SELECT hits.id AS doc_id,
+           all_set = 1 AS bloom_hit,
+           refd.h IS NOT NULL AS exact_dup,
+           (all_set = 1 AND refd.h IS NULL) AS false_positive
+    FROM hits LEFT JOIN refd ON hits.h = refd.h
+    ORDER BY doc_id
+    """
+
+
 def _cms_sql() -> str:
     """Mirror of sketches.cms_heavy_hitters: identical d x w count-min
     grid from the shared hash, min-over-rows estimate, exact count and
@@ -1470,6 +1512,7 @@ def _dsir_sql() -> str:
 
 TRAINING_ORACLE: dict[str, str] = {
     "curate_dsir": _dsir_sql(),
+    "dedup_bloom": _bloom_sql(),
     "text_cms_topk": _cms_sql(),
     "curate_weighted_sample": _wsample_sql(),
     "multimodal_features": _multimodal_features_sql(),

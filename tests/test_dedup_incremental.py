@@ -34,3 +34,31 @@ def test_incremental_flags_exact_and_prefix(spark):
     assert not rows[11]["ref_exact_dup"] and rows[11]["ref_prefix_dup"]
     assert not rows[12]["ref_exact_dup"] and not rows[12]["ref_prefix_dup"]
     assert set(rows) == {10, 11, 12}  # reference rows never surface
+
+
+def test_bloom_admission_no_false_negatives_and_planted_hit(spark):
+    from pipegen_spark.operators import dedup as dd
+
+    ref = spark.createDataFrame(
+        [(i, f"template header alpha beta gamma delta doc {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "template header alpha beta gamma delta doc 100"),
+            (101, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    # prefix_k=7 makes doc 100 share the reference prefix fingerprint.
+    out = {
+        r["doc_id"]: r
+        for r in dd.bloom_admission(new, ref, prefix_k=7).collect()
+    }
+    assert out[100]["exact_dup"] and out[100]["bloom_hit"]
+    assert not out[100]["false_positive"]
+    # No false negatives: every exact_dup row must be bloom_hit.
+    for r in out.values():
+        if r["exact_dup"]:
+            assert r["bloom_hit"]
