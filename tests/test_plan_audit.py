@@ -188,3 +188,8 @@ def test_new_round4_operator_plan_shapes(plans):
     assert "BroadcastHashJoin" in plans["curate_dsir"]
     # The sampling selection plans as TakeOrdered, not a global sort.
     assert "TakeOrderedAndProject" in plans["curate_weighted_sample"]
+    # Bloom probe + exact ground truth both broadcast (the expression-
+    # keyed word join must stay a hash join, not nested-loop).
+    p = plans["dedup_bloom"]
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "NestedLoop" not in p
