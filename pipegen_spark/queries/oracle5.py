@@ -34,6 +34,38 @@ _Z = _dl.zorder16("(user_id % 256)",
                   "(CAST(dayofyear(ts) AS BIGINT) % 256)", _dl.DUCK)
 
 RELATIONAL5_ORACLE: dict[str, str] = {
+    "q59_table_profile": f"""
+    WITH prof AS (
+        SELECT CAST(l_orderkey AS VARCHAR) AS c_key,
+               l_returnflag AS c_flag,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c_ship,
+               CAST({_dl.cents("l_extendedprice", _dl.DUCK)} AS VARCHAR)
+                   AS c_price
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN c_key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c_key, CAST(COUNT(DISTINCT c_key) AS BIGINT) AS nd_c_key, MIN(c_key) AS mn_c_key, MAX(c_key) AS mx_c_key, CAST(SUM(CASE WHEN c_flag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c_flag, CAST(COUNT(DISTINCT c_flag) AS BIGINT) AS nd_c_flag, MIN(c_flag) AS mn_c_flag, MAX(c_flag) AS mx_c_flag, CAST(SUM(CASE WHEN c_ship IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c_ship, CAST(COUNT(DISTINCT c_ship) AS BIGINT) AS nd_c_ship, MIN(c_ship) AS mn_c_ship, MAX(c_ship) AS mx_c_ship, CAST(SUM(CASE WHEN c_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c_price, CAST(COUNT(DISTINCT c_price) AS BIGINT) AS nd_c_price, MIN(c_price) AS mn_c_price, MAX(c_price) AS mx_c_price
+        FROM prof
+    )
+    SELECT * FROM (
+        SELECT 'c_key' AS column_name, n_rows,
+               nn_c_key AS n_nulls, nd_c_key AS n_distinct,
+               mn_c_key AS min_value, mx_c_key AS max_value FROM agg
+        UNION ALL
+        SELECT 'c_flag' AS column_name, n_rows,
+               nn_c_flag AS n_nulls, nd_c_flag AS n_distinct,
+               mn_c_flag AS min_value, mx_c_flag AS max_value FROM agg
+        UNION ALL
+        SELECT 'c_ship' AS column_name, n_rows,
+               nn_c_ship AS n_nulls, nd_c_ship AS n_distinct,
+               mn_c_ship AS min_value, mx_c_ship AS max_value FROM agg
+        UNION ALL
+        SELECT 'c_price' AS column_name, n_rows,
+               nn_c_price AS n_nulls, nd_c_price AS n_distinct,
+               mn_c_price AS min_value, mx_c_price AS max_value FROM agg
+    ) ORDER BY column_name
+    """,
     "q58_zorder_layout": f"""
         SELECT zkey // 64 AS tile,
                CAST(COUNT(*) AS BIGINT) AS n_events,

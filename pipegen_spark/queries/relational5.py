@@ -309,3 +309,50 @@ def q58_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+# --- q59: table profiling ----------------------------------------------------
+def q59_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over the widest fact table — the parquet-
+    scale analogue of the reference's CSV analyzer (csv_analyzer.go):
+    per profiled column, row count, null count, exact distinct count and
+    a uniform string min/max surface (dates ISO-cast, money as integer
+    cents so no engine formats a double).
+
+    Shape: ONE scan; all aggregates in a single pass. The exact
+    multi-DISTINCT plans via Catalyst's Expand (one replica per distinct
+    aggregate) — at 100 TB swap exact distincts for approx_count_distinct
+    (the q23 sketch path) and the Expand disappears."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = dl.cents("l_extendedprice", dl.SPARK)
+    prof = li.select(
+        F.col("l_orderkey").cast("string").alias("c_key"),
+        F.col("l_returnflag").alias("c_flag"),
+        F.col("l_shipdate").cast("date").cast("string").alias("c_ship"),
+        F.expr(cents).cast("string").alias("c_price"),
+    )
+    agg = prof.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in ("c_key", "c_flag", "c_ship", "c_price")
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c in ("c_key", "c_flag", "c_ship", "c_price")
+    )
+    return agg.selectExpr(
+        "n_rows",
+        f"stack(4, {stack}) AS (column_name, n_nulls, n_distinct,"
+        " min_value, max_value)",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    ).orderBy("column_name")
