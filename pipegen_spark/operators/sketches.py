@@ -43,15 +43,12 @@ def cms_bucket(h: str, j: int, d: str) -> str:
     return f"((({CMS_A[j]} * ({h}) + {CMS_B[j]}) % {dl.M31}) % {CMS_W})"
 
 
-def cms_sketch(tokens: DataFrame, token_col: str = "t") -> DataFrame:
-    """Build the d x w count-min sketch over a token stream.
-
-    Returns (j, bucket, cnt) — at most CMS_D * CMS_W rows. The groupBy
-    partial-aggregates map-side, so the shuffle carries only sketch
-    cells, never tokens.
-    """
+def _cells(token_col: str) -> F.Column:
+    """Exploded (j, bucket) cell column for a token column — the ONE
+    derivation of the d probe cells, shared by sketch build and estimate
+    probe so the two sides can never disagree on the bucket scheme."""
     h = dl.hash_m31(token_col, dl.SPARK)
-    cells = F.explode(
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -62,8 +59,17 @@ def cms_sketch(tokens: DataFrame, token_col: str = "t") -> DataFrame:
             ]
         )
     ).alias("cell")
+
+
+def cms_sketch(tokens: DataFrame, token_col: str = "t") -> DataFrame:
+    """Build the d x w count-min sketch over a token stream.
+
+    Returns (j, bucket, cnt) — at most CMS_D * CMS_W rows. The groupBy
+    partial-aggregates map-side, so the shuffle carries only sketch
+    cells, never tokens.
+    """
     return (
-        tokens.select(cells)
+        tokens.select(_cells(token_col))
         .select("cell.j", "cell.bucket")
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -93,22 +99,9 @@ def cms_heavy_hitters(
     )
     sketch = cms_sketch(toks, "t")
     cand = toks.groupBy("t").agg(F.count("*").alias("true_count"))
-    h = dl.hash_m31("t", dl.SPARK)
-    probes = cand.select(
-        "t",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(cms_bucket(h, j, dl.SPARK)).alias("bucket"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("t", "true_count", "cell.j", "cell.bucket")
+    probes = cand.select("t", "true_count", _cells("t")).select(
+        "t", "true_count", "cell.j", "cell.bucket"
+    )
     est = (
         probes.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("t", "true_count")

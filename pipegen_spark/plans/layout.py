@@ -94,12 +94,17 @@ def with_zorder_key(
     integer columns (dialect.zorder16). Repartitioning by range on this
     key before a parquet write clusters files in BOTH dimensions, so
     min/max stats prune range predicates on either column — the
-    DataFrame-level equivalent of Delta/Iceberg ZORDER BY."""
+    DataFrame-level equivalent of Delta/Iceberg ZORDER BY.
+
+    Buckets via `& 255` (not `% 256`): the bitmask is total over signed
+    inputs, where a signed remainder would send negatives into the top
+    tiles through their two's-complement bits and break the pruning
+    story for columns that can go negative."""
     from pyspark.sql import functions as F
 
     from pipegen_spark.functions import dialect as dl
 
-    z = dl.zorder16(f"({x_col} % 256)", f"({y_col} % 256)", dl.SPARK)
+    z = dl.zorder16(f"({x_col} & 255)", f"({y_col} & 255)", dl.SPARK)
     return df.withColumn(key_col, F.expr(z))
 
 

@@ -764,7 +764,8 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter admission pre-check for the incremental batch: the
-    reference corpus (src0-src9) folds into a broadcast 4096-bit filter;
+    reference corpus (src0-src9) folds into a broadcast BLOOM_BITS-bit
+    (1024) filter;
     new-batch prefix fingerprints probe it map-side. False positives are
     part of the checked surface (no false negatives, by construction)."""
     docs = table(spark, sf_dir, "documents")

@@ -22,11 +22,17 @@ def _shingles(k: int) -> str:
     return dl.word_shingles("w", k, D)
 
 
-_W_CTE = (
-    "w AS (SELECT doc_id AS id, lang, "
-    + dl.words("text", D)
-    + " AS w FROM documents)"
-)
+def _w_cte(extra: str = "lang") -> str:
+    """The shared tokenized-documents CTE; `extra` picks the carried
+    metadata column (lang for most consumers, source for batch splits)."""
+    return (
+        f"w AS (SELECT doc_id AS id, {extra}, "
+        + dl.words("text", D)
+        + " AS w FROM documents)"
+    )
+
+
+_W_CTE = _w_cte()
 
 
 def _jac(sa: str, sb: str) -> str:
@@ -1153,10 +1159,13 @@ def _pq_sql() -> str:
     """
 
 
-def _pq_adc_sql() -> str:
-    """Mirror of similarity.pq_adc_topk: per-query LUT of integer
-    sub-distances to every codeword, codes unpacked to (s, cidx)
-    triples, ADC score = sum of the m LUT hits, top-k per query."""
+def _pq_adc_ctes() -> str:
+    """Shared CTE chain (on top of _pq_codes_ctes) mirroring
+    similarity.pq_adc_topk, ending in `adc_scored(query_id, neighbor_id,
+    adc_dist)`: per-query LUT of integer sub-distances to every
+    codeword, codes unpacked to (s, cidx) triples, ADC score = sum of
+    the m LUT hits. Consumed by BOTH _pq_adc_sql and _pq_recall_sql so
+    the recall measurement can never drift from the ranking it grades."""
     from pipegen_spark.operators import embeddings as em
 
     sub_dim = td.EMB_DIM // td.PQ_M
@@ -1166,8 +1175,7 @@ def _pq_adc_sql() -> str:
         )
         for s in range(td.PQ_M)
     )
-    return f"""
-    WITH {_pq_codes_ctes()},
+    return f"""{_pq_codes_ctes()},
     q AS (
         SELECT vec_id AS query_id, embedding AS qv
         FROM embeddings WHERE vec_id < {td.N_QUERY_VECS}
@@ -1182,19 +1190,24 @@ def _pq_adc_sql() -> str:
                (pq_code >> (3 * CAST(r.range AS INT))) & 7 AS cidx
         FROM codes CROSS JOIN range(0,{td.PQ_M}) r
     ),
-    scored AS (
+    adc_scored AS (
         SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_dist
         FROM ce JOIN lut USING (s, cidx)
         WHERE neighbor_id <> query_id
         GROUP BY query_id, neighbor_id
-    )
+    )"""
+
+
+def _pq_adc_sql() -> str:
+    return f"""
+    WITH {_pq_adc_ctes()}
     SELECT query_id, neighbor_id, adc_dist,
            CAST(rnk AS INT) AS rnk
     FROM (
         SELECT query_id, neighbor_id, adc_dist,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY adc_dist, neighbor_id) AS rnk
-        FROM scored
+        FROM adc_scored
     )
     WHERE rnk <= {td.TOPK_IVF}
     ORDER BY query_id, rnk
@@ -1293,15 +1306,14 @@ def _multimodal_features_sql() -> str:
 
 
 def _bloom_sql() -> str:
-    """Mirror of dedup.bloom_admission: 4096-bit / 128x32-bit-word Bloom
+    """Mirror of dedup.bloom_admission: 1024-bit / 32x32-bit-word Bloom
     filter over reference prefix fingerprints, k=3 salted probes, exact
     semi-join ground truth and the false_positive surface."""
     prefix = dl.arr_join(dl.slice_("w", 1, td.PREFIX_K, D), " ", D)
     h = dl.hash_m31(prefix, D)
     pos_list = ", ".join(dd.bloom_positions("h", D))
     return f"""
-    WITH {_W_CTE.replace("SELECT doc_id AS id, lang",
-                         "SELECT doc_id AS id, source")},
+    WITH {_w_cte('source')},
     keyed AS (SELECT id, source, {h} AS h FROM w),
     refk AS (
         SELECT h FROM keyed
@@ -1393,8 +1405,8 @@ def _wsample_sql() -> str:
 
 
 def _pq_recall_sql() -> str:
-    """Mirror of simsearch_pq_recall: ADC top-k (the _pq_adc_sql chain)
-    vs exact top-k under the same integer-quantized L2 metric."""
+    """Mirror of simsearch_pq_recall: ADC top-k (the shared _pq_adc_ctes
+    chain) vs exact top-k under the same integer-quantized L2 metric."""
     from pipegen_spark.operators import embeddings as em
 
     sub_dim = td.EMB_DIM // td.PQ_M
@@ -1402,18 +1414,8 @@ def _pq_recall_sql() -> str:
         em.pq_subdist_expr("q.qv", "e.embedding", s, sub_dim, 15, D)
         for s in range(td.PQ_M)
     ) + ")"
-    lut_unpivot = ", ".join(
-        "STRUCT_PACK(s := {s}, d := {d})".format(
-            s=s, d=em.pq_subdist_expr("qv", "cv", s, sub_dim, 15, D)
-        )
-        for s in range(td.PQ_M)
-    )
     return f"""
-    WITH {_pq_codes_ctes()},
-    q AS (
-        SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < {td.N_QUERY_VECS}
-    ),
+    WITH {_pq_adc_ctes()},
     exact_scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CAST({dist} AS BIGINT) AS l2_dist
@@ -1427,22 +1429,6 @@ def _pq_recall_sql() -> str:
                           AS rnk
             FROM exact_scored
         ) t WHERE rnk <= {td.TOPK_IVF}
-    ),
-    lut AS (
-        SELECT query_id, cidx, x.s AS s, x.d AS d
-        FROM (SELECT * FROM q CROSS JOIN c),
-             UNNEST([{lut_unpivot}]) AS t(x)
-    ),
-    ce AS (
-        SELECT id AS neighbor_id, CAST(r.range AS INT) AS s,
-               (pq_code >> (3 * CAST(r.range AS INT))) & 7 AS cidx
-        FROM codes CROSS JOIN range(0,{td.PQ_M}) r
-    ),
-    adc_scored AS (
-        SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_dist
-        FROM ce JOIN lut USING (s, cidx)
-        WHERE neighbor_id <> query_id
-        GROUP BY query_id, neighbor_id
     ),
     adc_k AS (
         SELECT query_id, neighbor_id FROM (

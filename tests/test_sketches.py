@@ -6,9 +6,6 @@ from pipegen_spark.operators import sketches as sk
 
 
 def test_cms_sketch_is_bounded_and_mass_preserving(spark):
-    df = spark.createDataFrame(
-        [(1, "a b c a b a"), (2, "b c d d d d")], "doc_id long, text string"
-    )
     toks = spark.createDataFrame(
         [(t,) for t in "a b c a b a b c d d d d".split()], "t string"
     )
