@@ -323,21 +323,14 @@ def q41_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.expr("unix_micros(c_ts)").alias("c_ts_us"),
     )
-    qname = "q41_stream_join_sink"
-    from pipegen_spark.streaming.filesource import state_partitions
+    from pipegen_spark.streaming.filesource import (
+        run_to_file_sink,
+        state_partitions,
+    )
 
     with state_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return spark.table(qname).orderBy("event_id", "click_id")
+        out = run_to_file_sink(spark, joined, "pipegen_q41_")
+    return out.orderBy("event_id", "click_id")
 
 
 # --- Q36: composed curation decision (the training-data story) ---------------

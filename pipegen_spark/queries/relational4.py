@@ -57,7 +57,7 @@ def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pipegen_spark.streaming.filesource import (
         events_file_stream,
-        run_to_memory_table,
+        run_to_file_sink,
         state_partitions,
     )
 
@@ -68,10 +68,9 @@ def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    qname = "q42_stream_dedup_sink"
     with state_partitions(spark):
-        run_to_memory_table(deduped, qname, "append")
-    return spark.table(qname).orderBy("user_id", "event_type")
+        out = run_to_file_sink(spark, deduped, "pipegen_q42_")
+    return out.orderBy("user_id", "event_type")
 
 
 # --- Q43: pricing summary report (TPC-H Q1 shape) ----------------------------

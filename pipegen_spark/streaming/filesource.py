@@ -68,21 +68,35 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory_table(
-    df: DataFrame, qname: str, output_mode: str
-) -> None:
-    """Run a finite streaming query to completion into a memory-sink table.
 
-    The memory sink is driver-bound by design — it exists for the parity
-    harness; production streams use the idempotent file sink
-    (streaming/sink.py)."""
+
+def run_to_file_sink(
+    spark: SparkSession, df: DataFrame, prefix: str
+) -> DataFrame:
+    """Run a finite APPEND-mode stream to completion through the
+    idempotent file sink and read the committed output back — how the
+    append-mode parity queries (q41, q42) terminate. Append emissions
+    are final, so unlike q39's update stream no compaction step is
+    needed and no batch stamp is carried — replay safety comes from the
+    per-batch commit markers alone. The sink write happens executor-side
+    through the Hadoop FS API; nothing driver-bound."""
+    import tempfile
+
+    from pipegen_spark.streaming.sink import (
+        idempotent_dir_sink,
+        read_committed,
+    )
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    sink_dir = os.path.join(work, "out")
     q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
+        df.writeStream.foreachBatch(idempotent_dir_sink(sink_dir))
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+    return read_committed(spark, sink_dir)
