@@ -34,6 +34,17 @@ _Z = _dl.zorder16("(user_id % 256)",
                   "(CAST(dayofyear(ts) AS BIGINT) % 256)", _dl.DUCK)
 
 RELATIONAL5_ORACLE: dict[str, str] = {
+    "q60_stream_enrich": f"""
+        SELECT CAST((epoch_ns(ts) // 1000 // 3600000000) * 3600000000
+                    AS BIGINT) AS win_us,
+               c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_dl.cents("value", _dl.DUCK)}) AS BIGINT)
+                   AS value_cents
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
     "q59_table_profile": f"""
     WITH prof AS (
         SELECT CAST(l_orderkey AS VARCHAR) AS c_key,

@@ -26,6 +26,8 @@ engine's — these queries pin the decision-support corner of it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -356,3 +358,78 @@ def q59_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_value", "max_value",
     ).orderBy("column_name")
+
+
+# --- q60: stream-static enrichment -------------------------------------------
+def q60_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + windowed aggregation — the
+    bread-and-butter production streaming shape the family still lacked:
+    the event stream joins the BROADCAST customer dimension statelessly
+    (a stream-static join holds no join state at all), then a
+    watermarked 1-hour tumbling aggregate per market segment runs in
+    UPDATE mode through the idempotent file sink; the compaction read
+    keeps the newest emission per (window, segment) key. On a finite
+    input that equals the batch aggregate the oracle computes; value
+    sums are per-event integer cents so the surface is hash-exact.
+
+    Scale: the dimension broadcasts (no shuffle of the stream side);
+    aggregate state is one row per open (window, segment), evicted by
+    the watermark; update emissions are proportional to changed windows
+    per batch; the sink write is distributed."""
+    import tempfile
+
+    from pipegen_spark.streaming.filesource import (
+        events_file_stream,
+        state_partitions,
+    )
+    from pipegen_spark.streaming.sink import (
+        idempotent_dir_sink,
+        read_committed,
+    )
+    from pyspark.sql.window import Window as W
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = events_file_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    enriched = stream.join(F.broadcast(cust), "user_id")
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("win"), "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(dl.cents("value", dl.SPARK))).alias("value_cents"),
+        )
+        .select(
+            F.expr("unix_micros(win.start)").alias("win_us"),
+            "c_mktsegment",
+            "n_events",
+            "value_cents",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="pipegen_q60_")
+    sink_dir = os.path.join(work, "out")
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(
+                idempotent_dir_sink(sink_dir, stamp_batch=True)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = read_committed(spark, sink_dir)
+    w = W.partitionBy("win_us", "c_mktsegment").orderBy(
+        F.col("_batch_id").desc()
+    )
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("win_us", "c_mktsegment", "n_events", "value_cents")
+        .orderBy("win_us", "c_mktsegment")
+    )
