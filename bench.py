@@ -42,7 +42,7 @@ sys.path.insert(0, REPO)
 # machinery (q40 is the BATCH hopping-window query and pools fine). The
 # label-propagation queries pool too: with AQE on, dup_clusters leaves
 # the session conf alone.
-SEQUENTIAL_ONLY = ("q39_", "q41_", "q42_")
+SEQUENTIAL_ONLY = ("q39_", "q41_", "q42_", "q60_")
 POOL_THREADS = 8
 
 
