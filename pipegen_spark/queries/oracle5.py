@@ -33,7 +33,59 @@ from pipegen_spark.functions import dialect as _dl
 _Z = _dl.zorder16("(user_id % 256)",
                   "(CAST(dayofyear(ts) AS BIGINT) % 256)", _dl.DUCK)
 
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Mirror of graph.pagerank_fixed on the part<->supplier bipartite
+    graph: the same integer-mass iterations unrolled as CTE rounds."""
+    from pipegen_spark.operators import graph as _gr
+
+    tele = (
+        f"(({_gr.PR_DAMP_DEN - _gr.PR_DAMP_NUM} * "
+        f"CAST({_gr.PR_SCALE} AS BIGINT)) // ({_gr.PR_DAMP_DEN} * t.n))"
+    )
+    damp = (
+        f"(({_gr.PR_DAMP_NUM} * COALESCE(c.s, CAST(0 AS BIGINT))) "
+        f"// {_gr.PR_DAMP_DEN})"
+    )
+    ctes = [
+        """edges AS (
+        SELECT l_partkey AS src, l_suppkey + 100000 AS dst FROM de
+        UNION ALL
+        SELECT l_suppkey + 100000 AS src, l_partkey AS dst FROM de
+    )""",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "outdeg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS od"
+        " FROM edges GROUP BY src)",
+        "ncnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT id, CAST({_gr.PR_SCALE} AS BIGINT) // n AS r"
+        " FROM nodes CROSS JOIN ncnt)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+        SELECT e.dst AS id, CAST(SUM(r.r // o.od) AS BIGINT) AS s
+        FROM edges e JOIN r{i - 1} r ON e.src = r.id
+        JOIN outdeg o ON e.src = o.id
+        GROUP BY e.dst
+    )""")
+        ctes.append(f"""r{i} AS (
+        SELECT n.id, CAST({tele} + {damp} AS BIGINT) AS r
+        FROM nodes n CROSS JOIN ncnt t LEFT JOIN c{i} c ON n.id = c.id
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH de AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    {joined}
+    SELECT id AS node_id,
+           CASE WHEN id >= 100000 THEN 'supplier' ELSE 'part' END
+               AS node_type,
+           CAST(r AS BIGINT) AS rank_micro
+    FROM r{iters} ORDER BY node_id
+    """
+
+
 RELATIONAL5_ORACLE: dict[str, str] = {
+    "q61_pagerank": _pagerank_sql(),
+
     "q60_stream_enrich": f"""
         SELECT CAST((epoch_ns(ts) // 1000 // 3600000000) * 3600000000
                     AS BIGINT) AS win_us,

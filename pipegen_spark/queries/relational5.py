@@ -433,3 +433,41 @@ def q60_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_us", "c_mktsegment", "n_events", "value_cents")
         .orderBy("win_us", "c_mktsegment")
     )
+
+
+# --- q61: fixed-iteration PageRank -------------------------------------------
+PR_ITERS = 3
+PR_SUPP_BASE = 100_000  # namespace suppliers above the part-key range
+
+
+def q61_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled iterations) on the bipartite part<->supplier
+    supply graph from lineitem — the iterative-algorithm showcase beyond
+    k-means and label propagation. Integer rank mass (graph.PR_SCALE
+    units) with rational damping, so every iteration is engine-exact;
+    the oracle unrolls the same three rounds as CTEs.
+
+    Shape: one shuffle per iteration (the contribution aggregate on the
+    destination key) plus a source-keyed equi-join; node count arrives
+    as a broadcast 1-row aggregate. Symmetric edges guarantee out-degree
+    >= 1, so no dangling-mass correction is needed."""
+    from pipegen_spark.operators import graph as gr
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + PR_SUPP_BASE).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = gr.pagerank_fixed(edges, iters=PR_ITERS)
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") >= PR_SUPP_BASE, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        "rank_micro",
+    ).orderBy("node_id")
