@@ -783,3 +783,38 @@ def weighted_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+# --- deterministic training-order shuffle ------------------------------------
+
+SHUFFLE_SALT = ":shuffle"
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_key_expr(id_col: str, d: str) -> str:
+    """Pseudo-random but fully deterministic training-order key: the
+    salted id hash. Sorting by (key, id) is the standard pre-training
+    global shuffle — reproducible across runs, engines, and retries,
+    with no RNG state to coordinate."""
+    return dl.hash_m31(f"CAST({id_col} AS STRING) || '{SHUFFLE_SALT}'", d)
+
+
+def with_shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = SHUFFLE_SHARDS,
+) -> DataFrame:
+    """Attach the shuffle key and a shard assignment (key mod shards).
+
+    Map-only. At scale, `repartitionByRange(shards, "shuffle_key")` +
+    `sortWithinPartitions` writes the corpus as shard files in shuffled
+    order — one range shuffle, no global sort on a single reducer; the
+    shard column here is the hash-mod variant for size-balanced shards
+    where contiguous key ranges are not required.
+    """
+    key = F.expr(shuffle_key_expr(id_col, dl.SPARK))
+    return df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        (key % shards).cast("long").alias("shard"),
+    )

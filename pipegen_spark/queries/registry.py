@@ -69,6 +69,7 @@ GATE_DEFERRED = (
     "simsearch_pq_recall",
     "text_readability",
     "dedup_bloom",
+    "curate_shuffle",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

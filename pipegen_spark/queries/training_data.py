@@ -773,3 +773,11 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.bloom_admission(
         docs.filter(is_new), docs.filter(~is_new), prefix_k=PREFIX_K
     ).orderBy("doc_id")
+
+
+def curate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: salted-hash key +
+    size-balanced shard per doc — the standard pre-training pass, with
+    no RNG state (reproducible across engines and retries)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return cu.with_shuffle_order(docs).orderBy("shuffle_key", "doc_id")

@@ -1392,6 +1392,17 @@ def _cms_sql() -> str:
     """
 
 
+def _shuffle_sql() -> str:
+    """Mirror of curation.with_shuffle_order."""
+    key = cu.shuffle_key_expr("doc_id", D)
+    return f"""
+    SELECT doc_id, CAST({key} AS BIGINT) AS shuffle_key,
+           CAST(({key}) % {cu.SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    """
+
+
 def _wsample_sql() -> str:
     """Mirror of curation.weighted_sample over (doc_id, n_chars)."""
     pri = cu.priority_expr("doc_id", "n_chars", D)
@@ -1501,6 +1512,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_bloom": _bloom_sql(),
     "text_cms_topk": _cms_sql(),
     "curate_weighted_sample": _wsample_sql(),
+    "curate_shuffle": _shuffle_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),
