@@ -126,8 +126,9 @@ def main() -> None:
     baseline = None
     try:
         baseline = _duckdb_baseline(sf_dir, budget_sec=90.0)
-    except Exception:
-        pass
+    except Exception as e:  # baseline is context, not the metric — but
+        # say WHY it is missing (stderr keeps the stdout JSON line clean)
+        print(f"duckdb baseline failed: {e!r}", file=sys.stderr)
 
     # Streaming sanity vs BASELINE.md: the reference documents 100 msg/s as
     # its default and 50 000 msg/s as its high-throughput benchmark target
@@ -136,8 +137,8 @@ def main() -> None:
     streaming = None
     try:
         streaming = _stream_throughput(spark, target_rps=50_000, seconds=8)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"streaming probe failed: {e!r}", file=sys.stderr)
 
     out = {
         "metric": "corpus_total_wall",
