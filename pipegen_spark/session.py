@@ -77,6 +77,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local[N] puts executors AND every broadcast relation inside the
+        # driver JVM; the 1g default OOMed the bench's 8-thread warm pool
+        # once the corpus passed ~118 queries (broadcast build while other
+        # threads hold theirs). Only effective when this process starts
+        # the JVM — exactly the bench/test/driver entry paths.
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
