@@ -278,30 +278,36 @@ def pq_adc_topk(
     q = base.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    lut = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "cidx",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.expr(
-                                em.pq_subdist_expr(
-                                    "qv", "cv", s, sub_dim, scale_bits,
-                                    dl.SPARK,
-                                )
-                            ).alias("d"),
-                        )
-                        for s in range(m)
-                    ]
+    # Materialize the m sub-distances as plain columns BEFORE building
+    # the exploded struct array: inlining the 8 wide quantized-distance
+    # expressions inside one generator blew the 64 KB JVM method limit
+    # (whole-stage codegen fell back to the interpreted path).
+    dist_cols = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cidx",
+        *[
+            F.expr(
+                em.pq_subdist_expr(
+                    "qv", "cv", s, sub_dim, scale_bits, dl.SPARK
                 )
-            ).alias("sd"),
-        )
-        .select("query_id", "cidx", "sd.s", "sd.d")
+            ).alias(f"d{s}")
+            for s in range(m)
+        ],
     )
+    lut = dist_cols.select(
+        "query_id",
+        "cidx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"d{s}").alias("d")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sd"),
+    ).select("query_id", "cidx", "sd.s", "sd.d")
     code_rows = codes.select(
         "neighbor_id",
         F.explode(
