@@ -364,3 +364,10 @@ def test_weighted_sample_is_deterministic_and_size_biased(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_k_larger_than_input_returns_all(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, n_chars long"
+    )
+    assert len(cu.weighted_sample(df, "n_chars", k=100).collect()) == 2

@@ -35,3 +35,8 @@ def test_pagerank_mass_approximately_conserved(spark):
 def test_pagerank_deterministic(spark):
     edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)]
     assert _ranks(spark, edges) == _ranks(spark, edges)
+
+
+def test_pagerank_empty_edge_set_yields_no_rows(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert gr.pagerank_fixed(df).collect() == []

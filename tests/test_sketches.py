@@ -64,3 +64,8 @@ def test_cms_sketch_is_mergeable(spark):
     for k, v in c2.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == cw
+
+
+def test_cms_heavy_hitters_tokenless_corpus_is_empty(spark):
+    df = spark.createDataFrame([(1, "..."), (2, "")], "doc_id long, text string")
+    assert sk.cms_heavy_hitters(df, "text").collect() == []
