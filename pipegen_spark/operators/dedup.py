@@ -393,7 +393,6 @@ def dup_clusters(
     The loop moves nothing to the driver beyond that scalar; the
     per-round plan is pure joins/aggregates.
     """
-    nid = F.col(id_col)
     # Materialize the edge set ONCE: `pairs` is usually the tail of an
     # expensive pipeline (LSH banding + verification), and without the
     # checkpoint every propagation round would re-execute that whole
@@ -469,20 +468,54 @@ def dup_clusters(
     finally:
         if not aqe_on:
             spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
-    full = nodes.select(nid.alias("id")).join(labels, "id", "left").select(
-        "id", F.coalesce(F.col("lbl"), F.col("id").cast("long")).alias("lbl")
+    return _finish_clusters(nodes, labels, id_col)
+
+
+def _finish_clusters(
+    nodes: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared cluster finisher: join the (id, lbl) edge-node labels back
+    onto the full node set (singletons label themselves) and attach the
+    component size.
+
+    Component size as a count-over-window: ONE shuffle on lbl, and the
+    corpus⋈labels join runs once — the previous groupBy+join-back shape
+    planned that join twice (once under the agg, once as the join left
+    side). Near-dup components are small, so no window-partition skew;
+    singletons are their own 1-row partitions.
+    """
+    full = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("lbl"), F.col("id").cast("long")).alias("lbl"),
+        )
     )
-    # Component size as a count-over-window: ONE shuffle on lbl, and the
-    # corpus⋈labels join above runs once — the previous groupBy+join-back
-    # shape planned that join twice (once under the agg, once as the join
-    # left side). Near-dup components are small, so no window-partition
-    # skew; singletons are their own 1-row partitions.
     wsz = Window.partitionBy("lbl")
     return full.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         F.count("*").over(wsz).cast("long").alias("cluster_size"),
     )
+
+
+def dup_clusters_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """dup_clusters' exact output contract (doc → component-min cluster_id
+    + component size) computed with alternating large-star/small-star
+    contraction instead of min-label propagation: O(log n) rounds on any
+    topology vs O(component diameter) — the scale path when duplicate
+    chains can be long (see operators/graph.cc_star_labels for the round
+    mechanics and the 100 TB argument)."""
+    from pipegen_spark.operators.graph import cc_star_labels
+
+    labels = cc_star_labels(pairs, "doc_a", "doc_b", max_rounds=max_rounds)
+    return _finish_clusters(nodes, labels, id_col)
 
 
 def keep_best(

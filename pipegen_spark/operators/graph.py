@@ -1,4 +1,5 @@
-"""Graph operators over edge sets: fixed-iteration PageRank.
+"""Graph operators over edge sets: fixed-iteration PageRank and
+alternating-star connected components.
 
 Together with connected components (operators/dedup.py dup_clusters,
 min-label propagation) and Lloyd's k-means (operators/embeddings.py),
@@ -104,3 +105,101 @@ def pagerank_fixed(
             # checkpoint every K rounds like dup_clusters.
         )
     return ranks.select("id", F.col("r").alias("rank_micro"))
+
+
+# --- connected components: alternating large-star / small-star ---------------
+
+
+def cc_star_labels(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components of an undirected pair graph via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Returns (id, lbl) for
+    every node that touches an edge, lbl = component minimum as LONG.
+
+    Why a second CC algorithm next to dup_clusters' min-label
+    propagation: propagation needs O(component diameter) rounds — fine
+    for near-dup clusters (shallow by construction), but a chain-shaped
+    component of length L costs L rounds. Star contraction HALVES tree
+    heights every large+small round, so it converges in O(log n) rounds
+    on ANY topology — the shape you want when the edge set at 100 TB is
+    not guaranteed shallow (link graphs, cross-corpus duplicate chains).
+
+    Per round this is two groupBy-min + join passes over the EDGE set:
+    - large-star: over the symmetric neighbor list, attach every
+      neighbor v > u to m = min(N(u) ∪ {u});
+    - small-star: over edges oriented (child > parent), attach the
+      child and all its smaller neighbors to their minimum.
+    Both shuffles key on the star center, and the min-aggregate is
+    map-side partial — shuffle volume is O(|E|) ids per round, never
+    documents. The edge frame is localCheckpoint-ed every round (the
+    frame typically SHRINKS as stars collapse; at cluster scale use
+    durable checkpoint() instead) and convergence is a single scalar
+    count of non-star edges — no driver-side edge materialization.
+    Deterministic: every step is a MIN.
+    """
+    # Canonical (child, parent) orientation, child > parent; self-loops
+    # dropped. The input pair list is usually the tail of an expensive
+    # pipeline (LSH banding + verify) — materialize it once.
+    e = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("c"),
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("p"),
+        )
+        .filter(F.col("c") != F.col("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # Large-star: symmetric neighborhoods; m = min(N(u) ∪ {u}) which
+        # over (c,p) rows is min(p) when grouped on u because every
+        # neighbor list contains a smaller node unless u is a root.
+        sym = e.select(F.col("c").alias("u"), F.col("p").alias("v")).unionByName(
+            e.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
+        )
+        # Small-star: group the (child > parent) edges by child; attach
+        # the child and every smaller neighbor to the minimum parent.
+        smins = large.groupBy("c").agg(F.min("p").alias("m"))
+        small = (
+            large.join(smins, "c")
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .unionByName(smins.select(F.col("c"), F.col("m").alias("p")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Converged when every edge already points at a star center: no
+        # child is also a parent. One scalar semi-join count.
+        non_star = (
+            small.alias("x")
+            .join(
+                small.select(F.col("c").alias("p")).distinct(),
+                "p",
+                "left_semi",
+            )
+            .count()
+        )
+        e = small
+        if non_star == 0:
+            break
+    # Star edges ARE the labeling: child → component min; centers label
+    # themselves via the caller's coalesce (same contract as
+    # dup_clusters' propagation labels).
+    roots = e.select(F.col("p").alias("id"), F.col("p").alias("lbl")).distinct()
+    return e.select(F.col("c").alias("id"), F.col("p").alias("lbl")).unionByName(
+        roots
+    )

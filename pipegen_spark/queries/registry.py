@@ -48,6 +48,7 @@ GATE_CANARIES = (
 #: rotate this list into the window (keeping the canaries) so every
 #: query accumulates a driver row across rounds.
 GATE_DEFERRED = (
+    "dedup_cc_star",
     "dedup_substring",
     "dedup_containment",
     "embed_gram",

@@ -115,6 +115,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' labels via alternating large-star/small-star
+    contraction (Kiveris et al., SoCC'14): O(log n) rounds on any
+    topology vs min-label propagation's O(component diameter) — the
+    connected-components path for edge sets that aren't guaranteed
+    shallow. Same oracle as dedup_clusters: the two algorithms must
+    agree exactly."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    )
+    return dd.dup_clusters_star(docs, pairs, "doc_id").orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dd.simhash_pairs(

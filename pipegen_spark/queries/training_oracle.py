@@ -1551,6 +1551,10 @@ TRAINING_ORACLE: dict[str, str] = {
     """,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
+    # Same SQL by design: star contraction and min-label propagation are
+    # two distributed algorithms for the SAME function (component-min
+    # labels); a single oracle checks they agree bit-for-bit.
+    "dedup_cc_star": _clusters_sql(),
     "dedup_keep_best": _keep_best_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),

@@ -40,3 +40,63 @@ def test_pagerank_deterministic(spark):
 def test_pagerank_empty_edge_set_yields_no_rows(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert gr.pagerank_fixed(df).collect() == []
+
+
+# --- alternating-star connected components ----------------------------------
+
+
+def _star_clusters(spark, n_nodes, pair_list, **kw):
+    from pipegen_spark.operators import dedup as dd
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dd.dup_clusters_star(nodes, pairs, "doc_id", **kw).collect()
+    }
+
+
+def test_cc_star_transitive_and_singletons(spark):
+    out = _star_clusters(spark, 7, [(1, 2), (2, 3), (4, 5)])
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[4] == (4, 2) and out[5] == (4, 2)
+    assert out[6] == (6, 1) and out[0] == (0, 1)
+
+
+def test_cc_star_long_chain_logarithmic_rounds(spark):
+    # A 40-node path has diameter 39: label propagation would need ~39
+    # rounds, star contraction must finish inside 8 alternating rounds.
+    n = 40
+    out = _star_clusters(
+        spark, n, [(i, i + 1) for i in range(n - 1)], max_rounds=8
+    )
+    assert all(out[i] == (0, n) for i in range(n))
+
+
+def test_cc_star_agrees_with_propagation(spark):
+    # The two CC algorithms compute the same function — compare them on a
+    # graph mixing a chain, a triangle, reversed pairs, and singletons.
+    from pipegen_spark.operators import dedup as dd
+
+    pair_list = [(9, 8), (8, 7), (1, 2), (2, 3), (3, 1), (12, 11)]
+    nodes = spark.createDataFrame([(i,) for i in range(14)], ["doc_id"])
+    pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+    star = {
+        tuple(r) for r in dd.dup_clusters_star(nodes, pairs, "doc_id").collect()
+    }
+    prop = {
+        tuple(r) for r in dd.dup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert star == prop
+
+
+def test_cc_star_empty_pairs_all_singletons(spark):
+    out = _star_clusters(spark, 3, [])
+    assert out == {0: (0, 1), 1: (1, 1), 2: (2, 1)}
+
+
+def test_cc_star_self_loop_and_duplicate_pairs(spark):
+    out = _star_clusters(spark, 3, [(1, 1), (1, 2), (2, 1), (1, 2)])
+    assert out[1] == (1, 2) and out[2] == (1, 2) and out[0] == (0, 1)
