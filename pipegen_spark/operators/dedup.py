@@ -703,6 +703,102 @@ def ngram_jaccard_pairs(
     )
 
 
+def setjoin_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT corpus-global set-similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family; Vernica et al., SIGMOD'10 gives the
+    MapReduce formulation this mirrors). Finds ALL pairs with shingle
+    Jaccard >= t_num/t_den — no LSH false-negative band gap, no blocking
+    key — while never materializing the quadratic pair space.
+
+    How the quadratic is avoided (100 TB shape):
+    - Every doc orders its shingles by ascending GLOBAL frequency (ties:
+      shingle hash, then value — a total order both engines replay) and
+      keeps only its PREFIX: sz - ceil(t*sz) + 1 rarest shingles. Two
+      sets can reach Jaccard t only if their prefixes share a shingle,
+      so the candidate join runs over prefix rows only — rare tokens by
+      construction, which is what bounds the join fan-out (the frequent
+      head shingles that would explode a plain shingle-join never enter).
+    - A length filter (t*|b| <= |a|, cross-multiplied integers) prunes
+      size-incompatible pairs inside the join condition.
+    - Survivors verify EXACT Jaccard on the full sorted shingle arrays,
+      and the threshold test is integer cross-multiplication
+      (t_den*inter >= t_num*union) — no float in any decision.
+    Shuffle profile: shingle distinct + global-frequency agg (hash aggs),
+    one per-doc window sort for the prefix, equi-join on prefix shingle,
+    array verify joins by id. All codegen; linear in corpus + candidates.
+    Run exact_dedup first at scale: identical sets all share prefixes.
+
+    Returns (doc_a, doc_b, jac_micro) with jac in integer millionths —
+    the gate-stable surface (see dialect.idiv).
+    """
+    rows = shingle_rows(df, text_col, id_col, n)
+    freq = rows.groupBy("s").agg(F.count("*").cast("long").alias("cnt"))
+    ranked = rows.join(freq, "s").select(
+        "id", "s", "cnt", F.expr(dl.hash_m31("s", dl.SPARK)).alias("h")
+    )
+    worder = Window.partitionBy("id").orderBy("cnt", "h", "s")
+    wsz = Window.partitionBy("id")
+    ceil_t_sz = dl.idiv(f"{t_num} * sz + {t_den - 1}", str(t_den), dl.SPARK)
+    pref = (
+        ranked.select(
+            "id",
+            "s",
+            F.row_number().over(worder).alias("rn"),
+            F.count("*").over(wsz).cast("long").alias("sz"),
+        )
+        .filter(F.col("rn") <= F.col("sz") - F.expr(ceil_t_sz) + 1)
+    )
+    a = pref.select(
+        F.col("id").alias("ida"), "s", F.col("sz").alias("na")
+    )
+    b = pref.select(
+        F.col("id").alias("idb"),
+        F.col("s").alias("sb_key"),
+        F.col("sz").alias("nb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("s") == F.col("sb_key"))
+            & (F.col("ida") < F.col("idb"))
+            & (
+                F.lit(t_den) * F.least("na", "nb")
+                >= F.lit(t_num) * F.greatest("na", "nb")
+            ),
+        )
+        .select("ida", "idb", "na", "nb")
+        .distinct()
+    )
+    sh = shingle_df(df, text_col, id_col, n)
+    sa = sh.select(F.col("id").alias("ida"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("id").alias("idb"), F.col("sh").alias("sb"))
+    inter = F.expr(dl.intersect_size("sa", "sb", dl.SPARK)).cast("long")
+    return (
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            inter.alias("i"),
+            (F.col("na") + F.col("nb") - inter).alias("u"),
+        )
+        .filter(F.lit(t_den) * F.col("i") >= F.lit(t_num) * F.col("u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(dl.idiv("1000000 * i", "u", dl.SPARK)).alias("jac_micro"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 

@@ -49,6 +49,7 @@ GATE_CANARIES = (
 #: query accumulates a driver row across rounds.
 GATE_DEFERRED = (
     "dedup_cc_star",
+    "dedup_setjoin",
     "dedup_substring",
     "dedup_containment",
     "embed_gram",

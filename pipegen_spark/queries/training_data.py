@@ -38,6 +38,8 @@ LM_RARE_MICRO = 10_000  # bigram-LM: transitions under 1% flag as rare
 SIMHASH_MAX_HAMMING = 8
 NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
 NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
+SETJOIN_N = 3  # prefix-filter join: trigram sets, threshold as a rational
+SETJOIN_NUM, SETJOIN_DEN = 1, 2  # Jaccard >= 1/2, integer cross-multiplied
 EMB_DUP_THRESHOLD = 0.3
 # Measured: explicit 64-term dot chains are SLOWER than the interpreted
 # sequential fold on this workload (4.9s vs 3.2s warm at sf0.1) — the fold
@@ -113,6 +115,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
     )
     return dd.dup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+def dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via global-frequency prefix
+    filtering (AllPairs/PPJoin family): every pair with trigram-set
+    Jaccard >= 1/2, no LSH band gap, threshold decided by integer
+    cross-multiplication. Complements dedup_minhash_lsh (approximate,
+    linear) and dedup_ngram_jaccard (exact within a blocking key)."""
+    docs = table(spark, sf_dir, "documents")
+    return dd.setjoin_jaccard_pairs(
+        docs, "text", "doc_id", n=SETJOIN_N, t_num=SETJOIN_NUM,
+        t_den=SETJOIN_DEN,
+    ).limit(PAIR_LIMIT)
 
 
 def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,6 +267,62 @@ def _ngram_sql() -> str:
     """
 
 
+def _setjoin_sql() -> str:
+    """Prefix-filtered exact set-similarity join oracle mirroring
+    operators/dedup.setjoin_jaccard_pairs step for step: global shingle
+    frequency -> per-doc (cnt, hash, s) ordering -> prefix rows
+    (sz - ceil(t*sz) + 1 rarest) -> candidate equi-join with the
+    integer length filter -> exact array verify with the integer
+    cross-multiplied threshold. jac surfaces as integer millionths."""
+    num, den = td.SETJOIN_NUM, td.SETJOIN_DEN
+    h = dl.hash_m31("r.s", D)
+    inter = dl.intersect_size("A.sa", "B.sb", D)
+    return f"""
+    WITH {_W_CTE},
+    shr AS (
+        SELECT DISTINCT id, s FROM (
+            SELECT id, unnest({_shingles(td.SETJOIN_N)}) AS s FROM w
+        ) u
+    ),
+    freq AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM shr GROUP BY s
+    ),
+    ranked AS (
+        SELECT r.id, r.s, f.cnt, {h} AS hh
+        FROM shr r JOIN freq f ON r.s = f.s
+    ),
+    pref AS (
+        SELECT id, s, sz FROM (
+            SELECT id, s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY cnt, hh, s
+                   ) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+            FROM ranked
+        ) r
+        WHERE rn <= sz - (({num} * sz + {den - 1}) // {den}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS ida, b.id AS idb, a.sz AS na, b.sz AS nb
+        FROM pref a JOIN pref b
+          ON a.s = b.s AND a.id < b.id
+         AND {den} * LEAST(a.sz, b.sz) >= {num} * GREATEST(a.sz, b.sz)
+    ),
+    sh AS (SELECT id, list_sort({_shingles(td.SETJOIN_N)}) AS arr FROM w),
+    verified AS (
+        SELECT c.ida AS doc_a, c.idb AS doc_b,
+               CAST({inter} AS BIGINT) AS i,
+               c.na + c.nb - CAST({inter} AS BIGINT) AS u
+        FROM cand c
+        JOIN (SELECT id, arr AS sa FROM sh) A ON c.ida = A.id
+        JOIN (SELECT id, arr AS sb FROM sh) B ON c.idb = B.id
+    )
+    SELECT doc_a, doc_b, (1000000 * i) // u AS jac_micro
+    FROM verified WHERE {den} * i >= {num} * u
+    ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
 def _emb_dup_sql() -> str:
     cos = dl.cosine_double("a.embedding", "b.embedding", dl.size("a.embedding", D), D)
     return f"""
@@ -1558,6 +1614,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_keep_best": _keep_best_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
+    "dedup_setjoin": _setjoin_sql(),
     "dedup_embedding_cosine": _emb_dup_sql(),
     "simsearch_bruteforce": _brute_force_sql(),
     "simsearch_lsh": _lsh_sql(),

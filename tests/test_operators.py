@@ -641,3 +641,80 @@ def test_readability_orders_simple_before_complex(spark):
     assert rows[2]["fk_micro"] > rows[1]["fk_micro"]
     # Vowel-group syllable proxy.
     assert rows[1]["n_syllables"] == 9
+
+
+# --- prefix-filtered exact set-similarity join -------------------------------
+
+
+def _brute_jaccard_pairs(docs, n, t_num, t_den):
+    """Brute-force model: all pairs with distinct-n-gram Jaccard >= t."""
+    import re
+
+    def sh(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: sh(t) for i, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if t_den * i >= t_num * u:
+                out[(a, b)] = 1_000_000 * i // u
+    return out
+
+
+def test_setjoin_finds_all_pairs_exactly(spark):
+    # Mixed corpus: exact dup, partial overlaps straddling the threshold,
+    # short docs, a doc below shingle length. Exactness is the contract —
+    # the result must equal the brute-force model, not approximate it.
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over a sleepy dog"),
+        (4, "pack my box with five dozen liquor jugs today"),
+        (5, "pack my box with five dozen liquor jugs"),
+        (6, "entirely unrelated text about spark partitions here"),
+        (7, "too short"),
+    ]
+    expect = _brute_jaccard_pairs(docs, 3, 1, 2)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jac_micro"]
+        for r in dd.setjoin_jaccard_pairs(
+            df, "text", "doc_id", n=3, t_num=1, t_den=2
+        ).collect()
+    }
+    assert got == expect
+    assert got[(1, 2)] == 1_000_000  # exact dup
+    assert (1, 6) not in got
+
+
+def test_setjoin_threshold_is_integer_exact(spark):
+    # Two docs engineered to sit EXACTLY at jaccard 1/2: 4 shared + 2
+    # unique shingles each -> i=4, u=8. The integer cross-multiplication
+    # must include the boundary (2*4 >= 1*8).
+    a = "alpha beta gamma delta epsilon zeta xx yy"
+    b = "alpha beta gamma delta epsilon zeta pp qq"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = dd.setjoin_jaccard_pairs(
+        df, "text", "doc_id", n=3, t_num=1, t_den=2
+    ).collect()
+    [r] = out
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["jac_micro"] == 500_000
+
+
+def test_setjoin_empty_and_no_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "one unique document"), (2, "completely different words")],
+        ["doc_id", "text"],
+    )
+    assert dd.setjoin_jaccard_pairs(df, "text", "doc_id", n=3).count() == 0

@@ -193,3 +193,22 @@ def test_new_round4_operator_plan_shapes(plans):
     p = plans["dedup_bloom"]
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "NestedLoop" not in p
+
+
+def test_star_cc_and_setjoin_plan_shapes(plans):
+    # dedup_cc_star: the star rounds run over checkpointed edge frames
+    # (scan-from-RDD), so the corpus-facing plan is the finisher — the
+    # labels join must be a hash equi-join, never a nested loop over
+    # documents.
+    p = plans["dedup_cc_star"]
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "cluster_id" in p
+    # dedup_setjoin: candidates meet ONLY through the prefix-shingle
+    # equi-join (hash join on s) — the pair space must never appear as a
+    # cartesian, and the documents scan must be pruned to (doc_id, text).
+    p = plans["dedup_setjoin"]
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "lang" not in ln and "source" not in ln for ln in scans
+    ), scans
