@@ -280,6 +280,27 @@ def word_shingles(words_expr: str, k: int, d: str) -> str:
     return guarded
 
 
+def word_shingles_all(words_expr: str, k: int, d: str) -> str:
+    """ALL k-word shingles (space-joined) WITH multiplicity, in document
+    order — the multiset variant of `word_shingles` for totals/ratios
+    (diversity, repetition). k=1 returns the token array itself.
+    Documents shorter than k yield an empty array."""
+    if k == 1:
+        return words_expr
+    w = words_expr
+    parts = [elem("__w", f"(i+{j})" if j else "i", d) for j in range(k)]
+    if d == SPARK:
+        body = "concat(" + ", ' ', ".join(parts) + ")"
+    else:
+        body = " || ' ' || ".join(parts)
+    idx = seq("1", f"{size('__w', d)}-{k - 1}", d)
+    shingled = transform(idx, f"i -> {body}", d).replace("__w", w)
+    return (
+        f"CASE WHEN {size(w, d)} >= {k} THEN {shingled} "
+        f"ELSE {slice_(w, 1, 0, d)} END"
+    )
+
+
 def dot_double(a: str, b: str, dim_expr, d: str) -> str:
     """Dot product of two float arrays in DOUBLE with a FIXED left-to-right
     association order — bit-identical across engines.

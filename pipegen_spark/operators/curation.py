@@ -818,3 +818,76 @@ def with_shuffle_order(
         key.alias("shuffle_key"),
         (key % shards).cast("long").alias("shard"),
     )
+
+
+# --- corpus drift (distribution shift) ----------------------------------------
+
+DRIFT_BUCKETS = 256
+DRIFT_PPM = 1_000_000
+
+
+def corpus_drift(
+    df: DataFrame,
+    slice_a: F.Column,
+    text_col: str = "text",
+    buckets: int = DRIFT_BUCKETS,
+) -> DataFrame:
+    """Distribution shift between two corpus slices, measured as the
+    total-variation distance of their token distributions over a fixed
+    hashed vocabulary grid — the monitoring primitive for "did this
+    month's crawl drift from the corpus I trained on?".
+
+    Rows where `slice_a` is true form distribution P, the rest Q; each
+    token folds into one of `buckets` hash cells, and
+    TV = 1/2 * sum_i |P_i - Q_i|. Everything stays integer: per-bucket
+    drift numerators are |cnt_a*N_b - cnt_b*N_a| (exact cross-multiplied
+    BIGINTs), and the corpus-level tv_ppm divides by a PRE-SCALED
+    denominator (2*N_a*N_b DIV 1e6) so no intermediate exceeds BIGINT —
+    deterministic on both engines, no float anywhere.
+
+    Shape (100 TB): tokenization is map-only; the sole data-size shuffle
+    is the `buckets`-cell hash aggregate, which partial-aggregates
+    map-side into bounded state exactly like the CMS grid; totals join
+    back as a broadcast 1-row aggregate and the final window runs over
+    `buckets` rows. Output: (bucket, cnt_a, cnt_b, drift_num, tv_ppm)
+    ordered by bucket, tv_ppm constant across rows.
+    """
+    toks = df.select(
+        slice_a.cast("int").alias("in_a"),
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+    )
+    cell = f"(({dl.hash_m31('t', dl.SPARK)}) % {buckets})"
+    counts = (
+        toks.select(F.expr(cell).alias("bucket"), "in_a")
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").cast("long").alias("cnt_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("cnt_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum("cnt_b").cast("long").alias("nb"),
+    )
+    den = dl.idiv("2 * na * nb", str(DRIFT_PPM), dl.SPARK)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "cnt_a",
+            "cnt_b",
+            F.abs(
+                F.col("cnt_a") * F.col("nb") - F.col("cnt_b") * F.col("na")
+            ).alias("drift_num"),
+            F.greatest(F.expr(den), F.lit(1).cast("long")).alias("_den"),
+        )
+        .select(
+            "bucket",
+            "cnt_a",
+            "cnt_b",
+            "drift_num",
+            F.expr(dl.idiv("sum(drift_num) OVER ()", "_den", dl.SPARK))
+            .alias("tv_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -850,3 +850,70 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select("*", *[F.expr(e).alias(n) for n, e in exprs.items()])
         .drop("_toks")
     )
+
+
+# --- n-gram diversity ---------------------------------------------------------
+
+DIVERSITY_MAX_N = 3
+DIVERSITY_PPM = 1_000_000
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_n: int = DIVERSITY_MAX_N,
+) -> DataFrame:
+    """Distinct-n diversity profile per corpus slice: for n = 1..max_n,
+    the fraction of n-gram OCCURRENCES that are distinct n-grams
+    (distinct/total, integer millionths) — the standard repetitiveness /
+    template-content signal (a slice full of boilerplate has low
+    distinct-2 and distinct-3 even when its unigram mix looks healthy).
+
+    Shape (100 TB): each n-level is a map-only projection of the same
+    pruned (group, text) scan (token array built once per branch below a
+    Generate barrier, same as shingle_rows); the union feeds ONE
+    (group, n, gram) hash aggregate and then the tiny (group, n) rollup —
+    two shuffles total, both map-side partial, never a COUNT(DISTINCT)
+    Expand. Output: (grp, n, total_grams, distinct_grams,
+    diversity_ppm), all-integer surfaces.
+    """
+    branches = []
+    for n in range(1, max_n + 1):
+        grams = dl.word_shingles_all(
+            dl.words(text_col, dl.SPARK), n, dl.SPARK
+        )
+        branches.append(
+            df.select(
+                F.col(group_col).alias("grp"),
+                F.lit(n).cast("long").alias("n"),
+                F.explode(F.expr(grams)).alias("s"),
+            )
+        )
+    rows = branches[0]
+    for b in branches[1:]:
+        rows = rows.unionByName(b)
+    per = rows.groupBy("grp", "n", "s").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        per.groupBy("grp", "n")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_grams"),
+            F.count("*").cast("long").alias("distinct_grams"),
+        )
+        .select(
+            "grp",
+            "n",
+            "total_grams",
+            "distinct_grams",
+            F.expr(
+                dl.idiv(
+                    f"{DIVERSITY_PPM} * distinct_grams",
+                    "total_grams",
+                    dl.SPARK,
+                )
+            ).alias("diversity_ppm"),
+        )
+        .orderBy("grp", "n")
+    )

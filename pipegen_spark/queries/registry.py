@@ -72,6 +72,8 @@ GATE_DEFERRED = (
     "text_readability",
     "dedup_bloom",
     "curate_shuffle",
+    "curate_drift",
+    "text_diversity",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -810,3 +810,22 @@ def curate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG state (reproducible across engines and retries)."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return cu.with_shuffle_order(docs).orderBy("shuffle_key", "doc_id")
+
+
+def curate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution shift: total-variation distance between the
+    English and non-English slices' token distributions over a 256-cell
+    hashed vocabulary grid — bounded-state monitoring for "did the new
+    crawl drift?". All-integer surfaces (cross-multiplied drift
+    numerators, pre-scaled ppm denominator)."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.corpus_drift(docs, F.col("lang") == "en", "text")
+
+
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity profile per language (n = 1..3): the
+    repetitiveness/boilerplate signal — low distinct-2/3 flags template
+    content even when the unigram mix looks healthy. All-integer ppm
+    surfaces; two map-side-partial shuffles, no COUNT(DISTINCT) Expand."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.ngram_diversity(docs, "text", "lang")

@@ -1459,6 +1459,72 @@ def _shuffle_sql() -> str:
     """
 
 
+def _diversity_sql() -> str:
+    """Mirror of text.ngram_diversity: per-(lang, n) distinct-n ratios
+    over ALL n-gram occurrences (multiset shingles, n = 1..3)."""
+    levels = []
+    for n in range(1, tx.DIVERSITY_MAX_N + 1):
+        grams = dl.word_shingles_all("w", n, D)
+        levels.append(
+            f"SELECT lang AS grp, CAST({n} AS BIGINT) AS n,"
+            f" unnest({grams}) AS s FROM w"
+        )
+    union = "\n        UNION ALL ".join(levels)
+    return f"""
+    WITH {_W_CTE},
+    grams AS (
+        {union}
+    ),
+    per AS (
+        SELECT grp, n, s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY grp, n, s
+    )
+    SELECT grp, n,
+           CAST(SUM(cnt) AS BIGINT) AS total_grams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           ({tx.DIVERSITY_PPM} * CAST(COUNT(*) AS BIGINT))
+               // CAST(SUM(cnt) AS BIGINT) AS diversity_ppm
+    FROM per GROUP BY grp, n
+    ORDER BY grp, n
+    """
+
+
+def _drift_sql() -> str:
+    """Mirror of curation.corpus_drift (en vs non-en token TV distance):
+    hashed 256-cell counts -> cross-multiplied integer drift numerators
+    -> ppm via the pre-scaled denominator. CASTs pin every aggregate to
+    BIGINT (DuckDB SUM widens to HUGEINT)."""
+    b = cu.DRIFT_BUCKETS
+    cell = f"(({dl.hash_m31('t', D)}) % {b})"
+    return f"""
+    WITH {_W_CTE},
+    toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+               unnest(w) AS t
+        FROM w
+    ),
+    counts AS (
+        SELECT {cell} AS bucket,
+               CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+        FROM toks GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+               CAST(SUM(cnt_b) AS BIGINT) AS nb
+        FROM counts
+    )
+    SELECT bucket, cnt_a, cnt_b,
+           ABS(cnt_a * nb - cnt_b * na) AS drift_num,
+           CAST(
+               CAST(SUM(ABS(cnt_a * nb - cnt_b * na)) OVER () AS BIGINT)
+               // GREATEST((2 * na * nb) // {cu.DRIFT_PPM}, 1)
+           AS BIGINT) AS tv_ppm
+    FROM counts CROSS JOIN tot
+    ORDER BY bucket
+    """
+
+
 def _wsample_sql() -> str:
     """Mirror of curation.weighted_sample over (doc_id, n_chars)."""
     pri = cu.priority_expr("doc_id", "n_chars", D)
@@ -1569,6 +1635,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_cms_topk": _cms_sql(),
     "curate_weighted_sample": _wsample_sql(),
     "curate_shuffle": _shuffle_sql(),
+    "curate_drift": _drift_sql(),
+    "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),

@@ -371,3 +371,43 @@ def test_weighted_sample_k_larger_than_input_returns_all(spark):
         [(1, 10), (2, 20)], "doc_id long, n_chars long"
     )
     assert len(cu.weighted_sample(df, "n_chars", k=100).collect()) == 2
+
+
+# --- corpus drift ------------------------------------------------------------
+
+
+def test_drift_identical_distributions_is_zero(spark):
+    # Same token multiset in both slices -> every bucket's cross-products
+    # cancel exactly -> TV = 0.
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "de", "alpha beta gamma")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = cu.corpus_drift(df, F.col("lang") == "en", "text").collect()
+    assert rows and all(r["tv_ppm"] == 0 and r["drift_num"] == 0 for r in rows)
+    assert all(r["cnt_a"] == r["cnt_b"] for r in rows)
+
+
+def test_drift_disjoint_distributions_is_maximal(spark):
+    # Fully disjoint vocabularies: TV = 1. With tiny counts the ppm
+    # denominator clamps to 1, so tv_ppm = sum of numerators = 2*na*nb.
+    df = spark.createDataFrame(
+        [(1, "en", "aaa aaa bbb"), (2, "de", "xxx yyy zzz zzz")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = cu.corpus_drift(df, F.col("lang") == "en", "text").collect()
+    na, nb = 3, 4
+    assert rows[0]["tv_ppm"] == 2 * na * nb
+    # Every bucket is single-sided.
+    assert all(r["cnt_a"] == 0 or r["cnt_b"] == 0 for r in rows)
+
+
+def test_drift_empty_slice_degenerates_to_zero(spark):
+    # No rows in slice A: all numerators are 0 (cnt_a = 0 and nb-side
+    # cross terms multiply by na = 0) — deterministic, no crash.
+    df = spark.createDataFrame(
+        [(1, "de", "alpha beta"), (2, "fr", "gamma delta")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = cu.corpus_drift(df, F.col("lang") == "en", "text").collect()
+    assert rows and all(r["tv_ppm"] == 0 for r in rows)

@@ -718,3 +718,35 @@ def test_setjoin_empty_and_no_pairs(spark):
         ["doc_id", "text"],
     )
     assert dd.setjoin_jaccard_pairs(df, "text", "doc_id", n=3).count() == 0
+
+
+# --- n-gram diversity --------------------------------------------------------
+
+
+def test_ngram_diversity_known_ratios(spark):
+    # "a a a b": unigrams 4 total / 2 distinct; bigrams [a a, a a, a b]
+    # 3 total / 2 distinct; trigrams [a a a, a a b] 2 total / 2 distinct.
+    df = spark.createDataFrame([(1, "en", "a a a b")], ["doc_id", "lang", "text"])
+    out = {
+        r["n"]: (r["total_grams"], r["distinct_grams"], r["diversity_ppm"])
+        for r in tx.ngram_diversity(df, "text", "lang").collect()
+    }
+    assert out[1] == (4, 2, 500_000)
+    assert out[2] == (3, 2, 666_666)
+    assert out[3] == (2, 2, 1_000_000)
+
+
+def test_ngram_diversity_groups_and_short_docs(spark):
+    # Short docs yield no higher-n rows; groups aggregate independently.
+    df = spark.createDataFrame(
+        [(1, "en", "x y"), (2, "de", "w w w")], ["doc_id", "lang", "text"]
+    )
+    rows = {
+        (r["grp"], r["n"]): r["diversity_ppm"]
+        for r in tx.ngram_diversity(df, "text", "lang").collect()
+    }
+    assert rows[("en", 1)] == 1_000_000  # x, y all distinct
+    assert rows[("en", 2)] == 1_000_000  # one bigram
+    assert ("en", 3) not in rows  # doc shorter than 3
+    assert rows[("de", 1)] == 333_333  # w w w
+    assert rows[("de", 2)] == 500_000  # w w twice

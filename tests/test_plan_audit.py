@@ -212,3 +212,23 @@ def test_star_cc_and_setjoin_plan_shapes(plans):
     assert scans and all(
         "lang" not in ln and "source" not in ln for ln in scans
     ), scans
+
+
+def test_drift_and_diversity_plan_shapes(plans):
+    # curate_drift: the only data-size shuffle is the 256-cell bucket
+    # aggregate; totals come back as a broadcast 1-row aggregate, never
+    # a re-scan-and-join on raw tokens.
+    p = plans["curate_drift"]
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scans and all("n_chars" not in ln for ln in scans), scans
+    # text_diversity: the distinct ratio comes from a two-level
+    # aggregation, NOT a COUNT(DISTINCT) Expand — Expand triples the
+    # shuffle volume at corpus scale.
+    p = plans["text_diversity"]
+    assert "Expand" not in p, p
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "n_chars" not in ln and "source" not in ln for ln in scans
+    ), scans
