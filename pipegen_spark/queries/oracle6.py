@@ -1,0 +1,198 @@
+"""DuckDB oracles for the sixth query tranche (TPC-H Q7/Q8/Q9/Q12/Q13/
+Q17/Q15/Q11/Q21 shapes). Filter constants and the integer-cent money
+discipline are shared with relational6.py so both sides render the same
+computation; every surfaced aggregate is BIGINT (cents / ppm / micro).
+"""
+
+from pipegen_spark.functions import dialect as dl
+from pipegen_spark.queries.relational6 import (
+    Q62_HI,
+    Q62_LO,
+    Q62_NATION_A,
+    Q62_NATION_B,
+    Q63_HI,
+    Q63_LO,
+    Q63_REGION,
+    Q63_SHARE_NATION,
+    Q63_TYPE,
+    Q64_COST_PCT,
+    Q65_YEAR,
+    Q66_EXCLUDED_PRI,
+    Q67_BRAND,
+    Q68_HI,
+    Q68_LO,
+    Q69_FRACTION_PPM,
+    Q69_NATION,
+    REV,
+)
+
+D = dl.DUCK
+
+
+def _c(expr: str) -> str:
+    return dl.cents(expr, D)
+
+
+RELATIONAL6_ORACLE = {
+    "q62_tpch_volume_shipping": f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_c(REV)}) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q62_LO}'
+      AND l.l_shipdate < TIMESTAMP '{Q62_HI}'
+      AND ((sn.n_name = '{Q62_NATION_A}' AND cn.n_name = '{Q62_NATION_B}')
+        OR (sn.n_name = '{Q62_NATION_B}' AND cn.n_name = '{Q62_NATION_A}'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    "q63_tpch_market_share": f"""
+    WITH joined AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_c(REV)} AS rev_c,
+               CASE WHEN sn.n_name = '{Q63_SHARE_NATION}'
+                    THEN {_c(REV)} ELSE 0 END AS nation_c
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE p.p_type = '{Q63_TYPE}' AND r.r_name = '{Q63_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{Q63_LO}'
+          AND o.o_orderdate < TIMESTAMP '{Q63_HI}'
+    )
+    SELECT o_year,
+           CAST(SUM(nation_c) AS BIGINT) AS nation_cents,
+           CAST(SUM(rev_c) AS BIGINT) AS total_cents,
+           (1000000 * CAST(SUM(nation_c) AS BIGINT))
+               // GREATEST(CAST(SUM(rev_c) AS BIGINT), 1) AS mkt_share_ppm
+    FROM joined GROUP BY o_year ORDER BY o_year
+    """,
+    "q64_tpch_profit": f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_c(
+               f"{REV} - p_retailprice * l_quantity * {Q64_COST_PCT}.0 / 100.0"
+           )}) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    "q65_tpch_priority_mix": f"""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(l.l_shipdate) = {Q65_YEAR}
+    GROUP BY 1 ORDER BY 1
+    """,
+    "q66_tpch_cust_distribution": f"""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '{Q66_EXCLUDED_PRI}'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "q67_tpch_small_qty": f"""
+    WITH branded AS (
+        SELECT l.* FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = '{Q67_BRAND}'
+    ),
+    stats AS (
+        SELECT l_partkey AS sp_key,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+               CAST(COUNT(*) AS BIGINT) AS qty_cnt
+        FROM branded GROUP BY l_partkey
+    ),
+    small AS (
+        SELECT b.l_extendedprice
+        FROM branded b JOIN stats s ON b.l_partkey = s.sp_key
+        WHERE 5 * CAST(b.l_quantity AS BIGINT) * s.qty_cnt < s.qty_sum
+    )
+    SELECT (CAST(SUM({_c("l_extendedprice")}) AS BIGINT) * 10000) // 7
+               AS avg_yearly_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM small
+    """,
+    "q68_tpch_top_supplier": f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM({_c(REV)}) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q68_LO}'
+          AND l_shipdate < TIMESTAMP '{Q68_HI}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           r.total_cents AS total_revenue_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    "q69_tpch_important_parts": f"""
+    WITH per_part AS (
+        SELECT l.l_partkey,
+               CAST(SUM({_c(REV)}) AS BIGINT) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = '{Q69_NATION}'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM per_part
+    WHERE 1000000 * value_cents >
+          {Q69_FRACTION_PPM} * (SELECT SUM(value_cents) FROM per_part)
+    ORDER BY value_cents DESC, l_partkey
+    """,
+    "q70_tpch_sole_problem": """
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    returned AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R'
+    ),
+    sole AS (
+        SELECT r.l_orderkey, r.l_suppkey
+        FROM returned r
+        WHERE EXISTS (
+            SELECT 1 FROM pairs p
+            WHERE p.l_orderkey = r.l_orderkey
+              AND p.l_suppkey <> r.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM returned r2
+            WHERE r2.l_orderkey = r.l_orderkey
+              AND r2.l_suppkey <> r.l_suppkey
+        )
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+}

@@ -111,6 +111,7 @@ def all_queries() -> dict[str, QueryFn]:
         relational3,
         relational4,
         relational5,
+        relational6,
         training_data,
     )
 
@@ -120,6 +121,7 @@ def all_queries() -> dict[str, QueryFn]:
     pool.update(_collect(relational3))
     pool.update(_collect(relational4))
     pool.update(_collect(relational5))
+    pool.update(_collect(relational6))
     pool.update(_collect(training_data))
 
     out: dict[str, QueryFn] = {}
@@ -143,6 +145,7 @@ def oracle_queries() -> dict[str, str]:
     from pipegen_spark.queries.oracle3 import RELATIONAL3_ORACLE
     from pipegen_spark.queries.oracle4 import RELATIONAL4_ORACLE
     from pipegen_spark.queries.oracle5 import RELATIONAL5_ORACLE
+    from pipegen_spark.queries.oracle6 import RELATIONAL6_ORACLE
     from pipegen_spark.queries.training_oracle import TRAINING_ORACLE
 
     out = dict(RELATIONAL_ORACLE)
@@ -150,5 +153,6 @@ def oracle_queries() -> dict[str, str]:
     out.update(RELATIONAL3_ORACLE)
     out.update(RELATIONAL4_ORACLE)
     out.update(RELATIONAL5_ORACLE)
+    out.update(RELATIONAL6_ORACLE)
     out.update(TRAINING_ORACLE)
     return out

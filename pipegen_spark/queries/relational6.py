@@ -1,0 +1,420 @@
+"""Sixth query tranche: the rest of the classic TPC-H decision-support
+shapes adapted to this schema (no partsupp / l_shipmode / l_commitdate,
+so Q9/Q12/Q21 predicates are re-targeted to columns that exist — as with
+relational5.py, the *plan shapes* are the point):
+
+- q62: Q7  — two-nation volume shipping (4-way join, both directions)
+- q63: Q8  — market share ratio per year inside a region
+- q64: Q9  — product profit proxy per (nation, year)
+- q65: Q12 — priority mix per line status (conditional counts)
+- q66: Q13 — customer order-count distribution (outer join with an
+             extra join-condition predicate, then a count-of-counts)
+- q67: Q17 — small-quantity revenue vs per-part mean (the correlated
+             average turned into an integer cross-multiplied gate)
+- q68: Q15 — top supplier(s): scalar max over an aggregate, join-back
+- q69: Q11 — important parts: group value vs a scalar share threshold
+- q70: Q21 — sole-problem supplier: semi + anti join on the same fact
+
+Gate-hardened money discipline: every monetary aggregate leaves the
+engine as BIGINT cents (dialect.cents) and every mean/ratio as integer
+millionths (micro_avg / idiv) — the round-2/3 driver hash-reds traced to
+DOUBLE/DECIMAL surfaces, so this tranche emits integers only.
+
+100 TB shapes: nation/region/supplier/part dimensions broadcast; the
+only wide shuffles are lineitem⋈orders on orderkey and the final group
+aggregates. Scalar thresholds (q68 max, q69 total) come back as
+broadcast 1-row aggregates, never driver collects.
+
+Reference parity: the reference executes arbitrary user FlinkSQL
+(internal/pipeline/sql.go:27-76), so the de-facto query surface is the
+engine's — these pin the remaining decision-support corner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipegen_spark.catalog import table
+from pipegen_spark.functions import dialect as dl
+
+# Filter constants shared with oracle6.py (data spans 1995..2001).
+Q62_NATION_A, Q62_NATION_B = "NATION_1", "NATION_2"
+Q62_LO, Q62_HI = "1996-01-01", "1998-01-01"
+Q63_REGION = "ASIA"
+Q63_TYPE = "ECONOMY"
+Q63_SHARE_NATION = "NATION_5"
+Q63_LO, Q63_HI = "1996-01-01", "1998-01-01"
+Q64_COST_PCT = 10  # retailprice cost proxy: 10% per unit
+Q65_YEAR = 1997
+Q66_EXCLUDED_PRI = "5-LOW"
+Q67_BRAND = "Brand#12"
+Q68_LO, Q68_HI = "1996-01-01", "1996-04-01"
+Q69_NATION = "NATION_3"
+Q69_FRACTION_PPM = 1000  # parts worth > 0.1% of total value
+
+
+def _cents(expr: str):
+    return F.expr(dl.cents(expr, dl.SPARK))
+
+
+REV = "l_extendedprice * (1.0 - l_discount)"
+
+
+# --- Q62: volume shipping (TPC-H Q7) -----------------------------------------
+def q62_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between two nations, both directions, per year.
+    supplier+nation and customer+nation broadcast; the symmetric
+    two-arm nation predicate filters after the joins (Catalyst pushes
+    each arm's nation list into the dimension scans)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            f"l_shipdate >= TIMESTAMP '{Q62_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{Q62_HI}'"
+        )
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == Q62_NATION_A)
+                & (F.col("cust_nation") == Q62_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q62_NATION_B)
+                & (F.col("cust_nation") == Q62_NATION_A)
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _cents(REV).alias("rev_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c").cast("long").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- Q63: market share (TPC-H Q8) --------------------------------------------
+def q63_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year share of one supplier nation's revenue within a customer
+    region's ECONOMY-part volume — the ratio is integer ppm over the two
+    BIGINT cent sums, no float in any surface."""
+    li = table(spark, sf_dir, "lineitem")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q63_TYPE)
+        .select("p_partkey")
+    )
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == Q63_REGION)
+    cust_in_region = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat.n_regionkey == reg.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP '{Q63_LO}' "
+            f"AND o_orderdate < TIMESTAMP '{Q63_HI}'"
+        )
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust_in_region),
+            orders.o_custkey == cust_in_region.c_custkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _cents(REV).alias("rev_c"),
+            F.when(F.col("supp_nation") == Q63_SHARE_NATION, _cents(REV))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("nation_c"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("nation_c").cast("long").alias("nation_cents"),
+            F.sum("rev_c").cast("long").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.expr(
+                dl.idiv(
+                    "1000000 * nation_cents",
+                    "greatest(total_cents, 1)",
+                    dl.SPARK,
+                )
+            ).alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- Q64: product profit proxy (TPC-H Q9) ------------------------------------
+def q64_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (supplier nation, year). Without ps_supplycost the cost
+    side is proxied as Q64_COST_PCT% of p_retailprice per unit — the
+    plan shape (fact ⋈ two broadcast dims ⋈ orders, then a small group
+    agg) is the Q9 skeleton."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        f"{REV} - p_retailprice * l_quantity * {Q64_COST_PCT}.0 / 100.0"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _cents(amount).alias("amount_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_c").cast("long").alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- Q65: priority mix per line status (TPC-H Q12) ---------------------------
+def q65_tpch_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts of high/low order priorities per line status
+    over one shipping year — Q12 with l_linestatus standing in for the
+    missing l_shipmode. One orderkey join + a 2-group aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == Q65_YEAR
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- Q66: customer order-count distribution (TPC-H Q13) ----------------------
+def q66_tpch_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts: orders left-joined to every customer with the
+    priority exclusion INSIDE the join condition (so excluded orders
+    count as zero, not as missing customers), then the distribution of
+    per-customer counts. Two aggregates, one outer join."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != Q66_EXCLUDED_PRI),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- Q67: small-quantity revenue (TPC-H Q17) ---------------------------------
+def q67_tpch_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of their
+    part's mean quantity, for one brand. The correlated AVG becomes an
+    integer cross-multiplication (5*qty*cnt < sum), so the gate decides
+    on exact integers; the per-part stats broadcast back into the fact.
+    avg_yearly surfaces as integer millionths (cents*10^4/7)."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q67_BRAND)
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = branded.groupBy(F.col("l_partkey").alias("sp_key")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.count("*").alias("qty_cnt"),
+    )
+    small = branded.join(
+        F.broadcast(stats), branded.l_partkey == stats.sp_key
+    ).filter(
+        F.lit(5) * F.col("l_quantity").cast("long") * F.col("qty_cnt")
+        < F.col("qty_sum")
+    )
+    return small.agg(
+        F.sum(_cents("l_extendedprice")).cast("long").alias("total_cents"),
+        F.count("*").cast("long").alias("n_items"),
+    ).select(
+        F.expr(dl.idiv("total_cents * 10000", "7", dl.SPARK)).alias(
+            "avg_yearly_micro"
+        ),
+        "n_items",
+    )
+
+
+# --- Q68: top supplier (TPC-H Q15) -------------------------------------------
+def q68_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue: aggregate, take
+    the scalar MAX back as a broadcast 1-row frame, join on equality —
+    ties all surface (integer cents cannot near-miss)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            f"l_shipdate >= TIMESTAMP '{Q68_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{Q68_HI}'"
+        )
+    )
+    rev = (
+        li.select("l_suppkey", _cents(REV).alias("rev_c"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c").cast("long").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("max_cents"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(
+            F.broadcast(mx), rev.total_cents == mx.max_cents
+        )
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_cents").alias("total_revenue_cents"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q69: important parts (TPC-H Q11) ----------------------------------------
+def q69_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue from one nation's suppliers exceeds a ppm
+    fraction of that nation's total — the scalar threshold comes back as
+    a broadcast 1-row aggregate and the HAVING comparison is an integer
+    cross-multiplication."""
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == Q69_NATION)
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    nation_li = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    per_part = (
+        nation_li.select("l_partkey", _cents(REV).alias("rev_c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_c").cast("long").alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.lit(1_000_000) * F.col("value_cents")
+            > F.lit(Q69_FRACTION_PPM) * F.col("total_cents")
+        )
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+# --- Q70: sole-problem supplier (TPC-H Q21) ----------------------------------
+def q70_tpch_sole_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY supplier with returned items in a
+    multi-supplier order — Q21's exists/not-exists pair re-targeted to
+    l_returnflag (no l_receiptdate): a left-semi join against orders
+    that have another supplier, and a left-anti join against orders
+    where another supplier also returned. Both probe sides reduce to
+    (orderkey, suppkey) pairs before shuffling."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_ret = returned.select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    sole = (
+        returned.join(
+            other,
+            (returned.l_orderkey == other.o_key)
+            & (returned.l_suppkey != other.o_supp),
+            "left_semi",
+        )
+        .join(
+            other_ret,
+            (returned.l_orderkey == other_ret.r_key)
+            & (returned.l_suppkey != other_ret.r_supp),
+            "left_anti",
+        )
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -232,3 +232,34 @@ def test_drift_and_diversity_plan_shapes(plans):
     assert scans and all(
         "n_chars" not in ln and "source" not in ln for ln in scans
     ), scans
+
+
+def test_tpch_tranche6_plan_shapes(plans):
+    # Date predicates reach the parquet scan as pushed filters.
+    for name, frag in (
+        ("q62_tpch_volume_shipping", "GreaterThanOrEqual(l_shipdate"),
+        ("q68_tpch_top_supplier", "LessThan(l_shipdate"),
+        ("q70_tpch_sole_problem", "EqualTo(l_returnflag,R)"),
+    ):
+        pushed = [
+            ln for ln in plans[name].splitlines() if "PushedFilters" in ln
+        ]
+        assert any(frag in ln for ln in pushed), f"{name}: {frag} not pushed"
+    # Dimension sides broadcast everywhere in the tranche; the scalar
+    # thresholds (q68 max, q69 total) come back as broadcast one-row
+    # frames, never a shuffle join against a single row.
+    for name in (
+        "q62_tpch_volume_shipping",
+        "q63_tpch_market_share",
+        "q64_tpch_profit",
+        "q67_tpch_small_qty",
+        "q68_tpch_top_supplier",
+        "q69_tpch_important_parts",
+        "q70_tpch_sole_problem",
+    ):
+        assert "Broadcast" in plans[name], name
+        assert "CartesianProduct" not in plans[name], name
+    # Q21's exists/not-exists pair must plan as semi/anti hash joins on
+    # the reduced (orderkey, suppkey) pairs.
+    p = plans["q70_tpch_sole_problem"]
+    assert "LeftSemi" in p and "LeftAnti" in p, p
