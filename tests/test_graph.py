@@ -100,3 +100,44 @@ def test_cc_star_empty_pairs_all_singletons(spark):
 def test_cc_star_self_loop_and_duplicate_pairs(spark):
     out = _star_clusters(spark, 3, [(1, 1), (1, 2), (2, 1), (1, 2)])
     assert out[1] == (1, 2) and out[2] == (1, 2) and out[0] == (0, 1)
+
+
+def test_cc_star_random_graphs_match_union_find(spark):
+    # Seeded random graphs vs a Python union-find ground truth: star
+    # contraction must produce the component-min labeling exactly.
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Component-min labels + sizes from the union-find model.
+        lbl = {i: find(i) for i in range(n)}
+        sizes = {}
+        for v in lbl.values():
+            sizes[v] = sizes.get(v, 0) + 1
+        expect = {i: (lbl[i], sizes[lbl[i]]) for i in range(n)}
+
+        from pipegen_spark.operators import dedup as dd
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dd.dup_clusters_star(nodes, pairs, "doc_id").collect()
+        }
+        assert got == expect, f"seed {seed}"

@@ -750,3 +750,28 @@ def test_ngram_diversity_groups_and_short_docs(spark):
     assert ("en", 3) not in rows  # doc shorter than 3
     assert rows[("de", 1)] == 333_333  # w w w
     assert rows[("de", 2)] == 500_000  # w w twice
+
+
+def test_setjoin_random_corpora_match_brute_force(spark):
+    # Seeded random corpora over a small vocabulary (high collision rate,
+    # so prefixes and length filters all get exercised) vs the
+    # brute-force model — exactness on arbitrary inputs, not just the
+    # handcrafted cases.
+    import random
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+            for i in range(14)
+        ]
+        expect = _brute_jaccard_pairs(docs, 2, 1, 2)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jac_micro"]
+            for r in dd.setjoin_jaccard_pairs(
+                df, "text", "doc_id", n=2, t_num=1, t_den=2
+            ).collect()
+        }
+        assert got == expect, f"seed {seed}"
