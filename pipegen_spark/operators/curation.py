@@ -891,3 +891,120 @@ def corpus_drift(
         )
         .orderBy("bucket")
     )
+
+
+# --- objective transforms: span masking (T5) and fill-in-the-middle ----------
+
+SPAN_MASK_BPS = 1500  # mask ~15% of tokens (hash-gated, deterministic)
+FIM_PRE, FIM_SUF, FIM_MID = "<fim_prefix>", "<fim_suffix>", "<fim_middle>"
+
+
+def _span_gate(id_col: str, pos: str, d: str) -> str:
+    """Per-(doc, position) mask gate: hash % 10000 < SPAN_MASK_BPS.
+    Deterministic and coordination-free like sample_gate_expr."""
+    h = dl.hash60(
+        f"(CAST({id_col} AS STRING) || ':' || CAST({pos} AS STRING))", d
+    )
+    return f"(({h}) % 10000 < {SPAN_MASK_BPS})"
+
+
+def span_mask(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """T5-style span-corruption transform: hash-gate ~15% of token
+    positions, collapse each contiguous masked run into one numbered
+    sentinel in the input, and emit the masked spans (sentinel-prefixed)
+    as the target — the denoising-objective pair, built deterministically
+    so every rerun/engine produces the same corruption.
+
+    Shape (100 TB): tokenize map-side; ONE per-doc window sort computes
+    run starts (lag) and sentinel numbers (running sum) together; one
+    groupBy(id) reassembles both sides from sorted (pos, piece) structs.
+    Output: (doc_id, input_text, target_text, n_masked).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(dl.words(text_col, dl.SPARK))).alias(
+            "pos", "wd"
+        ),
+    ).select(
+        "id", "pos", "wd",
+        F.expr(_span_gate("id", "pos", dl.SPARK)).alias("g"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    marked = toks.select(
+        "id", "pos", "wd", "g",
+        (
+            F.col("g")
+            & ~F.coalesce(F.lag("g").over(w), F.lit(False))
+        ).alias("rs"),
+    ).select(
+        "id", "pos", "wd", "g", "rs",
+        (F.sum(F.col("rs").cast("long")).over(w) - 1).alias("k"),
+    )
+    sent = F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    pieces = marked.select(
+        "id", "pos", "g",
+        F.when(~F.col("g"), F.col("wd"))
+        .when(F.col("rs"), sent)
+        .otherwise(F.lit(None))
+        .alias("inp"),
+        F.when(F.col("rs"), F.concat(sent, F.lit(" "), F.col("wd")))
+        .when(F.col("g"), F.col("wd"))
+        .otherwise(F.lit(None))
+        .alias("tgt"),
+    )
+
+    agg = pieces.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", F.col("inp").alias("p")))
+        ).alias("ia"),
+        F.sort_array(
+            F.collect_list(F.struct("pos", F.col("tgt").alias("p")))
+        ).alias("ta"),
+        F.sum(F.col("g").cast("long")).alias("n_masked"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.expr("filter(transform(ia, x -> x.p), p -> p IS NOT NULL)"),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.expr("filter(transform(ta, x -> x.p), p -> p IS NOT NULL)"),
+            " ",
+        ).alias("target_text"),
+        "n_masked",
+    ).orderBy(id_col)
+
+
+def fim_exprs(text: str, id_col: str, d: str) -> dict[str, str]:
+    """Fill-in-the-middle transform expressions (PSM order): two
+    hash-derived character split points, emitted alongside the
+    rearranged <fim_prefix>P<fim_suffix>S<fim_middle>M text. Map-only,
+    identical on both engines (1-based substr with length clamping)."""
+    ln = f"length({text})"
+    ha = dl.hash60(f"(CAST({id_col} AS STRING) || ':a')", d)
+    hb = dl.hash60(f"(CAST({id_col} AS STRING) || ':b')", d)
+    a = f"(({ha}) % greatest({ln} + 1, 1))"
+    b = f"({a} + (({hb}) % greatest({ln} - {a} + 1, 1)))"
+    return {
+        "split_a": f"CAST({a} AS BIGINT)",
+        "split_b": f"CAST({b} AS BIGINT)",
+        "fim_text": (
+            f"'{FIM_PRE}' || substr({text}, 1, {a}) || "
+            f"'{FIM_SUF}' || substr({text}, {b} + 1) || "
+            f"'{FIM_MID}' || substr({text}, {a} + 1, {b} - {a})"
+        ),
+    }
+
+
+def with_fim(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Append the deterministic FIM split columns (map-only)."""
+    exprs = fim_exprs(text_col, id_col, dl.SPARK)
+    return df.select(
+        F.col(id_col),
+        *[F.expr(e).alias(n) for n, e in exprs.items()],
+    )

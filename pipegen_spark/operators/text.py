@@ -863,6 +863,7 @@ def ngram_diversity(
     text_col: str = "text",
     group_col: str = "lang",
     max_n: int = DIVERSITY_MAX_N,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Distinct-n diversity profile per corpus slice: for n = 1..max_n,
     the fraction of n-gram OCCURRENCES that are distinct n-grams
@@ -878,16 +879,23 @@ def ngram_diversity(
     Expand. Output: (grp, n, total_grams, distinct_grams,
     diversity_ppm), all-integer surfaces.
     """
+    from pipegen_spark.operators.dedup import shingle_rows
+
+    # Each n-level goes through shingle_rows' posexplode shape: the token
+    # array is projected ONCE below the Generate barrier, so the
+    # tokenizer never re-inlines into per-element accesses (the measured
+    # O(len^2) trap — a transform-lambda formulation of the same shingles
+    # ran 14 s warm at sf0.1; this shape runs ~2 s).
     branches = []
     for n in range(1, max_n + 1):
-        grams = dl.word_shingles_all(
-            dl.words(text_col, dl.SPARK), n, dl.SPARK
-        )
         branches.append(
-            df.select(
+            shingle_rows(
+                df, text_col, id_col, n,
+                extra_cols=(group_col,), distinct=False,
+            ).select(
                 F.col(group_col).alias("grp"),
                 F.lit(n).cast("long").alias("n"),
-                F.explode(F.expr(grams)).alias("s"),
+                "s",
             )
         )
     rows = branches[0]

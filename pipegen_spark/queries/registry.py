@@ -74,6 +74,8 @@ GATE_DEFERRED = (
     "curate_shuffle",
     "curate_drift",
     "text_diversity",
+    "curate_span_mask",
+    "curate_fim",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

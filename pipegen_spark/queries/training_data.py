@@ -39,7 +39,13 @@ SIMHASH_MAX_HAMMING = 8
 NGRAM_N = 3  # trigram shingles: sparse enough that the candidate join
 NGRAM_THRESHOLD = 0.02  # stays near-linear even with the tiny test vocab
 SETJOIN_N = 3  # prefix-filter join: trigram sets, threshold as a rational
-SETJOIN_NUM, SETJOIN_DEN = 1, 2  # Jaccard >= 1/2, integer cross-multiplied
+# Jaccard >= 4/5, integer cross-multiplied. The threshold IS the prefix
+# size: p = sz - ceil(t*sz) + 1, so t=4/5 keeps ~20% of each doc's
+# shingles as prefix vs ~50% at t=1/2 — on this dense synthetic corpus
+# that cut the candidate join ~25x (15.7 s -> ~2 s warm at sf0.1) and
+# matches MINHASH_THRESHOLD, making the exact join the verification
+# complement of the LSH path.
+SETJOIN_NUM, SETJOIN_DEN = 4, 5
 EMB_DUP_THRESHOLD = 0.3
 # Measured: explicit 64-term dot chains are SLOWER than the interpreted
 # sequential fold on this workload (4.9s vs 3.2s warm at sf0.1) — the fold
@@ -829,3 +835,19 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces; two map-side-partial shuffles, no COUNT(DISTINCT) Expand."""
     docs = table(spark, sf_dir, "documents")
     return tx.ngram_diversity(docs, "text", "lang")
+
+
+def curate_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: deterministic hash-gated ~15% token
+    masking with numbered sentinels; emits the (input, target) denoising
+    pair per document. One per-doc window sort + one reassembly agg."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.span_mask(docs, "text", "doc_id")
+
+
+def curate_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (PSM order): two hash-derived split
+    points per document, map-only rearrangement — the FIM training
+    objective built with no RNG state."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.with_fim(docs, "text", "doc_id").orderBy("doc_id")

@@ -1525,6 +1525,65 @@ def _drift_sql() -> str:
     """
 
 
+def _span_mask_sql() -> str:
+    """Mirror of curation.span_mask: positional tokens -> hash mask gate
+    -> run starts via LAG -> sentinel numbering via running sum ->
+    ordered string_agg reassembly (COALESCE'd: all-NULL groups must give
+    '' like Spark's array_join-over-empty)."""
+    gate = cu._span_gate("id", "pos", D)
+    sent = "'<extra_id_' || k || '>'"
+    return f"""
+    WITH {_W_CTE},
+    toks AS (
+        -- parallel unnests of equal-length lists zip positionally
+        SELECT id, CAST(unnest(range(0, len(w))) AS BIGINT) AS pos,
+               unnest(w) AS wd
+        FROM w
+    ),
+    gated AS (SELECT id, pos, wd, {gate} AS g FROM toks),
+    runs AS (
+        SELECT id, pos, wd, g,
+               (g AND NOT COALESCE(
+                   LAG(g) OVER (PARTITION BY id ORDER BY pos), false
+               )) AS rs
+        FROM gated
+    ),
+    marked AS (
+        SELECT id, pos, wd, g, rs,
+               SUM(CASE WHEN rs THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY pos) - 1 AS k
+        FROM runs
+    ),
+    pieces AS (
+        SELECT id, pos, g,
+               CASE WHEN NOT g THEN wd
+                    WHEN rs THEN {sent}
+                    ELSE NULL END AS inp,
+               CASE WHEN rs THEN {sent} || ' ' || wd
+                    WHEN g THEN wd
+                    ELSE NULL END AS tgt
+        FROM marked
+    )
+    SELECT id AS doc_id,
+           COALESCE(string_agg(inp, ' ' ORDER BY pos), '') AS input_text,
+           COALESCE(string_agg(tgt, ' ' ORDER BY pos), '') AS target_text,
+           CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+    FROM pieces GROUP BY id ORDER BY doc_id
+    """
+
+
+def _fim_sql() -> str:
+    """Mirror of curation.with_fim."""
+    e = cu.fim_exprs("text", "doc_id", D)
+    return f"""
+    SELECT doc_id,
+           {e['split_a']} AS split_a,
+           {e['split_b']} AS split_b,
+           {e['fim_text']} AS fim_text
+    FROM documents ORDER BY doc_id
+    """
+
+
 def _wsample_sql() -> str:
     """Mirror of curation.weighted_sample over (doc_id, n_chars)."""
     pri = cu.priority_expr("doc_id", "n_chars", D)
@@ -1636,6 +1695,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_weighted_sample": _wsample_sql(),
     "curate_shuffle": _shuffle_sql(),
     "curate_drift": _drift_sql(),
+    "curate_span_mask": _span_mask_sql(),
+    "curate_fim": _fim_sql(),
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),

@@ -411,3 +411,62 @@ def test_drift_empty_slice_degenerates_to_zero(spark):
     )
     rows = cu.corpus_drift(df, F.col("lang") == "en", "text").collect()
     assert rows and all(r["tv_ppm"] == 0 for r in rows)
+
+
+# --- objective transforms: span mask + FIM -----------------------------------
+
+
+def test_span_mask_reconstructs_original(spark):
+    # Splicing each target span back over its sentinel must reproduce the
+    # original token sequence exactly — the round-trip property that
+    # makes the (input, target) pair a valid denoising example.
+    import re
+
+    docs = [
+        (i, " ".join(f"tok{j}" for j in range(40))) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in cu.span_mask(df).collect()}
+    masked_total = 0
+    for i, text in docs:
+        r = out[i]
+        spans = {}
+        cur, buf = None, []
+        for t in r["target_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                if cur is not None:
+                    spans[cur] = buf
+                cur, buf = int(m.group(1)), []
+            else:
+                buf.append(t)
+        if cur is not None:
+            spans[cur] = buf
+        rebuilt = []
+        for t in r["input_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            else:
+                rebuilt.append(t)
+        assert rebuilt == text.split(), i
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        masked_total += r["n_masked"]
+    # The 15% gate should mask SOMETHING across 320 positions.
+    assert masked_total > 0
+
+
+def test_fim_reassembles_and_bounds(spark):
+    docs = [(1, "abcdefghij"), (2, "x"), (3, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in cu.with_fim(df).collect()}
+    for i, text in docs:
+        r = out[i]
+        a, b = r["split_a"], r["split_b"]
+        assert 0 <= a <= b <= len(text), (i, a, b)
+        body = r["fim_text"]
+        assert body.startswith(cu.FIM_PRE)
+        pre, rest = body[len(cu.FIM_PRE):].split(cu.FIM_SUF, 1)
+        suf, mid = rest.split(cu.FIM_MID, 1)
+        assert pre + mid + suf == text, i
+        assert (pre, mid, suf) == (text[:a], text[a:b], text[b:])

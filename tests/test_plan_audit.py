@@ -263,3 +263,19 @@ def test_tpch_tranche6_plan_shapes(plans):
     # the reduced (orderkey, suppkey) pairs.
     p = plans["q70_tpch_sole_problem"]
     assert "LeftSemi" in p and "LeftAnti" in p, p
+
+
+def test_objective_transform_plan_shapes(plans):
+    # curate_fim: pure map — no shuffle except the presentation orderBy,
+    # no join; scan pruned to (doc_id, text).
+    p = plans["curate_fim"]
+    assert "Join" not in p
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "lang" not in ln and "n_chars" not in ln for ln in scans
+    ), scans
+    # curate_span_mask: exactly one per-doc window sort feeds both the
+    # run-start lag and the sentinel numbering; no join.
+    p = plans["curate_span_mask"]
+    assert "Join" not in p
+    assert p.count("Window") <= 2, p  # lag + running sum share one sort
