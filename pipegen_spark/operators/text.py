@@ -925,3 +925,47 @@ def ngram_diversity(
         )
         .orderBy("grp", "n")
     )
+
+
+# --- BPE merge-candidate statistics -------------------------------------------
+
+BPE_TOPK = 50
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    topk: int = BPE_TOPK,
+) -> DataFrame:
+    """Adjacent character-pair frequencies over the token multiset — the
+    statistic the first BPE merge step maximizes (tokenizer-training
+    telemetry: which merges the corpus wants, how skewed the pair
+    distribution is). Returns the top-`topk` (pair, cnt), count-desc
+    with the pair string as the deterministic tiebreak.
+
+    Shape (100 TB): tokens explode map-side (Generate barrier keeps the
+    token string materialized, so per-position substr is O(1) column
+    access); pair extraction is a per-token array transform; ONE hash
+    aggregate with map-side combine bounded by the pair-alphabet
+    cardinality; selection is TakeOrdered, not a global sort.
+    """
+    toks = df.select(
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("wd")
+    )
+    ln = "length(wd)"
+    idx = dl.filter_(
+        dl.seq("1", f"greatest({ln} - 1, 1)", dl.SPARK),
+        f"i -> i <= ({ln}) - 1",
+        dl.SPARK,
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(dl.transform(idx, "i -> substr(wd, i, 2)", dl.SPARK))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(topk)
+    )

@@ -76,6 +76,7 @@ GATE_DEFERRED = (
     "text_diversity",
     "curate_span_mask",
     "curate_fim",
+    "text_bpe_pairs",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -126,7 +126,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via global-frequency prefix
     filtering (AllPairs/PPJoin family): every pair with trigram-set
-    Jaccard >= 1/2, no LSH band gap, threshold decided by integer
+    Jaccard >= 4/5, no LSH band gap, threshold decided by integer
     cross-multiplication. Complements dedup_minhash_lsh (approximate,
     linear) and dedup_ngram_jaccard (exact within a blocking key)."""
     docs = table(spark, sf_dir, "documents")
@@ -851,3 +851,11 @@ def curate_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
     objective built with no RNG state."""
     docs = table(spark, sf_dir, "documents")
     return cu.with_fim(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-BPE-merge statistics: top adjacent character-pair counts
+    over the corpus token multiset — tokenizer-training telemetry with a
+    bounded-cardinality aggregate and TakeOrdered selection."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, "text")

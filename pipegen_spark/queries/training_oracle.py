@@ -1572,6 +1572,26 @@ def _span_mask_sql() -> str:
     """
 
 
+def _bpe_pairs_sql() -> str:
+    """Mirror of text.bpe_pair_counts: token multiset -> adjacent char
+    pairs -> top-k counts."""
+    ln = "length(wd)"
+    idx = dl.filter_(
+        dl.seq("1", f"greatest({ln} - 1, 1)", D),
+        f"i -> i <= ({ln}) - 1",
+        D,
+    )
+    pairs = dl.transform(idx, "i -> substr(wd, i, 2)", D)
+    return f"""
+    WITH {_W_CTE},
+    toks AS (SELECT unnest(w) AS wd FROM w),
+    pairs AS (SELECT unnest({pairs}) AS pair FROM toks)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {tx.BPE_TOPK}
+    """
+
+
 def _fim_sql() -> str:
     """Mirror of curation.with_fim."""
     e = cu.fim_exprs("text", "doc_id", D)
@@ -1697,6 +1717,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_drift": _drift_sql(),
     "curate_span_mask": _span_mask_sql(),
     "curate_fim": _fim_sql(),
+    "text_bpe_pairs": _bpe_pairs_sql(),
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "embed_pq": _pq_sql(),

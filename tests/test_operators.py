@@ -775,3 +775,10 @@ def test_setjoin_random_corpora_match_brute_force(spark):
             ).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_bpe_pair_counts_known(spark):
+    # "abab abc" -> word "abab": ab, ba, ab; word "abc": ab, bc.
+    df = spark.createDataFrame([(1, "abab abc"), (2, "x")], ["doc_id", "text"])
+    out = {r["pair"]: r["cnt"] for r in tx.bpe_pair_counts(df).collect()}
+    assert out == {"ab": 3, "ba": 1, "bc": 1}  # 1-char words yield no pair
