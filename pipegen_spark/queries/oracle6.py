@@ -196,3 +196,73 @@ RELATIONAL6_ORACLE = {
     LIMIT 100
     """,
 }
+
+
+def _funnel_sql() -> str:
+    from pipegen_spark.queries.relational6 import FUNNEL_STAGES
+
+    s1, s2, s3 = FUNNEL_STAGES
+    stage_rows = []
+    for i, (col, name) in enumerate(zip(("n1", "n2", "n3"), (s1, s2, s3))):
+        stage_rows.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS stage,"
+            f" '{name}' AS event_type, {col} AS users_reached,"
+            f" (1000000 * {col}) // GREATEST(n1, 1) AS conversion_ppm"
+            " FROM st"
+        )
+    union = "\n    UNION ALL ".join(stage_rows)
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = '{s1}' THEN us END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM ev
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = '{s2}' AND us > t1 THEN us END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = '{s3}' AND us > t2 THEN us END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM w3 GROUP BY user_id
+    ),
+    st AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+               CAST(COUNT(t2) AS BIGINT) AS n2,
+               CAST(COUNT(t3) AS BIGINT) AS n3
+        FROM per_user
+    )
+    {union}
+    ORDER BY stage
+    """
+
+
+RELATIONAL6_ORACLE["q71_funnel"] = _funnel_sql()
+
+RELATIONAL6_ORACLE["q72_retention"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST((epoch_ns(ts) // 1000) // 86400000000 AS BIGINT) AS d
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY user_id),
+    act AS (
+        SELECT DISTINCT CAST(d0 // 7 AS BIGINT) AS cohort_week,
+               CAST((d - d0) // 7 AS BIGINT) AS week_offset,
+               ev.user_id
+        FROM ev JOIN f ON ev.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -14,6 +14,8 @@ relational5.py, the *plan shapes* are the point):
 - q68: Q15 — top supplier(s): scalar max over an aggregate, join-back
 - q69: Q11 — important parts: group value vs a scalar share threshold
 - q70: Q21 — sole-problem supplier: semi + anti join on the same fact
+- q71: event-sequencing funnel (nested conditional MINs, one window sort)
+- q72: weekly retention cohorts (integer day/week indexes, no Expand)
 
 Gate-hardened money discipline: every monetary aggregate leaves the
 engine as BIGINT cents (dialect.cents) and every mean/ratio as integer
@@ -417,4 +419,110 @@ def q70_tpch_sole_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+# --- Q71: funnel analysis (event sequencing) ---------------------------------
+FUNNEL_STAGES = ("view", "click", "purchase")
+US_PER_DAY = 86_400_000_000
+
+
+def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics funnel: per user, the first 'view', the first
+    'click' AFTER that view, the first 'purchase' after that click;
+    report users reaching each stage + conversion ppm vs stage 1.
+
+    Plan shape: the three stage timestamps are nested conditional MINs
+    over the SAME per-user window partitioning — one sort-shuffle on
+    user_id, three Window nodes reusing the exchange (the sequencing
+    constraint `ts > prev_stage` makes this a genuine event-ORDER
+    funnel, not three independent mins). The stage rollup is a 3-row
+    aggregate. All surfaces integer (micros, counts, ppm)."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = W.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STAGES
+    t1 = F.min(F.when(F.col("event_type") == s1, F.col("us"))).over(w)
+    staged = ev.select("user_id", "event_type", "us", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == s2) & (F.col("us") > F.col("t1")),
+            F.col("us"),
+        )
+    ).over(w)
+    staged = staged.select("*", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == s3) & (F.col("us") > F.col("t2")),
+            F.col("us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.select("user_id", "t1", "t2", t3.alias("t3"))
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    stages = per_user.agg(
+        F.count("t1").cast("long").alias("n1"),
+        F.count("t2").cast("long").alias("n2"),
+        F.count("t3").cast("long").alias("n3"),
+    )
+    # ONE explode over an array of stage structs — a per-stage union of
+    # selects would re-plan (and re-scan) the whole upstream pipeline
+    # once per output row.
+    structs = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.col(col).alias("users_reached"),
+            F.expr(
+                dl.idiv(f"1000000 * {col}", "greatest(n1, 1)", dl.SPARK)
+            ).alias("conversion_ppm"),
+        )
+        for i, (col, name) in enumerate(
+            zip(("n1", "n2", "n3"), FUNNEL_STAGES)
+        )
+    ]
+    return (
+        stages.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("stage")
+    )
+
+
+# --- Q72: retention cohorts --------------------------------------------------
+def q72_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week; for
+    each (cohort_week, week_offset) the count of distinct active users.
+    All time math is integer day/week indexes from epoch micros — no
+    calendar functions to diverge on.
+
+    Plan shape: per-user first-day aggregate (small frame) broadcasts
+    back onto events; activity reduces to DISTINCT (cohort, offset,
+    user) before the final count — two-level distinct, no Expand."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            dl.idiv("unix_micros(ts)", str(US_PER_DAY), dl.SPARK)
+        ).alias("d"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            F.expr(dl.idiv("d0", "7", dl.SPARK)).alias("cohort_week"),
+            F.expr(dl.idiv("d - d0", "7", dl.SPARK)).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
     )

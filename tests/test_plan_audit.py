@@ -279,3 +279,15 @@ def test_objective_transform_plan_shapes(plans):
     p = plans["curate_span_mask"]
     assert "Join" not in p
     assert p.count("Window") <= 2, p  # lag + running sum share one sort
+
+
+def test_funnel_and_retention_plan_shapes(plans):
+    # q71: the three stage windows share ONE user_id sort-shuffle — the
+    # plan must not re-exchange between Window nodes.
+    p = plans["q71_funnel"]
+    assert p.count("Exchange hashpartitioning(user_id") <= 1, p
+    assert "CartesianProduct" not in p
+    # q72: per-user first-day frame broadcasts back onto events.
+    p = plans["q72_retention"]
+    assert "BroadcastHashJoin" in p, p
+    assert "Expand" not in p, p
