@@ -117,3 +117,104 @@ def cms_heavy_hitters(
         .orderBy(F.col("est_count").desc(), "token")
         .limit(topk)
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ----------------------------------
+
+# Estimator space: hashes are uniform in [0, 2^60); with the k smallest
+# kept, |S| ~= (k-1) * 2^60 / kth_min (Bar-Yossef et al. 2002). k=64
+# gives ~12% relative error — and because the sketch content is a pure
+# function of the hash, the ORACLE reproduces the sketch exactly; only
+# the estimator formula is an approximation, and it is computed with the
+# same integer division on both engines.
+KMV_K = 64
+KMV_SPACE = 1 << 60
+
+
+def kmv_overlap(
+    df: DataFrame,
+    set_col: str,
+    member_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct-cardinality and overlap estimation for two slices of a
+    keyed membership table via KMV sketches — the "how many distinct
+    users did both X and Y" question answered from two fixed-k
+    summaries instead of an exact distinct over either slice.
+
+    Returns ONE row: per-slice kth-min hash + distinct estimate, the
+    exact intersection count within the union's k-min domain, and the
+    Jaccard estimate in ppm. Determinism: the k smallest 60-bit hashes
+    are an order statistic — no RNG, no merge-order sensitivity — so
+    the DuckDB oracle reproduces every surfaced value bit-for-bit.
+
+    Shape (100 TB): member hashes dedup per slice with one hash
+    aggregate (map-side partial); each slice then reduces to its k
+    smallest hashes via a bounded sort (k rows out of each partition,
+    TakeOrdered-style); the final combine touches 3k rows. State is
+    O(k) regardless of member cardinality — the sketch property.
+    """
+    h = F.expr(
+        dl.hash60(f"CAST({member_col} AS STRING)", dl.SPARK)
+    ).alias("h")
+    members = df.select(F.col(set_col).alias("s"), h).distinct()
+
+    def kmin(name: str) -> DataFrame:
+        return (
+            members.filter(F.col("s") == name)
+            .select("h")
+            .orderBy("h")
+            .limit(k)
+        )
+    ka, kb = kmin(set_a), kmin(set_b)
+    # Union k-min domain: the k smallest of ka ∪ kb; intersection inside
+    # that domain estimates Jaccard (Beyer et al., SIGMOD'07).
+    union_kmin = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    inter = union_kmin.join(ka, "h", "left_semi").join(
+        kb, "h", "left_semi"
+    )
+    # Estimator evaluated divide-first so it never exceeds BIGINT:
+    # (k-1) * (SPACE DIV max(kth, k)) <= (k-1)/k * SPACE. The max(.,k)
+    # clamp also caps the estimate when the kth min is implausibly small.
+    def _est(kth: str) -> str:
+        inner = dl.idiv(
+            f"CAST({KMV_SPACE} AS BIGINT)", f"greatest({kth}, {k})", dl.SPARK
+        )
+        return f"CAST(({k} - 1) AS BIGINT) * ({inner})"
+
+    stats_a = ka.agg(
+        F.max("h").alias("kth_a"), F.count("*").alias("na")
+    )
+    stats_b = kb.agg(
+        F.max("h").alias("kth_b"), F.count("*").alias("nb")
+    )
+    istats = inter.agg(F.count("*").cast("long").alias("kmv_inter"))
+    ustats = union_kmin.agg(F.count("*").cast("long").alias("kmv_union"))
+    return (
+        stats_a.crossJoin(stats_b)
+        .crossJoin(istats)
+        .crossJoin(ustats)
+        .select(
+            "kth_a",
+            "kth_b",
+            # Slices smaller than k are exact (their count), else the
+            # order-statistic estimator.
+            F.expr(
+                f"CASE WHEN na < {k} THEN na ELSE {_est('kth_a')} END"
+            ).cast("long").alias("est_distinct_a"),
+            F.expr(
+                f"CASE WHEN nb < {k} THEN nb ELSE {_est('kth_b')} END"
+            ).cast("long").alias("est_distinct_b"),
+            "kmv_inter",
+            "kmv_union",
+            F.expr(
+                dl.idiv(
+                    "1000000 * kmv_inter",
+                    "greatest(kmv_union, 1)",
+                    dl.SPARK,
+                )
+            ).alias("est_jaccard_ppm"),
+        )
+    )

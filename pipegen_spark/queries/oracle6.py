@@ -266,3 +266,50 @@ RELATIONAL6_ORACLE["q72_retention"] = """
            CAST(COUNT(*) AS BIGINT) AS active_users
     FROM act GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def _kmv_sql() -> str:
+    from pipegen_spark.operators import sketches as sk
+    from pipegen_spark.queries.relational6 import KMV_SET_A, KMV_SET_B
+
+    k, space = sk.KMV_K, sk.KMV_SPACE
+    h = dl.hash60("CAST(user_id AS STRING)", D)
+
+    def _est(kth: str) -> str:
+        return (
+            f"CAST(({k} - 1) AS BIGINT) * "
+            f"(CAST({space} AS BIGINT) // GREATEST({kth}, {k}))"
+        )
+    return f"""
+    WITH members AS (
+        SELECT DISTINCT event_type AS s, {h} AS h FROM events
+        WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+    ),
+    ka AS (SELECT h FROM members WHERE s = '{KMV_SET_A}'
+           ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM members WHERE s = '{KMV_SET_B}'
+           ORDER BY h LIMIT {k}),
+    uk AS (SELECT DISTINCT h FROM (
+               SELECT h FROM ka UNION ALL SELECT h FROM kb) u
+           ORDER BY h LIMIT {k}),
+    inter AS (
+        SELECT h FROM uk
+        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    sa AS (SELECT MAX(h) AS kth_a, CAST(COUNT(*) AS BIGINT) AS na FROM ka),
+    sb AS (SELECT MAX(h) AS kth_b, CAST(COUNT(*) AS BIGINT) AS nb FROM kb),
+    si AS (SELECT CAST(COUNT(*) AS BIGINT) AS kmv_inter FROM inter),
+    su AS (SELECT CAST(COUNT(*) AS BIGINT) AS kmv_union FROM uk)
+    SELECT kth_a, kth_b,
+           CAST(CASE WHEN na < {k} THEN na
+                ELSE {_est("kth_a")} END AS BIGINT) AS est_distinct_a,
+           CAST(CASE WHEN nb < {k} THEN nb
+                ELSE {_est("kth_b")} END AS BIGINT) AS est_distinct_b,
+           kmv_inter, kmv_union,
+           (1000000 * kmv_inter) // GREATEST(kmv_union, 1)
+               AS est_jaccard_ppm
+    FROM sa CROSS JOIN sb CROSS JOIN si CROSS JOIN su
+    """
+
+
+RELATIONAL6_ORACLE["q73_kmv_overlap"] = _kmv_sql()

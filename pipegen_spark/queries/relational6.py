@@ -526,3 +526,18 @@ def q72_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- Q73: KMV distinct-overlap sketch ----------------------------------------
+KMV_SET_A, KMV_SET_B = "click", "purchase"
+
+
+def q73_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between two event types estimated from KMV
+    (k-minimum-values) sketches — O(k) state per slice regardless of
+    user cardinality; the sketch content is an order statistic of the
+    shared 60-bit hash, so the oracle replays it bit-for-bit."""
+    from pipegen_spark.operators import sketches as sk
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return sk.kmv_overlap(ev, "event_type", "user_id", KMV_SET_A, KMV_SET_B)

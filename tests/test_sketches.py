@@ -69,3 +69,45 @@ def test_cms_sketch_is_mergeable(spark):
 def test_cms_heavy_hitters_tokenless_corpus_is_empty(spark):
     df = spark.createDataFrame([(1, "..."), (2, "")], "doc_id long, text string")
     assert sk.cms_heavy_hitters(df, "text").collect() == []
+
+
+# --- KMV overlap -------------------------------------------------------------
+
+
+def test_kmv_exact_path_below_k(spark):
+    # Slices smaller than k surface their exact distinct counts, and the
+    # k-min-domain Jaccard of disjoint sets is 0.
+    from pipegen_spark.operators import sketches as sk
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(100, 105)]
+    df = spark.createDataFrame(rows, ["s", "m"])
+    r = sk.kmv_overlap(df, "s", "m", "a", "b").collect()[0]
+    assert r["est_distinct_a"] == 10 and r["est_distinct_b"] == 5
+    assert r["kmv_inter"] == 0 and r["est_jaccard_ppm"] == 0
+
+
+def test_kmv_estimator_within_tolerance_and_overlap(spark):
+    # 500 members in A, the same 500 in B (full overlap): estimates land
+    # within ~35% of truth at k=64 and the k-min-domain Jaccard is 1.
+    from pipegen_spark.operators import sketches as sk
+
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["s", "m"])
+    r = sk.kmv_overlap(df, "s", "m", "a", "b").collect()[0]
+    for est in (r["est_distinct_a"], r["est_distinct_b"]):
+        assert 325 <= est <= 675, r
+    assert r["est_jaccard_ppm"] == 1_000_000
+    assert r["kmv_union"] == sk.KMV_K
+
+
+def test_kmv_partial_overlap_direction(spark):
+    # A = 0..399, B = 200..599: true Jaccard 1/3 — the sketch estimate
+    # must land well away from both 0 and 1.
+    from pipegen_spark.operators import sketches as sk
+
+    rows = [("a", i) for i in range(400)] + [
+        ("b", i) for i in range(200, 600)
+    ]
+    df = spark.createDataFrame(rows, ["s", "m"])
+    r = sk.kmv_overlap(df, "s", "m", "a", "b").collect()[0]
+    assert 100_000 <= r["est_jaccard_ppm"] <= 600_000, r
