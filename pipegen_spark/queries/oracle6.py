@@ -313,3 +313,29 @@ def _kmv_sql() -> str:
 
 
 RELATIONAL6_ORACLE["q73_kmv_overlap"] = _kmv_sql()
+
+
+RELATIONAL6_ORACLE["q74_anomaly"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST((epoch_ns(ts) // 1000) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt,
+           {dl.micro_avg("100 * m.s", "m.n", D)} AS mean_micro,
+           (m.n * d.cnt - m.s) * (m.n * d.cnt - m.s)
+               > 9 * (m.n * m.s2 - m.s * m.s) AS is_anomaly
+    FROM daily d JOIN moments m ON d.event_type = m.event_type
+    ORDER BY is_anomaly DESC, d.event_type, d.day
+    """

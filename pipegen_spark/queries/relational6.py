@@ -541,3 +541,53 @@ def q73_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     return sk.kmv_overlap(ev, "event_type", "user_id", KMV_SET_A, KMV_SET_B)
+
+
+# --- Q74: 3-sigma anomaly days -----------------------------------------------
+def q74_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags per event type: a day is
+    anomalous when its count deviates from the type's mean by more than
+    3 population standard deviations — decided ENTIRELY in integers by
+    cross-multiplying the variance test with n^2:
+
+        (n*x - S)^2 > 9 * (n*S2 - S^2)
+
+    (x day count, S/S2 the type's count/square sums, n day count).
+    No sqrt, no float, no ulp to diverge. BIGINT-safe while daily
+    counts stay under ~3e9 (squares below 2^63) — beyond that, scale
+    counts to thousands first.
+
+    Shape (100 TB): one (type, day) hash aggregate (map-side partial);
+    per-type moment frame is tiny and broadcasts back; the flag is a
+    map-side comparison. Anomalies order first for the report."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            dl.idiv("unix_micros(ts)", str(US_PER_DAY), dl.SPARK)
+        ).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    dev = "(n * cnt - s)"
+    var9 = "9 * (n * s2 - s * s)"
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.expr(dl.micro_avg("100 * s", "n", dl.SPARK)).alias(
+                "mean_micro"
+            ),
+            F.expr(f"({dev}) * ({dev}) > {var9}").alias("is_anomaly"),
+        )
+        .orderBy(
+            F.col("is_anomaly").desc(), "event_type", "day"
+        )
+    )
