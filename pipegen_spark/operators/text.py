@@ -969,3 +969,55 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(topk)
     )
+
+
+# --- edit-distance-1 vocabulary pairs (FastSS deletion neighborhoods) ---------
+
+
+def typo_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All vocabulary-term pairs within edit distance `max_dist` (=1) —
+    typo/variant clustering via FastSS deletion neighborhoods (Bocek et
+    al. 2007): two terms with ed <= 1 necessarily share a member of
+    {term} ∪ {1-deletions}, so candidates come from an equi-join on the
+    variant key and the quadratic all-pairs comparison never happens.
+    Survivors verify with levenshtein() — built-in on BOTH engines, so
+    the oracle replays the decision exactly.
+
+    Shape (100 TB): the vocabulary dedups with one hash aggregate
+    (bounded by corpus vocabulary, not size); each term emits len+1
+    variant rows map-side; candidates meet through a hash equi-join on
+    the variant; verification is a per-pair integer. Output:
+    (term_a, term_b, dist), ordered.
+    """
+    w = dl.words(text_col, dl.SPARK)
+    vocab = (
+        df.select(F.explode(F.expr(w)).alias("t")).distinct()
+    )
+    # Variant set: the term + every 1-deletion, deduped per term (a
+    # doubled letter yields the same deletion twice).
+    dels = (
+        "array_distinct(concat(array(t), "
+        "transform(sequence(1, length(t)), "
+        "i -> concat(substr(t, 1, i - 1), substr(t, i + 1)))))"
+    )
+    variants = vocab.select(
+        "t", F.explode(F.expr(dels)).alias("v")
+    )
+    a = variants.select(F.col("t").alias("term_a"), "v")
+    b = variants.select(F.col("t").alias("term_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, (F.col("v") == F.col("vb")) & (F.col("term_a") < F.col("term_b")))
+        .select("term_a", "term_b")
+        .distinct()
+        .select(
+            "term_a",
+            "term_b",
+            F.expr("levenshtein(term_a, term_b)").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("term_a", "term_b")
+    )

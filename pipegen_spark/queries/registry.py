@@ -77,6 +77,7 @@ GATE_DEFERRED = (
     "curate_span_mask",
     "curate_fim",
     "text_bpe_pairs",
+    "text_typo_pairs",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

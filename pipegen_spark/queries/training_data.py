@@ -859,3 +859,14 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-cardinality aggregate and TakeOrdered selection."""
     docs = table(spark, sf_dir, "documents")
     return tx.bpe_pair_counts(docs, "text")
+
+
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary typo/variant pairs (edit distance <= 1) via FastSS
+    deletion-neighborhood blocking + levenshtein verify — the string
+    similarity join without the all-pairs comparison. Runs over the
+    SOURCE-label vocabulary: the synthetic text vocabulary has no ed-1
+    pairs at all (31 well-separated words), while the src0..src19
+    labels exercise deletions, insertions and substitutions."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.typo_pairs(docs, "source")

@@ -1792,3 +1792,29 @@ TRAINING_ORACLE: dict[str, str] = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+
+def _typo_pairs_sql() -> str:
+    """Mirror of text.typo_pairs: FastSS deletion variants -> equi-join
+    candidates -> levenshtein verify (built-in on both engines)."""
+    dels = (
+        "list_distinct(list_concat([t], "
+        "list_transform(range(1, length(t) + 1), "
+        "i -> substr(t, 1, i - 1) || substr(t, i + 1))))"
+    )
+    return f"""
+    WITH w AS (SELECT list_filter(regexp_split_to_array(lower(source),'[^a-z0-9]+'), x -> x <> '') AS w FROM documents),
+    vocab AS (SELECT DISTINCT unnest(w) AS t FROM w),
+    variants AS (SELECT t, unnest({dels}) AS v FROM vocab),
+    cand AS (
+        SELECT DISTINCT a.t AS term_a, b.t AS term_b
+        FROM variants a JOIN variants b ON a.v = b.v AND a.t < b.t
+    )
+    SELECT term_a, term_b,
+           CAST(levenshtein(term_a, term_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(term_a, term_b) <= 1
+    ORDER BY term_a, term_b
+    """
+
+
+TRAINING_ORACLE["text_typo_pairs"] = _typo_pairs_sql()

@@ -782,3 +782,26 @@ def test_bpe_pair_counts_known(spark):
     df = spark.createDataFrame([(1, "abab abc"), (2, "x")], ["doc_id", "text"])
     out = {r["pair"]: r["cnt"] for r in tx.bpe_pair_counts(df).collect()}
     assert out == {"ab": 3, "ba": 1, "bc": 1}  # 1-char words yield no pair
+
+
+def test_typo_pairs_finds_all_ed1_pairs(spark):
+    # Known vocabulary with substitution, deletion, insertion, and
+    # far-apart words; the result must be exactly the ed<=1 pairs.
+    df = spark.createDataFrame(
+        [(1, "kitten sitten siting sittin kitten table cable fable art cart")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["term_a"], r["term_b"]): r["dist"]
+        for r in tx.typo_pairs(df, "text").collect()
+    }
+    expect = {
+        ("kitten", "sitten"): 1,  # substitution
+        ("sitten", "sittin"): 1,  # substitution
+        ("cable", "fable"): 1,
+        ("cable", "table"): 1,
+        ("fable", "table"): 1,
+        ("art", "cart"): 1,  # insertion
+        # NOT pairs: siting↔sittin and siting↔sitten are distance 2.
+    }
+    assert got == expect
