@@ -380,3 +380,108 @@ def quantized_l2_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+# --- MMR diversified reranking -----------------------------------------------
+
+MMR_LAMBDA_NUM = 7  # lambda = 0.7 as the rational 7/10 — the relevance
+MMR_LAMBDA_DEN = 10  # vs diversity trade-off, same literal on both engines
+
+
+def mmr_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein '98):
+    from the query's top-`n_candidates` cosine neighbors, greedily pick
+    `k` results maximizing
+
+        mmr(c) = (7*cos(q,c) - 3*max_{s in selected} cos(c,s)) / 10
+
+    — the standard diversity-aware retrieval head (RAG rerankers). The
+    greedy argmax is UNROLLED k times over the candidate frame, so the
+    whole computation stays declarative and the oracle replays it as a
+    CTE chain; ties break on neighbor_id. Scores surface as integer
+    millionths of the deterministic fold-based cosines.
+
+    Shape (100 TB): candidate generation is the brute-force scan (swap
+    in the IVF/PQ path at scale); everything after operates on
+    n_candidates rows — the n^2 pairwise-similarity frame and the k
+    unrolled selection steps are all constant-size work, broadcast
+    joins only, nothing driver-side but the loop structure.
+    """
+    cand = brute_force_topk(
+        base, queries, k=n_candidates, vec_col=vec_col, id_col=id_col,
+        dim=dim,
+    ).select("neighbor_id", "cos")
+    emb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    c = cand.join(F.broadcast(emb), "neighbor_id").localCheckpoint(
+        eager=True
+    )
+    a = c.select(
+        F.col("neighbor_id").alias("ida"), F.col("v").alias("va")
+    )
+    b = c.select(
+        F.col("neighbor_id").alias("idb"), F.col("v").alias("vb")
+    )
+    pair = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select("ida", "idb", _cos("va", "vb", dim).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    lam_n, lam_d = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN
+    sel = (
+        c.orderBy(F.col("cos").desc(), "neighbor_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "neighbor_id",
+            "cos",
+            F.col("cos").alias("mmr"),
+        )
+    )
+    for step in range(2, k + 1):
+        rem = c.join(sel.select("neighbor_id"), "neighbor_id", "left_anti")
+        pen = (
+            pair.join(
+                sel.select(F.col("neighbor_id").alias("idb")),
+                "idb",
+                "left_semi",
+            )
+            .groupBy(F.col("ida").alias("neighbor_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        nxt = (
+            rem.join(F.broadcast(pen), "neighbor_id", "left")
+            .select(
+                "neighbor_id",
+                "cos",
+                F.expr(
+                    f"({lam_n} * cos - {lam_d - lam_n} * "
+                    f"coalesce(maxsim, 0.0)) / {lam_d}.0"
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "neighbor_id")
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("rank"),
+                "neighbor_id",
+                "cos",
+                "mmr",
+            )
+        )
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
+    micro = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+    return sel.select(
+        "rank",
+        "neighbor_id",
+        F.expr(micro.format(x="cos")).alias("cos_micro"),
+        F.expr(micro.format(x="mmr")).alias("mmr_micro"),
+    ).orderBy("rank")

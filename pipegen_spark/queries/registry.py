@@ -78,6 +78,7 @@ GATE_DEFERRED = (
     "curate_fim",
     "text_bpe_pairs",
     "text_typo_pairs",
+    "simsearch_mmr",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

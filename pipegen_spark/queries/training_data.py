@@ -870,3 +870,19 @@ def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels exercise deletions, insertions and substitutions."""
     docs = table(spark, sf_dir, "documents")
     return tx.typo_pairs(docs, "source")
+
+
+MMR_CANDIDATES = 20
+MMR_K = 5
+
+
+def simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR reranking of the query's top-20
+    cosine candidates down to 5 results (lambda = 0.7), the greedy
+    argmax unrolled declaratively; ties on neighbor_id; integer-micro
+    surfaces over the deterministic fold cosines."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC)
+    return sim.mmr_rerank(
+        emb, q, n_candidates=MMR_CANDIDATES, k=MMR_K, dim=EMB_DIM
+    )

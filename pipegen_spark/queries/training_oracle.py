@@ -1818,3 +1818,69 @@ def _typo_pairs_sql() -> str:
 
 
 TRAINING_ORACLE["text_typo_pairs"] = _typo_pairs_sql()
+
+
+def _mmr_sql() -> str:
+    """Mirror of similarity.mmr_rerank: top-20 candidates -> pairwise
+    sims -> 5 greedy MMR selection steps as an unrolled CTE chain."""
+    from pipegen_spark.operators import similarity as _sim
+
+    n, k = td.MMR_CANDIDATES, td.MMR_K
+    ln, ld = _sim.MMR_LAMBDA_NUM, _sim.MMR_LAMBDA_DEN
+    cos_q = dl.cosine_double("q.qv", "e.embedding", td.EMB_DIM, D)
+    cos_p = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    ctes = [
+        f"q AS (SELECT embedding AS qv FROM embeddings"
+        f" WHERE vec_id = {td.HYBRID_QUERY_VEC})",
+        f"""cand0 AS MATERIALIZED (
+        SELECT e.vec_id AS neighbor_id, {cos_q} AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {td.HYBRID_QUERY_VEC}
+        ORDER BY cos DESC, neighbor_id LIMIT {n}
+    )""",
+        """cand AS MATERIALIZED (
+        SELECT c.neighbor_id, c.cos, e.embedding AS v
+        FROM cand0 c JOIN embeddings e ON c.neighbor_id = e.vec_id
+    )""",
+        f"""pair AS MATERIALIZED (
+        SELECT a.neighbor_id AS ida, b.neighbor_id AS idb, {cos_p} AS sim
+        FROM cand a JOIN cand b ON a.neighbor_id <> b.neighbor_id
+    )""",
+        """sel1 AS (
+        SELECT CAST(1 AS BIGINT) AS rank, neighbor_id, cos, cos AS mmr
+        FROM cand ORDER BY cos DESC, neighbor_id LIMIT 1
+    )""",
+    ]
+    for step in range(2, k + 1):
+        prev = f"sel{step - 1}"
+        ctes.append(f"""s{step} AS (
+        SELECT CAST({step} AS BIGINT) AS rank, c.neighbor_id, c.cos,
+               ({ln} * c.cos - {ld - ln} * COALESCE(p.maxsim, 0.0))
+                   / {ld}.0 AS mmr
+        FROM cand c
+        LEFT JOIN (
+            SELECT ida AS neighbor_id, MAX(sim) AS maxsim FROM pair
+            WHERE idb IN (SELECT neighbor_id FROM {prev})
+            GROUP BY ida
+        ) p ON c.neighbor_id = p.neighbor_id
+        WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM {prev})
+        ORDER BY mmr DESC, c.neighbor_id LIMIT 1
+    )""")
+        ctes.append(
+            f"sel{step} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM s{step})"
+        )
+    micro = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rank, neighbor_id,
+           {micro.format(x='cos')} AS cos_micro,
+           {micro.format(x='mmr')} AS mmr_micro
+    FROM sel{k} ORDER BY rank
+    """
+    )
+
+
+TRAINING_ORACLE["simsearch_mmr"] = _mmr_sql()

@@ -805,3 +805,35 @@ def test_typo_pairs_finds_all_ed1_pairs(spark):
         # NOT pairs: siting↔sittin and siting↔sitten are distance 2.
     }
     assert got == expect
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    # Two tight clusters; the query sits nearer cluster A. Pure top-3 is
+    # all-A; MMR with lambda 0.7 must bring in a B member by rank 3 and
+    # put the best A member first.
+    import math
+
+    def vec(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n]
+
+    # Clusters on OPPOSITE sides of the query, both at ~25 degrees
+    # (cos(q,·) ~ 0.906) but 50 degrees apart from each other
+    # (sim(A,B) ~ 0.64). After the first A pick, the remaining A members
+    # score (7*0.906 - 3*1.0)/10 ~ 0.334 while B scores
+    # (7*0.906 - 3*0.64)/10 ~ 0.44 — diversity must pull B in at rank 2.
+    rows = [
+        (0, vec(1.0, 0.0)),             # query
+        (1, vec(0.9063, 0.4226)), (2, vec(0.906, 0.423)),
+        (3, vec(0.9058, 0.4234)),
+        (10, vec(0.9063, -0.4226)), (11, vec(0.906, -0.423)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = [
+        r["neighbor_id"]
+        for r in sim.mmr_rerank(df, q, n_candidates=5, k=3, dim=2).collect()
+    ]
+    assert out[0] == 1  # most relevant first (tie on cos -> lowest id)
+    assert out[1] in (10, 11), out  # rank 2 must cross to cluster B
+    assert out[2] in (2, 3), out  # then back to A (B now penalized)
