@@ -79,6 +79,7 @@ GATE_DEFERRED = (
     "text_bpe_pairs",
     "text_typo_pairs",
     "simsearch_mmr",
+    "embed_matryoshka",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

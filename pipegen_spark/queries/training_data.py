@@ -886,3 +886,45 @@ def simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_rerank(
         emb, q, n_candidates=MMR_CANDIDATES, k=MMR_K, dim=EMB_DIM
     )
+
+
+MATRYOSHKA_DIM = 16  # truncated prefix evaluated against the full 64
+
+
+def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-dimension evaluation: recall@k of cosine
+    search over the FIRST 16 of 64 dims against the full-dim exact
+    top-k — the measurement behind 'can we serve the cheap prefix
+    index?'. Both rankings are deterministic fold cosines; recall
+    surfaces as integer millionths. Truncation is a map-only array
+    slice; each search is the broadcast-queries brute-force scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    full = sim.brute_force_topk(
+        emb, queries, k=TOPK_BRUTE, dim=EMB_DIM
+    ).select("query_id", "neighbor_id")
+    sliced = dl.slice_("embedding", 1, MATRYOSHKA_DIM, dl.SPARK)
+    emb16 = emb.select(
+        "vec_id", F.expr(sliced).alias("embedding")
+    )
+    q16 = emb16.filter(F.col("vec_id") < N_QUERY_VECS)
+    trunc = sim.brute_force_topk(
+        emb16, q16, k=TOPK_BRUTE, dim=MATRYOSHKA_DIM
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        full.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr(
+                dl.idiv("1000000 * n_hits", "n_exact", dl.SPARK)
+            ).alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )

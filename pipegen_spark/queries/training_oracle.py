@@ -1884,3 +1884,52 @@ def _mmr_sql() -> str:
 
 
 TRAINING_ORACLE["simsearch_mmr"] = _mmr_sql()
+
+
+def _matryoshka_sql() -> str:
+    """Mirror of embed_matryoshka: full-dim exact top-k vs the 16-dim
+    prefix ranking, joined to a per-query integer recall."""
+    cos_full = dl.cosine_double("q.qv", "e.embedding", td.EMB_DIM, D)
+    sl = dl.slice_("embedding", 1, td.MATRYOSHKA_DIM, D)
+    cos_tr = dl.cosine_double("q.qv16", "e.ev16", td.MATRYOSHKA_DIM, D)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {td.N_QUERY_VECS}),
+    full_rank AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos_full} DESC, e.vec_id
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) r WHERE rnk <= {td.TOPK_BRUTE}
+    ),
+    q16 AS (SELECT vec_id AS query_id, {sl} AS qv16 FROM embeddings
+            WHERE vec_id < {td.N_QUERY_VECS}),
+    e16 AS (SELECT vec_id, {sl} AS ev16 FROM embeddings),
+    trunc_rank AS MATERIALIZED (
+        SELECT query_id, neighbor_id, 1 AS hit FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos_tr} DESC, e.vec_id
+                   ) AS rnk
+            FROM e16 e CROSS JOIN q16 q
+            WHERE e.vec_id <> q.query_id
+        ) r WHERE rnk <= {td.TOPK_BRUTE}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(t.hit) AS BIGINT) AS n_hits,
+           (1000000 * CAST(COUNT(t.hit) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) AS recall_micro
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """
+
+
+TRAINING_ORACLE["embed_matryoshka"] = _matryoshka_sql()

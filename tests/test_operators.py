@@ -837,3 +837,42 @@ def test_mmr_diversifies_across_clusters(spark):
     assert out[0] == 1  # most relevant first (tie on cos -> lowest id)
     assert out[1] in (10, 11), out  # rank 2 must cross to cluster B
     assert out[2] in (2, 3), out  # then back to A (B now penalized)
+
+
+def test_matryoshka_recall_instrument(spark):
+    # Vectors whose signal lives entirely in the first dims: the
+    # truncated ranking equals the full ranking -> recall 1.0 for a
+    # prefix covering the signal, and degrades for a prefix that
+    # misses it.
+    import math
+
+    def v(sig, tail):
+        # 4 signal dims + 4 tail dims
+        out = sig + tail
+        n = math.sqrt(sum(x * x for x in out))
+        return [x / n for x in out]
+
+    z4 = [0.0] * 4
+    rows = [
+        (0, v([1.0, 0.0, 0.0, 0.0], z4)),
+        (1, v([0.99, 0.14, 0.0, 0.0], z4)),
+        (2, v([0.9, 0.43, 0.0, 0.0], z4)),
+        (3, v([0.0, 1.0, 0.0, 0.0], z4)),
+        (4, v([0.0, 0.0, 1.0, 0.0], z4)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    full = sim.brute_force_topk(df, q, k=3, dim=8).select(
+        "query_id", "neighbor_id"
+    )
+    tr4 = df.select(
+        "vec_id", F.expr("slice(embedding, 1, 4)").alias("embedding")
+    )
+    trunc = sim.brute_force_topk(
+        tr4, tr4.filter(F.col("vec_id") == 0), k=3, dim=4
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = full.join(trunc, ["query_id", "neighbor_id"], "left")
+    [r] = joined.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.count("hit").alias("h")
+    ).collect()
+    assert (r["n"], r["h"]) == (3, 3)  # prefix holds all signal: recall 1
