@@ -176,3 +176,25 @@ def frame_sample(
             F.expr(f"sequence(CAST(0 AS BIGINT), {duration_col}, {every_ms})")
         ).alias("frame_ts_ms"),
     )
+
+
+def phash_expr(sha_col: str, d: str) -> str:
+    """7-bit dHash over the 8 decoded pseudo-features (adjacent-field
+    comparisons of the payload digest): bit_i = [feat_i > feat_i+1].
+    The BLOCKING key for media near-dup — candidates sharing a bucket
+    verify downstream on the full content hash, exactly like LSH
+    banding for text. Dual-dialect (hex-field arithmetic mirrors
+    fake_decode on both engines)."""
+    def feat(i: int) -> str:
+        if d == "spark":
+            return (
+                f"CAST(conv(substr({sha_col}, {i * 4 + 1}, 4), 16, 10)"
+                " AS BIGINT)"
+            )
+        return f"CAST(('0x' || substr({sha_col}, {i * 4 + 1}, 4)) AS BIGINT)"
+
+    bits = [
+        f"(CASE WHEN {feat(i)} > {feat(i + 1)} THEN {1 << i} ELSE 0 END)"
+        for i in range(7)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"

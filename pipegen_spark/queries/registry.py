@@ -80,6 +80,7 @@ GATE_DEFERRED = (
     "text_typo_pairs",
     "simsearch_mmr",
     "embed_matryoshka",
+    "multimodal_phash",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -928,3 +928,30 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup BLOCKING: a 7-bit perceptual hash (dHash over the
+    decoded pseudo-feature fields) buckets payloads; bucket members are
+    the candidates a downstream content-hash verify resolves — the LSH
+    banding pattern applied to media. Emits each blob's bucket, bucket
+    size, and keep-first flag."""
+    from pipegen_spark.operators.multimodal import phash_expr
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("sha2(encode(text, 'UTF-8'), 256)").alias("sha"),
+    )
+    hashed = media.select(
+        "media_id", F.expr(phash_expr("sha", dl.SPARK)).alias("phash")
+    )
+    w = W.partitionBy("phash").orderBy("media_id")
+    wn = W.partitionBy("phash")
+    return hashed.select(
+        "media_id",
+        "phash",
+        F.count("*").over(wn).cast("long").alias("n_same_phash"),
+        (F.row_number().over(w) > 1).alias("is_phash_dup"),
+    ).orderBy("media_id")

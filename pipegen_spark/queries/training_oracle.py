@@ -1933,3 +1933,25 @@ def _matryoshka_sql() -> str:
 
 
 TRAINING_ORACLE["embed_matryoshka"] = _matryoshka_sql()
+
+
+def _mm_phash_sql() -> str:
+    """Mirror of multimodal_phash (dHash blocking over sha256 fields)."""
+    from pipegen_spark.operators.multimodal import phash_expr
+
+    ph = phash_expr("sha", D)
+    return f"""
+    WITH b AS (
+        SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+    ),
+    h AS (SELECT media_id, {ph} AS phash FROM b)
+    SELECT media_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+               AS n_same_phash,
+           (ROW_NUMBER() OVER (PARTITION BY phash ORDER BY media_id) > 1)
+               AS is_phash_dup
+    FROM h ORDER BY media_id
+    """
+
+
+TRAINING_ORACLE["multimodal_phash"] = _mm_phash_sql()

@@ -876,3 +876,24 @@ def test_matryoshka_recall_instrument(spark):
         F.count("*").alias("n"), F.count("hit").alias("h")
     ).collect()
     assert (r["n"], r["h"]) == (3, 3)  # prefix holds all signal: recall 1
+
+
+def test_multimodal_phash_buckets_exact_dups_together(spark):
+    from pipegen_spark.operators.multimodal import phash_expr
+    from pipegen_spark.functions import dialect as dl
+
+    df = spark.createDataFrame(
+        [(1, "same payload"), (2, "same payload"), (3, "different blob")],
+        ["media_id", "text"],
+    )
+    out = {
+        r["media_id"]: r["phash"]
+        for r in df.select(
+            "media_id",
+            F.expr(
+                phash_expr("sha2(encode(text, 'UTF-8'), 256)", dl.SPARK)
+            ).alias("phash"),
+        ).collect()
+    }
+    assert out[1] == out[2]  # identical payloads always share a bucket
+    assert 0 <= out[3] < 128  # 7-bit key
