@@ -1021,3 +1021,115 @@ def typo_pairs(
         .filter(F.col("dist") <= max_dist)
         .orderBy("term_a", "term_b")
     )
+
+
+# --- Good-Turing counts-of-counts ---------------------------------------------
+
+GT_TOPR = 50
+
+
+def good_turing(
+    df: DataFrame, text_col: str = "text", top_r: int = GT_TOPR
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table: N_r = how many
+    vocabulary types occur exactly r times, plus the Turing-smoothed
+    adjusted count r* = (r+1) * N_{r+1} / N_r in integer millionths —
+    the classic unseen-mass estimate (N_1 / total) drives how much
+    probability a smoothed LM reserves for novel tokens.
+
+    Entirely rational arithmetic; two bounded hash aggregates (token
+    counts → counts-of-counts) and a self-join on r+1. Output:
+    (r, n_r, r_star_micro) for the top_r smallest r.
+    """
+    counts = (
+        df.select(
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nr = counts.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("long").alias("n_r")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        nr.join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                dl.idiv(
+                    "1000000 * (r + 1) * coalesce(n_r1, CAST(0 AS BIGINT))",
+                    "n_r",
+                    dl.SPARK,
+                )
+            ).alias("r_star_micro"),
+        )
+        .orderBy("r")
+        .limit(top_r)
+    )
+
+
+# --- Kneser-Ney smoothed bigram table -----------------------------------------
+
+KN_DISC_NUM, KN_DISC_DEN = 3, 4  # absolute discount d = 0.75 as a rational
+KN_TOPK = 50
+
+
+def kneser_ney_bigrams(
+    df: DataFrame, text_col: str = "text", topk: int = KN_TOPK
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities with the
+    standard d = 0.75 discount, entirely in rational arithmetic:
+
+        p_kn(w2|w1) = max(c12 - d, 0)/c1
+                      + (d * succ(w1)/c1) * (pred(w2)/B)
+
+    where succ/pred are distinct continuation counts and B the number
+    of distinct bigram types — the continuation-probability insight
+    that separates KN from plain discounting. Emitted in integer
+    millionths via one cross-multiplied division per row:
+    num = (4*max(c12)-3... all scaled by 4*c1*B to clear denominators.
+
+    Shape (100 TB): bigram counts, successor/predecessor distincts and
+    the scalar B are four bounded hash aggregates; the per-pair math is
+    map-side after two small joins. Output: top-`topk` pairs by
+    smoothed probability (ties: w1, w2).
+    """
+    occ = _bigram_occurrences(df, text_col, "doc_id").select("w1", "w2")
+    big = occ.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    c1 = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("succ"),
+    )
+    pred = big.groupBy("w2").agg(
+        F.count("*").cast("long").alias("pred")
+    )
+    btot = big.agg(F.count("*").cast("long").alias("b"))
+    d_n, d_d = KN_DISC_NUM, KN_DISC_DEN
+    # p_kn scaled by d_d*c1*B: num = B*(d_d*c12 - d_n clamped at 0)
+    #                               + d_n*succ*pred
+    num = (
+        f"CAST({d_d} AS BIGINT) * c12 - {d_n}"
+    )
+    pkn = dl.idiv(
+        f"1000000 * (b * greatest({num}, CAST(0 AS BIGINT))"
+        f" + {d_n} * succ * pred)",
+        f"CAST({d_d} AS BIGINT) * c1 * b",
+        dl.SPARK,
+    )
+    return (
+        big.join(c1, "w1")
+        .join(pred, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1", "w2", "c12",
+            F.expr(pkn).cast("long").alias("pkn_micro"),
+        )
+        .orderBy(F.col("pkn_micro").desc(), "w1", "w2")
+        .limit(topk)
+    )

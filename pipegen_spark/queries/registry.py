@@ -81,6 +81,8 @@ GATE_DEFERRED = (
     "simsearch_mmr",
     "embed_matryoshka",
     "multimodal_phash",
+    "text_good_turing",
+    "text_kneser_ney",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -955,3 +955,17 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wn).cast("long").alias("n_same_phash"),
         (F.row_number().over(w) > 1).alias("is_phash_dup"),
     ).orderBy("media_id")
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies with Turing-smoothed
+    adjusted counts — the unseen-mass estimate, all-rational."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.good_turing(docs, "text")
+
+
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram table (d = 3/4): continuation
+    counts, one cross-multiplied rational per pair, integer millionths."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.kneser_ney_bigrams(docs, "text")

@@ -1955,3 +1955,60 @@ def _mm_phash_sql() -> str:
 
 
 TRAINING_ORACLE["multimodal_phash"] = _mm_phash_sql()
+
+
+def _good_turing_sql() -> str:
+    """Mirror of text.good_turing."""
+    return f"""
+    WITH {_W_CTE},
+    toks AS (SELECT unnest(w) AS t FROM w),
+    counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY t),
+    nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+           FROM counts GROUP BY c)
+    SELECT a.r, a.n_r,
+           (1000000 * (a.r + 1) * COALESCE(b.n_r, 0)) // a.n_r
+               AS r_star_micro
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    ORDER BY a.r LIMIT {tx.GT_TOPR}
+    """
+
+
+def _kneser_ney_sql() -> str:
+    """Mirror of text.kneser_ney_bigrams (d = 3/4, continuation counts,
+    single cross-multiplied rational)."""
+    d_n, d_d = tx.KN_DISC_NUM, tx.KN_DISC_DEN
+    bigram_pairs = (
+        "SELECT list_extract(w, CAST(i AS INT)) AS w1, "
+        "list_extract(w, CAST(i + 1 AS INT)) AS w2 "
+        f"FROM w, unnest({dl.bigram_idx('w', D)}) u(i)"
+    )
+    return f"""
+    WITH {_W_CTE},
+    occ AS ({bigram_pairs}),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM occ GROUP BY w1, w2),
+    c1t AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS succ
+            FROM big GROUP BY w1),
+    predt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS pred
+              FROM big GROUP BY w2),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM big)
+    SELECT g.w1, g.w2, g.c12,
+           CAST((1000000 * (t.b * GREATEST(
+                     CAST({d_d} AS BIGINT) * g.c12 - {d_n},
+                     CAST(0 AS BIGINT))
+                 + {d_n} * c.succ * p.pred))
+                // (CAST({d_d} AS BIGINT) * c.c1 * t.b) AS BIGINT)
+               AS pkn_micro
+    FROM big g
+    JOIN c1t c ON g.w1 = c.w1
+    JOIN predt p ON g.w2 = p.w2
+    CROSS JOIN btot t
+    ORDER BY pkn_micro DESC, g.w1, g.w2
+    LIMIT {tx.KN_TOPK}
+    """
+
+
+TRAINING_ORACLE["text_good_turing"] = _good_turing_sql()
+TRAINING_ORACLE["text_kneser_ney"] = _kneser_ney_sql()

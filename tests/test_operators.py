@@ -897,3 +897,25 @@ def test_multimodal_phash_buckets_exact_dups_together(spark):
     }
     assert out[1] == out[2]  # identical payloads always share a bucket
     assert 0 <= out[3] < 128  # 7-bit key
+
+
+def test_good_turing_known_table(spark):
+    # tokens: a a a b b c  -> counts {a:3, b:2, c:1}
+    # N_1=1, N_2=1, N_3=1; r*(1) = 2*N_2/N_1 = 2.0; r*(2) = 3*N_3/N_2 = 3;
+    # r*(3) = 4*N_4/N_3 = 0 (no N_4).
+    df = spark.createDataFrame([(1, "a a a b b c")], ["doc_id", "text"])
+    out = {r["r"]: (r["n_r"], r["r_star_micro"])
+           for r in tx.good_turing(df).collect()}
+    assert out == {1: (1, 2_000_000), 2: (1, 3_000_000), 3: (1, 0)}
+
+
+def test_kneser_ney_hand_computed(spark):
+    # corpus bigrams: (a b) x2, (b a) x1  from "a b a b"
+    # big: {ab:2, ba:1}; c1: a->(c1=2, succ=1), b->(c1=1, succ=1)
+    # pred: b<-1 type (a), a<-1 type (b); B=2
+    # p_kn(b|a) = max(2-.75,0)/2 + (.75*1/2)*(1/2) = 0.625 + 0.1875 = 0.8125
+    # p_kn(a|b) = max(1-.75,0)/1 + (.75*1/1)*(1/2) = 0.25 + 0.375 = 0.625
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r["pkn_micro"]
+           for r in tx.kneser_ney_bigrams(df).collect()}
+    assert out == {("a", "b"): 812_500, ("b", "a"): 625_000}
