@@ -1008,3 +1008,61 @@ def with_fim(
         F.col(id_col),
         *[F.expr(e).alias(n) for n, e in exprs.items()],
     )
+
+
+# --- temperature (alpha) mixture reweighting ----------------------------------
+
+ALPHA_NUM, ALPHA_DEN = 1, 2  # alpha = 0.5: sqrt-scaling (mT5-style)
+
+
+def temperature_weights(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Multi-source sampling weights with temperature alpha = 1/2
+    (mT5/multilingual-style): w_s ∝ p_s^alpha, so over-represented
+    sources are down-weighted toward sqrt of their natural share.
+    alpha = 1/2 makes the power an IEEE sqrt — correctly rounded and
+    engine-identical — and every surfaced value is a micro-quantized
+    integer (share_ppm exact rational, weight/boost quantized once).
+
+    Shape (100 TB): one source-count aggregate (bounded by source
+    cardinality), totals broadcast back as a 1-row aggregate, the rest
+    is per-source scalar math. Output: (source, n_docs, share_ppm,
+    weight_ppm, boost_micro) ordered by source; weight_ppm sums to
+    ~1e6 (floor residue < |sources|).
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sq_total"),
+    )
+    micro = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.expr(
+                dl.idiv("1000000 * n_docs", "total", dl.SPARK)
+            ).alias("share_ppm"),
+            F.expr(
+                micro.format(
+                    x="sqrt(CAST(n_docs AS DOUBLE)) / sq_total"
+                )
+            ).alias("weight_ppm"),
+            # boost = weight/share: >1e6 means the source gets
+            # oversampled relative to its natural frequency.
+            F.expr(
+                micro.format(
+                    x=(
+                        "(sqrt(CAST(n_docs AS DOUBLE)) / sq_total)"
+                        " * CAST(total AS DOUBLE)"
+                        " / CAST(n_docs AS DOUBLE)"
+                    )
+                )
+            ).alias("boost_micro"),
+        )
+        .orderBy(source_col)
+    )

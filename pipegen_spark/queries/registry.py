@@ -83,6 +83,7 @@ GATE_DEFERRED = (
     "multimodal_phash",
     "text_good_turing",
     "text_kneser_ney",
+    "curate_temperature",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -969,3 +969,10 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, one cross-multiplied rational per pair, integer millionths."""
     docs = table(spark, sf_dir, "documents")
     return tx.kneser_ney_bigrams(docs, "text")
+
+
+def curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 1/2) mixture reweighting across sources:
+    sqrt-scaled sampling weights with integer-quantized surfaces."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.temperature_weights(docs, "source", "doc_id")

@@ -2012,3 +2012,34 @@ def _kneser_ney_sql() -> str:
 
 TRAINING_ORACLE["text_good_turing"] = _good_turing_sql()
 TRAINING_ORACLE["text_kneser_ney"] = _kneser_ney_sql()
+
+
+def _temperature_sql() -> str:
+    """Mirror of curation.temperature_weights (alpha = 1/2 -> IEEE
+    sqrt, micro-quantized surfaces)."""
+    micro = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+    w = "sqrt(CAST(n_docs AS DOUBLE)) / sq_total"
+    boost = (
+        "(sqrt(CAST(n_docs AS DOUBLE)) / sq_total)"
+        " * CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               SUM(sqrt(CAST(n_docs AS DOUBLE))) AS sq_total
+        FROM counts
+    )
+    SELECT source, n_docs,
+           (1000000 * n_docs) // total AS share_ppm,
+           {micro.format(x=w)} AS weight_ppm,
+           {micro.format(x=boost)} AS boost_micro
+    FROM counts CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+TRAINING_ORACLE["curate_temperature"] = _temperature_sql()

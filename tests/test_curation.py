@@ -470,3 +470,19 @@ def test_fim_reassembles_and_bounds(spark):
         suf, mid = rest.split(cu.FIM_MID, 1)
         assert pre + mid + suf == text, i
         assert (pre, mid, suf) == (text[:a], text[a:b], text[b:])
+
+
+def test_temperature_weights_sqrt_scaling(spark):
+    # sources 16:4 -> shares 0.8/0.2; sqrt scaling gives 4:2 = 2/3, 1/3.
+    rows = [(i, "s_big") for i in range(16)] + [
+        (100 + i, "s_small") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in cu.temperature_weights(df).collect()}
+    assert out["s_big"]["share_ppm"] == 800_000
+    assert out["s_small"]["share_ppm"] == 200_000
+    assert out["s_big"]["weight_ppm"] == 666_667  # 2/3 rounded half-up
+    assert out["s_small"]["weight_ppm"] == 333_333
+    # the small source gets oversampled (boost > 1), the big one damped
+    assert out["s_small"]["boost_micro"] > 1_000_000
+    assert out["s_big"]["boost_micro"] < 1_000_000
