@@ -1133,3 +1133,58 @@ def kneser_ney_bigrams(
         .orderBy(F.col("pkn_micro").desc(), "w1", "w2")
         .limit(topk)
     )
+
+
+# --- term burstiness (variance-to-mean ratio) ---------------------------------
+
+BURST_TOPK = 50
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = BURST_TOPK,
+) -> DataFrame:
+    """Burstiness of the top-`topk` corpus terms: the variance-to-mean
+    ratio of per-document occurrence counts (zeros included). Function
+    words spread evenly (VMR ~ 1, Poisson-like); topic words cluster in
+    few documents (VMR >> 1) — the classic content-word discriminator
+    (Church & Gale '95 burstiness).
+
+    All-integer: with S = total count, S2 = sum of squared per-doc
+    counts, n = corpus size, VMR = var/mean = (n*S2 - S^2)/(n*S) —
+    emitted in millionths via one cross-multiplied division (BIGINT-
+    safe while 1e6*n*S2 < 2^63; scale counts first beyond that).
+
+    Shape (100 TB): one (term, doc) hash aggregate, one per-term moment
+    aggregate, the corpus count broadcast as a 1-row frame — zeros
+    never materialize because they only affect the moments through n.
+    """
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+        )
+        .groupBy("t", "id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    moments = per_doc.groupBy("t").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("df"),
+    )
+    n = df.agg(F.count("*").cast("long").alias("n"))
+    return (
+        moments.crossJoin(F.broadcast(n))
+        .select(
+            F.col("t").alias("term"),
+            F.col("s").alias("total"),
+            "df",
+            F.expr(
+                dl.idiv("1000000 * (n * s2 - s * s)", "n * s", dl.SPARK)
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.col("total").desc(), "term")
+        .limit(topk)
+    )

@@ -84,6 +84,7 @@ GATE_DEFERRED = (
     "text_good_turing",
     "text_kneser_ney",
     "curate_temperature",
+    "text_burstiness",
 )
 
 #: Extended relational tranche (TPC-H decision-support + window/sketch

@@ -976,3 +976,11 @@ def curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt-scaled sampling weights with integer-quantized surfaces."""
     docs = table(spark, sf_dir, "documents")
     return cu.temperature_weights(docs, "source", "doc_id")
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean of per-doc counts, zeros via
+    the n term): topic words cluster (VMR >> 1), function words spread
+    (VMR ~ 1). Integer cross-multiplied surfaces."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.term_burstiness(docs, "text", "doc_id")

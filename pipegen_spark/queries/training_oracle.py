@@ -2043,3 +2043,29 @@ def _temperature_sql() -> str:
 
 
 TRAINING_ORACLE["curate_temperature"] = _temperature_sql()
+
+
+def _burstiness_sql() -> str:
+    """Mirror of text.term_burstiness."""
+    return f"""
+    WITH {_W_CTE},
+    toks AS (SELECT id, unnest(w) AS t FROM w),
+    per_doc AS (
+        SELECT t, id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY t, id
+    ),
+    moments AS (
+        SELECT t, CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY t
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT t AS term, s AS total, df,
+           (1000000 * (n.n * s2 - s * s)) // (n.n * s) AS vmr_micro
+    FROM moments CROSS JOIN n
+    ORDER BY total DESC, term LIMIT {tx.BURST_TOPK}
+    """
+
+
+TRAINING_ORACLE["text_burstiness"] = _burstiness_sql()

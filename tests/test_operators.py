@@ -919,3 +919,18 @@ def test_kneser_ney_hand_computed(spark):
     out = {(r["w1"], r["w2"]): r["pkn_micro"]
            for r in tx.kneser_ney_bigrams(df).collect()}
     assert out == {("a", "b"): 812_500, ("b", "a"): 625_000}
+
+
+def test_burstiness_discriminates_topic_words(spark):
+    # "the" appears once in every doc (VMR = 0 exactly: all counts equal
+    # mean 1 with n = df); "quantum" appears 4x in one doc only — bursty.
+    rows = [(i, "the filler words here") for i in range(1, 5)] + [
+        (5, "the quantum quantum quantum quantum")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["term"]: r for r in tx.term_burstiness(df).collect()}
+    # the: n=5, S=5, S2=5 -> VMR = (25-25)/25 = 0
+    assert out["the"]["vmr_micro"] == 0
+    # quantum: n=5, S=4, S2=16 -> (5*16-16)/(5*4) = 64/20 = 3.2
+    assert out["quantum"]["vmr_micro"] == 3_200_000
+    assert out["quantum"]["df"] == 1 and out["the"]["df"] == 5
