@@ -200,3 +200,67 @@ def range_agg(
         .drop("_lrow")
     )
     return grouped
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    tiebreak_cols: tuple[str, str],
+    payload_cols: tuple[str, ...],
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """FORWARD as-of join: for each left row, the EARLIEST right row of
+    the same `by` key with ts strictly AFTER the left ts (NULL when none
+    follows) — next-event semantics (time-to-conversion, next-restock).
+
+    Same distributed shape as the backward `asof_join`: union both
+    sides, ONE sort-shuffle on `by`, and an ignore-nulls carry — here
+    over the DESCENDING time order, where "last non-null preceding"
+    is exactly the nearest later right row. Equal timestamps do NOT
+    match (left sorts before right at the same ts); among right rows
+    sharing the match ts the smallest tiebreak id wins.
+    """
+    l_tb, r_tb = tiebreak_cols
+    l_keep = [c for c in left.columns if c not in (by, ts_col)]
+    lt = left.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_il"),
+        F.col(l_tb).cast("long").alias("_tb"),
+        *[F.col(c).alias(f"_l_{c}") for c in l_keep],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in payload_cols],
+    )
+    rt = right.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_il"),
+        F.col(r_tb).cast("long").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in l_keep],
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(
+            F.col("_ts").desc(), F.col("_il").desc(), F.col("_tb").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(
+                f"{payload_prefix}{c}"
+            )
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_il") == 1).select(
+        F.col("_by").alias(by),
+        F.col("_ts").alias(ts_col),
+        *[F.col(f"_l_{c}").alias(c) for c in l_keep],
+        *[F.col(f"{payload_prefix}{c}") for c in payload_cols],
+    )

@@ -339,3 +339,34 @@ RELATIONAL6_ORACLE["q74_anomaly"] = f"""
     FROM daily d JOIN moments m ON d.event_type = m.event_type
     ORDER BY is_anomaly DESC, d.event_type, d.day
     """
+
+
+RELATIONAL6_ORACLE["q75_asof_forward"] = """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    u AS (
+        SELECT user_id, ts, 1 AS il, event_id AS tb,
+               event_id, NULL::BIGINT AS pid, NULL::TIMESTAMP_NS AS pts
+        FROM c
+        UNION ALL
+        SELECT user_id, ts, 0, purchase_id, NULL, purchase_id, ts FROM p
+    ),
+    m AS (
+        SELECT user_id, ts, il, event_id,
+               last_value(pid IGNORE NULLS) OVER w AS purchase_id,
+               last_value(pts IGNORE NULLS) OVER w AS purchase_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts DESC, il DESC, tb DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+           purchase_id,
+           CAST(epoch_ns(purchase_ts) // 1000 AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_ns(purchase_ts) // 1000 - epoch_ns(ts) // 1000
+                AS BIGINT) AS wait_us
+    FROM m WHERE il = 1 ORDER BY event_id
+    """

@@ -591,3 +591,41 @@ def q74_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_anomaly").desc(), "event_type", "day"
         )
     )
+
+
+# --- Q75: forward as-of join (next-event / time-to-conversion) ---------------
+def q75_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the user's NEXT purchase (forward as-of join):
+    the time-to-conversion primitive. Same one-sort-shuffle union+carry
+    shape as the backward q37, run over descending event time."""
+    from pipegen_spark.operators import temporal as tp
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "ts",
+    )
+    joined = tp.asof_join_forward(
+        clicks,
+        purchases,
+        by="user_id",
+        ts_col="ts",
+        tiebreak_cols=("event_id", "purchase_id"),
+        payload_cols=("purchase_id", "purchase_ts"),
+        payload_prefix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "purchase_id",
+        F.expr("unix_micros(purchase_ts)").alias("purchase_ts_us"),
+        (
+            F.expr("unix_micros(purchase_ts)") - F.expr("unix_micros(ts)")
+        ).alias("wait_us"),
+    ).orderBy("event_id")

@@ -291,3 +291,37 @@ def test_range_agg_preserves_duplicate_left_rows(spark):
     ).collect()
     assert len(rows) == 2
     assert [r["n"] for r in rows] == [2, 2]
+
+
+def test_asof_forward_next_event_semantics(spark):
+    from pipegen_spark.operators import temporal as tp
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, 7, t(10)), (2, 7, t(20)), (3, 7, t(99)), (4, 8, t(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # user 7: purchases at 15 and 20 (equal-ts to click 2) and 30;
+        # user 8: none after its click.
+        [(7, 100, t(15), t(15)), (7, 101, t(20), t(20)),
+         (7, 102, t(30), t(30)), (8, 103, t(1), t(1))],
+        "user_id long, purchase_id long, purchase_ts timestamp, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["purchase_id"]
+        for r in tp.asof_join_forward(
+            left, right, by="user_id", ts_col="ts",
+            tiebreak_cols=("event_id", "purchase_id"),
+            payload_cols=("purchase_id",), payload_prefix="",
+        ).collect()
+    }
+    assert out[1] == 100  # next after t10 is t15
+    assert out[2] == 102  # equal ts (t20) does NOT match -> t30
+    assert out[3] is None  # nothing after t99
+    assert out[4] is None  # user 8's only purchase precedes the click
