@@ -19,10 +19,16 @@ Three timing views:
   multi-tenant cluster actually runs it. Per-query times from the pooled
   pass are NOT reported (wall time under contention is not a query cost).
 
-`result_sha256` carries the canonical digest of each query's warm result
-(pipegen_spark/queries/canon.py — same canonicalization as the
-correctness gate mirror), so a driver-side hash mismatch can be diffed
-against the repo's own hash.
+Output contract (round-5 fix): the driver captures only the LAST 2000
+chars of stdout, and rounds 1-4 each emitted a single JSON line with 149
+per-query times + sha256 hashes — far past the window, so the driver
+recorded `parsed: null` every round. Now the FULL detail (all per-query
+cold/warm/duckdb times + the canonical result_sha256 digests, via
+pipegen_spark/queries/canon.py — same canonicalization as the correctness
+gate mirror, so a driver-side hash red can be diffed against the repo's
+own hash) goes to `.benchmarks/bench_detail.json`, and stdout gets a
+compact (<2000 chars) final line whose `queries` map carries only the
+top-20 slowest queries.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ sys.path.insert(0, REPO)
 # the session conf alone.
 SEQUENTIAL_ONLY = ("q39_", "q41_", "q42_", "q60_")
 POOL_THREADS = 8
+TOP_QUERIES = 20  # stdout line carries only the slowest N (size budget)
 
 
 def main() -> None:
@@ -140,7 +147,11 @@ def main() -> None:
     except Exception as e:
         print(f"streaming probe failed: {e!r}", file=sys.stderr)
 
-    out = {
+    # Full per-query detail to the side file; compact summary to stdout.
+    detail_dir = os.path.join(REPO, ".benchmarks")
+    os.makedirs(detail_dir, exist_ok=True)
+    detail_path = os.path.join(detail_dir, "bench_detail.json")
+    detail = {
         "metric": "corpus_total_wall",
         "value": total,
         "unit": "sec",
@@ -155,14 +166,46 @@ def main() -> None:
         "cpus": cpus,
     }
     if baseline is not None:
-        out["duckdb_baseline"] = baseline
+        detail["duckdb_baseline"] = baseline
+    if streaming is not None:
+        detail["streaming"] = streaming
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:TOP_QUERIES]
+    )
+    out = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_omitted": len(times) - len(slowest),
+        "warm_total": warm_total,
+        "warm_total_sequential": warm_total_seq,
+        "sf": sf,
+        "n_queries": len(times),
+        "cpus": cpus,
+        "detail": os.path.relpath(detail_path, REPO),
+    }
+    if baseline is not None:
+        out["duckdb_baseline"] = {
+            "sec": baseline["sec"],
+            "completed": baseline["completed"],
+            "n_skipped": len(baseline["skipped"]),
+        }
     if streaming is not None:
         out["streaming"] = streaming
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard guarantee: the driver tail-captures 2000
+        for k in ("queries", "streaming", "duckdb_baseline"):
+            out.pop(k, None)
+        line = json.dumps(out)
     # Leading newline: guarantees the JSON starts its own line even if a
     # previous writer left an unterminated line on stdout (see the
     # showConsoleProgress note above); explicit flush so the driver's
     # capture sees it even if the JVM teardown below is killed.
-    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.write("\n" + line + "\n")
     sys.stdout.flush()
     spark.stop()
 
@@ -243,18 +286,23 @@ def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:
     oracles = oracle_queries()
     order = sorted(oracles)
     t0 = time.perf_counter()
-    completed = 0
+    per_query: dict[str, float] = {}
     skipped: list[str] = []
     for name in order:
         if time.perf_counter() - t0 > budget_sec:
             skipped.append(name)
             continue
+        tq = time.perf_counter()
         con.execute(oracles[name]).fetchall()
-        completed += 1
+        per_query[name] = round(time.perf_counter() - tq, 4)
     return {
         "sec": round(time.perf_counter() - t0, 4),
-        "completed": completed,
+        "completed": len(per_query),
         "skipped": skipped,
+        # Per-query timings (detail file only): lets a reviewer flag
+        # individual Spark/DuckDB ratio outliers round-over-round instead
+        # of only corpus totals.
+        "queries": per_query,
     }
 
 

@@ -65,6 +65,14 @@ def filter_(arr: str, lam: str, d: str) -> str:
     return f"filter({arr}, {lam})" if d == SPARK else f"list_filter({arr}, {lam})"
 
 
+def arr_sort(arr: str, d: str) -> str:
+    """Ascending array sort (no-null inputs): the determinism primitive for
+    cross-row double sums — collect, sort, left-fold, so the accumulation
+    order is pinned regardless of partial-aggregation order."""
+    _check(d)
+    return f"sort_array({arr})" if d == SPARK else f"list_sort({arr})"
+
+
 def fold(arr: str, init: str, lam: str, d: str) -> str:
     """Sequential left fold: Spark `aggregate`, DuckDB `list_reduce` with the
     init prepended (DuckDB's reduce seeds from the first element)."""

@@ -1,0 +1,249 @@
+"""Dependency-free media codecs for the multimodal operators.
+
+The container has no PIL/libvips/ffmpeg, but PNG (ISO/IEC 15948) needs
+only stdlib `zlib`: chunk framing + per-scanline filters (None/Sub/Up/
+Average/Paeth) are ~100 lines of pure Python. This makes the multimodal
+decode boundary REAL — `png_decode` parses genuine PNG bytes into pixels,
+`png_features`/`png_resize` plug into `multimodal.extract_features` /
+`resize_media` as actual codecs — while `fake_decode` remains for
+payloads that are not media at all (the synthetic `documents` blobs).
+
+Supported PNG subset (decode): 8-bit depth, color types 0 (grayscale),
+2 (RGB), 6 (RGBA), non-interlaced — the overwhelming majority of
+real-world PNGs. Anything else raises `ValueError` loudly (16-bit,
+palette, interlace): an explicit, honest boundary rather than a wrong
+answer. Encode always writes 8-bit non-interlaced with filter 0.
+
+Scale notes: these run inside Arrow-batched `mapInPandas` workers —
+decoding is map-only, linear in executors, and payload bytes cross the
+Arrow boundary once. Pure-Python pixel loops are fine at test scale; at
+production scale the same call sites take a PIL/libvips-backed callable
+(identical signature), which is the documented swap point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """Minimal PNG writer: 8-bit, non-interlaced, filter 0 on every
+    scanline. `pixels` is row-major packed samples
+    (len == width*height*channels); channels 1=gray, 3=RGB, 4=RGBA."""
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride]
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse PNG bytes -> (width, height, channels, raw pixels).
+
+    Implements the full five-filter reconstruction (spec §9): each
+    scanline carries a filter byte; Sub/Up/Average/Paeth reconstruct from
+    the left/up/up-left neighbors at `bpp` (bytes per pixel) offset."""
+    if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(PNG_SIGNATURE)
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color_type not in (0, 2, 6):
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+            channels = _CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length does not match geometry")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def png_features(payload: bytes) -> dict:
+    """Real-decoder drop-in for `multimodal.extract_features`: decodes
+    the PNG and derives the 8 features from the PIXELS (an 8-bin
+    luminance-ish histogram of all decoded samples) rather than the
+    payload digest — same output schema as `fake_decode`, different
+    provenance. Deterministic: histogram of exact bytes."""
+    if payload is None:
+        payload = b""
+    _, _, _, pixels = png_decode(payload)
+    feats = [0] * 8
+    for b in pixels:
+        feats[b >> 5] += 1
+    return {
+        "n_bytes": len(payload),
+        "content_sha": hashlib.sha256(payload).hexdigest(),
+        "feat_dim": 8,
+        "feat_norm": sum(f * f for f in feats),
+    }
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real-resampler drop-in for `multimodal.resize_media`:
+    nearest-neighbor resample (deterministic integer source mapping:
+    src = dst * src_dim // dst_dim) and re-encode."""
+    w0, h0, ch, px = png_decode(payload)
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        sy = y * h0 // height
+        for x in range(width):
+            sx = x * w0 // width
+            src = (sy * w0 + sx) * ch
+            dst = (y * width + x) * ch
+            out[dst : dst + ch] = px[src : src + ch]
+    return png_encode(width, height, bytes(out), ch)
+
+
+def wav_encode(
+    samples: list[int], sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit PCM via stdlib `wave`."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", s) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def wav_features(payload: bytes) -> dict:
+    """Real-decoder drop-in for audio payloads: decodes 16-bit PCM WAV
+    (stdlib `wave`) and derives the 8 features from the SAMPLES — an
+    8-bin histogram over amplitude magnitude octaves (|s| bucketed by
+    bit length / 2) — same output schema as `fake_decode`/`png_features`.
+    Raises on non-PCM-16 payloads (explicit boundary, like the PNG
+    subset)."""
+    import io
+    import wave
+
+    if payload is None:
+        payload = b""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported sample width {w.getsampwidth()} (16-bit only)"
+            )
+        frames = w.readframes(w.getnframes())
+    n = len(frames) // 2
+    feats = [0] * 8
+    for (s,) in struct.iter_unpack("<h", frames[: n * 2]):
+        feats[min(abs(s).bit_length() >> 1, 7)] += 1
+    return {
+        "n_bytes": len(payload),
+        "content_sha": hashlib.sha256(payload).hexdigest(),
+        "feat_dim": 8,
+        "feat_norm": sum(f * f for f in feats),
+    }
+
+
+def auto_decode(payload: bytes) -> dict:
+    """Magic-byte dispatch: real PNG/WAV decode for media payloads, the
+    deterministic digest fake for everything else (the synthetic
+    `documents` blobs are text bytes, so the gated query's results are
+    unchanged by this dispatcher)."""
+    from pipegen_spark.operators.multimodal import fake_decode
+
+    if payload is not None and payload[:8] == PNG_SIGNATURE:
+        return png_features(payload)
+    if (
+        payload is not None
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        return wav_features(payload)
+    return fake_decode(payload)

@@ -842,8 +842,14 @@ def corpus_drift(
     TV = 1/2 * sum_i |P_i - Q_i|. Everything stays integer: per-bucket
     drift numerators are |cnt_a*N_b - cnt_b*N_a| (exact cross-multiplied
     BIGINTs), and the corpus-level tv_ppm divides by a PRE-SCALED
-    denominator (2*N_a*N_b DIV 1e6) so no intermediate exceeds BIGINT —
-    deterministic on both engines, no float anywhere.
+    denominator (2*N_a*N_b DIV 1e6) — deterministic on both engines, no
+    float anywhere. Integer-range bound: the cross products cap the
+    per-slice token counts at ~3e9 each (cnt_a <= N_a, so
+    cnt_a*N_b <= N_a*N_b must stay under 2^63 ≈ 9.2e18); beyond that,
+    pre-scale the counts (e.g. to thousands, as q74_anomaly documents
+    for its analogous bound) before the cross-multiply — TV is scale-
+    invariant, so pre-scaled counts change tv_ppm by at most the
+    quantization of the scaling.
 
     Shape (100 TB): tokenization is map-only; the sole data-size shuffle
     is the `buckets`-cell hash aggregate, which partial-aggregates
@@ -1034,9 +1040,20 @@ def temperature_weights(
     counts = df.groupBy(source_col).agg(
         F.count("*").cast("long").alias("n_docs")
     )
+    # sq_total accumulates doubles across rows: a plain F.sum would be
+    # partial-aggregation-order-dependent (the one IEEE discipline escape
+    # flagged in round-4 ADVICE), so collect-sort-fold pins the order —
+    # the frame is per-source (bounded cardinality), so collect_list is
+    # tiny by construction.
+    sq_fold = dl.fold(
+        dl.arr_sort("collect_list(sqrt(CAST(n_docs AS DOUBLE)))", dl.SPARK),
+        "CAST(0.0 AS DOUBLE)",
+        "(acc, x) -> acc + x",
+        dl.SPARK,
+    )
     tot = counts.agg(
         F.sum("n_docs").cast("long").alias("total"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sq_total"),
+        F.expr(sq_fold).alias("sq_total"),
     )
     micro = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
     return (
@@ -1065,4 +1082,95 @@ def temperature_weights(
             ).alias("boost_micro"),
         )
         .orderBy(source_col)
+    )
+
+
+# --- linear quality classifier (fastText-style) -------------------------------
+
+CLF_BUCKETS = 1 << 16  # hashed feature space (fastText default is 2M bins;
+#                        64k keeps collisions realistic on test vocab)
+CLF_NEUTRAL = 1000  # weights live in [0, 2000] micro; 1000 = neutral
+
+
+def clf_weight_expr(bucket: str) -> str:
+    """Deterministic per-bucket weight in [0, 2000]: a Knuth
+    multiplicative hash of the bucket id. This is the PSEUDO-TRAINED
+    stand-in — in production, broadcast-join a (bucket, weight) table
+    exported from a trained fastText/logistic model instead (same plan
+    shape: the weight table is broadcast-sized at any realistic bin
+    count). Non-negative by construction so per-doc averages never hit
+    engine-divergent negative integer division; the SQL text is shared
+    verbatim by the DuckDB oracle."""
+    return f"((({bucket}) * 2654435761) % 2001)"
+
+
+def classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = CLF_BUCKETS,
+) -> DataFrame:
+    """Classifier-based quality filtering — the third standard filter
+    family next to heuristic rules (`gopher_rules`) and importance
+    weights (`dsir_scores`): score every document with a linear model
+    over hashed unigram+bigram features (the fastText-style architecture
+    used by GPT-3/LLaMA/CCNet-lineage quality classifiers; Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification").
+
+    score = mean over feature OCCURRENCES of w[h(feature) % buckets],
+    kept in integer micro-units: sum_w is an exact BIGINT sum,
+    avg_micro = sum_w DIV n_feats, and `keep` compares cross-multiplied
+    integers (sum_w >= NEUTRAL * n_feats) so no division rounding can
+    flip the label. Feature-less docs score NEUTRAL-0 and are dropped.
+
+    Shape (100 TB): features hash map-side (reusing `dsir_features`'s
+    multiset); ONE shuffle — the per-doc aggregation; weights are a pure
+    arithmetic function of the bucket (or a broadcast join for trained
+    weights) so the plan is scan → explode → project → hash-agg, fully
+    whole-stage-codegen, nothing driver-side. Overflow: sum_w <=
+    2000 * n_feats holds to ~4.6e15 features/doc — unreachable.
+
+    Returns (id_col, n_feats, sum_w, avg_micro, keep).
+    """
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(dl.words(text_col, dl.SPARK)).alias("_w"),
+        )
+        .select(
+            "id",
+            F.explode_outer(
+                F.expr(dsir_features("_w", dl.SPARK))
+            ).alias("_f"),
+        )
+        .select(
+            "id",
+            F.expr(
+                "CASE WHEN _f IS NULL THEN NULL ELSE "
+                + clf_weight_expr(
+                    f"({dl.hash60('_f', dl.SPARK)}) % {buckets}"
+                )
+                + " END"
+            ).alias("_wgt"),
+        )
+    )
+    return (
+        feats.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("_wgt").cast("long").alias("n_feats"),
+            F.coalesce(F.sum("_wgt"), F.lit(0)).cast("long").alias("sum_w"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "sum_w",
+            F.expr(
+                f"CASE WHEN n_feats = 0 THEN 0 ELSE "
+                f"{dl.idiv('sum_w', 'n_feats', dl.SPARK)} END"
+            ).cast("long").alias("avg_micro"),
+            (
+                (F.col("n_feats") > 0)
+                & (F.col("sum_w") >= F.lit(CLF_NEUTRAL) * F.col("n_feats"))
+            ).alias("keep"),
+        )
     )

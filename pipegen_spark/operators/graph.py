@@ -205,6 +205,17 @@ def cc_star_labels(
         e = small
         if non_star == 0:
             break
+    else:
+        # Exhausting max_rounds without converging would return
+        # intermediate tree parents, not component minimums — silently
+        # breaking the "same oracle bit-for-bit" contract with the
+        # propagation labels on adversarial topologies. Star contraction
+        # halves tree heights per round, so 12 rounds covers ~2^12-deep
+        # trees; anything deeper must fail loudly, not approximately.
+        raise RuntimeError(
+            f"cc_star_labels did not converge in {max_rounds} rounds "
+            f"({non_star} non-star edges remain); raise max_rounds"
+        )
     # Star edges ARE the labeling: child → component min; centers label
     # themselves via the caller's coalesce (same contract as
     # dup_clusters' propagation labels).

@@ -5,12 +5,17 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched `mapInPandas` operators so bytes never round-trip through
 row-at-a-time Python.
 
-The actual codec step is environment-dependent (PIL / torchaudio / ffmpeg
-are not in this container) — each operator takes a `decoder` callable and
-ships a DETERMINISTIC FAKE (`fake_decode`) used by tests; passing
-`decoder=None` raises NotImplementedError at first batch, making the stub
-boundary explicit while the Spark plumbing (schema, batching, partition
-behavior) stays real and tested.
+Each operator takes a `decoder` callable. A REAL dependency-free PNG
+codec ships in `operators/codecs.py` (`png_features` / `png_resize` /
+`auto_decode` — stdlib zlib + the five spec filters; tested end-to-end
+through these operators on genuine PNG bytes in tests/test_codecs.py).
+The DETERMINISTIC FAKE (`fake_decode`) remains the default because the
+synthetic gate payloads are text blobs, not media; `auto_decode`
+dispatches on magic bytes when a corpus mixes both. Passing
+`decoder=None` raises NotImplementedError at first batch, keeping the
+no-codec boundary explicit (formats beyond the PNG subset — JPEG,
+video, 16-bit/interlaced PNG — still need an injected PIL/ffmpeg-backed
+callable in production).
 
 Scale notes: payload columns dominate I/O — project them late, filter on
 metadata first (predicate pushdown applies to the scalar columns). Batches

@@ -415,6 +415,17 @@ def mmr_rerank(
     unrolled selection steps are all constant-size work, broadcast
     joins only, nothing driver-side but the loop structure.
     """
+    # Single-query contract: the candidate frame drops query_id below, so
+    # a multi-row `queries` would silently blend every query's candidates
+    # into ONE greedy selection. Guard explicitly (the frame is tiny —
+    # this count is a broadcast-side action, not a data scan); per-query
+    # MMR = call this per query or thread query_id through the unroll.
+    n_q = queries.count()
+    if n_q != 1:
+        raise ValueError(
+            f"mmr_rerank expects exactly one query vector, got {n_q}; "
+            "call it per query (the greedy unroll is per-query state)"
+        )
     cand = brute_force_topk(
         base, queries, k=n_candidates, vec_col=vec_col, id_col=id_col,
         dim=dim,

@@ -15,10 +15,6 @@ from pipegen_spark.queries.relational4 import (
 )
 
 
-def _m(expr: str) -> str:
-    return dl.money(expr, dl.DUCK)
-
-
 def _c(expr: str) -> str:
     return dl.cents(expr, dl.DUCK)
 
@@ -67,8 +63,8 @@ RELATIONAL4_ORACLE: dict[str, str] = {
     """,
     "q44_tpch_shipping": f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-               CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})
-                    AS DECIMAL(18,2)) AS revenue
+               CAST(SUM({_c("l.l_extendedprice * (1.0 - l.l_discount)")})
+                    AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -76,13 +72,13 @@ RELATIONAL4_ORACLE: dict[str, str] = {
           AND o.o_orderdate < TIMESTAMP '{Q44_DATE}'
           AND l.l_shipdate > TIMESTAMP '{Q44_DATE}'
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
         LIMIT 10
     """,
     "q45_tpch_region_volume": f"""
         SELECT n.n_name,
-               CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})
-                    AS DECIMAL(18,2)) AS revenue
+               CAST(SUM({_c("l.l_extendedprice * (1.0 - l.l_discount)")})
+                    AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -94,7 +90,7 @@ RELATIONAL4_ORACLE: dict[str, str] = {
           AND o.o_orderdate >= TIMESTAMP '{Q45_LO}'
           AND o.o_orderdate < TIMESTAMP '{Q45_HI}'
         GROUP BY n.n_name
-        ORDER BY revenue DESC, n.n_name
+        ORDER BY revenue_cents DESC, n.n_name
     """,
     # Pivot as conditional aggregation — the portable rendering of the
     # same single hash-agg plan Spark produces for a pinned-values pivot.
@@ -108,8 +104,8 @@ RELATIONAL4_ORACLE: dict[str, str] = {
     "q48_grouping_sets": """
         SELECT o_orderpriority, o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
-                             AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
         FROM orders
@@ -142,8 +138,8 @@ RELATIONAL4_ORACLE: dict[str, str] = {
     """,
     "q46_tpch_returns": f"""
         SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-               CAST(SUM({_m("l.l_extendedprice * (1.0 - l.l_discount)")})
-                    AS DECIMAL(18,2)) AS revenue
+               CAST(SUM({_c("l.l_extendedprice * (1.0 - l.l_discount)")})
+                    AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -152,7 +148,7 @@ RELATIONAL4_ORACLE: dict[str, str] = {
           AND o.o_orderdate >= TIMESTAMP '{Q46_LO}'
           AND o.o_orderdate < TIMESTAMP '{Q46_HI}'
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-        ORDER BY revenue DESC, c.c_custkey
+        ORDER BY revenue_cents DESC, c.c_custkey
         LIMIT 20
     """,
 }

@@ -15,8 +15,8 @@ from pipegen_spark.queries.relational5 import (
 )
 
 
-def _m(expr: str) -> str:
-    return dl.money(expr, dl.DUCK)
+def _c(expr: str) -> str:
+    return dl.cents(expr, dl.DUCK)
 
 
 _Q55_ARM = """
@@ -139,8 +139,8 @@ RELATIONAL5_ORACLE: dict[str, str] = {
         GROUP BY 1 ORDER BY 1
     """,
     "q51_tpch_forecast_revenue": f"""
-        SELECT CAST(SUM({_m("l_extendedprice * l_discount")})
-                    AS DECIMAL(18,2)) AS revenue,
+        SELECT CAST(SUM({_c("l_extendedprice * l_discount")})
+                    AS BIGINT) AS revenue_cents,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '{Q51_LO}'
@@ -161,41 +161,41 @@ RELATIONAL5_ORACLE: dict[str, str] = {
         ORDER BY o_orderpriority
     """,
     "q53_tpch_promo_ratio": f"""
-        WITH rows_d AS (
-            SELECT {_m("l_extendedprice * (1.0 - l_discount)")} AS rev_d,
+        WITH rows_c AS (
+            SELECT {_c("l_extendedprice * (1.0 - l_discount)")} AS rev_c,
                    CASE WHEN p_type = 'PROMO'
-                        THEN {_m("l_extendedprice * (1.0 - l_discount)")}
-                        ELSE CAST(0 AS DECIMAL(18,2)) END AS promo_d
+                        THEN {_c("l_extendedprice * (1.0 - l_discount)")}
+                        ELSE CAST(0 AS BIGINT) END AS promo_c
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '{Q53_LO}'
               AND l_shipdate < TIMESTAMP '{Q53_HI}'
         )
-        SELECT CAST(SUM(promo_d) AS DECIMAL(18,2)) AS promo_revenue,
-               CAST(SUM(rev_d) AS DECIMAL(18,2)) AS total_revenue,
-               100.0 * CAST(SUM(promo_d) AS DOUBLE)
-                     / CAST(SUM(rev_d) AS DOUBLE) AS promo_pct
-        FROM rows_d
+        SELECT CAST(SUM(promo_c) AS BIGINT) AS promo_revenue_cents,
+               CAST(SUM(rev_c) AS BIGINT) AS total_revenue_cents,
+               100.0 * CAST(SUM(promo_c) AS DOUBLE)
+                     / CAST(SUM(rev_c) AS DOUBLE) AS promo_pct
+        FROM rows_c
     """,
     "q54_tpch_big_orders": f"""
         WITH big AS (
             SELECT l_orderkey,
-                   CAST(SUM({_m("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty
+                   CAST(SUM({_c("l_quantity")}) AS BIGINT) AS total_qty_cents
             FROM lineitem
             GROUP BY l_orderkey
-            HAVING CAST(SUM({_m("l_quantity")}) AS DECIMAL(18,2)) > {Q54_QTY}
+            HAVING CAST(SUM({_c("l_quantity")}) AS BIGINT) > {Q54_QTY * 100}
         )
         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-               {_m("o.o_totalprice")} AS o_totalprice,
-               big.sum_qty AS total_qty
+               {_c("o.o_totalprice")} AS totalprice_cents,
+               big.total_qty_cents
         FROM orders o
         JOIN big ON o.o_orderkey = big.l_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
-        ORDER BY o_totalprice DESC, o.o_orderkey
+        ORDER BY totalprice_cents DESC, o.o_orderkey
         LIMIT 100
     """,
     "q55_tpch_disjunctive": f"""
-        SELECT CAST(SUM({_m("l_extendedprice * (1.0 - l_discount)")})
-                    AS DECIMAL(18,2)) AS revenue,
+        SELECT CAST(SUM({_c("l_extendedprice * (1.0 - l_discount)")})
+                    AS BIGINT) AS revenue_cents,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE {_Q55_ARM}
@@ -215,17 +215,17 @@ RELATIONAL5_ORACLE: dict[str, str] = {
     """,
     "q57_tpch_idle_rich": f"""
         WITH thresh AS (
-            SELECT CAST(SUM({_m("c_acctbal")}) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+            SELECT CAST(SUM({_c("c_acctbal")}) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_bal_c
             FROM customer WHERE c_acctbal > 0
         )
         SELECT n.n_name,
                CAST(COUNT(*) AS BIGINT) AS numcust,
-               CAST(SUM({_m("c_acctbal")}) AS DECIMAL(18,2)) AS totacctbal
+               CAST(SUM({_c("c.c_acctbal")}) AS BIGINT) AS totacctbal_cents
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         CROSS JOIN thresh
-        WHERE c.c_acctbal > thresh.avg_bal
+        WHERE {_c("c.c_acctbal")} > thresh.avg_bal_c
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')

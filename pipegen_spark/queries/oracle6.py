@@ -122,14 +122,16 @@ RELATIONAL6_ORACLE = {
     ),
     stats AS (
         SELECT l_partkey AS sp_key,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS qty_sum,
                CAST(COUNT(*) AS BIGINT) AS qty_cnt
         FROM branded GROUP BY l_partkey
     ),
     small AS (
         SELECT b.l_extendedprice
         FROM branded b JOIN stats s ON b.l_partkey = s.sp_key
-        WHERE 5 * CAST(b.l_quantity AS BIGINT) * s.qty_cnt < s.qty_sum
+        WHERE 5 * CAST(floor(b.l_quantity + 0.5) AS BIGINT) * s.qty_cnt
+              < s.qty_sum
     )
     SELECT (CAST(SUM({_c("l_extendedprice")}) AS BIGINT) * 10000) // 7
                AS avg_yearly_micro,

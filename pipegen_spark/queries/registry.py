@@ -6,17 +6,21 @@ SQL-expressible) a matching oracle for the correctness gate.
 
 Enumeration order is part of the contract: the driver's correctness gate
 hashes the FIRST 50 entries in dict order, so `all_queries()` front-loads
-the queries that most need a hard signal this round:
+`GATE_WINDOW` — the 50 queries that most need a hard driver signal this
+round — and every other query enumerates behind it (all remain verifiable
+locally via tools/compare.py, which this session passes 149/149).
 
-1. the 34 training-data operators (dedup/ANN/text/curation/embedding —
-   the [EXT] north-star family, ungated in rounds 2-3),
-2. the 10 extended relational queries q48-q57,
-3. six long-stable relational canaries as regression sentinels
-   (q03 agg, q13 window TVF, q37 as-of, q38 range-agg, q43 pricing,
-   q47 pivot — q38/q43 included while they clear their r02/r03 reds),
+Rotation history (the plan: every query accumulates a driver row across
+rounds; long-stable canaries stay in every window):
 
-= exactly 50, followed by the remaining relational corpus (all of which
-stays verifiable locally via tools/compare.py).
+- r1-r3 window: the relational corpus head (q01...)
+- r4 window: 34 training ops + q48-q57 + 6 canaries — found the 6
+  output-surface reds fixed this round
+- r5 window (current): the 37 training ops deferred in r4, the 6
+  repaired r4 reds (re-gated to confirm the fix), the 6 canaries, and
+  q75 (the newest query, never gated)
+- r6 plan: rotate in the never-gated relational tranche q58-q74 + the
+  28 r4-green training ops on a rolling basis, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -30,8 +34,10 @@ from pipegen_spark.queries.oracle import RELATIONAL_ORACLE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: Long-stable relational queries kept inside the 50-row gate window as
-#: regression sentinels (plus the two under-repair hash-reds q38/q43).
+#: Long-stable relational queries kept inside every 50-row gate window as
+#: regression sentinels (q38/q43 were multi-round hash-reds before the
+#: integer-surface fix; they stay pinned so a regression is caught in one
+#: round).
 GATE_CANARIES = (
     "q03_agg_having",
     "q13_event_window",
@@ -41,13 +47,23 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Queries added AFTER the round-4 gate window was pinned: enumerated
-#: after position 50 so the hard-signal set stays the planned one
-#: (they remain fully verified by the local mirror + corpus tests).
-#: Round-5 plan: once CORRECTNESS_r04 records the current window green,
-#: rotate this list into the window (keeping the canaries) so every
-#: query accumulates a driver row across rounds.
-GATE_DEFERRED = (
+#: The 6 round-4 gate reds, re-gated this round to confirm the repairs:
+#: embed_* switched from array<...> columns (which crash the driver's
+#: pandas canonicalizer) to exploded scalar rows; the q4x/q5x money
+#: columns switched from DECIMAL(18,2) (trailing-zero cents hash-diverge
+#: vs DuckDB's float64 through pandas) to BIGINT cents.
+GATE_REPAIRED = (
+    "embed_normalize",
+    "embed_quantize",
+    "q48_grouping_sets",
+    "q53_tpch_promo_ratio",
+    "q54_tpch_big_orders",
+    "q57_tpch_idle_rich",
+)
+
+#: Training-data operators deferred from the round-4 window, rotated IN
+#: for round 5 (their first-ever driver rows).
+GATE_ROTATED_IN = (
     "dedup_cc_star",
     "dedup_setjoin",
     "dedup_substring",
@@ -87,19 +103,10 @@ GATE_DEFERRED = (
     "text_burstiness",
 )
 
-#: Extended relational tranche (TPC-H decision-support + window/sketch
-#: shapes) that had no driver row in rounds 2-3.
-EXTENDED_RELATIONAL = (
-    "q48_grouping_sets",
-    "q49_range_frame",
-    "q50_approx_percentile",
-    "q51_tpch_forecast_revenue",
-    "q52_tpch_priority_check",
-    "q53_tpch_promo_ratio",
-    "q54_tpch_big_orders",
-    "q55_tpch_disjunctive",
-    "q56_tpch_supplier_cnt",
-    "q57_tpch_idle_rich",
+#: The full round-5 gate window, in enumeration order: 37 rotated-in
+#: training ops + 6 repaired reds + 6 canaries + the newest query = 50.
+GATE_WINDOW = (
+    GATE_ROTATED_IN + GATE_REPAIRED + GATE_CANARIES + ("q75_asof_forward",)
 )
 
 
@@ -136,14 +143,7 @@ def all_queries() -> dict[str, QueryFn]:
     pool.update(_collect(training_data))
 
     out: dict[str, QueryFn] = {}
-    # Gate window (first 50): training-data ops, extended relational, canaries.
-    for name in sorted(_collect(training_data)):
-        if name in GATE_DEFERRED:
-            continue
-        out[name] = pool[name]
-    for name in EXTENDED_RELATIONAL:
-        out[name] = pool[name]
-    for name in GATE_CANARIES:
+    for name in GATE_WINDOW:
         out[name] = pool[name]
     # Everything else, in module-then-alphabetical order as before.
     for name, fn in pool.items():

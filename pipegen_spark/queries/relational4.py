@@ -3,11 +3,14 @@ checklist capability without an oracle row) and TPC-H-shaped multi-join
 analytics (pricing summary, shipping priority, regional volume, returned
 items) — realistic join/agg workloads over the full schema.
 
-Money math discipline (see functions/dialect.money): every double that is
-summed across partitions is half-up-quantized to cents and cast to
-DECIMAL(18,2) per ROW first, so the sum is order-independent and
-engine-exact; averages divide the exact decimal sum by the exact count in
-DOUBLE. 100 TB shapes: dimension sides (region/nation/supplier/filtered
+Money math discipline (see functions/dialect.cents): every double that is
+summed across partitions is half-up-quantized to an integer CENT COUNT per
+ROW first, so the sum is order-independent, engine-exact, and — as of
+round 5 — leaves the engine as BIGINT (a DECIMAL(18,2) surface is
+byte-exact across engines yet still hash-red under the driver's pandas
+canonicalizer whenever a value has trailing-zero cents: Spark yields
+Decimal('304.00'), DuckDB float64 304.0). Averages divide the exact
+integer sums in DOUBLE. 100 TB shapes: dimension sides (region/nation/supplier/filtered
 customer segment) broadcast; fact-fact joins (lineitem ⋈ orders) shuffle
 on the join key with AQE handling skew.
 """
@@ -20,8 +23,6 @@ from pyspark.sql import functions as F
 from pipegen_spark.catalog import table
 from pipegen_spark.functions import dialect as dl
 
-DEC = "decimal(18,2)"
-
 # Filter constants shared with oracle4.py (synthetic data spans
 # 1995-01-01 .. 2001-11-04; see TESTDATA.md).
 Q43_CUTOFF = "2001-08-06"  # max(l_shipdate) - 90 days, TPC-H Q1 style
@@ -30,10 +31,6 @@ Q44_DATE = "1998-06-01"
 Q45_REGION = "ASIA"
 Q45_LO, Q45_HI = "1996-01-01", "1998-01-01"
 Q46_LO, Q46_HI = "1997-01-01", "1997-07-01"
-
-
-def _money(expr: str):
-    return F.expr(dl.money(expr, dl.SPARK))
 
 
 def _cents(expr: str):
@@ -143,7 +140,7 @@ def q44_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.expr(f"l_shipdate > TIMESTAMP '{Q44_DATE}'")
     )
-    rev = _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+    rev = _cents("l_extendedprice * (1.0 - l_discount)").alias("rev_c")
     return (
         li.select("l_orderkey", rev)
         .join(
@@ -154,8 +151,8 @@ def q44_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum("rev_d").cast(DEC).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .agg(F.sum("rev_c").cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
@@ -183,7 +180,7 @@ def q45_tpch_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(
         F.col("r_name") == Q45_REGION
     )
-    rev = _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+    rev = _cents("l_extendedprice * (1.0 - l_discount)").alias("rev_c")
     return (
         li.select("l_orderkey", "l_suppkey", rev)
         .join(
@@ -205,8 +202,8 @@ def q45_tpch_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.sum("rev_d").cast(DEC).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .agg(F.sum("rev_c").cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
     )
 
 
@@ -233,15 +230,17 @@ def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary grouping sets (beyond q15 ROLLUP / q20 CUBE): per-priority,
     per-status, and grand-total aggregates in ONE pass — Spark's Expand
     replicates each input row per set before a single partial-agg shuffle.
-    GROUPING() flags distinguish the all-rows NULL from a data NULL."""
+    GROUPING() flags distinguish the all-rows NULL from a data NULL.
+    Money leaves as BIGINT cents (the round-4 DECIMAL trailing-zero
+    driver-hash red; dialect.cents docstring has the mechanism)."""
     orders = table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("q48_orders")
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
-                             AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
         FROM q48_orders
@@ -317,7 +316,7 @@ def q46_tpch_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    rev = _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+    rev = _cents("l_extendedprice * (1.0 - l_discount)").alias("rev_c")
     return (
         li.select("l_orderkey", rev)
         .join(
@@ -333,7 +332,7 @@ def q46_tpch_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum("rev_d").cast(DEC).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .agg(F.sum("rev_c").cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
     )

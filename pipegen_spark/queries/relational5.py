@@ -11,10 +11,12 @@ re-targeted to columns that exist — the *plan shapes* are the point):
 - q56: Q16 — COUNT(DISTINCT) with a NOT IN exclusion subquery
 - q57: Q22 — scalar-aggregate threshold + anti join, grouped by nation
 
-Money math discipline as in relational4.py (dialect.money: per-row
-half-up quantization to DECIMAL(18,2) cents before any cross-partition
-sum; ratios/averages divide the exact decimal sums as doubles — one IEEE
-op on identical inputs is engine-exact).
+Money math discipline as in relational4.py (dialect.cents: per-row
+half-up quantization to a BIGINT cent count before any cross-partition
+sum — integer sums are order-independent, and an integer surface cannot
+hash-diverge under the driver's pandas canonicalizer the way
+DECIMAL(18,2) did in round 4; ratios/averages divide the exact integer
+sums as doubles — one IEEE op on identical inputs is engine-exact).
 
 100 TB shapes: every dimension side (part, supplier, nation, the HAVING
 key list, the scalar threshold) broadcasts; the only shuffles are
@@ -34,8 +36,6 @@ from pyspark.sql import functions as F
 from pipegen_spark.catalog import table
 from pipegen_spark.functions import dialect as dl
 
-DEC = "decimal(18,2)"
-
 # Filter constants shared with oracle5.py (data spans 1995..2001).
 Q51_LO, Q51_HI = "1996-01-01", "1997-01-01"
 Q52_LO, Q52_HI = "1996-01-01", "1996-04-01"
@@ -44,8 +44,8 @@ Q54_QTY = 300
 Q56_SIZES = (1, 4, 9, 16, 25, 36, 49)
 
 
-def _money(expr: str):
-    return F.expr(dl.money(expr, dl.SPARK))
+def _cents(expr: str):
+    return F.expr(dl.cents(expr, dl.SPARK))
 
 
 # --- Q51: forecast revenue change (TPC-H Q6 shape) ---------------------------
@@ -62,9 +62,9 @@ def q51_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return li.select(
-        _money("l_extendedprice * l_discount").alias("rev_d")
+        _cents("l_extendedprice * l_discount").alias("rev_c")
     ).agg(
-        F.sum("rev_d").cast(DEC).alias("revenue"),
+        F.sum("rev_c").cast("bigint").alias("revenue_cents"),
         F.count("*").alias("n_items"),
     )
 
@@ -112,23 +112,23 @@ def q53_tpch_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    rev = _money("l_extendedprice * (1.0 - l_discount)")
+    rev = _cents("l_extendedprice * (1.0 - l_discount)")
     agg = joined.select(
-        rev.alias("rev_d"),
+        rev.alias("rev_c"),
         F.when(F.col("p_type") == "PROMO", rev)
-        .otherwise(F.lit("0").cast(DEC))
-        .alias("promo_d"),
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("promo_c"),
     ).agg(
-        F.sum("promo_d").cast(DEC).alias("promo_revenue"),
-        F.sum("rev_d").cast(DEC).alias("total_revenue"),
+        F.sum("promo_c").cast("bigint").alias("promo_revenue_cents"),
+        F.sum("rev_c").cast("bigint").alias("total_revenue_cents"),
     )
     return agg.select(
-        "promo_revenue",
-        "total_revenue",
+        "promo_revenue_cents",
+        "total_revenue_cents",
         (
             F.lit(100.0)
-            * F.col("promo_revenue").cast("double")
-            / F.col("total_revenue").cast("double")
+            * F.col("promo_revenue_cents").cast("double")
+            / F.col("total_revenue_cents").cast("double")
         ).alias("promo_pct"),
     )
 
@@ -140,13 +140,13 @@ def q54_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts into the semi join; the surviving orders then join
     customer (broadcast) and re-join lineitem for the quantity sum.
     Quantities are integral doubles — their sum is exact in any order —
-    but they still route through DECIMAL for the output contract."""
+    and the output contract is BIGINT cent counts."""
     li = table(spark, sf_dir, "lineitem")
     big_keys = (
-        li.select("l_orderkey", _money("l_quantity").alias("qty_d"))
+        li.select("l_orderkey", _cents("l_quantity").alias("qty_c"))
         .groupBy("l_orderkey")
-        .agg(F.sum("qty_d").cast(DEC).alias("sum_qty"))
-        .filter(F.col("sum_qty") > Q54_QTY)
+        .agg(F.sum("qty_c").cast("bigint").alias("total_qty_cents"))
+        .filter(F.col("total_qty_cents") > Q54_QTY * 100)
     )
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -161,11 +161,11 @@ def q54_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             "o_orderdate",
-            _money("o_totalprice").alias("o_totalprice"),
-            F.col("sum_qty").cast(DEC).alias("total_qty"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            F.col("total_qty_cents"),
         )
         .orderBy(
-            F.col("o_totalprice").desc(), F.col("o_orderkey")
+            F.col("totalprice_cents").desc(), F.col("o_orderkey")
         )
         .limit(100)
     )
@@ -195,10 +195,10 @@ def q55_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.filter(F.expr(arm))
         .select(
-            _money("l_extendedprice * (1.0 - l_discount)").alias("rev_d")
+            _cents("l_extendedprice * (1.0 - l_discount)").alias("rev_c")
         )
         .agg(
-            F.sum("rev_d").cast(DEC).alias("revenue"),
+            F.sum("rev_c").cast("bigint").alias("revenue_cents"),
             F.count("*").alias("n_items"),
         )
     )
@@ -244,7 +244,8 @@ def q57_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers above the positive-balance average with no URGENT order
     (every synthetic customer has orders, so Q22's 'no orders at all'
     is retargeted to priority), grouped by nation. The threshold is a
-    broadcast scalar (exact decimal sum ÷ count, divided as doubles);
+    broadcast scalar (exact integer cent sum ÷ count, divided as doubles
+    — the comparison happens in cent units on both engines);
     the urgent-order exclusion is a left-anti join whose build side is
     pre-filtered at the orders scan."""
     cust = table(spark, sf_dir, "customer")
@@ -252,9 +253,9 @@ def q57_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_acctbal") > 0)
         .agg(
             (
-                F.sum(_money("c_acctbal")).cast("double")
+                F.sum(_cents("c_acctbal")).cast("double")
                 / F.count("*").cast("double")
-            ).alias("avg_bal")
+            ).alias("avg_bal_c")
         )
     )
     urgent = (
@@ -266,7 +267,7 @@ def q57_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         cust.crossJoin(F.broadcast(thresh))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(_cents("c_acctbal") > F.col("avg_bal_c"))
         .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .join(
             F.broadcast(nation),
@@ -275,7 +276,9 @@ def q57_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_money("c_acctbal")).cast(DEC).alias("totacctbal"),
+            F.sum(_cents("c_acctbal")).cast("bigint").alias(
+                "totacctbal_cents"
+            ),
         )
         .orderBy("n_name")
     )

@@ -292,14 +292,19 @@ def q67_tpch_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem")
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # Half-up quantization, NOT a bare cast: Spark CAST(double AS LONG)
+    # truncates while DuckDB CAST AS BIGINT rounds half-even — identical
+    # today only because synthetic quantities are integral. floor(x+0.5)
+    # is IEEE-exact and renders the same on both engines (round-4 ADVICE).
+    qty_l = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
     stats = branded.groupBy(F.col("l_partkey").alias("sp_key")).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.sum(qty_l).alias("qty_sum"),
         F.count("*").alias("qty_cnt"),
     )
     small = branded.join(
         F.broadcast(stats), branded.l_partkey == stats.sp_key
     ).filter(
-        F.lit(5) * F.col("l_quantity").cast("long") * F.col("qty_cnt")
+        F.lit(5) * qty_l * F.col("qty_cnt")
         < F.col("qty_sum")
     )
     return small.agg(

@@ -231,13 +231,34 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate surface is the EXPLODED unit vector — (vec_id, idx, nrm,
+    unit_val) scalar rows, not an array column: the driver's pandas-based
+    canonicalizer cannot sort/hash list values (the round-4
+    embed_normalize/embed_quantize harness crash), and exploding checks
+    every element rather than a digest. Map-only either way."""
     vecs = table(spark, sf_dir, "embeddings")
-    return em.l2_normalize(vecs, "embedding", "vec_id").orderBy("vec_id")
+    out = em.l2_normalize(vecs, "embedding", "vec_id")
+    return (
+        out.select(
+            "vec_id", "nrm", F.posexplode("unit").alias("idx", "unit_val")
+        )
+        .select("vec_id", "idx", "nrm", "unit_val")
+        .orderBy("vec_id", "idx")
+    )
 
 
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded int8 codes — scalar-only gate surface (see
+    embed_normalize)."""
     vecs = table(spark, sf_dir, "embeddings")
-    return em.quantize_int8(vecs, "embedding", "vec_id").orderBy("vec_id")
+    out = em.quantize_int8(vecs, "embedding", "vec_id")
+    return (
+        out.select(
+            "vec_id", "maxabs", F.posexplode("qvec").alias("idx", "q_val")
+        )
+        .select("vec_id", "idx", "maxabs", "q_val")
+        .orderBy("vec_id", "idx")
+    )
 
 
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +724,16 @@ def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing the doc-local quality score."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.rarity_scores(docs, max_freq=RARITY_MAX_FREQ).orderBy("doc_id")
+
+
+def curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016) —
+    the third filter family beside heuristic rules (curate_gopher) and
+    importance weights (curate_dsir): per-doc mean of hashed
+    unigram+bigram bucket weights in integer micro-units, with the keep
+    label decided on cross-multiplied integers."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cu.classifier_scores(docs).orderBy("doc_id")
 
 
 def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:

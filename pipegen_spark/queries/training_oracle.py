@@ -531,35 +531,38 @@ def _tfidf_sql() -> str:
 
 
 def _emb_normalize_sql() -> str:
+    """Exploded (vec_id, idx, nrm, unit_val) scalar rows — same per-element
+    divide as operators/embeddings.l2_normalize; the CROSS JOIN range
+    expansion mirrors posexplode (see the kmeans chain)."""
     norm = f"sqrt({dl.norm2_double('v', dl.size('v', D), D)})"
-    unit = dl.transform(
-        "v",
-        "x -> CASE WHEN nrm = 0.0 THEN 0.0"
-        " ELSE CAST(x AS DOUBLE) / nrm END",
-        D,
-    )
+    x = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
     return f"""
     WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
     n AS (SELECT id, v, {norm} AS nrm FROM v)
-    SELECT id AS vec_id, nrm, {unit} AS unit FROM n ORDER BY vec_id
+    SELECT id AS vec_id, CAST(r.range AS INT) AS idx, nrm,
+           CASE WHEN nrm = 0.0 THEN 0.0
+                ELSE CAST({x} AS DOUBLE) / nrm END AS unit_val
+    FROM n CROSS JOIN range(0, {td.EMB_DIM}) r
+    ORDER BY vec_id, idx
     """
 
 
 def _emb_quantize_sql() -> str:
+    """Exploded (vec_id, idx, maxabs, q_val) scalar rows — same half-up
+    quantization as operators/embeddings.quantize_int8."""
     maxabs = dl.arr_max(
         dl.transform("v", "x -> abs(CAST(x AS DOUBLE))", D), D
     )
-    q = dl.transform(
-        "v",
-        "x -> CASE WHEN maxabs = 0.0 THEN 0 ELSE"
-        " CAST(floor(((CAST(x AS DOUBLE) * 127.0) / maxabs) + 0.5) AS INT)"
-        " END",
-        D,
-    )
+    x = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
     return f"""
     WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
     m AS (SELECT id, v, {maxabs} AS maxabs FROM v)
-    SELECT id AS vec_id, maxabs, {q} AS qvec FROM m ORDER BY vec_id
+    SELECT id AS vec_id, CAST(r.range AS INT) AS idx, maxabs,
+           CASE WHEN maxabs = 0.0 THEN 0 ELSE
+             CAST(floor(((CAST({x} AS DOUBLE) * 127.0) / maxabs) + 0.5)
+                  AS INT) END AS q_val
+    FROM m CROSS JOIN range(0, {td.EMB_DIM}) r
+    ORDER BY vec_id, idx
     """
 
 
@@ -1708,7 +1711,41 @@ def _dsir_sql() -> str:
     """
 
 
+def _classifier_sql() -> str:
+    """Mirror of curation.classifier_scores: per-doc mean of hashed
+    unigram+bigram bucket weights (Knuth-hash pseudo weights shared
+    verbatim), keep = cross-multiplied integer comparison."""
+    feats_arr = cu.dsir_features("w", D)
+    wgt = cu.clf_weight_expr(
+        f"({dl.hash60('f', D)}) % {cu.CLF_BUCKETS}"
+    )
+    avg = dl.idiv("sum_w", "n_feats", D)
+    return f"""
+    WITH wdoc AS (
+        SELECT doc_id AS id, {dl.words("text", D)} AS w FROM documents
+    ),
+    feats AS (
+        SELECT id, CAST({wgt} AS BIGINT) AS wgt
+        FROM (SELECT id, unnest({feats_arr}) AS f FROM wdoc)
+    ),
+    doc AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(wgt) AS BIGINT) AS sum_w
+        FROM feats GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_feats, 0) AS n_feats,
+           COALESCE(sum_w, 0) AS sum_w,
+           CASE WHEN COALESCE(n_feats, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST({avg} AS BIGINT) END AS avg_micro,
+           COALESCE(sum_w >= {cu.CLF_NEUTRAL} * n_feats, FALSE) AS keep
+    FROM documents d LEFT JOIN doc ON doc.id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "curate_classifier": _classifier_sql(),
     "curate_dsir": _dsir_sql(),
     "dedup_bloom": _bloom_sql(),
     "text_cms_topk": _cms_sql(),
@@ -2030,7 +2067,7 @@ def _temperature_sql() -> str:
     ),
     tot AS (
         SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
-               SUM(sqrt(CAST(n_docs AS DOUBLE))) AS sq_total
+               {dl.fold(dl.arr_sort("list(sqrt(CAST(n_docs AS DOUBLE)))", D), "CAST(0.0 AS DOUBLE)", "(acc, x) -> acc + x", D)} AS sq_total
         FROM counts
     )
     SELECT source, n_docs,
