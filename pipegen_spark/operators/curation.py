@@ -1174,3 +1174,119 @@ def classifier_scores(
             ).alias("keep"),
         )
     )
+
+
+# --- Gopher repetition n-gram metrics -----------------------------------------
+
+REP_TOP_N = 2  # "top n-gram char fraction" (Gopher uses n = 2, 3, 4)
+REP_DUP_N = 5  # "duplicate n-gram char fraction" (Gopher uses n = 5..10)
+REP_PPM = 1_000_000
+
+
+def rep_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = REP_TOP_N,
+    dup_n: int = REP_DUP_N,
+) -> DataFrame:
+    """Gopher Appendix-A1 repetition metrics beyond `with_repetition`'s
+    distinct-ratio: the character-mass fractions that catch boilerplate a
+    count ratio misses (Rae et al. 2021; the same metric family ships in
+    Dolma and RedPajama-v2 quality signals).
+
+    - top_frac_ppm: chars of the single most frequent `top_n`-gram times
+      its occurrence count, over the doc's normalized char total — a doc
+      dominated by one repeated phrase scores high even when its distinct
+      ratio looks fine.
+    - dup_frac_ppm: chars of ALL `dup_n`-grams occurring 2+ times (count
+      times gram length, the published approximation that does not
+      position-deduplicate overlaps — documented choice, both engines
+      identical), capped at 1e6.
+
+    All integer: char totals and gram char masses are exact BIGINTs and
+    the fractions are scaled integer divisions; ties for the top gram
+    break lexicographically. Docs shorter than n tokens score 0.
+
+    Shape (100 TB): tokenization map-side; per n one explode →
+    (doc, gram) hash-agg (partial map-side) → per-doc reduce; the two
+    metric frames broadcast NOTHING and re-join the doc spine on id.
+    Window for the top gram partitions by doc — bounded by per-doc gram
+    cardinality, never corpus-wide.
+    """
+    spine = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(dl.words(text_col, dl.SPARK)).alias("_w"),
+    ).select(
+        "id",
+        "_w",
+        F.length(F.expr(dl.arr_join("_w", " ", dl.SPARK)))
+        .cast("long")
+        .alias("total_chars"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        return spine.select(
+            "id",
+            "total_chars",
+            F.explode(
+                F.expr(dl.word_shingles_all("_w", n, dl.SPARK))
+            ).alias("g"),
+        ).groupBy("id", "total_chars", "g").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+
+    w_top = Window.partitionBy("id").orderBy(
+        F.col("cnt").desc(), F.col("g")
+    )
+    top = (
+        grams(top_n)
+        .withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            F.expr(
+                f"CASE WHEN total_chars > 0 THEN "
+                f"{dl.idiv(f'{REP_PPM} * cnt * length(g)', 'total_chars', dl.SPARK)} "
+                f"ELSE 0 END"
+            ).cast("long").alias("top_frac_ppm"),
+        )
+    )
+    dup = (
+        grams(dup_n)
+        .groupBy("id", "total_chars")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2,
+                        F.col("cnt") * F.length("g").cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("dup_chars")
+        )
+        .select(
+            "id",
+            "dup_chars",
+            F.expr(
+                f"CASE WHEN total_chars > 0 THEN "
+                f"least(CAST({REP_PPM} AS BIGINT), "
+                f"{dl.idiv(f'{REP_PPM} * dup_chars', 'total_chars', dl.SPARK)}) "
+                f"ELSE 0 END"
+            ).cast("long").alias("dup_frac_ppm"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        spine.select("id", "total_chars")
+        .join(top, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "total_chars",
+            F.coalesce("top_frac_ppm", zero).alias("top_frac_ppm"),
+            F.coalesce("dup_chars", zero).alias("dup_chars"),
+            F.coalesce("dup_frac_ppm", zero).alias("dup_frac_ppm"),
+        )
+    )

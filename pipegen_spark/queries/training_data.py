@@ -235,16 +235,14 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit_val) scalar rows, not an array column: the driver's pandas-based
     canonicalizer cannot sort/hash list values (the round-4
     embed_normalize/embed_quantize harness crash), and exploding checks
-    every element rather than a digest. Map-only either way."""
+    every element rather than a digest. Map-only either way; NO orderBy —
+    the gate canon (both driver and local) sorts rows itself, so a global
+    sort of the exploded frame would be pure wasted shuffle."""
     vecs = table(spark, sf_dir, "embeddings")
     out = em.l2_normalize(vecs, "embedding", "vec_id")
-    return (
-        out.select(
-            "vec_id", "nrm", F.posexplode("unit").alias("idx", "unit_val")
-        )
-        .select("vec_id", "idx", "nrm", "unit_val")
-        .orderBy("vec_id", "idx")
-    )
+    return out.select(
+        "vec_id", "nrm", F.posexplode("unit").alias("idx", "unit_val")
+    ).select("vec_id", "idx", "nrm", "unit_val")
 
 
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,13 +250,9 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed_normalize)."""
     vecs = table(spark, sf_dir, "embeddings")
     out = em.quantize_int8(vecs, "embedding", "vec_id")
-    return (
-        out.select(
-            "vec_id", "maxabs", F.posexplode("qvec").alias("idx", "q_val")
-        )
-        .select("vec_id", "idx", "maxabs", "q_val")
-        .orderBy("vec_id", "idx")
-    )
+    return out.select(
+        "vec_id", "maxabs", F.posexplode("qvec").alias("idx", "q_val")
+    ).select("vec_id", "idx", "maxabs", "q_val")
 
 
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,6 +718,14 @@ def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing the doc-local quality score."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.rarity_scores(docs, max_freq=RARITY_MAX_FREQ).orderBy("doc_id")
+
+
+def curate_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1 repetition character-mass metrics: top-2-gram char
+    fraction + duplicate-5-gram char fraction (Rae et al. 2021; the
+    Dolma/RedPajama-v2 quality-signal family), integer ppm surfaces."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cu.rep_ngram_stats(docs).orderBy("doc_id")
 
 
 def curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1744,7 +1744,73 @@ def _classifier_sql() -> str:
     """
 
 
+def _rep_ngram_sql() -> str:
+    """Mirror of curation.rep_ngram_stats (Gopher A1 char-mass
+    repetition metrics, integer ppm)."""
+    top_frac = dl.idiv(
+        f"{cu.REP_PPM} * cnt * length(g)", "total_chars", D
+    )
+    return f"""
+    WITH spine AS (
+        SELECT doc_id AS id, {dl.words("text", D)} AS w FROM documents
+    ),
+    chars AS (
+        SELECT id, w,
+               CAST(length({dl.arr_join("w", " ", D)}) AS BIGINT)
+                   AS total_chars
+        FROM spine
+    ),
+    top_g AS (
+        SELECT id, total_chars, unnest({dl.word_shingles_all("w", cu.REP_TOP_N, D)}) AS g
+        FROM chars
+    ),
+    top_cnt AS (
+        SELECT id, total_chars, g, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM top_g GROUP BY id, total_chars, g
+    ),
+    top1 AS (
+        SELECT id,
+               CASE WHEN total_chars > 0
+                    THEN CAST({top_frac} AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS top_frac_ppm
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY cnt DESC, g) AS rn
+            FROM top_cnt
+        ) WHERE rn = 1
+    ),
+    dup_g AS (
+        SELECT id, total_chars, unnest({dl.word_shingles_all("w", cu.REP_DUP_N, D)}) AS g
+        FROM chars
+    ),
+    dup_cnt AS (
+        SELECT id, total_chars, g, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM dup_g GROUP BY id, total_chars, g
+    ),
+    dup AS (
+        SELECT id,
+               CAST(COALESCE(SUM(CASE WHEN cnt >= 2
+                    THEN cnt * length(g) END), 0) AS BIGINT) AS dup_chars,
+               CASE WHEN MAX(total_chars) > 0 THEN
+                 least(CAST({cu.REP_PPM} AS BIGINT), CAST(
+                   {dl.idiv(f"{cu.REP_PPM} * CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g) END), 0) AS BIGINT)", "MAX(total_chars)", D)}
+                 AS BIGINT))
+                 ELSE CAST(0 AS BIGINT) END AS dup_frac_ppm
+        FROM dup_cnt GROUP BY id
+    )
+    SELECT c.id AS doc_id, c.total_chars,
+           COALESCE(t.top_frac_ppm, CAST(0 AS BIGINT)) AS top_frac_ppm,
+           COALESCE(d.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+           COALESCE(d.dup_frac_ppm, CAST(0 AS BIGINT)) AS dup_frac_ppm
+    FROM chars c
+    LEFT JOIN top1 t ON c.id = t.id
+    LEFT JOIN dup d ON c.id = d.id
+    ORDER BY c.id
+    """
+
+
 TRAINING_ORACLE: dict[str, str] = {
+    "curate_rep_ngram": _rep_ngram_sql(),
     "curate_classifier": _classifier_sql(),
     "curate_dsir": _dsir_sql(),
     "dedup_bloom": _bloom_sql(),

@@ -486,3 +486,62 @@ def test_temperature_weights_sqrt_scaling(spark):
     # the small source gets oversampled (boost > 1), the big one damped
     assert out["s_small"]["boost_micro"] > 1_000_000
     assert out["s_big"]["boost_micro"] < 1_000_000
+
+
+def test_rep_ngram_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),          # top 2-gram "a b" x2
+            (2, "x x x x x x"),        # dup 5-gram "x x x x x" x2
+            (3, "q"),                  # shorter than both n
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in cu.rep_ngram_stats(df).collect()
+    }
+    # doc 1: joined "a b a b c" = 9 chars; top gram "a b" (3 chars) x2
+    assert rows[1]["total_chars"] == 9
+    assert rows[1]["top_frac_ppm"] == 1_000_000 * 2 * 3 // 9
+    assert rows[1]["dup_chars"] == 0 and rows[1]["dup_frac_ppm"] == 0
+    # doc 2: joined 11 chars; "x x" x5; "x x x x x" (9 chars) x2 -> capped
+    assert rows[2]["total_chars"] == 11
+    assert rows[2]["top_frac_ppm"] == 1_000_000 * 5 * 3 // 11
+    assert rows[2]["dup_chars"] == 18
+    assert rows[2]["dup_frac_ppm"] == 1_000_000  # least() cap
+    # doc 3: no 2-grams or 5-grams at all
+    assert rows[3]["total_chars"] == 1
+    assert rows[3]["top_frac_ppm"] == 0 and rows[3]["dup_frac_ppm"] == 0
+
+
+def test_classifier_scores_match_reference_model(spark):
+    """Replicate the hashed-feature linear model in plain Python (md5
+    hash60 -> bucket -> Knuth weight) and check the engine agrees."""
+    import hashlib
+
+    texts = {1: "alpha beta alpha", 2: "gamma", 3: ""}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+
+    def weight(feature: str) -> int:
+        h60 = int(hashlib.md5(feature.encode()).hexdigest()[:15], 16)
+        return ((h60 % cu.CLF_BUCKETS) * 2654435761) % 2001
+
+    expected = {}
+    for did, text in texts.items():
+        toks = [t for t in text.lower().split() if t]
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        sw = sum(weight(f) for f in feats)
+        expected[did] = (len(feats), sw)
+
+    rows = {
+        r["doc_id"]: r for r in cu.classifier_scores(df).collect()
+    }
+    for did, (nf, sw) in expected.items():
+        assert rows[did]["n_feats"] == nf
+        assert rows[did]["sum_w"] == sw
+        assert rows[did]["avg_micro"] == (sw // nf if nf else 0)
+        assert rows[did]["keep"] == (nf > 0 and sw >= cu.CLF_NEUTRAL * nf)
