@@ -9,10 +9,11 @@ decode boundary REAL — `png_decode` parses genuine PNG bytes into pixels,
 payloads that are not media at all (the synthetic `documents` blobs).
 
 Supported PNG subset (decode): 8-bit depth, color types 0 (grayscale),
-2 (RGB), 6 (RGBA), non-interlaced — the overwhelming majority of
-real-world PNGs. Anything else raises `ValueError` loudly (16-bit,
-palette, interlace): an explicit, honest boundary rather than a wrong
-answer. Encode always writes 8-bit non-interlaced with filter 0.
+2 (RGB), 3 (palette, expanded to RGB via PLTE), 6 (RGBA),
+non-interlaced — the overwhelming majority of real-world PNGs. Anything
+else raises `ValueError` loudly (16-bit, gray+alpha, interlace): an
+explicit, honest boundary rather than a wrong answer. Encode always
+writes 8-bit non-interlaced with filter 0.
 
 Scale notes: these run inside Arrow-batched `mapInPandas` workers —
 decoding is map-only, linear in executors, and payload bytes cross the
@@ -86,10 +87,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = len(PNG_SIGNATURE)
-    width = height = channels = None
+    width = height = channels = color_type = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated chunk")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -102,14 +106,22 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth}")
-            if color_type not in (0, 2, 6):
+            if color_type not in (0, 2, 3, 6):
                 raise ValueError(f"unsupported color type {color_type}")
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            channels = _CHANNELS[color_type]
+            # Palette images carry 1 index byte/pixel through the filter
+            # pass; expanded to RGB after reconstruction.
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 != 0:
+                raise ValueError(f"PLTE length {length} not a multiple of 3")
+            palette = body
         elif tag == b"IDAT":
+            if channels is None:
+                raise ValueError("IDAT before IHDR")
             idat += body
         elif tag == b"IEND":
             break
@@ -144,6 +156,18 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    if color_type == 3:
+        # Expand palette indices to RGB so callers always get real
+        # samples (spec §11.2.3: PLTE is required for color type 3).
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        n_entries = len(palette) // 3
+        if max(out, default=0) >= n_entries:
+            raise ValueError("palette index out of range")
+        rgb = bytearray(len(out) * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 

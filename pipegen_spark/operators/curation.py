@@ -1245,9 +1245,13 @@ def rep_ngram_stats(
         .filter(F.col("_rn") == 1)
         .select(
             "id",
+            # Capped at 1e6 like dup_frac_ppm: overlapping grams can carry
+            # char mass > total_chars (cnt*length(g) counts shared chars
+            # once per occurrence), so the raw ratio may exceed 1.
             F.expr(
                 f"CASE WHEN total_chars > 0 THEN "
-                f"{dl.idiv(f'{REP_PPM} * cnt * length(g)', 'total_chars', dl.SPARK)} "
+                f"least(CAST({REP_PPM} AS BIGINT), "
+                f"{dl.idiv(f'{REP_PPM} * cnt * length(g)', 'total_chars', dl.SPARK)}) "
                 f"ELSE 0 END"
             ).cast("long").alias("top_frac_ppm"),
         )

@@ -142,6 +142,10 @@ def cc_star_labels(
     count of non-star edges — no driver-side edge materialization.
     Deterministic: every step is a MIN.
     """
+    if max_rounds < 1:
+        # The for/else non-convergence message formats `non_star`, which
+        # is only bound once the loop body runs — reject up front.
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     # Canonical (child, parent) orientation, child > parent; self-loops
     # dropped. The input pair list is usually the tail of an expensive
     # pipeline (LSH banding + verify) — materialize it once.

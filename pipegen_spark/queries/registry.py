@@ -7,8 +7,8 @@ SQL-expressible) a matching oracle for the correctness gate.
 Enumeration order is part of the contract: the driver's correctness gate
 hashes the FIRST 50 entries in dict order, so `all_queries()` front-loads
 `GATE_WINDOW` — the 50 queries that most need a hard driver signal this
-round — and every other query enumerates behind it (all remain verifiable
-locally via tools/compare.py, which this session passes 149/149).
+round — and every other query enumerates behind it (every query in the
+corpus remains verifiable locally via tools/compare.py).
 
 Rotation history (the plan: every query accumulates a driver row across
 rounds; long-stable canaries stay in every window):

@@ -1747,8 +1747,10 @@ def _classifier_sql() -> str:
 def _rep_ngram_sql() -> str:
     """Mirror of curation.rep_ngram_stats (Gopher A1 char-mass
     repetition metrics, integer ppm)."""
-    top_frac = dl.idiv(
-        f"{cu.REP_PPM} * cnt * length(g)", "total_chars", D
+    top_frac = (
+        f"least(CAST({cu.REP_PPM} AS BIGINT), CAST("
+        + dl.idiv(f"{cu.REP_PPM} * cnt * length(g)", "total_chars", D)
+        + " AS BIGINT))"
     )
     return f"""
     WITH spine AS (

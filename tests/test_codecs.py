@@ -198,3 +198,67 @@ def test_real_png_through_spark_operators(spark):
         assert (w, h, ch) == (8, 8, 3)
         assert resized[mid]["meta_width"] == 8
         assert len(px) == 8 * 8 * 3
+
+
+def _palette_png(width, height, indices, palette):
+    """Hand-framed color-type-3 PNG: PLTE + filter-0 index scanlines."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width]
+        for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_palette_png_expands_to_rgb():
+    # 4 palette entries; 3x2 image of indices — decode must expand each
+    # index to its 3-byte PLTE entry and report channels=3.
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 11, 13])
+    idx = bytes([0, 1, 2, 3, 2, 1])
+    w, h, ch, out = png_decode(_palette_png(3, 2, idx, palette))
+    assert (w, h, ch) == (3, 2, 3)
+    assert out == bytes(
+        b for i in idx for b in palette[i * 3 : i * 3 + 3]
+    )
+
+
+def test_palette_png_errors():
+    palette = bytes([255, 0, 0, 0, 255, 0])
+    # Index 5 with only 2 entries → out of range.
+    with pytest.raises(ValueError, match="index out of range"):
+        png_decode(_palette_png(2, 1, bytes([0, 5]), palette))
+    # PLTE length not a multiple of 3.
+    with pytest.raises(ValueError, match="PLTE length"):
+        png_decode(_palette_png(2, 1, bytes([0, 1]), palette + b"\x00"))
+    # Palette image with the PLTE chunk stripped entirely.
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    no_plte = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="without PLTE"):
+        png_decode(no_plte)
+
+
+def test_malformed_framing_raises_value_error():
+    good = png_encode(3, 3, _gradient(3, 3, 3), 3)
+    # Truncated mid-chunk: drop IEND (12 bytes) plus one byte of IDAT's
+    # CRC, so the IDAT length field promises more bytes than exist.
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(good[:-13])
+    # IDAT before any IHDR.
+    orphan = (
+        PNG_SIGNATURE
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT before IHDR"):
+        png_decode(orphan)

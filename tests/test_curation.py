@@ -504,9 +504,11 @@ def test_rep_ngram_hand_computed(spark):
     assert rows[1]["total_chars"] == 9
     assert rows[1]["top_frac_ppm"] == 1_000_000 * 2 * 3 // 9
     assert rows[1]["dup_chars"] == 0 and rows[1]["dup_frac_ppm"] == 0
-    # doc 2: joined 11 chars; "x x" x5; "x x x x x" (9 chars) x2 -> capped
+    # doc 2: joined 11 chars; "x x" x5 carries 15 overlapping chars over
+    # 11 total -> raw ratio >1, capped at 1e6 like dup_frac_ppm;
+    # "x x x x x" (9 chars) x2 -> also capped
     assert rows[2]["total_chars"] == 11
-    assert rows[2]["top_frac_ppm"] == 1_000_000 * 5 * 3 // 11
+    assert rows[2]["top_frac_ppm"] == 1_000_000  # least() cap
     assert rows[2]["dup_chars"] == 18
     assert rows[2]["dup_frac_ppm"] == 1_000_000  # least() cap
     # doc 3: no 2-grams or 5-grams at all

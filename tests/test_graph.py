@@ -141,3 +141,13 @@ def test_cc_star_random_graphs_match_union_find(spark):
             for r in dd.dup_clusters_star(nodes, pairs, "doc_id").collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_cc_star_rejects_nonpositive_max_rounds(spark):
+    import pytest
+
+    from pipegen_spark.operators.graph import cc_star_labels
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_rounds"):
+        cc_star_labels(pairs, max_rounds=0)
