@@ -16,11 +16,19 @@ rounds; long-stable canaries stay in every window):
 - r1-r3 window: the relational corpus head (q01...)
 - r4 window: 34 training ops + q48-q57 + 6 canaries — found the 6
   output-surface reds fixed this round
-- r5 window (current): the 37 training ops deferred in r4, the 6
-  repaired r4 reds (re-gated to confirm the fix), the 6 canaries, and
-  q75 (the newest query, never gated)
-- r6 plan: rotate in the never-gated relational tranche q58-q74 + the
-  28 r4-green training ops on a rolling basis, keeping the canaries.
+- r5 window: the 37 training ops deferred in r4, the 6 repaired r4
+  reds (re-gated to confirm the fix), the 6 canaries, and q75 — came
+  back 50/50 green
+- r6 window (current): the 19 never-gated queries (q58-q74 tranche +
+  curate_classifier + curate_rep_ngram), the brand-new
+  multimodal_png_features (rows-only: real PNG codec, no SQL oracle),
+  the 6 canaries, and the first 24 (alphabetically) of the 38 r4-green
+  ops as rolling re-gates. This completes first-pass driver coverage
+  of the whole corpus: every query has now been in a window at least
+  once.
+- r7 plan: rolling re-gate of the remaining 14 r4-green ops
+  (simsearch_* + text_* tail) + the oldest r1-r3 rows, keeping the
+  canaries.
 """
 
 from __future__ import annotations
@@ -47,67 +55,66 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: The 6 round-4 gate reds, re-gated this round to confirm the repairs:
-#: embed_* switched from array<...> columns (which crash the driver's
-#: pandas canonicalizer) to exploded scalar rows; the q4x/q5x money
-#: columns switched from DECIMAL(18,2) (trailing-zero cents hash-diverge
-#: vs DuckDB's float64 through pandas) to BIGINT cents.
-GATE_REPAIRED = (
-    "embed_normalize",
-    "embed_quantize",
-    "q48_grouping_sets",
-    "q53_tpch_promo_ratio",
-    "q54_tpch_big_orders",
-    "q57_tpch_idle_rich",
+#: Round 6: the last queries that have never had a driver row — the
+#: q58-q74 relational tranche plus the two ops added in round 5 — and
+#: the round-6 addition (real-PNG-codec decode, rows-only check).
+GATE_NEVER_GATED = (
+    "q58_zorder_layout",
+    "q59_table_profile",
+    "q60_stream_enrich",
+    "q61_pagerank",
+    "q62_tpch_volume_shipping",
+    "q63_tpch_market_share",
+    "q64_tpch_profit",
+    "q65_tpch_priority_mix",
+    "q66_tpch_cust_distribution",
+    "q67_tpch_small_qty",
+    "q68_tpch_top_supplier",
+    "q69_tpch_important_parts",
+    "q70_tpch_sole_problem",
+    "q71_funnel",
+    "q72_retention",
+    "q73_kmv_overlap",
+    "q74_anomaly",
+    "curate_classifier",
+    "curate_rep_ngram",
+    "multimodal_png_features",
 )
 
-#: Training-data operators deferred from the round-4 window, rotated IN
-#: for round 5 (their first-ever driver rows).
-GATE_ROTATED_IN = (
-    "dedup_cc_star",
-    "dedup_setjoin",
-    "dedup_substring",
-    "dedup_containment",
-    "embed_gram",
-    "simsearch_hybrid",
-    "curate_budget",
-    "text_rarity",
-    "curate_gopher",
-    "dedup_incremental",
-    "dedup_semantic",
-    "curate_split",
-    "multimodal_features",
-    "embed_pq",
-    "text_pmi",
-    "text_lm_bigram",
-    "curate_dsir",
-    "text_cms_topk",
-    "curate_weighted_sample",
-    "simsearch_pq",
-    "simsearch_pq_recall",
-    "text_readability",
-    "dedup_bloom",
-    "curate_shuffle",
-    "curate_drift",
-    "text_diversity",
-    "curate_span_mask",
-    "curate_fim",
-    "text_bpe_pairs",
-    "text_typo_pairs",
-    "simsearch_mmr",
-    "embed_matryoshka",
-    "multimodal_phash",
-    "text_good_turing",
-    "text_kneser_ney",
-    "curate_temperature",
-    "text_burstiness",
+#: Rolling re-gates: the first 24 (alphabetically) of the 38 r4-green
+#: training/relational ops whose only driver rows date from round 4;
+#: the remaining 14 (simsearch_* + text_* tail) rotate in round 7.
+GATE_ROLLING = (
+    "curate_chunk",
+    "curate_contamination",
+    "curate_mix",
+    "curate_pack",
+    "curate_redact",
+    "curate_repetition",
+    "curate_sample",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix",
+    "dedup_simhash",
+    "dedup_span_stats",
+    "embed_kmeans",
+    "multimodal_binary_stats",
+    "q49_range_frame",
+    "q50_approx_percentile",
+    "q51_tpch_forecast_revenue",
+    "q52_tpch_priority_check",
+    "q55_tpch_disjunctive",
+    "q56_tpch_supplier_cnt",
 )
 
-#: The full round-5 gate window, in enumeration order: 37 rotated-in
-#: training ops + 6 repaired reds + 6 canaries + the newest query = 50.
-GATE_WINDOW = (
-    GATE_ROTATED_IN + GATE_REPAIRED + GATE_CANARIES + ("q75_asof_forward",)
-)
+#: The full round-6 gate window, in enumeration order: 20 never-gated
+#: (incl. the new rows-only PNG query) + 24 rolling re-gates + 6
+#: canaries = 50.
+GATE_WINDOW = GATE_NEVER_GATED + GATE_ROLLING + GATE_CANARIES
 
 
 def _collect(module) -> dict[str, QueryFn]:

@@ -431,6 +431,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media).orderBy("media_id")
 
 
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under the driver gate (rows-only: PNG encode/
+    decode is zlib + per-scanline filters, not SQL-expressible, so there
+    is deliberately no DuckDB oracle for this one — the driver records
+    the weaker rows/schema check).
+
+    Each document becomes a genuine color-type-2 PNG (8x6 RGB, pixels =
+    the document text's md5 digest tiled across the buffer — fully
+    deterministic), then `operators/multimodal.extract_features` decodes
+    it with the REAL codec (`codecs.auto_decode` → magic-byte dispatch →
+    `png_decode`: chunk framing, CRC checks, zlib inflate, filter
+    reconstruction) inside Arrow-batched `mapInPandas`. Both hops are
+    map-only: payload bytes cross the Arrow boundary once per hop, no
+    shuffle, linear in executors at scale."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    n_px = 8 * 6 * 3
+
+    def encode(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import png_encode
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                px = (seed * (n_px // len(seed) + 1))[:n_px]
+                payloads.append(png_encode(8, 6, px, 3))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, "media_id long, content binary"
+    )
+    from pipegen_spark.operators.codecs import auto_decode
+
+    return (
+        mm.extract_features(media, decoder=auto_decode)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "content_sha",
+            F.col("feat_dim").cast("long").alias("feat_dim"),
+            F.col("feat_norm").cast("long").alias("feat_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-VOCAB_TOPK tokens by term frequency with
     document frequency — stopword/vocab input for tokenizer decisions."""

@@ -15,8 +15,8 @@ from tests.conftest import SF_SMOKE
 
 from pipegen_spark.queries.registry import (
     GATE_CANARIES,
-    GATE_REPAIRED,
-    GATE_ROTATED_IN,
+    GATE_NEVER_GATED,
+    GATE_ROLLING,
     GATE_WINDOW,
     all_queries,
     oracle_queries,
@@ -32,8 +32,8 @@ def test_gate_window_composition():
     assert gate == list(GATE_WINDOW)
     assert len(set(GATE_WINDOW)) == GATE_ROWS  # no duplicate rows wasted
     assert set(GATE_CANARIES) <= set(gate)
-    assert set(GATE_REPAIRED) <= set(gate)
-    assert set(GATE_ROTATED_IN) <= set(gate)
+    assert set(GATE_NEVER_GATED) <= set(gate)
+    assert set(GATE_ROLLING) <= set(gate)
 
 
 def test_registry_complete_and_oracle_keyed():
