@@ -78,8 +78,22 @@ def main() -> None:
             # progress-bar junk and fail a line-oriented json.loads. Rounds
             # 1-3 all recorded "parsed": null for exactly this reason.
             "spark.ui.showConsoleProgress": "false",
+            # Three corpus passes create ~5k broadcasts; ContextCleaner
+            # only reclaims them after a driver GC proves the refs dead,
+            # and the default periodicGC.interval (30min) never fires
+            # inside a bench run — the accumulated pieces eventually fill
+            # the storage pool and a late "TorrentBroadcast: Store
+            # broadcast fail" ERROR lands in stderr (r5 finding). A short
+            # interval + explicit gc between passes keeps it clean.
+            "spark.cleaner.periodicGC.interval": "90s",
         },
     )
+
+    def _drain_gc() -> None:
+        # Let ContextCleaner reclaim dead broadcasts/shuffles between
+        # passes (see periodicGC note above). Driver-side JVM gc; cheap
+        # relative to a corpus pass.
+        spark.sparkContext._jvm.System.gc()
 
     qs = all_queries()
     # Warm-up: JVM codegen + file listing + the Arrow/Python worker pool
@@ -97,6 +111,7 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
+    _drain_gc()
 
     # Second pass: warm numbers. First-run cost is dominated by whole-stage
     # codegen compilation (measured: simhash 4.2 s cold / 1.4 s warm), so
@@ -112,6 +127,7 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 4)
         hashes[name] = result_sha256(df.columns, [tuple(r) for r in rows])
     warm_total_seq = round(sum(warm.values()), 4)
+    _drain_gc()
 
     # Third pass: the warm corpus through a FAIR-scheduler thread pool —
     # the scheduler-floor-free total (see module docstring).
@@ -126,13 +142,14 @@ def main() -> None:
     for name in sequential:
         _run(name)
     warm_total = round(time.perf_counter() - t0, 4)
+    _drain_gc()
 
     # Single-node comparative baseline: the same queries (their oracle SQL)
-    # through DuckDB on the same files, under a wall-clock budget. Skipped
-    # quietly if anything fails — the baseline is context, not the metric.
+    # through DuckDB on the same files — ALL of them, each under a
+    # per-query watchdog, so the ratio compares equal query sets.
     baseline = None
     try:
-        baseline = _duckdb_baseline(sf_dir, budget_sec=90.0)
+        baseline = _duckdb_baseline(sf_dir)
     except Exception as e:  # baseline is context, not the metric — but
         # say WHY it is missing (stderr keeps the stdout JSON line clean)
         print(f"duckdb baseline failed: {e!r}", file=sys.stderr)
@@ -141,9 +158,14 @@ def main() -> None:
     # its default and 50 000 msg/s as its high-throughput benchmark target
     # (docs-site/advanced/performance.md:375-379). Measure the synthetic
     # generator -> watermarked window agg path at the documented target.
+    # The machine's 1-min loadavg is recorded alongside: the r4->r5
+    # throughput delta (117.9k -> 107.5k rows/s) was unattributable
+    # because load context was not captured.
     streaming = None
     try:
+        load_before = round(os.getloadavg()[0], 2)
         streaming = _stream_throughput(spark, target_rps=50_000, seconds=8)
+        streaming["loadavg_1min_before"] = load_before
     except Exception as e:
         print(f"streaming probe failed: {e!r}", file=sys.stderr)
 
@@ -171,6 +193,27 @@ def main() -> None:
         detail["streaming"] = streaming
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    # Versioned archive (round-5 verdict: the side file is overwritten
+    # every run, so r4->r5 per-query comparison was impossible). Driver
+    # rounds run at the default sf0.1; local sf0.01 iteration runs leave
+    # the committed history alone. BENCH_r{N}.json files are written by
+    # the driver at round end, so the round being benched is max+1.
+    if abs(sf - 0.1) < 1e-9:
+        import glob
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        round_no = (max(rounds) + 1) if rounds else 1
+        hist_dir = os.path.join(REPO, "bench_history")
+        os.makedirs(hist_dir, exist_ok=True)
+        hist_path = os.path.join(
+            hist_dir, f"bench_detail_r{round_no:02d}.json"
+        )
+        with open(hist_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
 
     slowest = dict(
         sorted(times.items(), key=lambda kv: -kv[1])[:TOP_QUERIES]
@@ -192,7 +235,7 @@ def main() -> None:
         out["duckdb_baseline"] = {
             "sec": baseline["sec"],
             "completed": baseline["completed"],
-            "n_skipped": len(baseline["skipped"]),
+            "n_timed_out": len(baseline["timed_out"]),
         }
     if streaming is not None:
         out["streaming"] = streaming
@@ -267,10 +310,26 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
     }
 
 
-def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:
-    """Time the oracle corpus in DuckDB, stopping at the budget (a started
-    query can't be preempted, so anything left when the budget trips is
-    reported as skipped rather than hiding the comparison)."""
+def _family(name: str) -> str:
+    """Coarse corpus family for coverage reporting: qNN_* queries are the
+    relational corpus; everything else groups by operator prefix."""
+    if name[:1] == "q" and name[1:3].isdigit():
+        return "relational"
+    return name.split("_", 1)[0]
+
+
+def _duckdb_baseline(sf_dir: str, per_query_timeout: float = 20.0) -> dict:
+    """Time the FULL oracle corpus in DuckDB.
+
+    Rounds 1-5 used a corpus wall-clock budget, which truncated coverage
+    alphabetically — the completed subset was dedup-heavy and differed
+    by machine load, so the Spark/DuckDB ratio never compared equal query
+    sets round-over-round. Now EVERY oracle runs, bounded per-query by a
+    watchdog thread calling `con.interrupt()` (the connection survives an
+    interrupt, so one pathological query can't sink the rest); timeouts
+    are reported explicitly, per query and per family."""
+    import threading
+
     import duckdb
 
     from pipegen_spark.queries.registry import oracle_queries
@@ -284,21 +343,32 @@ def _duckdb_baseline(sf_dir: str, budget_sec: float) -> dict:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = oracle_queries()
-    order = sorted(oracles)
     t0 = time.perf_counter()
     per_query: dict[str, float] = {}
-    skipped: list[str] = []
-    for name in order:
-        if time.perf_counter() - t0 > budget_sec:
-            skipped.append(name)
-            continue
+    timed_out: list[str] = []
+    for name in sorted(oracles):
+        watchdog = threading.Timer(per_query_timeout, con.interrupt)
+        watchdog.start()
         tq = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        per_query[name] = round(time.perf_counter() - tq, 4)
+        try:
+            con.execute(oracles[name]).fetchall()
+            per_query[name] = round(time.perf_counter() - tq, 4)
+        except duckdb.InterruptException:
+            timed_out.append(name)
+        finally:
+            watchdog.cancel()
+    families: dict[str, dict[str, int]] = {}
+    for name in oracles:
+        fam = families.setdefault(
+            _family(name), {"completed": 0, "timed_out": 0}
+        )
+        fam["timed_out" if name in timed_out else "completed"] += 1
     return {
         "sec": round(time.perf_counter() - t0, 4),
         "completed": len(per_query),
-        "skipped": skipped,
+        "timed_out": timed_out,
+        "per_query_timeout_sec": per_query_timeout,
+        "families": families,
         # Per-query timings (detail file only): lets a reviewer flag
         # individual Spark/DuckDB ratio outliers round-over-round instead
         # of only corpus totals.

@@ -20,14 +20,14 @@ rounds; long-stable canaries stay in every window):
   reds (re-gated to confirm the fix), the 6 canaries, and q75 — came
   back 50/50 green
 - r6 window (current): the 19 never-gated queries (q58-q74 tranche +
-  curate_classifier + curate_rep_ngram), the brand-new
-  multimodal_png_features (rows-only: real PNG codec, no SQL oracle),
-  the 6 canaries, and the first 24 (alphabetically) of the 38 r4-green
-  ops as rolling re-gates. This completes first-pass driver coverage
-  of the whole corpus: every query has now been in a window at least
-  once.
-- r7 plan: rolling re-gate of the remaining 14 r4-green ops
-  (simsearch_* + text_* tail) + the oldest r1-r3 rows, keeping the
+  curate_classifier + curate_rep_ngram), the two brand-new real-codec
+  queries multimodal_png_features / multimodal_wav_features (rows-only:
+  PNG/WAV decode has no SQL oracle), the 6 canaries, and the first 23
+  (alphabetically) of the 38 r4-green ops as rolling re-gates. This
+  completes first-pass driver coverage of the whole corpus: every
+  query has now been in a window at least once.
+- r7 plan: rolling re-gate of the remaining 15 r4-green ops (q56 +
+  simsearch_* + text_* tail) + the oldest r1-r3 rows, keeping the
   canaries.
 """
 
@@ -79,11 +79,12 @@ GATE_NEVER_GATED = (
     "curate_classifier",
     "curate_rep_ngram",
     "multimodal_png_features",
+    "multimodal_wav_features",
 )
 
-#: Rolling re-gates: the first 24 (alphabetically) of the 38 r4-green
+#: Rolling re-gates: the first 23 (alphabetically) of the 38 r4-green
 #: training/relational ops whose only driver rows date from round 4;
-#: the remaining 14 (simsearch_* + text_* tail) rotate in round 7.
+#: the remaining 15 (q56 + simsearch_* + text_* tail) rotate in round 7.
 GATE_ROLLING = (
     "curate_chunk",
     "curate_contamination",
@@ -108,12 +109,11 @@ GATE_ROLLING = (
     "q51_tpch_forecast_revenue",
     "q52_tpch_priority_check",
     "q55_tpch_disjunctive",
-    "q56_tpch_supplier_cnt",
 )
 
-#: The full round-6 gate window, in enumeration order: 20 never-gated
-#: (incl. the new rows-only PNG query) + 24 rolling re-gates + 6
-#: canaries = 50.
+#: The full round-6 gate window, in enumeration order: 21 never-gated
+#: (incl. the new rows-only PNG/WAV codec queries) + 23 rolling
+#: re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_NEVER_GATED + GATE_ROLLING + GATE_CANARIES
 
 

@@ -483,6 +483,56 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of `multimodal_png_features` (rows-only, same
+    rationale): each document becomes a genuine 16-bit PCM RIFF/WAVE
+    payload (64 samples = the text's md5 digest tiled and read as
+    little-endian int16), and `extract_features` decodes it through
+    `codecs.auto_decode`'s RIFF magic-byte dispatch → `wav_features`
+    (stdlib `wave` parse + amplitude-octave histogram). Map-only, one
+    Arrow hop per stage, no shuffle."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    n_samples = 64
+
+    def encode(batches):
+        import hashlib
+        import struct as st
+
+        from pipegen_spark.operators.codecs import wav_encode
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                raw = (seed * (2 * n_samples // len(seed) + 1))[
+                    : 2 * n_samples
+                ]
+                samples = [s for (s,) in st.iter_unpack("<h", raw)]
+                payloads.append(wav_encode(samples, sample_rate=8_000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, "media_id long, content binary"
+    )
+    from pipegen_spark.operators.codecs import auto_decode
+
+    return (
+        mm.extract_features(media, decoder=auto_decode)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "content_sha",
+            F.col("feat_dim").cast("long").alias("feat_dim"),
+            F.col("feat_norm").cast("long").alias("feat_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-VOCAB_TOPK tokens by term frequency with
     document frequency — stopword/vocab input for tokenizer decisions."""
