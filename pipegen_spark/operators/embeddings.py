@@ -372,6 +372,73 @@ def pq_encode(
 GRAM_SCALE_BITS = 15
 
 
+def centroid_outliers(
+    base: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    ratio_num: int = 3,
+    ratio_den: int = 2,
+) -> DataFrame:
+    """Embedding-quality gate: squared L2 distance of every vector to the
+    corpus mean vector, flagged `outlier` when above (ratio_num/ratio_den)
+    x the corpus-average distance — the cheap screen for corrupt /
+    out-of-distribution embeddings before they poison ANN indexes or
+    semantic dedup.
+
+    Determinism discipline (the kmeans_fixed pattern): the mean vector is
+    per-dimension scaled-long sums (partition-order independent), the
+    per-row distance is the fixed-association double fold, and the
+    corpus-average distance is an integer mean over micro-unit distances
+    — the outlier comparison cross-multiplies integers, so both engines
+    agree bit-for-bit with zero float aggregation across rows.
+
+    Scale: one posexplode agg keyed by dimension (d groups — constant),
+    the d-element mean vector and the 1-row distance stats are broadcast,
+    the flagging pass is map-only. The base table never shuffles.
+    """
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
+    mean_vec = (
+        vecs.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.expr(scaled_long_expr("x"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("pos", F.expr(mean_expr("s", "n")).alias("m"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " p -> p.m)"
+            ).alias("mv")
+        )
+    )
+    d2 = dl.dist2_double("v", "mv", dim_e, dl.SPARK)
+    dist = vecs.crossJoin(F.broadcast(mean_vec)).select(
+        "id",
+        F.expr(
+            f"CAST(floor(({d2}) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("dist2_micro"),
+    )
+    stats = dist.groupBy().agg(
+        F.sum("dist2_micro").alias("s2"), F.count("*").alias("n2")
+    )
+    return (
+        dist.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("id").alias(id_col),
+            "dist2_micro",
+            (
+                F.col("dist2_micro") * F.lit(ratio_den) * F.col("n2")
+                > F.lit(ratio_num) * F.col("s2")
+            ).alias("outlier"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -62,6 +62,40 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    base: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine RANGE (radius) search: every base vector with
+    cosine >= `threshold` to each query, self excluded — the fixed-radius
+    counterpart of `brute_force_topk` (retrieval wants "the k best";
+    dedup/contamination sweeps want "everything this similar").
+
+    Output: (query_id, neighbor_id, cos). Same scale contract as the
+    top-k path: the query set is broadcast, the base table is scanned
+    once map-only with the threshold applied before anything shuffles —
+    at 100 TB the result volume is the selectivity of the radius, never
+    the scan. No window/rank needed at all, so this plan is strictly
+    cheaper than top-k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
+    )
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("qv", "bv", dim).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
 def bucket_ids(
     base: DataFrame,
     planes: DataFrame,

@@ -22,13 +22,14 @@ rounds; long-stable canaries stay in every window):
 - r6 window (current): the 19 never-gated queries (q58-q74 tranche +
   curate_classifier + curate_rep_ngram), the two brand-new real-codec
   queries multimodal_png_features / multimodal_wav_features (rows-only:
-  PNG/WAV decode has no SQL oracle), the 6 canaries, and the first 23
+  PNG/WAV decode has no SQL oracle) plus the new oracle-checked
+  simsearch_range / embed_outliers, the 6 canaries, and the first 21
   (alphabetically) of the 38 r4-green ops as rolling re-gates. This
   completes first-pass driver coverage of the whole corpus: every
   query has now been in a window at least once.
-- r7 plan: rolling re-gate of the remaining 15 r4-green ops (q56 +
-  simsearch_* + text_* tail) + the oldest r1-r3 rows, keeping the
-  canaries.
+- r7 plan: rolling re-gate of the remaining 17 r4-green ops
+  (q52/q55/q56 + simsearch_* + text_* tail) + the oldest r1-r3 rows,
+  keeping the canaries.
 """
 
 from __future__ import annotations
@@ -57,7 +58,8 @@ GATE_CANARIES = (
 
 #: Round 6: the last queries that have never had a driver row — the
 #: q58-q74 relational tranche plus the two ops added in round 5 — and
-#: the round-6 addition (real-PNG-codec decode, rows-only check).
+#: the four round-6 additions (real PNG/WAV codec decodes, rows-only;
+#: cosine radius search and the centroid-outlier gate, oracle-checked).
 GATE_NEVER_GATED = (
     "q58_zorder_layout",
     "q59_table_profile",
@@ -80,11 +82,13 @@ GATE_NEVER_GATED = (
     "curate_rep_ngram",
     "multimodal_png_features",
     "multimodal_wav_features",
+    "simsearch_range",
+    "embed_outliers",
 )
 
-#: Rolling re-gates: the first 23 (alphabetically) of the 38 r4-green
-#: training/relational ops whose only driver rows date from round 4;
-#: the remaining 15 (q56 + simsearch_* + text_* tail) rotate in round 7.
+#: Rolling re-gates: the first 21 (alphabetically) of the 38 r4-green
+#: training/relational ops whose only driver rows date from round 4; the
+#: remaining 17 (q52/q55/q56 + simsearch_* + text_* tail) rotate in r7.
 GATE_ROLLING = (
     "curate_chunk",
     "curate_contamination",
@@ -107,13 +111,11 @@ GATE_ROLLING = (
     "q49_range_frame",
     "q50_approx_percentile",
     "q51_tpch_forecast_revenue",
-    "q52_tpch_priority_check",
-    "q55_tpch_disjunctive",
 )
 
-#: The full round-6 gate window, in enumeration order: 21 never-gated
-#: (incl. the new rows-only PNG/WAV codec queries) + 23 rolling
-#: re-gates + 6 canaries = 50.
+#: The full round-6 gate window, in enumeration order: 23 never-gated
+#: (incl. the four round-6-new queries) + 21 rolling re-gates + 6
+#: canaries = 50.
 GATE_WINDOW = GATE_NEVER_GATED + GATE_ROLLING + GATE_CANARIES
 
 

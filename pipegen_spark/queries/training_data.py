@@ -58,6 +58,7 @@ TOPK_LSH = 5
 TOPK_IVF = 5
 IVF_NPROBE = 2
 N_QUERY_VECS = 5  # query vectors: vec_id < 5
+RANGE_COS_THRESHOLD = 0.2  # radius search: ~140 hits at sf0.01 (max ~0.4)
 PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
 # Recall measurement uses a coarser index (2 planes -> 4 buckets): with 8
 # planes over random near-orthogonal vectors recall@5 is uniformly 0,
@@ -204,6 +205,23 @@ def simsearch_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return sim.brute_force_topk(emb, queries, k=TOPK_BRUTE)
+
+
+def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine radius search (threshold tuned to the random-embedding
+    testdata, where cross-pair cosine tops out near 0.4)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.range_search(
+        emb, queries, threshold=RANGE_COS_THRESHOLD, dim=EMB_DIM
+    )
+
+
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier gate over the embeddings table (integer
+    micro-unit distances; flag at 3/2 x the corpus-average distance)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return em.centroid_outliers(emb, dim=EMB_DIM)
 
 
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

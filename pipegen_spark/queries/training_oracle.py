@@ -354,6 +354,52 @@ def _brute_force_sql() -> str:
     """
 
 
+def _range_sql() -> str:
+    """Mirror of similarity.range_search (exact cosine radius search)."""
+    cos = dl.cosine_double("q.qv", "e.embedding", td.EMB_DIM, D)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {td.N_QUERY_VECS})
+    SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {cos} >= {td.RANGE_COS_THRESHOLD}
+    ORDER BY q.query_id, neighbor_id
+    """
+
+
+def _outliers_sql() -> str:
+    """Mirror of embeddings.centroid_outliers (scaled-long mean vector,
+    micro-unit distances, cross-multiplied integer flag)."""
+    import pipegen_spark.operators.embeddings as em
+
+    val = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
+    d2 = dl.dist2_double("v.v", "m.mv", td.EMB_DIM, D)
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    s AS (
+        SELECT CAST(r.range AS INT) AS pos,
+               SUM({em.scaled_long_expr(val)}) AS s, COUNT(*) AS n
+        FROM v CROSS JOIN range(0, {td.EMB_DIM}) r
+        GROUP BY pos
+    ),
+    m AS (
+        SELECT list(mm ORDER BY pos) AS mv FROM (
+            SELECT pos, {em.mean_expr("s", "n")} AS mm FROM s) t
+    ),
+    dist AS (
+        SELECT v.id,
+               CAST(floor(({d2}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS dist2_micro
+        FROM v CROSS JOIN m
+    ),
+    st AS (SELECT SUM(dist2_micro) AS s2, COUNT(*) AS n2 FROM dist)
+    SELECT d.id AS vec_id, d.dist2_micro,
+           (d.dist2_micro * 2 * st.n2 > 3 * st.s2) AS outlier
+    FROM dist d CROSS JOIN st
+    ORDER BY vec_id
+    """
+
+
 def _lsh_sql() -> str:
     dot = dl.dot_double("e.embedding", "p.pv", dl.size("e.embedding", D), D)
     cos = dl.cosine_double("q.qv", "bv.v", dl.size("q.qv", D), D)
@@ -1872,6 +1918,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_setjoin": _setjoin_sql(),
     "dedup_embedding_cosine": _emb_dup_sql(),
     "simsearch_bruteforce": _brute_force_sql(),
+    "simsearch_range": _range_sql(),
+    "embed_outliers": _outliers_sql(),
     "simsearch_lsh": _lsh_sql(),
     "simsearch_ivf": _ivf_sql(),
     "text_tokens": _proj_sql(tx.token_stats_exprs("text", D)),

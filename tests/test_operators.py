@@ -934,3 +934,48 @@ def test_burstiness_discriminates_topic_words(spark):
     # quantum: n=5, S=4, S2=16 -> (5*16-16)/(5*4) = 64/20 = 3.2
     assert out["quantum"]["vmr_micro"] == 3_200_000
     assert out["quantum"]["df"] == 1 and out["the"]["df"] == 5
+
+
+def test_range_search_threshold_semantics(spark):
+    from pipegen_spark.operators.similarity import range_search
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),     # cos=1 with query 0
+            (2, [0.0, 1.0]),     # cos=0
+            (3, [1.0, 1.0]),     # cos=sqrt(2)/2 ~ 0.707
+            (4, [-1.0, 0.0]),    # cos=-1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter("vec_id = 0")
+    out = range_search(vecs, q, threshold=0.5, dim=2).collect()
+    assert [(r["neighbor_id"], round(r["cos"], 3)) for r in out] == [
+        (1, 1.0),
+        (3, 0.707),
+    ]
+    # Self is excluded even though cos(self)=1.
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_centroid_outliers_flags_far_vector(spark):
+    from pipegen_spark.operators.embeddings import centroid_outliers
+
+    # Three vectors near the origin and one far away: the far one's
+    # squared distance to the mean exceeds 1.5x the average distance.
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [10.0, 10.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in centroid_outliers(vecs, dim=2).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[3]["outlier"] is True
+    assert all(rows[i]["outlier"] is False for i in (0, 1, 2))
+    # mean = (2.75, 2.75); dist2(0) = 2*2.75^2 = 15.125 -> micro units
+    assert rows[0]["dist2_micro"] == 15_125_000
