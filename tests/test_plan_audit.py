@@ -23,8 +23,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose DESIGN includes a pandas/Arrow stage.
 # multimodal_features IS the Arrow decode path under the gate — its
-# mapInPandas stage is the thing being tested (operators/multimodal.py).
-PANDAS_OK = {"dedup_embedding_cosine", "multimodal_features"}
+# mapInPandas stage is the thing being tested (operators/multimodal.py);
+# the png/wav pair run the REAL codecs through the same path.
+PANDAS_OK = {
+    "dedup_embedding_cosine",
+    "multimodal_features",
+    "multimodal_png_features",
+    "multimodal_wav_features",
+}
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
 
