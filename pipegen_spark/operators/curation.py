@@ -1021,6 +1021,70 @@ def with_fim(
 ALPHA_NUM, ALPHA_DEN = 1, 2  # alpha = 0.5: sqrt-scaling (mT5-style)
 
 
+PCT_PPM = 1_000_000
+QP_KEEP_FRAC_PPM = 600_000  # per-source keep fraction (top 60%)
+
+
+def quality_percentile_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    keep_frac_ppm: int = QP_KEEP_FRAC_PPM,
+) -> DataFrame:
+    """Per-group quality-percentile calibration (the FineWeb/RefinedWeb
+    per-dump pattern): rank documents WITHIN each source by the quality
+    score and keep the top `keep_frac_ppm`/1e6 of each group — a global
+    threshold over-prunes clean sources and under-prunes noisy ones, so
+    production filters calibrate per domain/dump.
+
+    pct_ppm = (rank-1) * 1e6 // (group_size-1) — integer ppm of the
+    doc's position in its group (0 = worst, 1e6 = best); `keep` is an
+    integer comparison against the cutoff. The quality score itself is
+    the shared dual-dialect fragment (identical doubles both engines),
+    so the ordering — tie-broken by id — matches bit-for-bit.
+
+    Scale: one window per group (groups = sources/dumps — bounded);
+    everything else is the map-only quality projection. One shuffle on
+    the group key, same as any per-domain rollup.
+    """
+    from pipegen_spark.operators import text as tx
+
+    scored = tx.with_quality(
+        docs.select(id_col, group_col, text_col), text_col
+    ).select(
+        id_col,
+        group_col,
+        F.expr(
+            "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    w = Window.partitionBy(group_col).orderBy("score_micro", id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = scored.select(
+        id_col,
+        group_col,
+        "score_micro",
+        (F.row_number().over(w) - 1).cast("long").alias("_rn0"),
+        (F.count("*").over(wn) - 1).cast("long").alias("_den"),
+    )
+    # Singleton group: its only doc is trivially the group's best (ppm
+    # 1e6, kept) rather than divide-by-zero or worst-ranked.
+    pct = (
+        f"CASE WHEN _den = 0 THEN {PCT_PPM} ELSE "
+        f"{dl.idiv(f'_rn0 * {PCT_PPM}', '_den', dl.SPARK)} END"
+    )
+    return ranked.select(
+        id_col,
+        group_col,
+        "score_micro",
+        F.expr(pct).cast("long").alias("pct_ppm"),
+        F.expr(
+            f"({pct}) >= {PCT_PPM - keep_frac_ppm}"
+        ).alias("keep"),
+    ).orderBy(id_col)
+
+
 def temperature_weights(
     df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -255,6 +255,61 @@ def lsh_bucket_topk(
     )
 
 
+def knn_graph(
+    base: DataFrame,
+    plane_ids_pred,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """All-corpus k-nearest-neighbor GRAPH within LSH sign buckets: every
+    vector is both query and candidate, pairs meet ONLY through the
+    bucket equi-join, exact cosine + per-id window rank inside each
+    bucket. This is the kNN-graph build behind cluster-based curation
+    (SemDeDup-style) and graph ANN index construction — different from
+    `lsh_bucket_topk`, whose query side is a small broadcast set.
+
+    Output: (vec_id, neighbor_id, rnk, cos). Scale: bucket assignment is
+    map-only against broadcast planes; the self-join is an equi-join on
+    the bucket id, so pair volume is sum of squared bucket sizes — with
+    b planes that is ~n²/2^b, tuned linear by plane count; the window
+    partitions by id (bounded rows per id). The base table shuffles
+    once, on the bucket key."""
+    planes = (
+        base.filter(plane_ids_pred)
+        .select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
+    )
+    wp = Window.orderBy("pid")
+    planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select(
+        "bit", "pv"
+    )
+    buckets = bucket_ids(base, planes, vec_col, id_col, dim=dim)
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bv = buckets.join(vecs, "id")
+    pairs = (
+        bv.alias("a")
+        .join(bv.alias("b"), "bucket")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src_id"),
+            F.col("b.id").alias("neighbor_id"),
+            _cos("a.v", "b.v", dim).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("src_id").alias(id_col), "neighbor_id", "rnk", "cos"
+        )
+        .orderBy(id_col, "rnk")
+    )
+
+
 def rrf_expr(k: int = 60) -> str:
     """Reciprocal-rank-fusion score over columns r_lex, r_dense — ONE
     expression string shared verbatim by the Spark plan and the DuckDB

@@ -22,14 +22,15 @@ rounds; long-stable canaries stay in every window):
 - r6 window (current): the 19 never-gated queries (q58-q74 tranche +
   curate_classifier + curate_rep_ngram), the two brand-new real-codec
   queries multimodal_png_features / multimodal_wav_features (rows-only:
-  PNG/WAV decode has no SQL oracle) plus the new oracle-checked
-  simsearch_range / embed_outliers, the 6 canaries, and the first 21
+  PNG/WAV decode has no SQL oracle) plus four new oracle-checked ops
+  (simsearch_range, embed_outliers, simsearch_knn_graph,
+  curate_quality_percentile), the 6 canaries, and the first 19
   (alphabetically) of the 38 r4-green ops as rolling re-gates. This
   completes first-pass driver coverage of the whole corpus: every
   query has now been in a window at least once.
-- r7 plan: rolling re-gate of the remaining 17 r4-green ops
-  (q52/q55/q56 + simsearch_* + text_* tail) + the oldest r1-r3 rows,
-  keeping the canaries.
+- r7 plan: rolling re-gate of the remaining 19 r4-green ops
+  (q50-q52/q55/q56 + simsearch_* + text_* tail) + the oldest r1-r3
+  rows, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -58,8 +59,9 @@ GATE_CANARIES = (
 
 #: Round 6: the last queries that have never had a driver row — the
 #: q58-q74 relational tranche plus the two ops added in round 5 — and
-#: the four round-6 additions (real PNG/WAV codec decodes, rows-only;
-#: cosine radius search and the centroid-outlier gate, oracle-checked).
+#: the six round-6 additions (real PNG/WAV codec decodes, rows-only;
+#: cosine radius search, centroid-outlier gate, bucketed kNN graph and
+#: per-source quality-percentile gate, all four oracle-checked).
 GATE_NEVER_GATED = (
     "q58_zorder_layout",
     "q59_table_profile",
@@ -84,11 +86,14 @@ GATE_NEVER_GATED = (
     "multimodal_wav_features",
     "simsearch_range",
     "embed_outliers",
+    "simsearch_knn_graph",
+    "curate_quality_percentile",
 )
 
-#: Rolling re-gates: the first 21 (alphabetically) of the 38 r4-green
+#: Rolling re-gates: the first 19 (alphabetically) of the 38 r4-green
 #: training/relational ops whose only driver rows date from round 4; the
-#: remaining 17 (q52/q55/q56 + simsearch_* + text_* tail) rotate in r7.
+#: remaining 19 (q50-q52/q55/q56 + simsearch_* + text_* tail) rotate in
+#: r7.
 GATE_ROLLING = (
     "curate_chunk",
     "curate_contamination",
@@ -109,12 +114,10 @@ GATE_ROLLING = (
     "embed_kmeans",
     "multimodal_binary_stats",
     "q49_range_frame",
-    "q50_approx_percentile",
-    "q51_tpch_forecast_revenue",
 )
 
-#: The full round-6 gate window, in enumeration order: 23 never-gated
-#: (incl. the four round-6-new queries) + 21 rolling re-gates + 6
+#: The full round-6 gate window, in enumeration order: 25 never-gated
+#: (incl. the six round-6-new queries) + 19 rolling re-gates + 6
 #: canaries = 50.
 GATE_WINDOW = GATE_NEVER_GATED + GATE_ROLLING + GATE_CANARIES
 

@@ -60,6 +60,8 @@ IVF_NPROBE = 2
 N_QUERY_VECS = 5  # query vectors: vec_id < 5
 RANGE_COS_THRESHOLD = 0.2  # radius search: ~140 hits at sf0.01 (max ~0.4)
 PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
+KNN_PLANE_LO, KNN_PLANE_HI = 100, 103  # kNN graph: 4 planes -> 16 buckets
+KNN_GRAPH_K = 3
 # Recall measurement uses a coarser index (2 planes -> 4 buckets): with 8
 # planes over random near-orthogonal vectors recall@5 is uniformly 0,
 # which checks nothing; 4 wide buckets give a 0.2-0.8 spread to verify.
@@ -215,6 +217,25 @@ def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.range_search(
         emb, queries, threshold=RANGE_COS_THRESHOLD, dim=EMB_DIM
     )
+
+
+def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed all-corpus kNN graph (k=3, 4 LSH planes -> 16 buckets —
+    pairs meet only through the bucket equi-join)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.knn_graph(
+        emb,
+        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
+        k=KNN_GRAPH_K,
+        dim=EMB_DIM,
+    )
+
+
+def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile gate (keep the top 60% of each
+    source by the shared quality score)."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.quality_percentile_gate(docs)
 
 
 def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -354,6 +354,71 @@ def _brute_force_sql() -> str:
     """
 
 
+def _knn_graph_sql() -> str:
+    """Mirror of similarity.knn_graph (within-bucket all-corpus kNN)."""
+    dot = dl.dot_double("e.embedding", "p.pv", td.EMB_DIM, D)
+    cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    return f"""
+    WITH planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
+               embedding AS pv
+        FROM embeddings
+        WHERE vec_id BETWEEN {td.KNN_PLANE_LO} AND {td.KNN_PLANE_HI}
+    ),
+    buckets AS (
+        SELECT e.vec_id AS id,
+               CAST(SUM(CASE WHEN {dot} > 0
+                        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    bv AS (SELECT b.id, b.bucket, e.embedding AS v
+           FROM buckets b JOIN embeddings e ON b.id = e.vec_id),
+    scored AS (
+        SELECT a.id AS src_id, b.id AS neighbor_id, {cos} AS cos
+        FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.id <> b.id
+    )
+    SELECT src_id AS vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, cos
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ) t WHERE rnk <= {td.KNN_GRAPH_K}
+    ORDER BY vec_id, rnk
+    """
+
+
+def _quality_percentile_sql() -> str:
+    """Mirror of curation.quality_percentile_gate (per-source percentile
+    rank over the shared quality score, integer ppm)."""
+    q = tx.quality_exprs("text", D)
+    score_micro = (
+        f"CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    pct = (
+        f"CASE WHEN den = 0 THEN {cu.PCT_PPM} ELSE "
+        f"{dl.idiv(f'rn0 * {cu.PCT_PPM}', 'den', D)} END"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, {score_micro} AS score_micro FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, score_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY score_micro, doc_id) - 1 AS BIGINT) AS rn0,
+               CAST(COUNT(*) OVER (PARTITION BY source) - 1 AS BIGINT)
+                   AS den
+        FROM scored
+    )
+    SELECT doc_id, source, score_micro,
+           CAST({pct} AS BIGINT) AS pct_ppm,
+           (({pct}) >= {cu.PCT_PPM - cu.QP_KEEP_FRAC_PPM}) AS keep
+    FROM ranked
+    ORDER BY doc_id
+    """
+
+
 def _range_sql() -> str:
     """Mirror of similarity.range_search (exact cosine radius search)."""
     cos = dl.cosine_double("q.qv", "e.embedding", td.EMB_DIM, D)
@@ -1919,6 +1984,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_embedding_cosine": _emb_dup_sql(),
     "simsearch_bruteforce": _brute_force_sql(),
     "simsearch_range": _range_sql(),
+    "simsearch_knn_graph": _knn_graph_sql(),
+    "curate_quality_percentile": _quality_percentile_sql(),
     "embed_outliers": _outliers_sql(),
     "simsearch_lsh": _lsh_sql(),
     "simsearch_ivf": _ivf_sql(),

@@ -979,3 +979,61 @@ def test_centroid_outliers_flags_far_vector(spark):
     assert all(rows[i]["outlier"] is False for i in (0, 1, 2))
     # mean = (2.75, 2.75); dist2(0) = 2*2.75^2 = 15.125 -> micro units
     assert rows[0]["dist2_micro"] == 15_125_000
+
+
+def test_knn_graph_within_bucket_exact(spark):
+    """4 vectors, 1 plane -> 2 sign buckets; each id's neighbors must be
+    the exact cosine ranking WITHIN its bucket only."""
+    from pipegen_spark.operators.similarity import knn_graph
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.1]),
+            (1, [1.0, 0.2]),
+            (2, [1.0, 0.3]),
+            (3, [-1.0, -0.1]),   # opposite half-space
+            (9, [1.0, 0.0]),     # the plane vector (also a member)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_graph(
+        vecs, vecs.vec_id == 9, k=2, dim=2
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    # 3 is alone in the negative bucket -> no rows for it, and nobody
+    # lists it as a neighbor.
+    assert 3 not in by_src
+    assert all(3 not in v for v in by_src.values())
+    # 0,1,2,9 share the positive bucket.
+    assert set(by_src) == {0, 1, 2, 9}
+    # For id 0: cos(0,1)=.9952 > cos(0,9)=.9950 > cos(0,2)=.9817 -> top-2
+    assert by_src[0] == [1, 9]
+
+
+def test_quality_percentile_gate_semantics(spark):
+    from pipegen_spark.operators.curation import quality_percentile_gate
+
+    # Two sources: srcA has 3 docs of clearly increasing quality, srcB a
+    # singleton. keep = top 60% per source.
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "zz zz zz"),
+            (1, "a", "the quick brown fox jumps over the lazy dog and"
+                      " that is a fine thing to have with you today"),
+            (2, "a", "the and of to be that have with the and of to be"
+                      " that have with more words here for length"),
+            (3, "b", "anything"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_percentile_gate(docs).collect()}
+    assert rows[3]["pct_ppm"] == 1_000_000 and rows[3]["keep"] is True
+    a = sorted((rows[i]["pct_ppm"], i) for i in (0, 1, 2))
+    # 3 docs -> ppm positions 0 / 500000 / 1000000
+    assert [p for p, _ in a] == [0, 500_000, 1_000_000]
+    # keep cutoff at 400000: worst dropped, other two kept
+    worst = a[0][1]
+    assert rows[worst]["keep"] is False
+    assert sum(rows[i]["keep"] for i in (0, 1, 2)) == 2
