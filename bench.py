@@ -295,7 +295,16 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
             _time.sleep(seconds)
             progress = list(q.recentProgress)
         finally:
-            q.stop()
+            # Stopping a continuous-trigger query mid-batch aborts the
+            # in-flight micro-batch by design; with a memory sink the
+            # abort is pure teardown noise, but it logs two ERROR lines
+            # that would dirty the driver's stderr capture — silence the
+            # logger across the stop.
+            spark.sparkContext.setLogLevel("FATAL")
+            try:
+                q.stop()
+            finally:
+                spark.sparkContext.setLogLevel("ERROR")
     # Drop the warm-up batch; rate = processed rows / processing wall time.
     rows = sum(int(p["numInputRows"]) for p in progress[1:])
     dur = sum(

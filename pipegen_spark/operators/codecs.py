@@ -127,7 +127,14 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None:
         raise ValueError("no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # Keep the decode contract total: invalid input is ValueError,
+        # whatever layer catches it (a CRC-valid but zlib-corrupt IDAT
+        # can only come from a buggy encoder, but it should still fail
+        # as "invalid PNG", not leak zlib internals).
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     bpp = channels
     stride = width * channels
     if len(raw) != height * (stride + 1):

@@ -87,10 +87,22 @@ def range_search(
     b = base.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
     )
+    # Fold-form cosine (dim=None), deliberately: this plan is a broadcast
+    # nested-loop join, and the explicit-chain rendering (3*dim multiply
+    # terms for dot + both norms in ONE expression) inlined into the
+    # bnlj doConsume blows janino's method limit at dim=64 — Spark falls
+    # back to interpreted for the WHOLE stage with an ERROR CodeGenerator
+    # line in stderr (r6 bench finding; a Generate barrier does not help,
+    # the stage still fuses). The higher-order `aggregate` fold keeps the
+    # consume method small; the equi-join paths (knn_graph, lsh) keep the
+    # faster chain form. Numerically identical either way (left-assoc
+    # fold == left-assoc chain, functions/dialect.py).
     return (
         b.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("qv", "bv", dim).alias("cos"))
+        .select(
+            "query_id", "neighbor_id", _cos("qv", "bv", None).alias("cos")
+        )
         .filter(F.col("cos") >= threshold)
         .orderBy("query_id", "neighbor_id")
     )

@@ -180,3 +180,49 @@ def test_cms_oracle_never_undercounts(tokens):
         assert true_count == truth[tok]
         assert est >= true_count
         assert over == est - true_count
+
+
+# --- PNG codec properties ----------------------------------------------------
+
+_png_dims = hst.tuples(
+    hst.integers(1, 12), hst.integers(1, 10), hst.sampled_from([1, 3, 4])
+)
+
+
+@given(
+    _png_dims,
+    hst.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_encode_decode_roundtrip_any_pixels(dims, seed):
+    """Any 8-bit pixel buffer survives encode→decode bit-exactly, for
+    every channel count."""
+    import random
+
+    from pipegen_spark.operators.codecs import png_decode, png_encode
+
+    w, h, ch = dims
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    assert png_decode(png_encode(w, h, px, ch)) == (w, h, ch, px)
+
+
+@given(hst.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_png_decode_total_on_garbage(data):
+    """Arbitrary bytes either decode or raise ValueError — never
+    struct.error / TypeError / IndexError (the round-5 advice class)."""
+    from pipegen_spark.operators.codecs import (
+        PNG_SIGNATURE,
+        png_decode,
+    )
+
+    try:
+        png_decode(PNG_SIGNATURE + data)
+    except ValueError:
+        pass
+    except Exception as e:  # zlib garbage is a declared ValueError too?
+        # zlib.error escapes only through a VALID chunk framing with a
+        # CRC-correct IDAT, which random bytes cannot produce (CRC32
+        # guards every chunk) — anything else is a real bug.
+        raise AssertionError(f"non-ValueError leak: {type(e).__name__}: {e}")
