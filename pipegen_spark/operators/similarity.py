@@ -267,6 +267,63 @@ def lsh_bucket_topk(
     )
 
 
+def _staged_cosine(
+    df: DataFrame,
+    va: str,
+    vb: str,
+    dim: int,
+    out: str = "cos",
+    chunk: int = 16,
+) -> DataFrame:
+    """Append cosine(`va`,`vb`) computed as a CHUNKED left-assoc chain:
+    each stage extends the running dot/norm partial sums by `chunk`
+    terms behind a Generate barrier, so every projected expression stays
+    small enough for whole-stage codegen + HotSpot JIT. The full
+    3*dim-term chain in one expression exceeds the huge-method
+    threshold and silently evaluates interpreted — measured 2.43 s vs
+    0.67 s for 257 k pairs at dim=64 (3.6x).
+
+    The operation ORDER is identical to the one-shot left-assoc chain
+    (((p + t_k) + t_k+1) + ... — parenthesization follows the same
+    sequence), so results are bit-identical and the DuckDB oracle keeps
+    its single-expression rendering. Map-only: the barriers are unit
+    explodes, no shuffle. Drops the vector columns when done."""
+    from pipegen_spark.operators.text import _barrier
+
+    def _t(x: str, y: str, i: int) -> str:
+        ex = dl.elem(x, str(i), dl.SPARK)
+        ey = dl.elem(y, str(i), dl.SPARK)
+        return f"(CAST({ex} AS DOUBLE) * CAST({ey} AS DOUBLE))"
+
+    keep = [c for c in df.columns if c not in (va, vb)]
+    cur = df
+    for lo in range(1, dim + 1, chunk):
+        hi = min(lo + chunk - 1, dim)
+        if lo == 1:
+            d = " + ".join(_t(va, vb, i) for i in range(lo, hi + 1))
+            na = " + ".join(_t(va, va, i) for i in range(lo, hi + 1))
+            nb = " + ".join(_t(vb, vb, i) for i in range(lo, hi + 1))
+        else:
+            d, na, nb = "_d", "_na", "_nb"
+            for i in range(lo, hi + 1):
+                d = f"({d} + {_t(va, vb, i)})"
+                na = f"({na} + {_t(va, va, i)})"
+                nb = f"({nb} + {_t(vb, vb, i)})"
+        cur = _barrier(
+            cur.select(
+                *keep,
+                va,
+                vb,
+                F.expr(f"({d})").alias("_d"),
+                F.expr(f"({na})").alias("_na"),
+                F.expr(f"({nb})").alias("_nb"),
+            )
+        )
+    return cur.select(
+        *keep, F.expr("_d / (sqrt(_na) * sqrt(_nb))").alias(out)
+    )
+
+
 def knn_graph(
     base: DataFrame,
     plane_ids_pred,
@@ -299,16 +356,26 @@ def knn_graph(
     buckets = bucket_ids(base, planes, vec_col, id_col, dim=dim)
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bv = buckets.join(vecs, "id")
-    pairs = (
+    # The pair pass is the hot path (~n²/2^b rows, each a dim-term
+    # cosine) — score it with the chunked-chain form (see
+    # _staged_cosine: the one-shot chain runs interpreted, 3.6x slower).
+    raw = (
         bv.alias("a")
         .join(bv.alias("b"), "bucket")
         .filter(F.col("a.id") != F.col("b.id"))
         .select(
             F.col("a.id").alias("src_id"),
             F.col("b.id").alias("neighbor_id"),
-            _cos("a.v", "b.v", dim).alias("cos"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
         )
     )
+    if dim is not None:
+        pairs = _staged_cosine(raw, "_va", "_vb", dim, out="cos")
+    else:  # unknown dimension: fall back to the fold form
+        pairs = raw.select(
+            "src_id", "neighbor_id", _cos("_va", "_vb", None).alias("cos")
+        )
     w = Window.partitionBy("src_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
