@@ -879,6 +879,41 @@ def curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.classifier_scores(docs).orderBy("doc_id")
 
 
+def curate_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three quality-filter families composed into one verdict, the
+    way a production curation pipeline actually gates a document: Gopher
+    heuristic rules AND the linear classifier AND the per-source
+    percentile calibration must all agree to keep. Each signal is the
+    exact same operator (and oracle fragment) as its standalone query,
+    so the ensemble is pure composition — three doc_id equi-joins over
+    map-only/windowed signal frames; at scale they co-partition on the
+    id and the only shuffle beyond the signals' own is the join key."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = cu.with_gopher(docs, "text", **GOPHER_TUNE).select(
+        "doc_id", "gopher_keep"
+    )
+    c = cu.classifier_scores(docs).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    p = cu.quality_percentile_gate(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("keep").alias("pct_keep")
+    )
+    return (
+        g.join(c, "doc_id")
+        .join(p, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "clf_keep",
+            "pct_keep",
+            (
+                F.col("gopher_keep") & F.col("clf_keep") & F.col("pct_keep")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket statistics of the English (target) subset vs the whole pool,

@@ -419,6 +419,25 @@ def _quality_percentile_sql() -> str:
     """
 
 
+def _ensemble_sql() -> str:
+    """Mirror of queries.training_data.curate_ensemble — the three
+    standalone filter oracles embedded verbatim as CTE subqueries and
+    joined on doc_id, so the ensemble is composition on BOTH engines."""
+    return f"""
+    WITH g AS ({_gopher_sql()}),
+    c AS ({_classifier_sql()}),
+    p AS ({_quality_percentile_sql()})
+    SELECT g.doc_id,
+           g.gopher_keep,
+           c.keep AS clf_keep,
+           p.keep AS pct_keep,
+           (g.gopher_keep AND c.keep AND p.keep) AS keep
+    FROM g JOIN c ON g.doc_id = c.doc_id
+           JOIN p ON g.doc_id = p.doc_id
+    ORDER BY g.doc_id
+    """
+
+
 def _range_sql() -> str:
     """Mirror of similarity.range_search (exact cosine radius search)."""
     cos = dl.cosine_double("q.qv", "e.embedding", td.EMB_DIM, D)
@@ -1986,6 +2005,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_range": _range_sql(),
     "simsearch_knn_graph": _knn_graph_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
+    "curate_ensemble": _ensemble_sql(),
     "embed_outliers": _outliers_sql(),
     "simsearch_lsh": _lsh_sql(),
     "simsearch_ivf": _ivf_sql(),
