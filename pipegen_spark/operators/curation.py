@@ -1050,6 +1050,10 @@ def quality_percentile_gate(
     """
     from pipegen_spark.operators import text as tx
 
+    if not 0 <= keep_frac_ppm <= PCT_PPM:
+        raise ValueError(
+            f"keep_frac_ppm must be in [0, {PCT_PPM}], got {keep_frac_ppm}"
+        )
     scored = tx.with_quality(
         docs.select(id_col, group_col, text_col), text_col
     ).select(

@@ -397,6 +397,10 @@ def centroid_outliers(
     the d-element mean vector and the 1-row distance stats are broadcast,
     the flagging pass is map-only. The base table never shuffles.
     """
+    if ratio_num < 1 or ratio_den < 1:
+        raise ValueError(
+            f"ratio must be positive, got {ratio_num}/{ratio_den}"
+        )
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
     mean_vec = (

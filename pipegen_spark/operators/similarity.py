@@ -290,6 +290,9 @@ def _staged_cosine(
     explodes, no shuffle. Drops the vector columns when done."""
     from pipegen_spark.operators.text import _barrier
 
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
     def _t(x: str, y: str, i: int) -> str:
         ex = dl.elem(x, str(i), dl.SPARK)
         ey = dl.elem(y, str(i), dl.SPARK)
