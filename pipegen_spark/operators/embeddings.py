@@ -443,6 +443,61 @@ def centroid_outliers(
     )
 
 
+def dim_stats(
+    base: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dead_var_micro: int = 10,
+) -> DataFrame:
+    """Per-dimension corpus statistics: count, mean and variance of each
+    embedding coordinate (integer micro-units) plus a `dead_dim` flag
+    for near-zero-variance dimensions — the standard diagnostic for
+    embedding collapse / dead units before ANN indexing or PQ training
+    (a dead subspace wastes codebook bits and distorts distances).
+
+    Determinism: coordinates and their squares are summed as scaled
+    longs (partition-order independent, the kmeans discipline); mean
+    and E[x²]-mean² are then fixed-sequence double expressions over
+    those exact integers, floored to micro-units — bit-identical on
+    both engines.
+
+    Scale: ONE posexplode aggregation keyed by dimension index (d
+    groups, constant state via map-side partial aggregation); output is
+    d rows regardless of corpus size. No joins, one shuffle of partial
+    sums."""
+    mean = f"((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / {MEAN_SCALE})"
+    ex2 = f"((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / {MEAN_SCALE})"
+    var = f"({ex2} - ({mean} * {mean}))"
+    return (
+        base.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr(scaled_long_expr("x"))).alias("s1"),
+            F.sum(
+                F.expr(
+                    scaled_long_expr("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")
+                )
+            ).alias("s2"),
+        )
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n",
+            F.expr(
+                f"CAST(floor(({mean}) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("mean_micro"),
+            F.expr(
+                f"CAST(floor(({var}) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("var_micro"),
+            F.expr(
+                f"CAST(floor(({var}) * 1000000.0 + 0.5) AS BIGINT)"
+                f" < {dead_var_micro}"
+            ).alias("dead_dim"),
+        )
+        .orderBy("pos")
+    )
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

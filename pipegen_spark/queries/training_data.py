@@ -219,6 +219,13 @@ def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance diagnostic (dead-dimension screen) in
+    integer micro-units."""
+    emb = table(spark, sf_dir, "embeddings")
+    return em.dim_stats(emb)
+
+
 def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed all-corpus kNN graph (k=3, 4 LSH planes -> 16 buckets —
     pairs meet only through the bucket equi-join)."""

@@ -451,6 +451,34 @@ def _range_sql() -> str:
     """
 
 
+def _dim_stats_sql() -> str:
+    """Mirror of embeddings.dim_stats (scaled-long sums, micro-unit
+    mean/variance, dead-dimension flag)."""
+    import pipegen_spark.operators.embeddings as em
+
+    x = dl.elem("e.embedding", "(CAST(r.range AS INT) + 1)", D)
+    mean = f"((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / {em.MEAN_SCALE})"
+    ex2 = f"((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / {em.MEAN_SCALE})"
+    var = f"({ex2} - ({mean} * {mean}))"
+    return f"""
+    WITH s AS (
+        SELECT CAST(r.range AS INT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM({em.scaled_long_expr(x)}) AS s1,
+               SUM({em.scaled_long_expr(f"CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE)")}) AS s2
+        FROM embeddings e CROSS JOIN range(0, {td.EMB_DIM}) r
+        GROUP BY pos
+    )
+    SELECT pos, n,
+           CAST(floor(({mean}) * 1000000.0 + 0.5) AS BIGINT) AS mean_micro,
+           CAST(floor(({var}) * 1000000.0 + 0.5) AS BIGINT) AS var_micro,
+           (CAST(floor(({var}) * 1000000.0 + 0.5) AS BIGINT) < 10)
+               AS dead_dim
+    FROM s
+    ORDER BY pos
+    """
+
+
 def _outliers_sql() -> str:
     """Mirror of embeddings.centroid_outliers (scaled-long mean vector,
     micro-unit distances, cross-multiplied integer flag)."""
@@ -2007,6 +2035,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_ensemble": _ensemble_sql(),
     "embed_outliers": _outliers_sql(),
+    "embed_dim_stats": _dim_stats_sql(),
     "simsearch_lsh": _lsh_sql(),
     "simsearch_ivf": _ivf_sql(),
     "text_tokens": _proj_sql(tx.token_stats_exprs("text", D)),

@@ -1037,3 +1037,25 @@ def test_quality_percentile_gate_semantics(spark):
     worst = a[0][1]
     assert rows[worst]["keep"] is False
     assert sum(rows[i]["keep"] for i in (0, 1, 2)) == 2
+
+
+def test_dim_stats_detects_dead_dimension(spark):
+    from pipegen_spark.operators.embeddings import dim_stats
+
+    # dim 0 varies, dim 1 is constant (dead), dim 2 is constant nonzero
+    # (dead too: variance ~ 0 even though mean != 0).
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.5, 2.0]),
+            (1, [-1.0, 0.5, 2.0]),
+            (2, [3.0, 0.5, 2.0]),
+            (3, [-3.0, 0.5, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["pos"]: r for r in dim_stats(vecs).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(rows[p]["n"] == 4 for p in rows)
+    assert rows[0]["dead_dim"] is False and rows[0]["var_micro"] == 5_000_000
+    assert rows[1]["dead_dim"] is True and rows[1]["mean_micro"] == 500_000
+    assert rows[2]["dead_dim"] is True and rows[2]["mean_micro"] == 2_000_000
