@@ -24,14 +24,15 @@ rounds; long-stable canaries stay in every window):
   queries multimodal_png_features / multimodal_wav_features (rows-only:
   PNG/WAV decode has no SQL oracle) plus four new oracle-checked ops
   (simsearch_range, embed_outliers, simsearch_knn_graph,
-  curate_quality_percentile, curate_ensemble, embed_dim_stats), the 6
-  canaries, and the first 17
+  curate_quality_percentile, curate_ensemble, embed_dim_stats,
+  curate_near_dup_rate), the 6 canaries, and the first 16
   (alphabetically) of the 38 r4-green ops as rolling re-gates. This
   completes first-pass driver coverage of the whole corpus: every
   query has now been in a window at least once.
-- r7 plan: rolling re-gate of the remaining 21 r4-green ops
-  (multimodal_binary_stats + q49-q52/q55/q56 + simsearch_* + text_*
-  tail) + the oldest r1-r3 rows, keeping the canaries.
+- r7 plan: rolling re-gate of the remaining 22 r4-green ops
+  (embed_kmeans + multimodal_binary_stats + q49-q52/q55/q56 +
+  simsearch_* + text_* tail) + the oldest r1-r3 rows, keeping the
+  canaries.
 """
 
 from __future__ import annotations
@@ -60,10 +61,11 @@ GATE_CANARIES = (
 
 #: Round 6: the last queries that have never had a driver row — the
 #: q58-q74 relational tranche plus the two ops added in round 5 — and
-#: the eight round-6 additions (real PNG/WAV codec decodes, rows-only;
+#: the nine round-6 additions (real PNG/WAV codec decodes, rows-only;
 #: cosine radius search, centroid-outlier gate, bucketed kNN graph,
-#: per-source quality-percentile gate, the three-filter quality
-#: ensemble and the dim-stats diagnostic, all six oracle-checked).
+#: per-source quality-percentile gate, three-filter quality ensemble,
+#: dim-stats diagnostic and per-source near-dup rate, all seven
+#: oracle-checked).
 GATE_NEVER_GATED = (
     "q58_zorder_layout",
     "q59_table_profile",
@@ -92,12 +94,13 @@ GATE_NEVER_GATED = (
     "curate_quality_percentile",
     "curate_ensemble",
     "embed_dim_stats",
+    "curate_near_dup_rate",
 )
 
-#: Rolling re-gates: the first 17 (alphabetically) of the 38 r4-green
+#: Rolling re-gates: the first 16 (alphabetically) of the 38 r4-green
 #: training/relational ops whose only driver rows date from round 4; the
-#: remaining 21 (multimodal_binary_stats + q49-q52/q55/q56 +
-#: simsearch_* + text_* tail) rotate in r7.
+#: remaining 22 (embed_kmeans + multimodal_binary_stats +
+#: q49-q52/q55/q56 + simsearch_* + text_* tail) rotate in r7.
 GATE_ROLLING = (
     "curate_chunk",
     "curate_contamination",
@@ -115,11 +118,10 @@ GATE_ROLLING = (
     "dedup_prefix",
     "dedup_simhash",
     "dedup_span_stats",
-    "embed_kmeans",
 )
 
-#: The full round-6 gate window, in enumeration order: 27 never-gated
-#: (incl. the eight round-6-new queries) + 17 rolling re-gates + 6
+#: The full round-6 gate window, in enumeration order: 28 never-gated
+#: (incl. the nine round-6-new queries) + 16 rolling re-gates + 6
 #: canaries = 50.
 GATE_WINDOW = GATE_NEVER_GATED + GATE_ROLLING + GATE_CANARIES
 

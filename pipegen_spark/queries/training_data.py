@@ -921,6 +921,71 @@ def curate_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate rate — the dataset-card corpus-health
+    metric: fraction (integer ppm) of documents that are exact-set dups
+    of another doc OR whose shingle-set representative participates in a
+    MinHash-LSH near-dup pair. Composed from the same shingle/LSH chain
+    as dedup_minhash_lsh, so the two queries can never disagree about
+    what a near-dup is.
+
+    Scale: the doc→representative map is one window over the shingle-set
+    key (same shuffle the collapse stage already does); the pair-id set
+    is tiny (near-dup reps only) and broadcast; the rollup is one
+    groupBy(source)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    )
+    dup_reps = (
+        pairs.select(F.col("doc_a").alias("rep"))
+        .unionByName(pairs.select(F.col("doc_b").alias("rep")))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    sh = (
+        dd.shingle_rows(docs, "text", "doc_id", MINHASH_K, distinct=False)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("s")).alias("sh"))
+    )
+    wk = Window.partitionBy("skey")
+    mapped = sh.withColumn(
+        "skey", F.md5(F.array_join("sh", ","))
+    ).select(
+        "id",
+        F.min("id").over(wk).alias("rep"),
+        F.count("*").over(wk).cast("long").alias("grp"),
+    )
+    flagged = mapped.join(F.broadcast(dup_reps), "rep", "left").select(
+        "id",
+        ((F.col("grp") > 1) | F.col("_hit").isNotNull()).alias(
+            "is_near_dup"
+        ),
+    )
+    return (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(flagged, "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_near_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_near_dup",
+            F.expr(
+                dl.idiv("n_near_dup * 1000000", "n_docs", dl.SPARK)
+            ).cast("long").alias("near_dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket statistics of the English (target) subset vs the whole pool,

@@ -85,6 +85,40 @@ def _minhash_sql() -> str:
     """
 
 
+def _near_dup_rate_sql() -> str:
+    """Mirror of curate_near_dup_rate: the shared MinHash chain, a doc →
+    set-representative window, and a per-source ppm rollup."""
+    skey = f"md5(array_to_string(list_sort(sh), ','))"
+    n_dup = "SUM(CASE WHEN fl.is_near_dup THEN 1 ELSE 0 END)"
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    dup AS (
+        SELECT doc_a AS rep FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}
+        UNION
+        SELECT doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}
+    ),
+    m AS (
+        SELECT id,
+               MIN(id) OVER (PARTITION BY {skey}) AS rep,
+               COUNT(*) OVER (PARTITION BY {skey}) AS grp
+        FROM sh0
+    ),
+    fl AS (
+        SELECT m.id,
+               (m.grp > 1 OR m.rep IN (SELECT rep FROM dup)) AS is_near_dup
+        FROM m
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST({n_dup} AS BIGINT) AS n_near_dup,
+           CAST({dl.idiv(f"{n_dup} * 1000000", "COUNT(*)", D)} AS BIGINT)
+               AS near_dup_ppm
+    FROM documents d JOIN fl ON d.doc_id = fl.id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
 def _containment_sql() -> str:
     """Same CTE chain; the verified measure is Broder containment
     |A∩B| / min(|A|,|B|) (see operators/dedup._containment_col)."""
@@ -2034,6 +2068,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_knn_graph": _knn_graph_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_ensemble": _ensemble_sql(),
+    "curate_near_dup_rate": _near_dup_rate_sql(),
     "embed_outliers": _outliers_sql(),
     "embed_dim_stats": _dim_stats_sql(),
     "simsearch_lsh": _lsh_sql(),

@@ -547,3 +547,68 @@ def test_classifier_scores_match_reference_model(spark):
         assert rows[did]["sum_w"] == sw
         assert rows[did]["avg_micro"] == (sw // nf if nf else 0)
         assert rows[did]["keep"] == (nf > 0 and sw >= cu.CLF_NEUTRAL * nf)
+
+
+def test_near_dup_rate_counts_exact_and_fuzzy(spark):
+    """Planted corpus: srcA has an exact-dup pair + a unique doc; srcB has
+    a fuzzy near-dup pair (high bigram Jaccard) + a unique doc."""
+    from pipegen_spark.queries.training_data import (
+        MINHASH_K,
+        MINHASH_THRESHOLD,
+    )
+    from pipegen_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    words = [f"w{i}" for i in range(25)]
+    base = " ".join(words)
+    near_words = list(words)
+    near_words[12] = "CHANGED"  # 1 word of 25 -> bigram J = 22/26 ~ 0.846
+    near = " ".join(near_words)
+    rows = [
+        (0, "a", base),
+        (1, "a", base),                       # exact dup of 0
+        (2, "a", "totally different words here one two three four five six"),
+        (3, "b", base + " tail0 tail1"),
+        (4, "b", near + " tail0 tail1"),       # fuzzy near-dup of 3
+        (5, "b", "unrelated content entirely something else and more again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # sanity: the fuzzy pair really crosses the threshold
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    ).collect()
+    assert (3, 4) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+    out = {}
+    # run the query logic on the constructed frame via the operator chain
+    # (the registry query reads parquet; here we inline the same steps)
+    dup_reps = (
+        spark.createDataFrame(
+            [(r["doc_a"],) for r in pairs] + [(r["doc_b"],) for r in pairs],
+            "rep long",
+        ).distinct().withColumn("_hit", F.lit(1))
+    )
+    sh = (
+        dd.shingle_rows(docs, "text", "doc_id", MINHASH_K, distinct=False)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("s")).alias("sh"))
+    )
+    wk = Window.partitionBy("skey")
+    mapped = sh.withColumn("skey", F.md5(F.array_join("sh", ","))).select(
+        "id",
+        F.min("id").over(wk).alias("rep"),
+        F.count("*").over(wk).alias("grp"),
+    )
+    flagged = mapped.join(dup_reps, "rep", "left").select(
+        "id", ((F.col("grp") > 1) | F.col("_hit").isNotNull()).alias("d")
+    )
+    for r in (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(flagged, "id")
+        .groupBy("source")
+        .agg(F.sum(F.when(F.col("d"), 1).otherwise(0)).alias("n"))
+        .collect()
+    ):
+        out[r["source"]] = r["n"]
+    assert out == {"a": 2, "b": 2}
