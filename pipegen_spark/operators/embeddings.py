@@ -464,7 +464,9 @@ def dim_stats(
     Scale: ONE posexplode aggregation keyed by dimension index (d
     groups, constant state via map-side partial aggregation); output is
     d rows regardless of corpus size. No joins, one shuffle of partial
-    sums."""
+    sums. The scaled-long sums hold ~9e9 unit-scale coordinates per
+    dimension before int64 overflow (the module-level kmeans bound);
+    past that, swap the LONG for DECIMAL(38,0) — still exact."""
     mean = f"((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / {MEAN_SCALE})"
     ex2 = f"((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / {MEAN_SCALE})"
     var = f"({ex2} - ({mean} * {mean}))"

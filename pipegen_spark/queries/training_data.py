@@ -930,9 +930,11 @@ def curate_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a near-dup is.
 
     Scale: the doc→representative map is one window over the shingle-set
-    key (same shuffle the collapse stage already does); the pair-id set
-    is tiny (near-dup reps only) and broadcast; the rollup is one
-    groupBy(source)."""
+    key (same shuffle the collapse stage already does); the pair-id join
+    is a plain equi-join on rep — NOT hint-broadcast, because on a
+    heavily duplicated corpus the near-dup rep set approaches n rows
+    (AQE still broadcasts it when it is actually small); the rollup is
+    one groupBy(source)."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -958,7 +960,7 @@ def curate_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").over(wk).alias("rep"),
         F.count("*").over(wk).cast("long").alias("grp"),
     )
-    flagged = mapped.join(F.broadcast(dup_reps), "rep", "left").select(
+    flagged = mapped.join(dup_reps, "rep", "left").select(
         "id",
         ((F.col("grp") > 1) | F.col("_hit").isNotNull()).alias(
             "is_near_dup"
