@@ -929,6 +929,14 @@ def curate_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     as dedup_minhash_lsh, so the two queries can never disagree about
     what a near-dup is.
 
+    Shingle-less docs (fewer than MINHASH_K tokens, so shingle_rows emits
+    no rows) are by definition NEVER near-dup but ALWAYS counted in
+    n_docs: the doc→flag join is a LEFT join with coalesce(flag, false).
+    The oracle applies the identical rule (round-7 ADVICE fix: the inner
+    join silently dropped short docs, while the oracle grouped all of
+    them under one empty-shingle key and flagged unrelated docs as
+    mutual near-dups).
+
     Scale: the doc→representative map is one window over the shingle-set
     key (same shuffle the collapse stage already does); the pair-id join
     is a plain equi-join on rep — NOT hint-broadcast, because on a
@@ -968,11 +976,15 @@ def curate_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select(F.col("doc_id").alias("id"), "source")
-        .join(flagged, "id")
+        .join(flagged, "id", "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("is_near_dup"), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("is_near_dup"), F.lit(False)), 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_near_dup"),
         )

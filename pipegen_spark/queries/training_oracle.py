@@ -87,9 +87,16 @@ def _minhash_sql() -> str:
 
 def _near_dup_rate_sql() -> str:
     """Mirror of curate_near_dup_rate: the shared MinHash chain, a doc →
-    set-representative window, and a per-source ppm rollup."""
+    set-representative window, and a per-source ppm rollup.
+
+    Shingle-less docs (len(sh)=0, i.e. fewer than MINHASH_K tokens) are
+    excluded from the representative window — mirroring the Spark side,
+    where shingle_rows emits no rows for them — and re-enter via the
+    LEFT JOIN with COALESCE(flag, FALSE): never near-dup, always counted
+    (round-7 ADVICE fix; previously every shingle-less doc shared one
+    empty-set window key and unrelated docs were flagged mutual dups)."""
     skey = f"md5(array_to_string(list_sort(sh), ','))"
-    n_dup = "SUM(CASE WHEN fl.is_near_dup THEN 1 ELSE 0 END)"
+    n_dup = "SUM(CASE WHEN COALESCE(fl.is_near_dup, FALSE) THEN 1 ELSE 0 END)"
     return f"""
     WITH {_minhash_pairs_ctes()},
     dup AS (
@@ -102,6 +109,7 @@ def _near_dup_rate_sql() -> str:
                MIN(id) OVER (PARTITION BY {skey}) AS rep,
                COUNT(*) OVER (PARTITION BY {skey}) AS grp
         FROM sh0
+        WHERE {dl.size('sh', D)} > 0
     ),
     fl AS (
         SELECT m.id,
@@ -113,7 +121,7 @@ def _near_dup_rate_sql() -> str:
            CAST({n_dup} AS BIGINT) AS n_near_dup,
            CAST({dl.idiv(f"{n_dup} * 1000000", "COUNT(*)", D)} AS BIGINT)
                AS near_dup_ppm
-    FROM documents d JOIN fl ON d.doc_id = fl.id
+    FROM documents d LEFT JOIN fl ON d.doc_id = fl.id
     GROUP BY d.source
     ORDER BY d.source
     """

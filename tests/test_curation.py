@@ -612,3 +612,60 @@ def test_near_dup_rate_counts_exact_and_fuzzy(spark):
     ):
         out[r["source"]] = r["n"]
     assert out == {"a": 2, "b": 2}
+
+
+def test_near_dup_rate_short_docs_counted_never_dup(spark, tmp_path):
+    """Round-7 ADVICE repro: docs with fewer than MINHASH_K tokens (so
+    shingle_rows emits no rows) must be COUNTED in n_docs and NEVER
+    flagged near-dup — and the Spark query must agree with its DuckDB
+    oracle on such a corpus. Previously Spark's inner join dropped them
+    (a source of only short docs vanished) while the oracle grouped all
+    shingle-less docs under one empty-set key and flagged unrelated docs
+    as mutual near-dups."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from pipegen_spark.queries.training_data import curate_near_dup_rate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "srcA", 34),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "srcA", 34),
+        (2, "solo", "en", "srcB", 4),       # shingle-less (1 token < k=2)
+        (3, "hapax", "en", "srcB", 5),      # shingle-less, unrelated to 2
+        (4, "completely different words one two three", "en", "srcC", 40),
+        (5, "", "en", "srcC", 0),           # zero tokens
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = {
+        r["source"]: r
+        for r in curate_near_dup_rate(spark, str(tmp_path)).collect()
+    }
+    assert out["srcA"]["n_docs"] == 2 and out["srcA"]["n_near_dup"] == 2
+    assert out["srcB"]["n_docs"] == 2 and out["srcB"]["n_near_dup"] == 0
+    assert out["srcC"]["n_docs"] == 2 and out["srcC"]["n_near_dup"] == 0
+    assert out["srcB"]["near_dup_ppm"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(
+            e.oracle_sql()["curate_near_dup_rate"]
+        ).fetchall()
+    )
+    con.close()
+    srows = sorted(
+        (r["source"], r["n_docs"], r["n_near_dup"], r["near_dup_ppm"])
+        for r in out.values()
+    )
+    assert drows == srows
