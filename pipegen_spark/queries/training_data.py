@@ -478,19 +478,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode under the driver gate (rows-only: PNG encode/
-    decode is zlib + per-scanline filters, not SQL-expressible, so there
-    is deliberately no DuckDB oracle for this one — the driver records
-    the weaker rows/schema check).
-
-    Each document becomes a genuine color-type-2 PNG (8x6 RGB, pixels =
-    the document text's md5 digest tiled across the buffer — fully
-    deterministic), then `operators/multimodal.extract_features` decodes
-    it with the REAL codec (`codecs.auto_decode` → magic-byte dispatch →
+    """REAL media decode under the driver gate, now HARD-oracle-checked
+    (round-7): each document becomes a genuine color-type-2 PNG (8x6
+    RGB, pixels = the document text's md5 digest tiled across the
+    144-byte buffer = exactly 9 digest copies — fully deterministic),
+    then `operators/multimodal.extract_features` decodes it with the
+    REAL codec (`codecs.auto_decode` → magic-byte dispatch →
     `png_decode`: chunk framing, CRC checks, zlib inflate, filter
-    reconstruction) inside Arrow-batched `mapInPandas`. Both hops are
-    map-only: payload bytes cross the Arrow boundary once per hop, no
-    shuffle, linear in executors at scale."""
+    reconstruction) inside Arrow-batched `mapInPandas`.
+
+    The gated surface is (doc_id, feat_dim, feat_norm): feat_norm is the
+    squared L2 of the 8-bin pixel histogram, a value-sensitive function
+    of EVERY decoded byte, and — because the pixels are 9 tiled md5
+    copies — DuckDB can compute the expected value from `md5(text)`
+    alone (81 × Σ per-bin-count² over the 16 digest bytes), no PNG code
+    needed. Any codec bug (filter reconstruction, inflate, CRC, chunk
+    order) changes feat_norm and fails the hash gate. Payload-level
+    n_bytes/content_sha (zlib-dependent, not SQL-expressible) stay
+    covered by tests/test_codecs.py.
+
+    Both hops are map-only: payload bytes cross the Arrow boundary once
+    per hop, no shuffle, linear in executors at scale."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
@@ -520,8 +528,6 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.extract_features(media, decoder=auto_decode)
         .select(
             F.col("media_id").alias("doc_id"),
-            F.col("n_bytes").cast("long").alias("n_bytes"),
-            "content_sha",
             F.col("feat_dim").cast("long").alias("feat_dim"),
             F.col("feat_norm").cast("long").alias("feat_norm"),
         )
@@ -530,13 +536,17 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio sibling of `multimodal_png_features` (rows-only, same
-    rationale): each document becomes a genuine 16-bit PCM RIFF/WAVE
-    payload (64 samples = the text's md5 digest tiled and read as
-    little-endian int16), and `extract_features` decodes it through
+    """Audio sibling of `multimodal_png_features` (hard-oracle-checked
+    since round-7, same construction): each document becomes a genuine
+    16-bit PCM RIFF/WAVE payload (64 samples = the text's md5 digest
+    tiled to 128 bytes = exactly 8 digest copies, read as little-endian
+    int16), and `extract_features` decodes it through
     `codecs.auto_decode`'s RIFF magic-byte dispatch → `wav_features`
-    (stdlib `wave` parse + amplitude-octave histogram). Map-only, one
-    Arrow hop per stage, no shuffle."""
+    (stdlib `wave` parse + amplitude-octave histogram). The gated
+    surface is (doc_id, feat_dim, feat_norm); the expected feat_norm is
+    64 × Σ per-bucket-count² over the digest's 8 int16 samples, which
+    DuckDB computes from `md5(text)` hex alone. Map-only, one Arrow hop
+    per stage, no shuffle."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
@@ -570,8 +580,6 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.extract_features(media, decoder=auto_decode)
         .select(
             F.col("media_id").alias("doc_id"),
-            F.col("n_bytes").cast("long").alias("n_bytes"),
-            "content_sha",
             F.col("feat_dim").cast("long").alias("feat_dim"),
             F.col("feat_norm").cast("long").alias("feat_norm"),
         )

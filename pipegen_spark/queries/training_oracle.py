@@ -1564,6 +1564,80 @@ def _multimodal_features_sql() -> str:
     """
 
 
+def _multimodal_png_sql() -> str:
+    """Expected output of the REAL PNG decode chain, computed from
+    `md5(text)` hex alone (round-7: converts the query from rows-only to
+    a hard hash gate). The encoded pixels are the 16-byte md5 digest
+    tiled to 144 bytes = exactly 9 copies, so the decoder's 8-bin
+    histogram (bin = byte >> 5) is 9 × the digest-byte histogram and
+    feat_norm = Σ(9·c_b)² = 81 × Σ c_b². Any bug anywhere in the Spark
+    side's encode → zlib → filter → decode path perturbs the histogram
+    and fails the value hash. Bounds: c_b ≤ 16 → feat_norm ≤ 81·256,
+    trivially BIGINT-exact."""
+    byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id, md5(COALESCE(text, '')) AS hx FROM documents
+    ),
+    b AS (
+        SELECT doc_id, {byte} // 32 AS bin
+        FROM h CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS i FROM range(0, 16) r
+        ) t
+    ),
+    hist AS (
+        SELECT doc_id, bin, COUNT(*) AS c FROM b GROUP BY doc_id, bin
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS feat_dim,
+           CAST(81 * SUM(c * c) AS BIGINT) AS feat_norm
+    FROM hist GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _multimodal_wav_sql() -> str:
+    """Expected output of the REAL WAV decode chain from `md5(text)` hex
+    (round-7 hard gate, sibling of `_multimodal_png_sql`). The encoded
+    samples are the digest tiled to 128 bytes = exactly 8 copies read as
+    little-endian int16, so the decoder's amplitude-octave histogram
+    (bucket = min(bit_length(|s|) >> 1, 7)) is 8 × the histogram over
+    the digest's own 8 int16 samples and feat_norm = 64 × Σ c_b². The
+    bucket is computed with an integer CASE ladder over |s| ranges
+    ([0,2) → 0, [2,8) → 1, …, [8192,32768] → 7), no floating log."""
+    lo = "CAST(('0x' || substr(hx, 4 * i + 1, 2)) AS INT)"
+    hi = "CAST(('0x' || substr(hx, 4 * i + 3, 2)) AS INT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id, md5(COALESCE(text, '')) AS hx FROM documents
+    ),
+    u AS (
+        SELECT doc_id, {lo} + 256 * {hi} AS uval
+        FROM h CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS i FROM range(0, 8) r
+        ) t
+    ),
+    a AS (
+        SELECT doc_id,
+               ABS(uval - CASE WHEN uval >= 32768 THEN 65536 ELSE 0 END)
+                   AS amp
+        FROM u
+    ),
+    hist AS (
+        SELECT doc_id,
+               CASE WHEN amp < 2 THEN 0 WHEN amp < 8 THEN 1
+                    WHEN amp < 32 THEN 2 WHEN amp < 128 THEN 3
+                    WHEN amp < 512 THEN 4 WHEN amp < 2048 THEN 5
+                    WHEN amp < 8192 THEN 6 ELSE 7 END AS bucket,
+               COUNT(*) AS c
+        FROM a GROUP BY doc_id, 2
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS feat_dim,
+           CAST(64 * SUM(c * c) AS BIGINT) AS feat_norm
+    FROM hist GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _bloom_sql() -> str:
     """Mirror of dedup.bloom_admission: 1024-bit / 32x32-bit-word Bloom
     filter over reference prefix fingerprints, k=3 salted probes, exact
@@ -2025,6 +2099,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_bpe_pairs": _bpe_pairs_sql(),
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
+    "multimodal_png_features": _multimodal_png_sql(),
+    "multimodal_wav_features": _multimodal_wav_sql(),
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),
     "simsearch_pq_recall": _pq_recall_sql(),

@@ -265,10 +265,13 @@ def test_malformed_framing_raises_value_error():
 
 
 def test_gated_codec_queries_decode_real_media(spark):
-    """The two rows-only gated queries must produce features that match a
+    """The two hard-gated codec queries must produce features that match a
     driver-side re-encode+decode of the same document text — i.e. the
     payloads crossing the Arrow boundary are genuine PNG/WAV bytes and
-    the features come from the REAL codec, not the digest fake."""
+    the features come from the REAL codec, not the digest fake. (Since
+    round-7 the gated surface is (doc_id, feat_dim, feat_norm) with an
+    md5-derived DuckDB oracle — tests/test_corpus.py covers that; this
+    test additionally pins content_sha via a direct operator call.)"""
     import hashlib
     import struct as st
 
@@ -298,12 +301,12 @@ def test_gated_codec_queries_decode_real_media(spark):
         px = (seed * (8 * 6 * 3 // 16 + 1))[: 8 * 6 * 3]
         expect = png_features(png_encode(8, 6, px, 3))
         got = png_rows[doc_id]
-        assert got["content_sha"] == expect["content_sha"]
+        assert got["feat_dim"] == expect["feat_dim"]
         assert got["feat_norm"] == expect["feat_norm"]
 
         raw = (seed * (2 * 64 // 16 + 1))[: 2 * 64]
         samples = [s for (s,) in st.iter_unpack("<h", raw)]
         expect_w = wav_features(wav_encode(samples, sample_rate=8_000))
         got_w = wav_rows[doc_id]
-        assert got_w["content_sha"] == expect_w["content_sha"]
+        assert got_w["feat_dim"] == expect_w["feat_dim"]
         assert got_w["feat_norm"] == expect_w["feat_norm"]
