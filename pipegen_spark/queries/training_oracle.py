@@ -461,6 +461,49 @@ def _quality_percentile_sql() -> str:
     """
 
 
+def _quality_threshold_sql() -> str:
+    """Mirror of curation.quality_threshold_gate: per-source cutoff from
+    the bounded (source, score_micro) histogram — k = n·frac // 1e6,
+    cutoff = k-th highest score counted with multiplicity (MAX score
+    whose descending cumulative count >= k), keep = score >= cutoff,
+    k=0 -> sentinel cutoff 1e6+1 keeps nothing."""
+    q = tx.quality_exprs("text", D)
+    score_micro = (
+        f"CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    k = dl.idiv(f"n * {cu.QP_KEEP_FRAC_PPM}", str(cu.PCT_PPM), D)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, {score_micro} AS score_micro FROM documents
+    ),
+    hist AS (
+        SELECT source, score_micro, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY source, score_micro
+    ),
+    cum AS (
+        SELECT source, score_micro,
+               SUM(c) OVER (PARTITION BY source ORDER BY score_micro DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumc,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT source, MAX(score_micro) AS cutoff_micro
+        FROM cum
+        WHERE {k} > 0 AND cumc >= {k}
+        GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.score_micro,
+           CAST(COALESCE(c.cutoff_micro, {cu.QT_CUTOFF_NONE}) AS BIGINT)
+               AS cutoff_micro,
+           (s.score_micro >=
+               COALESCE(c.cutoff_micro, {cu.QT_CUTOFF_NONE})) AS keep
+    FROM scored s LEFT JOIN cuts c ON s.source = c.source
+    ORDER BY s.doc_id
+    """
+
+
 def _ensemble_sql() -> str:
     """Mirror of queries.training_data.curate_ensemble — the three
     standalone filter oracles embedded verbatim as CTE subqueries and
@@ -2151,6 +2194,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_range": _range_sql(),
     "simsearch_knn_graph": _knn_graph_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
+    "curate_quality_threshold": _quality_threshold_sql(),
     "curate_ensemble": _ensemble_sql(),
     "curate_near_dup_rate": _near_dup_rate_sql(),
     "embed_outliers": _outliers_sql(),

@@ -669,3 +669,79 @@ def test_near_dup_rate_short_docs_counted_never_dup(spark, tmp_path):
         for r in out.values()
     )
     assert drows == srows
+
+
+def test_quality_threshold_gate_semantics(spark):
+    """Planted-data semantics of the scale-safe gate: k = n*frac // 1e6
+    docs kept per source, tie-inclusive at the cutoff, keep_frac_ppm=0
+    keeps NOTHING (unlike the rank form's keep-the-maximum boundary),
+    and on a tie-free corpus it keeps exactly the top-k."""
+    from pipegen_spark.operators import curation as cu
+    from pipegen_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    # 10 docs in one source with strictly increasing quality (longer =
+    # more tokens = higher score below the 100-token saturation).
+    rows = [
+        (i, "src", " ".join(f"the w{j}" for j in range(2 * i + 2)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = {r["doc_id"]: r for r in
+           cu.quality_threshold_gate(docs, keep_frac_ppm=600_000).collect()}
+    scores = {d: out[d]["score_micro"] for d in out}
+    # sanity: strictly increasing scores (tie-free)
+    vals = [scores[d] for d in sorted(scores)]
+    assert vals == sorted(set(vals)), vals
+    # k = 10 * 0.6 = 6 -> exactly the 6 best kept
+    kept = {d for d in out if out[d]["keep"]}
+    assert kept == set(sorted(scores, key=lambda d: scores[d])[-6:])
+    cut = min(scores[d] for d in kept)
+    assert all(out[d]["cutoff_micro"] == cut for d in out)
+
+    # keep 0% really keeps zero, with the sentinel cutoff surfaced
+    z = cu.quality_threshold_gate(docs, keep_frac_ppm=0).collect()
+    assert all(not r["keep"] for r in z)
+    assert all(r["cutoff_micro"] == cu.QT_CUTOFF_NONE for r in z)
+
+    # tie-inclusive: duplicate the best doc's text; k=2 of 4 -> cutoff at
+    # the tied top score keeps all three tied docs
+    tied = spark.createDataFrame(
+        [(0, "s", "!!! ??? ,,, ... ;;;"),  # near-zero alpha ratio
+         (1, "s", "the beta gamma delta epsilon"),
+         (2, "s", "the beta gamma delta epsilon"),
+         (3, "s", "the beta gamma delta epsilon")],
+        "doc_id long, source string, text string",
+    )
+    t = {r["doc_id"]: r for r in
+         cu.quality_threshold_gate(tied, keep_frac_ppm=500_000).collect()}
+    assert {d for d in t if t[d]["keep"]} == {1, 2, 3}
+
+    # keep_frac_ppm out of range raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cu.quality_threshold_gate(docs, keep_frac_ppm=1_000_001)
+
+
+def test_ensemble_accepts_threshold_gate(spark):
+    """curate_ensemble with the 100 TB-safe gate swapped in: same output
+    contract, and on the smoke corpus the verdicts agree with the
+    exact-rank composition wherever the two gates agree on pct_keep."""
+    from pipegen_spark.operators import curation as cu
+    from pipegen_spark.queries.training_data import curate_ensemble
+    from tests.conftest import SF_SMOKE
+
+    exact = {r["doc_id"]: r for r in
+             curate_ensemble(spark, SF_SMOKE).collect()}
+    thresh = {r["doc_id"]: r for r in
+              curate_ensemble(
+                  spark, SF_SMOKE,
+                  percentile_gate=cu.quality_threshold_gate,
+              ).collect()}
+    assert set(exact) == set(thresh)
+    for d in exact:
+        assert exact[d]["gopher_keep"] == thresh[d]["gopher_keep"]
+        assert exact[d]["clf_keep"] == thresh[d]["clf_keep"]
+        if exact[d]["pct_keep"] == thresh[d]["pct_keep"]:
+            assert exact[d]["keep"] == thresh[d]["keep"]

@@ -297,3 +297,28 @@ def test_funnel_and_retention_plan_shapes(plans):
     p = plans["q72_retention"]
     assert "BroadcastHashJoin" in p, p
     assert "Expand" not in p, p
+
+
+def test_quality_threshold_gate_has_no_per_group_full_sort(plans):
+    """The scale-safe percentile gate (round-7): its plan must contain NO
+    per-group rank over the full relation — the only window sort allowed
+    is over the bounded (source, score_micro) HISTOGRAM aggregate, and
+    the per-source cutoffs must come back as a broadcast join. This is
+    the mechanical form of the 100 TB mega-source skew guarantee (the
+    exact-rank sibling keeps its window sort by design as the oracle
+    surface)."""
+    p = plans["curate_quality_threshold"]
+    assert "row_number" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    lines = p.splitlines()
+    desc_sorts = [
+        i for i, ln in enumerate(lines)
+        if "Sort [" in ln and "DESC" in ln
+    ]
+    assert desc_sorts, "histogram window sort missing:\n" + p
+    for i in desc_sorts:
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert (
+            "HashAggregate(keys=[source" in below
+            and "score_micro" in below
+        ), "window sort not over the bounded histogram:\n" + p
