@@ -396,6 +396,19 @@ def centroid_outliers(
     Scale: one posexplode agg keyed by dimension (d groups — constant),
     the d-element mean vector and the 1-row distance stats are broadcast,
     the flagging pass is map-only. The base table never shuffles.
+
+    Overflow bound (the dim_stats convention): the cross-multiplied
+    comparison `dist2_micro * ratio_den * n2 > ratio_num * s2` is
+    int64-exact while `max(dist2_micro) * ratio_den * n2 < 9.2e18` (the
+    RHS is the same magnitude: s2 <= n2 * max(dist2_micro)). For an
+    l2-normalized corpus dist2 <= 4 so dist2_micro <= 4e6, and at the
+    default 3/2 ratio the bound holds to n2 ~ 1.1e12 vectors — beyond
+    any single-corpus embedding table. UN-normalized corpora with large
+    coordinates (dist2_micro ~1e9) hit the edge near n2 ~ 3e9·ratio_den⁻¹:
+    route them through `l2_normalize` first, or swap the flag expression
+    to compare against the integer-divided mean
+    (`dist2_micro * ratio_den > ratio_num * (s2 DIV n2)` — one quantum
+    of floor error at the boundary, no overflow).
     """
     if ratio_num < 1 or ratio_den < 1:
         raise ValueError(

@@ -432,7 +432,11 @@ def _knn_graph_sql() -> str:
 
 def _quality_percentile_sql() -> str:
     """Mirror of curation.quality_percentile_gate (per-source percentile
-    rank over the shared quality score, integer ppm)."""
+    rank over the shared quality score, integer ppm). Boundary semantics
+    mirrored from the operator: pct_ppm is inclusive at 1e6, so each
+    group's best doc always passes — keep_frac 0 still keeps one doc per
+    group ("keep the maximum"); the keep-0-means-0 form is
+    _quality_threshold_sql."""
     q = tx.quality_exprs("text", D)
     score_micro = (
         f"CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5) AS BIGINT)"
