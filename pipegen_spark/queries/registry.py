@@ -19,20 +19,22 @@ rounds; long-stable canaries stay in every window):
 - r5 window: the 37 training ops deferred in r4, the 6 repaired r4
   reds (re-gated to confirm the fix), the 6 canaries, and q75 — came
   back 50/50 green
-- r6 window (current): the 19 never-gated queries (q58-q74 tranche +
-  curate_classifier + curate_rep_ngram), the two brand-new real-codec
-  queries multimodal_png_features / multimodal_wav_features (rows-only:
-  PNG/WAV decode has no SQL oracle) plus four new oracle-checked ops
-  (simsearch_range, embed_outliers, simsearch_knn_graph,
-  curate_quality_percentile, curate_ensemble, embed_dim_stats,
-  curate_near_dup_rate), the 6 canaries, and the first 16
-  (alphabetically) of the 38 r4-green ops as rolling re-gates. This
-  completes first-pass driver coverage of the whole corpus: every
-  query has now been in a window at least once.
-- r7 plan: rolling re-gate of the remaining 22 r4-green ops
-  (embed_kmeans + multimodal_binary_stats + q49-q52/q55/q56 +
-  simsearch_* + text_* tail) + the oldest r1-r3 rows, keeping the
-  canaries.
+- r6 window: the 19 never-gated queries (q58-q74 tranche +
+  curate_classifier + curate_rep_ngram), the two real-codec queries
+  (then rows-only), seven new oracle-checked ops, the 6 canaries, and
+  the first 16 (alphabetically) of the 38 r4-green ops — came back
+  48/50 hash-green + 2 rows-only; first-pass driver coverage of the
+  whole corpus complete.
+- r7 window (current): the remaining 22 r4-green ops (embed_kmeans +
+  multimodal_binary_stats + q49-q52/q55/q56 + simsearch_* + text_*
+  tail), the two codec queries RE-gated (their surface changed to the
+  md5-derived hard-oracle form — now hash rows, not rows-only), the
+  brand-new curate_quality_threshold, the 19 lowest-numbered r3-green
+  relational rows (the whole r1-r3 tranche's newest rows date from
+  r3), and the 6 canaries. After this window every query's newest
+  driver row is <= 3 rounds old.
+- r8 plan: the remaining 25 r3-green relational rows (q19-q46 minus
+  canaries) + the oldest r5 rows, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -59,71 +61,76 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 6: the last queries that have never had a driver row — the
-#: q58-q74 relational tranche plus the two ops added in round 5 — and
-#: the nine round-6 additions (real PNG/WAV codec decodes, rows-only;
-#: cosine radius search, centroid-outlier gate, bucketed kNN graph,
-#: per-source quality-percentile gate, three-filter quality ensemble,
-#: dim-stats diagnostic and per-source near-dup rate, all seven
-#: oracle-checked).
-GATE_NEVER_GATED = (
-    "q58_zorder_layout",
-    "q59_table_profile",
-    "q60_stream_enrich",
-    "q61_pagerank",
-    "q62_tpch_volume_shipping",
-    "q63_tpch_market_share",
-    "q64_tpch_profit",
-    "q65_tpch_priority_mix",
-    "q66_tpch_cust_distribution",
-    "q67_tpch_small_qty",
-    "q68_tpch_top_supplier",
-    "q69_tpch_important_parts",
-    "q70_tpch_sole_problem",
-    "q71_funnel",
-    "q72_retention",
-    "q73_kmv_overlap",
-    "q74_anomaly",
-    "curate_classifier",
-    "curate_rep_ngram",
+#: Round 7: queries whose gated SURFACE is new or changed this round —
+#: the scale-safe per-source threshold gate (brand new), and the two
+#: real-codec queries re-gated because their output changed from the
+#: rows-only (doc_id, n_bytes, content_sha, ...) form to the
+#: md5-derived hard-oracle (doc_id, feat_dim, feat_norm) form.
+GATE_CHANGED = (
+    "curate_quality_threshold",
     "multimodal_png_features",
     "multimodal_wav_features",
-    "simsearch_range",
-    "embed_outliers",
-    "simsearch_knn_graph",
-    "curate_quality_percentile",
-    "curate_ensemble",
-    "embed_dim_stats",
-    "curate_near_dup_rate",
 )
 
-#: Rolling re-gates: the first 16 (alphabetically) of the 38 r4-green
-#: training/relational ops whose only driver rows date from round 4; the
-#: remaining 22 (embed_kmeans + multimodal_binary_stats +
-#: q49-q52/q55/q56 + simsearch_* + text_* tail) rotate in r7.
+#: Rolling re-gates: the remaining 22 of the 38 r4-green ops (the first
+#: 16 alphabetically re-gated in r6) — after this window no driver row
+#: anywhere predates r3.
 GATE_ROLLING = (
-    "curate_chunk",
-    "curate_contamination",
-    "curate_mix",
-    "curate_pack",
-    "curate_redact",
-    "curate_repetition",
-    "curate_sample",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix",
-    "dedup_simhash",
-    "dedup_span_stats",
+    "embed_kmeans",
+    "multimodal_binary_stats",
+    "q49_range_frame",
+    "q50_approx_percentile",
+    "q51_tpch_forecast_revenue",
+    "q52_tpch_priority_check",
+    "q55_tpch_disjunctive",
+    "q56_tpch_supplier_cnt",
+    "simsearch_bruteforce",
+    "simsearch_ivf",
+    "simsearch_lsh",
+    "simsearch_recall",
+    "text_bm25",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_sentiment",
+    "text_tfidf",
+    "text_tokens",
+    "text_vocab",
+    "text_winnow",
 )
 
-#: The full round-6 gate window, in enumeration order: 28 never-gated
-#: (incl. the nine round-6-new queries) + 16 rolling re-gates + 6
+#: Relational refresh: the 19 lowest-numbered of the 44 relational
+#: queries whose newest driver rows date from round 3 (the remaining 25
+#: rotate in r8).
+GATE_RELATIONAL_REFRESH = (
+    "q01_scan_project",
+    "q02_filter_expr",
+    "q04_join_broadcast",
+    "q05_multi_join",
+    "q06_anti_join",
+    "q06_semi_join",
+    "q07_case_agg",
+    "q08_window_rownum",
+    "q09_rank_topk",
+    "q10_except",
+    "q10_intersect",
+    "q10_union_all",
+    "q11_string_funcs",
+    "q12_date_trunc",
+    "q14_distinct_dedup",
+    "q15_rollup",
+    "q16_count_distinct",
+    "q17_scalar_subquery",
+    "q18_left_join",
+)
+
+#: The full round-7 gate window, in enumeration order: 3 changed/new
+#: surfaces + 22 rolling re-gates + 19 relational refreshes + 6
 #: canaries = 50.
-GATE_WINDOW = GATE_NEVER_GATED + GATE_ROLLING + GATE_CANARIES
+GATE_WINDOW = (
+    GATE_CHANGED + GATE_ROLLING + GATE_RELATIONAL_REFRESH + GATE_CANARIES
+)
 
 
 def _collect(module) -> dict[str, QueryFn]:

@@ -15,7 +15,8 @@ from tests.conftest import SF_SMOKE
 
 from pipegen_spark.queries.registry import (
     GATE_CANARIES,
-    GATE_NEVER_GATED,
+    GATE_CHANGED,
+    GATE_RELATIONAL_REFRESH,
     GATE_ROLLING,
     GATE_WINDOW,
     all_queries,
@@ -32,7 +33,8 @@ def test_gate_window_composition():
     assert gate == list(GATE_WINDOW)
     assert len(set(GATE_WINDOW)) == GATE_ROWS  # no duplicate rows wasted
     assert set(GATE_CANARIES) <= set(gate)
-    assert set(GATE_NEVER_GATED) <= set(gate)
+    assert set(GATE_CHANGED) <= set(gate)
+    assert set(GATE_RELATIONAL_REFRESH) <= set(gate)
     assert set(GATE_ROLLING) <= set(gate)
 
 
