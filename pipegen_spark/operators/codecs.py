@@ -25,6 +25,7 @@ production scale the same call sites take a PIL/libvips-backed callable
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 
@@ -262,6 +263,511 @@ def wav_features(payload: bytes) -> dict:
     }
 
 
+# --- JPEG (ITU-T T.81 baseline sequential) -----------------------------------
+#
+# Round-7 stretch: the other ubiquitous corpus image format, implemented
+# from the public spec — baseline DCT sequential (SOF0), 8-bit, 4:4:4
+# (Hi=Vi=1) only, 1 or 3 components, restart intervals supported.
+# Progressive (SOF2), extended (SOF1+), subsampled chroma, 12-bit and
+# arithmetic coding raise ValueError loudly — same honest-boundary
+# policy as the PNG subset. The encoder writes computed CANONICAL
+# Huffman tables (all symbols at one code length, strictly fewer codes
+# than 2^len so the all-ones prefix stays reserved per spec §C.2) —
+# valid JPEG any decoder reads; compression ratio is not the point,
+# byte-real codec plumbing is. The decoder builds its tables from the
+# DHT segments generically, so it reads standard Annex-K files too.
+
+JPEG_SOI = b"\xff\xd8\xff"
+
+
+def _zigzag_order() -> list[int]:
+    """The spec's coefficient zigzag as (row*8+col) indexes, generated by
+    the diagonal walk (§A.3.6) rather than typed as a 64-literal table."""
+    out = []
+    for s in range(15):
+        rng = range(s, -1, -1) if s % 2 == 0 else range(0, s + 1)
+        for r in rng:
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+_COS = [
+    [
+        (0.3535533905932738 if u == 0 else 0.5)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]  # C[u][x]: orthonormal 1-D DCT-II basis; FDCT = C·f·Cᵀ, IDCT = Cᵀ·F·C
+
+
+def _dct_2d(block: list[float], inverse: bool = False) -> list[float]:
+    """Separable 8x8 DCT/IDCT over a row-major 64-float block."""
+    tmp = [0.0] * 64
+    out = [0.0] * 64
+    if not inverse:  # rows: tmp = f·Cᵀ, then out = C·tmp
+        for r in range(8):
+            base = r * 8
+            for v in range(8):
+                cv = _COS[v]
+                tmp[base + v] = sum(
+                    block[base + x] * cv[x] for x in range(8)
+                )
+        for v in range(8):
+            for u in range(8):
+                cu = _COS[u]
+                out[u * 8 + v] = sum(
+                    tmp[x * 8 + v] * cu[x] for x in range(8)
+                )
+    else:  # f = Cᵀ·F·C
+        for u in range(8):
+            base = u * 8
+            for y in range(8):
+                tmp[base + y] = sum(
+                    block[base + v] * _COS[v][y] for v in range(8)
+                )
+        for y in range(8):
+            for x in range(8):
+                out[x * 8 + y] = sum(
+                    tmp[u * 8 + y] * _COS[u][x] for u in range(8)
+                )
+    return out
+
+
+def _flat_huffman(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Canonical Huffman table with every symbol at one code length L,
+    chosen so 2^L > len(symbols) (the all-ones code word stays reserved,
+    §C.2). Returns (BITS[16], HUFFVAL, {symbol: (code, length)})."""
+    n = len(symbols)
+    length = 2
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    enc = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+_DC_SYMBOLS = list(range(12))  # size categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # EOB, ZRL, then (run, size)
+_DC_BITS, _DC_VALS, _DC_ENC = _flat_huffman(_DC_SYMBOLS)
+_AC_BITS, _AC_VALS, _AC_ENC = _flat_huffman(_AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (§B.1.1.5)
+                self.buf.append(0x00)
+            self._nbits -= 8
+            self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill padding (§F.1.2.3)
+        return bytes(self.buf)
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return (
+        min(255, max(0, round(y))),
+        min(255, max(0, round(cb))),
+        min(255, max(0, round(cr))),
+    )
+
+
+def _clamp8(v: float) -> int:
+    iv = round(v)
+    return 0 if iv < 0 else (255 if iv > 255 else iv)
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quant: int = 1,
+) -> bytes:
+    """Minimal baseline-sequential JPEG writer: 8-bit, 4:4:4 (Hi=Vi=1),
+    uniform quantization table of `quant` (default 1 — near-lossless,
+    error comes only from color-convert + DCT rounding), computed flat
+    Huffman tables, one DQT/DC-DHT/AC-DHT shared by all components.
+    `pixels` is row-major packed samples (1=gray, 3=RGB)."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
+    # Component planes in YCbCr (or Y alone), edge-replicated to 8k x 8k.
+    pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    planes: list[list[int]] = [[0] * (pw * ph) for _ in range(channels)]
+    for y in range(ph):
+        sy = min(y, height - 1)
+        for x in range(pw):
+            sx = min(x, width - 1)
+            if channels == 3:
+                i = (sy * width + sx) * 3
+                planes[0][y * pw + x], planes[1][y * pw + x], planes[2][
+                    y * pw + x
+                ] = _rgb_to_ycbcr(pixels[i], pixels[i + 1], pixels[i + 2])
+            else:
+                planes[0][y * pw + x] = pixels[sy * width + sx]
+
+    w = _BitWriter()
+    dc_prev = [0] * channels
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(channels):
+                plane = planes[ci]
+                block = [
+                    float(plane[(by + r) * pw + bx + c]) - 128.0
+                    for r in range(8)
+                    for c in range(8)
+                ]
+                coefs = _dct_2d(block)
+                q = [int(round(coefs[i] / quant)) for i in range(64)]
+                zz = [q[i] for i in _ZIGZAG]
+                diff = zz[0] - dc_prev[ci]
+                dc_prev[ci] = zz[0]
+                size = abs(diff).bit_length()
+                code, ln = _DC_ENC[size]
+                w.write(code, ln)
+                if size:
+                    amp = diff if diff >= 0 else diff + (1 << size) - 1
+                    w.write(amp, size)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, 64):
+                    if i > last_nz:
+                        code, ln = _AC_ENC[0x00]  # EOB
+                        w.write(code, ln)
+                        break
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = _AC_ENC[0xF0]  # ZRL
+                        w.write(code, ln)
+                        run -= 16
+                    size = abs(v).bit_length()
+                    code, ln = _AC_ENC[(run << 4) | size]
+                    w.write(code, ln)
+                    amp = v if v >= 0 else v + (1 << size) - 1
+                    w.write(amp, size)
+                    run = 0
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = bytes(quant for _ in range(64))
+    dqt = seg(0xFFDB, b"\x00" + qtab)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, channels)
+        + b"".join(
+            struct.pack(">BBB", ci + 1, 0x11, 0)
+            for ci in range(channels)
+        ),
+    )
+    dht = seg(
+        0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    ) + seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = seg(
+        0xFFDA,
+        bytes([channels])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(channels))
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; stops at
+    any real marker (exposed via `hit_marker`)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.hit_marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                self.hit_marker = 0xFF00 | nxt
+                raise ValueError("restart marker inside coefficient read")
+            else:
+                self.hit_marker = 0xFF00 | nxt
+                raise ValueError("marker inside coefficient read")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self._nbits < n:
+            self._fill()
+        out = (self._acc >> (self._nbits - n)) & ((1 << n) - 1)
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
+        return out
+
+    def align_restart(self, n_expected: int) -> None:
+        """Byte-align and consume the next RSTn marker (§E.2.4)."""
+        self._acc = 0
+        self._nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            got = self.data[self.pos + 1] & 0x07
+            if got != n_expected & 0x07:
+                raise ValueError(
+                    f"restart marker out of order: RST{got}, "
+                    f"expected RST{n_expected & 0x07}"
+                )
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+def _huff_tree(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical code table from a DHT segment: {(length, code): symbol}
+    (§C.2 code assignment)."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse baseline-sequential JPEG bytes -> (width, height, channels,
+    raw pixels). Supports SOF0, 8-bit, Hi=Vi=1 (4:4:4), 1 or 3
+    components, multiple DQT/DHT segments, APPn/COM skip, restart
+    intervals. Everything else raises ValueError (progressive SOF2,
+    extended/lossless/arithmetic SOFs, subsampling, 16-bit DQT)."""
+    if data[:3] != JPEG_SOI or len(data) < 4:
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    width = height = None
+    restart_interval = 0
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if pos + 2 + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                qtabs[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = body[b + 1 : b + 17]
+                n = sum(bits)
+                vals = body[b + 17 : b + 17 + n]
+                htabs[(tc, th)] = _huff_tree(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if nf not in (1, 3):
+                raise ValueError(f"unsupported component count {nf}")
+            for i in range(nf):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if width is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("scan component count != frame")
+            for i in range(ns):
+                cid, tda = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(
+                    (j for j, c in enumerate(comps) if c[0] == cid), None
+                )
+                if idx is None:
+                    raise ValueError(f"scan references unknown comp {cid}")
+                scan_comps.append((idx, tda >> 4, tda & 0x0F))
+            break
+        # APPn / COM / others: skipped
+    else:
+        raise ValueError("no SOS marker")
+
+    nf = len(comps)
+    pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    planes = [[0] * (pw * ph) for _ in range(nf)]
+    rd = _BitReader(data, pos)
+    dc_prev = [0] * nf
+    mcu = 0
+    n_mcus = (pw // 8) * (ph // 8)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rd.align_restart(mcu // restart_interval - 1)
+                dc_prev = [0] * nf
+            for ci, dc_id, ac_id in scan_comps:
+                dtab = htabs.get((0, dc_id))
+                atab = htabs.get((1, ac_id))
+                qtab = qtabs.get(comps[ci][1])
+                if dtab is None or atab is None or qtab is None:
+                    raise ValueError("scan references missing table")
+                zz = [0] * 64
+                size = _huff_decode(rd, dtab)
+                if size > 11:
+                    raise ValueError(f"bad DC size category {size}")
+                diff = _extend(rd.bits(size), size) if size else 0
+                dc_prev[ci] += diff
+                zz[0] = dc_prev[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(rd, atab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(rd.bits(size), size)
+                    k += 1
+                block = [0.0] * 64
+                for i, zi in enumerate(_ZIGZAG):
+                    block[zi] = float(zz[i] * qtab[i])
+                spatial = _dct_2d(block, inverse=True)
+                plane = planes[ci]
+                for r in range(8):
+                    row = (by + r) * pw + bx
+                    for c in range(8):
+                        plane[row + c] = _clamp8(spatial[r * 8 + c] + 128.0)
+            mcu += 1
+    if mcu != n_mcus:
+        raise ValueError("truncated MCU grid")
+
+    out = bytearray(width * height * nf)
+    if nf == 1:
+        plane = planes[0]
+        for y in range(height):
+            out[y * width : (y + 1) * width] = bytes(
+                plane[y * pw : y * pw + width]
+            )
+    else:
+        py, pb, pr = planes
+        for y in range(height):
+            for x in range(width):
+                i = y * pw + x
+                yy, cb, cr = py[i], pb[i] - 128, pr[i] - 128
+                o = (y * width + x) * 3
+                out[o] = _clamp8(yy + 1.402 * cr)
+                out[o + 1] = _clamp8(yy - 0.344136 * cb - 0.714136 * cr)
+                out[o + 2] = _clamp8(yy + 1.772 * cb)
+    return width, height, nf, bytes(out)
+
+
+def jpeg_features(payload: bytes) -> dict:
+    """Real-decoder drop-in for JPEG payloads: same 8-bin pixel histogram
+    surface as `png_features`, pixels from the baseline JPEG decode."""
+    if payload is None:
+        payload = b""
+    _, _, _, pixels = jpeg_decode(payload)
+    feats = [0] * 8
+    for b in pixels:
+        feats[b >> 5] += 1
+    return {
+        "n_bytes": len(payload),
+        "content_sha": hashlib.sha256(payload).hexdigest(),
+        "feat_dim": 8,
+        "feat_norm": sum(f * f for f in feats),
+    }
+
+
 def auto_decode(payload: bytes) -> dict:
     """Magic-byte dispatch: real PNG/WAV decode for media payloads, the
     deterministic digest fake for everything else (the synthetic
@@ -271,6 +777,8 @@ def auto_decode(payload: bytes) -> dict:
 
     if payload is not None and payload[:8] == PNG_SIGNATURE:
         return png_features(payload)
+    if payload is not None and payload[:3] == JPEG_SOI:
+        return jpeg_features(payload)
     if (
         payload is not None
         and payload[:4] == b"RIFF"

@@ -29,11 +29,11 @@ rounds; long-stable canaries stay in every window):
   multimodal_binary_stats + q49-q52/q55/q56 + simsearch_* + text_*
   tail), the two codec queries RE-gated (their surface changed to the
   md5-derived hard-oracle form — now hash rows, not rows-only), the
-  brand-new curate_quality_threshold, the 19 lowest-numbered r3-green
-  relational rows (the whole r1-r3 tranche's newest rows date from
-  r3), and the 6 canaries. After this window every query's newest
-  driver row is <= 3 rounds old.
-- r8 plan: the remaining 25 r3-green relational rows (q19-q46 minus
+  brand-new curate_quality_threshold and multimodal_jpeg_roundtrip,
+  the 18 lowest-numbered r3-green relational rows (the whole r1-r3
+  tranche's newest rows date from r3), and the 6 canaries. After this
+  window every query's newest driver row is <= 3 rounds old.
+- r8 plan: the remaining 26 r3-green relational rows (q18-q46 minus
   canaries) + the oldest r5 rows, keeping the canaries.
 """
 
@@ -68,6 +68,7 @@ GATE_CANARIES = (
 #: md5-derived hard-oracle (doc_id, feat_dim, feat_norm) form.
 GATE_CHANGED = (
     "curate_quality_threshold",
+    "multimodal_jpeg_roundtrip",
     "multimodal_png_features",
     "multimodal_wav_features",
 )
@@ -100,9 +101,10 @@ GATE_ROLLING = (
     "text_winnow",
 )
 
-#: Relational refresh: the 19 lowest-numbered of the 44 relational
-#: queries whose newest driver rows date from round 3 (the remaining 25
-#: rotate in r8).
+#: Relational refresh: the 18 lowest-numbered of the 44 relational
+#: queries whose newest driver rows date from round 3 (the remaining 26,
+#: starting at q18_left_join — bumped to make room for the new JPEG
+#: roundtrip gate — rotate in r8).
 GATE_RELATIONAL_REFRESH = (
     "q01_scan_project",
     "q02_filter_expr",
@@ -122,11 +124,10 @@ GATE_RELATIONAL_REFRESH = (
     "q15_rollup",
     "q16_count_distinct",
     "q17_scalar_subquery",
-    "q18_left_join",
 )
 
-#: The full round-7 gate window, in enumeration order: 3 changed/new
-#: surfaces + 22 rolling re-gates + 19 relational refreshes + 6
+#: The full round-7 gate window, in enumeration order: 4 changed/new
+#: surfaces + 22 rolling re-gates + 18 relational refreshes + 6
 #: canaries = 50.
 GATE_WINDOW = (
     GATE_CHANGED + GATE_ROLLING + GATE_RELATIONAL_REFRESH + GATE_CANARIES

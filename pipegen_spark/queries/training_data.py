@@ -601,6 +601,61 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JPEG_ERR_TOL = 8  # 2x the measured worst reconstruction error (4) on
+# md5-noise pixels at quant=1 — DCT+color rounding only, no quant loss
+
+
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec under the driver gate (round-7 stretch):
+    each document's md5 digest is tiled into an 8x8 RGB buffer, encoded
+    to a genuine baseline-sequential JPEG (SOF0, 4:4:4, computed
+    canonical Huffman tables, quant=1), decoded back through
+    `codecs.jpeg_decode` (marker parse, Huffman, dequantize, IDCT,
+    YCbCr->RGB), and compared pixel-for-pixel against the ORIGINAL
+    buffer inside one Arrow `mapInPandas` stage.
+
+    JPEG is lossy, so the decoded bytes are not SQL-derivable — the
+    hard oracle is a PROPERTY instead: n_px must be 192 and the max
+    absolute reconstruction error must be within JPEG_ERR_TOL (at
+    quant=1 the only loss is color-convert + DCT rounding, measured
+    worst 4 on digest noise — the adversarial case for a DCT). Any bug
+    anywhere in the marker framing, Huffman tables, bit stuffing,
+    zigzag, DCT or color path blows the tolerance and flips decode_ok,
+    failing the value hash. Map-only, one Arrow hop, no shuffle."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            ids, n_px, ok = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                px = (seed * 12)[: 8 * 8 * 3]
+                _, _, _, out = jpeg_decode(jpeg_encode(8, 8, px, 3))
+                ids.append(did)
+                n_px.append(len(out))
+                ok.append(
+                    len(out) == len(px)
+                    and max(
+                        abs(a - b) for a, b in zip(px, out)
+                    ) <= JPEG_ERR_TOL
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_px": n_px, "decode_ok": ok}
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(roundtrip, "doc_id long, n_px long, decode_ok boolean")
+        .orderBy("doc_id")
+    )
+
+
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-VOCAB_TOPK tokens by term frequency with
     document frequency — stopword/vocab input for tokenizer decisions."""

@@ -2148,6 +2148,15 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
+    # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG
+    # is lossy so decoded bytes are not SQL-derivable; the gated claim is
+    # the reconstruction-error bound, which must hold for EVERY doc.
+    "multimodal_jpeg_roundtrip": """
+    SELECT doc_id,
+           CAST(192 AS BIGINT) AS n_px,
+           TRUE AS decode_ok
+    FROM documents ORDER BY doc_id
+    """,
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),
     "simsearch_pq_recall": _pq_recall_sql(),

@@ -310,3 +310,145 @@ def test_gated_codec_queries_decode_real_media(spark):
         got_w = wav_rows[doc_id]
         assert got_w["feat_dim"] == expect_w["feat_dim"]
         assert got_w["feat_norm"] == expect_w["feat_norm"]
+
+
+# --- JPEG (baseline sequential, round-7) -------------------------------------
+
+
+def _noise_px(tag: bytes, n: int) -> bytes:
+    import hashlib
+
+    return (hashlib.md5(tag).digest() * (n // 16 + 1))[:n]
+
+
+def test_jpeg_roundtrip_uniform_exact():
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    px = bytes([120, 45, 200] * 64)
+    w, h, ch, out = jpeg_decode(jpeg_encode(8, 8, px, 3))
+    assert (w, h, ch) == (8, 8, 3)
+    assert out == px  # uniform block: DC-only, quant=1 -> bit-exact
+
+
+def test_jpeg_roundtrip_noise_bounded():
+    """md5-digest noise is the adversarial input for a DCT (full-band
+    spectrum); at quant=1 the reconstruction error is color-convert +
+    coefficient rounding only — measured worst 4, asserted <= 6 here
+    (the gated query's tolerance is 8)."""
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    for i in range(50):
+        px = _noise_px(f"jpeg{i}".encode(), 192)
+        _, _, _, out = jpeg_decode(jpeg_encode(8, 8, px, 3))
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 6
+
+
+def test_jpeg_grayscale_and_padding():
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    g = bytes(range(64))
+    w, h, ch, out = jpeg_decode(jpeg_encode(8, 8, g, 1))
+    assert (w, h, ch) == (8, 8, 1) and out == g  # gradient: recon exact?
+    # non-multiple-of-8 dims: encoder pads by edge replication, decoder
+    # crops back to the declared frame size
+    px = _noise_px(b"pad", 10 * 6 * 3)
+    w, h, ch, out = jpeg_decode(jpeg_encode(10, 6, px, 3))
+    assert (w, h, ch) == (10, 6, 3) and len(out) == 180
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 6
+
+
+def test_jpeg_lossy_quant_still_decodes():
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    px = bytes([200] * 192)
+    _, _, _, out = jpeg_decode(jpeg_encode(8, 8, px, 3, quant=16))
+    assert max(abs(a - 200) for a in out) <= 2
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn support: splice two independently-encoded single-MCU
+    scans (each byte-aligned by the 1-fill flush, DC predictors reset at
+    a restart per spec §E.2.4) into one 16x8 frame with DRI=1."""
+    import re
+    import struct as st
+
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    a = _noise_px(b"left", 192)
+    b = _noise_px(b"right", 192)
+    ja, jb = jpeg_encode(8, 8, a, 3), jpeg_encode(8, 8, b, 3)
+
+    def split(j: bytes) -> tuple[bytes, bytes]:
+        sos_at = j.find(b"\xff\xda")
+        (ln,) = st.unpack_from(">H", j, sos_at + 2)
+        scan_start = sos_at + 2 + ln
+        return j[2:scan_start], j[scan_start:-2]  # (segments, scan)
+
+    seg_a, scan_a = split(ja)
+    _, scan_b = split(jb)
+    # widen the frame to 16x8 in SOF0 and inject a DRI=1 segment
+    sof_at = seg_a.find(b"\xff\xc0")
+    seg_a = (
+        seg_a[: sof_at + 7]
+        + st.pack(">H", 16)
+        + seg_a[sof_at + 9 :]
+    )
+    dri = b"\xff\xdd" + st.pack(">HH", 4, 1)
+    spliced = (
+        b"\xff\xd8" + dri + seg_a + scan_a + b"\xff\xd0" + scan_b
+        + b"\xff\xd9"
+    )
+    w, h, ch, out = jpeg_decode(spliced)
+    assert (w, h, ch) == (16, 8, 3)
+    for y in range(8):
+        row = out[y * 48 : (y + 1) * 48]
+        ra = a[y * 24 : (y + 1) * 24]
+        rb = b[y * 24 : (y + 1) * 24]
+        assert max(abs(p - q) for p, q in zip(row[:24], ra)) <= 6
+        assert max(abs(p - q) for p, q in zip(row[24:], rb)) <= 6
+
+
+def test_jpeg_error_paths():
+    import struct as st
+
+    import pytest
+
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    good = jpeg_encode(8, 8, bytes(192), 3)
+    with pytest.raises(ValueError, match="bad SOI"):
+        jpeg_decode(b"\x89PNG" + good)
+    # progressive (SOF2) rejected loudly
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="baseline sequential only"):
+        jpeg_decode(prog)
+    # chroma subsampling rejected: set Y component HV to 2x2
+    sof_at = good.find(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[sof_at + 11] = 0x22  # comp 1 HV byte
+    with pytest.raises(ValueError, match="4:4:4 only"):
+        jpeg_decode(bytes(sub))
+    # 16-bit DQT rejected
+    dqt_at = good.find(b"\xff\xdb")
+    q16 = bytearray(good)
+    q16[dqt_at + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit quantization"):
+        jpeg_decode(bytes(q16))
+    # truncated entropy stream (noise image -> scan much longer than 20
+    # bytes, so the cut lands inside entropy data, not the headers)
+    noisy = jpeg_encode(8, 8, _noise_px(b"trunc", 192), 3)
+    with pytest.raises(ValueError, match="truncated|marker inside"):
+        jpeg_decode(noisy[:-20])
+
+
+def test_auto_decode_dispatches_jpeg():
+    from pipegen_spark.operators.codecs import (
+        auto_decode,
+        jpeg_encode,
+        jpeg_features,
+    )
+
+    j = jpeg_encode(8, 8, _noise_px(b"disp", 192), 3)
+    assert auto_decode(j) == jpeg_features(j)
+    feats = jpeg_features(j)
+    assert feats["feat_dim"] == 8 and feats["n_bytes"] == len(j)

@@ -28,6 +28,7 @@ SF_DIR = "/root/testdata/sf0.001"
 PANDAS_OK = {
     "dedup_embedding_cosine",
     "multimodal_features",
+    "multimodal_jpeg_roundtrip",
     "multimodal_png_features",
     "multimodal_wav_features",
 }
