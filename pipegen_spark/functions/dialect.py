@@ -418,3 +418,16 @@ def zorder16(x: str, y: str, d: str) -> str:
         terms.append(f"({shl(f'({shr(x, str(i), d)}) & 1', 2 * i, d)})")
         terms.append(f"({shl(f'({shr(y, str(i), d)}) & 1', 2 * i + 1, d)})")
     return "(" + " + ".join(terms) + ")"
+
+
+def log2_bucket(x: str, max_bits: int, d: str) -> str:
+    """Integer log2 bucket of a non-negative integer expression:
+    bit_length(x) clamped to max_bits — 0 for x<=0, 1 for x=1, 2 for
+    2..3, 3 for 4..7, ... Generated as a pure-integer CASE ladder (no
+    floating log, whose last-ulp behavior is libm-dependent), identical
+    text both dialects."""
+    _check(d)
+    whens = " ".join(
+        f"WHEN ({x}) < {1 << b} THEN {b}" for b in range(max_bits)
+    )
+    return f"(CASE {whens} ELSE {max_bits} END)"

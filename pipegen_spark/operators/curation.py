@@ -1471,3 +1471,147 @@ def rep_ngram_stats(
             F.coalesce("dup_frac_ppm", zero).alias("dup_frac_ppm"),
         )
     )
+
+
+# --- cross-document boilerplate (round-7) ------------------------------------
+
+BOILER_K = 3  # shingle width in tokens
+BOILER_DF = 5  # document frequency at/above which a shingle is boilerplate
+BOILER_FLAG_PPM = 500_000  # flag docs that are >= 50% boilerplate windows
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = BOILER_K,
+    df_threshold: int = BOILER_DF,
+    flag_ppm: int = BOILER_FLAG_PPM,
+) -> DataFrame:
+    """Cross-document boilerplate share — the C4/RefinedWeb signal that
+    catches templated headers/footers/navigation repeated across MANY
+    documents (which within-doc repetition metrics and pairwise near-dup
+    both miss): a k-token shingle is *boilerplate* when it appears in at
+    least `df_threshold` distinct documents; each doc reports how many
+    of its shingle windows are boilerplate and the ppm fraction, with a
+    `flagged` verdict at `flag_ppm`.
+
+    Docs with fewer than k tokens have zero windows and report
+    (0, 0, 0 ppm, not flagged) — always counted, via the same
+    left-join-with-coalesce discipline the near-dup-rate fix
+    established.
+
+    Scale: positions explode once (`dedup.shingle_rows`, map-only
+    codegen); the document-frequency aggregate runs over DISTINCT
+    (doc, shingle) pairs — one shuffle keyed by the shingle; the
+    boilerplate set is then a df-filtered frame joined back onto the
+    position rows (shingle-keyed equi-join; NOT hint-broadcast — its
+    size is corpus-dependent, AQE broadcasts when small); the per-doc
+    rollup is one groupBy(id). At trillion-doc scale, swap the shingle
+    string for its hash64 fingerprint in the group/join keys (the
+    rep_ngram convention) to make every shuffle row fixed-width.
+    """
+    sh = dd.shingle_rows(docs, text_col, id_col, k, distinct=False)
+    df = (
+        sh.select("id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= df_threshold)
+        .select("s")
+    )
+    per_doc = (
+        sh.join(df.withColumn("_b", F.lit(1)), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("boiler_hits"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    frac = dl.idiv("boiler_hits * 1000000", "n_shingles", dl.SPARK)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", zero).alias("n_shingles"),
+            F.coalesce("boiler_hits", zero).alias("boiler_hits"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "boiler_hits",
+            F.when(F.col("n_shingles") > 0, F.expr(frac))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("boiler_frac_ppm"),
+        )
+        .withColumn(
+            "flagged", F.col("boiler_frac_ppm") >= F.lit(flag_ppm)
+        )
+        .orderBy(id_col)
+    )
+
+
+# --- per-source length histogram (round-7) ------------------------------------
+
+LEN_HIST_MAX_BITS = 20  # documents above 2^19 tokens share the top bucket
+
+
+def length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_bits: int = LEN_HIST_MAX_BITS,
+) -> DataFrame:
+    """Per-source token-length histogram in log2 buckets — the batch/
+    packing planner's input (sequence-length distribution drives pad
+    waste, packing efficiency and max_seq_len choices): for each
+    (source, bucket) the doc count and total token mass, with the
+    bucket's inclusive token range surfaced as integers.
+
+    Bucket = bit_length(n_tokens) via the integer CASE ladder
+    (`dialect.log2_bucket`) — no floating log. Zero-token docs land in
+    bucket 0.
+
+    Scale: a map-only tokenize+count projection, then ONE
+    map-side-combinable groupBy bounded by |sources| × (max_bits+1)
+    output rows regardless of corpus size. Nothing else moves.
+    """
+    n_tok = dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)
+    bucket = dl.log2_bucket("n_tok", max_bits, dl.SPARK)
+    return (
+        docs.select(
+            F.col(group_col),
+            F.expr(f"CAST({n_tok} AS BIGINT)").alias("n_tok"),
+        )
+        .select(
+            group_col,
+            "n_tok",
+            F.expr(bucket).cast("long").alias("bucket"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            group_col,
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN bucket = 0 THEN 0"
+                " ELSE shiftleft(1, CAST(bucket AS INT) - 1) END"
+                " AS BIGINT)"
+            ).alias("bucket_lo"),
+            F.expr(
+                "CAST(shiftleft(1, CAST(bucket AS INT)) - 1 AS BIGINT)"
+            ).alias("bucket_hi"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy(group_col, "bucket")
+    )

@@ -641,3 +641,63 @@ def pca_project(
         F.expr("array(" + ", ".join(comps) + ")").alias("proj"),
     )
     return proj, (evals, evecs.T)
+
+
+# --- cluster-balanced sampling (round-7) --------------------------------------
+
+CBAL_CAP = 40  # target docs kept per cluster
+CBAL_SALT = ":cbal"  # hash salt: independent of the split/sample gates
+
+
+def cluster_balanced_sample(
+    base: DataFrame,
+    init_pred,
+    cap: int = CBAL_CAP,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced corpus selection: k-means the embeddings
+    (`kmeans_fixed` — deterministic, oracle-exact), then downsample each
+    cluster to ~`cap` members so over-represented semantic regions stop
+    dominating the training mix (the flattened-cluster selection pattern
+    of SemDeDup-style pipelines; complements `temperature_weights`,
+    which balances by SOURCE rather than by semantic cluster).
+
+    Per-cluster keep rate = min(1e6, cap·1e6 // n_k) ppm, applied as the
+    deterministic hash gate hash60(id || salt) % 1e6 < rate — the
+    coordination-free sampler discipline of `sample_gate_expr` (same
+    row kept on every run/engine/executor count), salted so the gate is
+    independent of the split/sample hashes of the same id. Expected
+    kept per cluster = cap (exact-k per cluster would need a per-cluster
+    rank — the window-skew trap quality_threshold_gate exists to avoid).
+
+    Scale: the kmeans chain (broadcast centroids, d-keyed mean agg), ONE
+    bounded per-cluster count (k rows), broadcast back, map-only gate.
+    No per-cluster sort, no corpus-sized shuffle beyond the assignment's
+    own.
+
+    Output: (id_col, cluster_id, n_cluster, rate_ppm, keep).
+    """
+    assign = kmeans_fixed(
+        base, init_pred, iters=iters, vec_col=vec_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "cluster_id")
+    counts = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_cluster")
+    )
+    rate = f"least(1000000, ({cap} * 1000000) DIV n_cluster)"
+    gate = (
+        dl.hash60(f"(CAST(id AS STRING) || '{CBAL_SALT}')", dl.SPARK)
+        + " % 1000000"
+    )
+    return (
+        assign.join(F.broadcast(counts), "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "n_cluster",
+            F.expr(rate).cast("long").alias("rate_ppm"),
+            F.expr(f"({gate}) < {rate}").alias("keep"),
+        )
+        .orderBy(id_col)
+    )

@@ -1188,3 +1188,76 @@ def term_burstiness(
         .orderBy(F.col("total").desc(), "term")
         .limit(topk)
     )
+
+
+# --- character diversity (round-7) -------------------------------------------
+
+
+def char_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Integer-exact character-diversity signal — the gibberish/keyboard-
+    mash screen: per-doc Simpson collision index over the character
+    distribution, Σ c·(c−1) / (n·(n−1)) in ppm (the probability two
+    randomly drawn characters are equal, without replacement), plus the
+    distinct-character count. Low diversity (high collision) catches
+    'aaaa…'-style degenerate text; unusually high diversity catches
+    base64/hash blobs. Deliberately log-free: entropy needs log2, whose
+    last-ulp behavior differs between libm implementations and would
+    break the bit-exact oracle hash — the Simpson index carries the same
+    signal with integer arithmetic only.
+
+    Empty documents report (0, 0, 0, 0) via the left-join-coalesce
+    discipline. Overflow: Σ c·(c−1) ≤ n², exact in int64 to 3e9-char
+    documents.
+
+    Scale: one explode (length× rows — the tokenizer cost class), one
+    map-side-combinable (doc, char) count, one per-doc rollup. Map-only
+    before the two partial-aggregated shuffles; no windows, no joins
+    except the final bounded left join onto ids.
+    """
+    chars = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .where(F.col("ch") != "")
+        .groupBy("id", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = chars.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.sum(F.expr("c * (c - 1)")).cast("long").alias("_coll"),
+    )
+    zero = F.lit(0).cast("long")
+    simpson = dl.idiv("_coll * 1000000", "n_chars * (n_chars - 1)", dl.SPARK)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_chars", zero).alias("n_chars"),
+            F.coalesce("distinct_chars", zero).alias("distinct_chars"),
+            F.coalesce("_coll", zero).alias("_coll"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "distinct_chars",
+            F.when(F.col("n_chars") >= 2, F.expr(simpson))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("simpson_ppm"),
+        )
+        .withColumn(
+            "diversity_ppm",
+            F.when(
+                F.col("n_chars") >= 2,
+                F.lit(1_000_000) - F.col("simpson_ppm"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .orderBy(id_col)
+    )

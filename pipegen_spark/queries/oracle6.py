@@ -372,3 +372,31 @@ RELATIONAL6_ORACLE["q75_asof_forward"] = """
                 AS BIGINT) AS wait_us
     FROM m WHERE il = 1 ORDER BY event_id
     """
+
+RELATIONAL6_ORACLE["q76_gap_fill"] = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch
+    FROM events
+),
+counts AS (
+    SELECT event_type, hour_epoch, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev GROUP BY event_type, hour_epoch
+),
+bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM ev),
+hours AS (
+    SELECT CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT)
+        AS hour_epoch
+    FROM bounds
+),
+spine AS (
+    SELECT t.event_type, h.hour_epoch
+    FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+)
+SELECT s.event_type, s.hour_epoch,
+       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+       (COALESCE(c.n_events, 0) = 0) AS is_gap
+FROM spine s LEFT JOIN counts c
+  ON s.event_type = c.event_type AND s.hour_epoch = c.hour_epoch
+ORDER BY s.event_type, s.hour_epoch
+"""

@@ -634,3 +634,53 @@ def q75_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(purchase_ts)") - F.expr("unix_micros(ts)")
         ).alias("wait_us"),
     ).orderBy("event_id")
+
+
+# --- Q76: date-spine gap filling ---------------------------------------------
+def q76_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type with MISSING HOURS FILLED — the
+    time-series densification primitive (dashboards, anomaly baselines
+    and windowed models all need a gap-free grid; a naive groupBy
+    silently drops empty hours): generate the full hour spine from the
+    corpus min/max, cross it with the distinct event types, left-join
+    the actual counts, flag gaps.
+
+    Plan shape (100 TB): the per-(type, hour) count is ONE partial-
+    aggregated shuffle over the events scan; the spine is sequence() +
+    explode over a broadcast 1-row min/max aggregate crossed with the
+    broadcast distinct-type frame — bounded by hours × types, never by
+    event rows — and the final join keys the tiny spine against the
+    aggregated counts. Integer surfaces only (epoch seconds, counts).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(to_unix_timestamp(date_trunc('HOUR', ts)) AS BIGINT)"
+        ).alias("hour_epoch"),
+    )
+    counts = ev.groupBy("event_type", "hour_epoch").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    bounds = ev.groupBy().agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, 3600)")).alias("hour_epoch")
+        )
+        .crossJoin(
+            F.broadcast(ev.select("event_type").distinct())
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "hour_epoch"], "left")
+        .select(
+            "event_type",
+            "hour_epoch",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+        )
+        .withColumn("is_gap", F.col("n_events") == 0)
+        .orderBy("event_type", "hour_epoch")
+    )

@@ -247,6 +247,22 @@ def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.quality_percentile_gate(docs)
 
 
+def curate_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length histogram in log2 buckets (doc count +
+    token mass + bucket bounds) — the packing/batching planner input."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.length_histogram(docs)
+
+
+def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate share (C4/RefinedWeb template removal
+    signal): per-doc count/fraction of 3-token windows that occur in >= 5
+    distinct documents corpus-wide — catches repeated headers/footers
+    that within-doc repetition and pairwise near-dup both miss."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.boilerplate_stats(docs)
+
+
 def curate_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe per-source quality gate (round-7, VERDICT What's-wrong
     #1 fix): same keep-top-60%-per-source intent as
@@ -257,6 +273,17 @@ def curate_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-quantized, so the histogram is the full distribution)."""
     docs = table(spark, sf_dir, "documents")
     return cu.quality_threshold_gate(docs)
+
+
+def embed_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection: k-means assignment (same seeds
+    and iterations as embed_kmeans), per-cluster keep rate
+    min(1, cap/n_k) applied as a deterministic salted hash gate — the
+    semantic-region analogue of source-temperature rebalancing."""
+    emb = table(spark, sf_dir, "embeddings")
+    return em.cluster_balanced_sample(
+        emb, F.col("vec_id") < KMEANS_K, iters=KMEANS_ITERS
+    )
 
 
 def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +681,14 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(roundtrip, "doc_id long, n_px long, decode_ok boolean")
         .orderBy("doc_id")
     )
+
+
+def text_chardiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact character-diversity screen (Simpson collision index
+    in ppm + distinct chars): catches degenerate repeated-char text and
+    base64/hash blobs without the libm-log2 portability trap."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.char_diversity(docs)
 
 
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

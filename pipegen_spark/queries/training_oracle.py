@@ -465,6 +465,99 @@ def _quality_percentile_sql() -> str:
     """
 
 
+def _length_stats_sql() -> str:
+    """Mirror of curation.length_histogram (log2-bucket CASE ladder,
+    bounded (source, bucket) rollup)."""
+    n_tok = dl.size(dl.words("text", D), D)
+    bucket = dl.log2_bucket("n_tok", cu.LEN_HIST_MAX_BITS, D)
+    return f"""
+    WITH t AS (
+        SELECT source, CAST({n_tok} AS BIGINT) AS n_tok FROM documents
+    ),
+    b AS (SELECT source, n_tok, CAST({bucket} AS BIGINT) AS bucket FROM t)
+    SELECT source, bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                ELSE (1 << (bucket - 1)) END AS BIGINT) AS bucket_lo,
+           CAST((1 << bucket) - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM b GROUP BY source, bucket
+    ORDER BY source, bucket
+    """
+
+
+def _chardiv_sql() -> str:
+    """Mirror of text.char_diversity (per-char explode, integer Simpson
+    collision index, left-join-coalesce for empty docs)."""
+    simpson = dl.idiv(
+        "p._coll * 1000000", "p.n_chars * (p.n_chars - 1)", D
+    )
+    return f"""
+    WITH chars AS (
+        SELECT doc_id AS id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ) t WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    p AS (
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS _coll
+        FROM chars GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(p.distinct_chars, 0) AS BIGINT)
+               AS distinct_chars,
+           CAST(CASE WHEN COALESCE(p.n_chars, 0) >= 2 THEN {simpson}
+                ELSE 0 END AS BIGINT) AS simpson_ppm,
+           CAST(CASE WHEN COALESCE(p.n_chars, 0) >= 2
+                THEN 1000000 - ({simpson})
+                ELSE 0 END AS BIGINT) AS diversity_ppm
+    FROM documents d LEFT JOIN p ON d.doc_id = p.id
+    ORDER BY d.doc_id
+    """
+
+
+def _boilerplate_sql() -> str:
+    """Mirror of curation.boilerplate_stats: per-position shingle rows,
+    distinct-doc frequency, df-filtered boilerplate set joined back,
+    per-doc rollup with the left-join-coalesce guard for docs shorter
+    than k tokens."""
+    shingles = dl.word_shingles_all("w", cu.BOILER_K, D)
+    return f"""
+    WITH {_W_CTE},
+    pos AS (SELECT id, unnest({shingles}) AS s FROM w),
+    bset AS (
+        SELECT s FROM (
+            SELECT s, COUNT(DISTINCT id) AS df FROM pos GROUP BY s
+        ) WHERE df >= {cu.BOILER_DF}
+    ),
+    per AS (
+        SELECT pos.id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN bset.s IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS boiler_hits
+        FROM pos LEFT JOIN bset ON pos.s = bset.s
+        GROUP BY pos.id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.boiler_hits, 0) AS BIGINT) AS boiler_hits,
+           CAST(CASE WHEN COALESCE(per.n_shingles, 0) > 0
+                THEN {dl.idiv('per.boiler_hits * 1000000',
+                              'per.n_shingles', D)}
+                ELSE 0 END AS BIGINT) AS boiler_frac_ppm,
+           (CASE WHEN COALESCE(per.n_shingles, 0) > 0
+                THEN {dl.idiv('per.boiler_hits * 1000000',
+                              'per.n_shingles', D)}
+                ELSE 0 END) >= {cu.BOILER_FLAG_PPM} AS flagged
+    FROM documents d LEFT JOIN per ON d.doc_id = per.id
+    ORDER BY d.doc_id
+    """
+
+
 def _quality_threshold_sql() -> str:
     """Mirror of curation.quality_threshold_gate: per-source cutoff from
     the bounded (source, score_micro) histogram — k = n·frac // 1e6,
@@ -861,6 +954,32 @@ def _emb_kmeans_sql() -> str:
         + ",\n    ".join(ctes)
         + f"\n    SELECT id AS vec_id, cluster_id, d2 FROM {last}"
         " ORDER BY vec_id\n    "
+    )
+
+
+def _cluster_sample_sql() -> str:
+    """Mirror of embeddings.cluster_balanced_sample: the shared kmeans
+    chain, a k-row per-cluster count, and the salted hash gate."""
+    import pipegen_spark.operators.embeddings as em
+
+    ctes, last = _kmeans_chain()
+    ctes.append(f"""cnt AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cluster
+        FROM {last} GROUP BY cluster_id
+    )""")
+    cap_ppm = dl.idiv(f"{em.CBAL_CAP} * 1000000", "cnt.n_cluster", D)
+    rate = f"LEAST(1000000, {cap_ppm})"
+    gate = dl.hash60(f"(CAST(t.id AS STRING) || '{em.CBAL_SALT}')", D)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT t.id AS vec_id, t.cluster_id, cnt.n_cluster,
+           CAST({rate} AS BIGINT) AS rate_ppm,
+           (({gate}) % 1000000) < ({rate}) AS keep
+    FROM {last} t JOIN cnt ON t.cluster_id = cnt.cluster_id
+    ORDER BY vec_id
+    """
     )
 
 
@@ -2177,6 +2296,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_hybrid": _hybrid_sql(),
     "curate_budget": _budget_sql(),
     "text_rarity": _rarity_sql(),
+    "text_chardiv": _chardiv_sql(),
     "text_winnow": _winnow_sql(),
     "simsearch_recall": _recall_sql(),
     "dedup_prefix": _prefix_sql(),
@@ -2206,6 +2326,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_bruteforce": _brute_force_sql(),
     "simsearch_range": _range_sql(),
     "simsearch_knn_graph": _knn_graph_sql(),
+    "curate_boilerplate": _boilerplate_sql(),
+    "curate_length_stats": _length_stats_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_quality_threshold": _quality_threshold_sql(),
     "curate_ensemble": _ensemble_sql(),
@@ -2223,6 +2345,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_bm25": _bm25_sql(),
     "embed_normalize": _emb_normalize_sql(),
     "embed_quantize": _emb_quantize_sql(),
+    "embed_cluster_sample": _cluster_sample_sql(),
     "embed_kmeans": _emb_kmeans_sql(),
     "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
     "curate_contamination": _contamination_sql(),

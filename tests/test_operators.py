@@ -1059,3 +1059,138 @@ def test_dim_stats_detects_dead_dimension(spark):
     assert rows[0]["dead_dim"] is False and rows[0]["var_micro"] == 5_000_000
     assert rows[1]["dead_dim"] is True and rows[1]["mean_micro"] == 500_000
     assert rows[2]["dead_dim"] is True and rows[2]["mean_micro"] == 2_000_000
+
+
+# --- round-7 additions -------------------------------------------------------
+
+
+def test_char_diversity_hand_computed(spark):
+    from pipegen_spark.operators.text import char_diversity
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abcd"), (2, ""), (3, "x"), (4, "aabb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_diversity(docs).collect()}
+    # "aaaa": 4 chars, 1 distinct, collision certain
+    assert tuple(out[0])[1:] == (4, 1, 1_000_000, 0)
+    # "abcd": all distinct, zero collision probability
+    assert tuple(out[1])[1:] == (4, 4, 0, 1_000_000)
+    # empty and single-char: all zeros (n<2 has no pair to collide)
+    assert tuple(out[2])[1:] == (0, 0, 0, 0)
+    assert tuple(out[3])[1:] == (1, 1, 0, 0)
+    # "aabb": C(2,2)*2 / C(4,2)... = (2*1 + 2*1) / (4*3) = 4/12
+    assert out[4]["simpson_ppm"] == 4 * 1_000_000 // 12
+
+
+def test_boilerplate_stats_planted(spark):
+    from pipegen_spark.operators import curation as cu
+
+    shared = "alpha beta gamma"
+    rows = [
+        (i, f"{shared} filler{i} tail{i} more{i}") for i in range(5)
+    ] + [
+        (5, shared),                       # ENTIRELY boilerplate -> flagged
+        (6, "totally unique words here"),  # no boilerplate windows
+        (7, "so"),                         # < k tokens: zero windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cu.boilerplate_stats(docs, df_threshold=5).collect()
+    }
+    assert len(out) == 8  # short doc COUNTED, not dropped
+    assert tuple(out[7])[1:] == (0, 0, 0, False)
+    # the shared trigram appears in 6 docs -> boilerplate; docs 0-4 have
+    # exactly one boilerplate window among their 4
+    for i in range(5):
+        assert out[i]["n_shingles"] == 4
+        assert out[i]["boiler_hits"] == 1
+        assert out[i]["boiler_frac_ppm"] == 250_000
+        assert not out[i]["flagged"]
+    assert tuple(out[5])[1:] == (1, 1, 1_000_000, True)
+    assert out[6]["boiler_hits"] == 0
+
+
+def test_length_histogram_buckets(spark):
+    from pipegen_spark.operators import curation as cu
+
+    rows = [
+        (0, "a", "one word"),        # 2 tokens  -> bucket 2 (2..3)
+        (1, "a", "w " * 7),          # 7 tokens  -> bucket 3 (4..7)
+        (2, "a", "w " * 8),          # 8 tokens  -> bucket 4 (8..15)
+        (3, "b", ""),                # 0 tokens  -> bucket 0
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        (r["source"], r["bucket"]): r
+        for r in cu.length_histogram(docs).collect()
+    }
+    assert out[("a", 2)]["n_docs"] == 1
+    assert out[("a", 3)]["total_tokens"] == 7
+    assert (out[("a", 4)]["bucket_lo"], out[("a", 4)]["bucket_hi"]) == (
+        8, 15,
+    )
+    assert out[("b", 0)]["n_docs"] == 1
+    assert (out[("b", 0)]["bucket_lo"], out[("b", 0)]["bucket_hi"]) == (
+        0, 0,
+    )
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.catalog import table
+    from pipegen_spark.operators.embeddings import (
+        CBAL_CAP,
+        cluster_balanced_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    out = cluster_balanced_sample(emb, F.col("vec_id") < 8).collect()
+    assert len(out) == emb.count()  # every vector labeled
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        n = rows[0]["n_cluster"]
+        assert len(rows) == n
+        want = min(1_000_000, CBAL_CAP * 1_000_000 // n)
+        assert all(r["rate_ppm"] == want for r in rows)
+        kept = sum(r["keep"] for r in rows)
+        if n <= CBAL_CAP:
+            assert want == 1_000_000 and kept == n
+        else:
+            assert 0 < kept < n  # hash gate thins oversized clusters
+    # deterministic: second run identical
+    again = cluster_balanced_sample(emb, F.col("vec_id") < 8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_gap_fill_spine_complete(spark):
+    from pipegen_spark.catalog import table
+    from pipegen_spark.queries.relational6 import q76_gap_fill
+    from tests.conftest import SF_SMOKE
+
+    out = q76_gap_fill(spark, SF_SMOKE).collect()
+    ev = table(spark, SF_SMOKE, "events")
+    total = ev.count()
+    assert sum(r["n_events"] for r in out) == total
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_types = len(by_type)
+    hours = None
+    for t, rows in by_type.items():
+        hs = sorted(r["hour_epoch"] for r in rows)
+        # contiguous hourly spine, identical for every type
+        assert hs == list(range(hs[0], hs[-1] + 3600, 3600))
+        if hours is None:
+            hours = hs
+        assert hs == hours
+        for r in rows:
+            assert r["is_gap"] == (r["n_events"] == 0)
+    assert len(out) == n_types * len(hours)
