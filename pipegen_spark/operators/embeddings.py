@@ -701,3 +701,79 @@ def cluster_balanced_sample(
         )
         .orderBy(id_col)
     )
+
+
+# --- Johnson-Lindenstrauss sign projection (round-7) --------------------------
+
+JL_OUT_DIM = 8
+JL_SALT = "jl"
+
+
+def jl_signs(in_dim: int, out_dim: int = JL_OUT_DIM) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(i, j) from the parity of
+    md5('jl:j:i') — a fixed, engine-independent pseudo-random matrix
+    computed at PLAN-BUILD time (pure Python, no SQL hash), so the Spark
+    expression and the DuckDB oracle embed the very same literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{JL_SALT}:{j}:{i}".encode()).hexdigest(), 16
+            )
+            & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_sum_expr(vec: str, row: list[int], d: str) -> str:
+    """One projection coordinate as a literal-sign left-assoc chain:
+    (±x1 ± x2 ± ...) — fixed association, bit-identical across engines,
+    plain enough to stay inside whole-stage codegen."""
+    terms = []
+    for i, s in enumerate(row):
+        e = f"CAST({dl.elem(vec, str(i + 1), d)} AS DOUBLE)"
+        terms.append(e if s > 0 else f"(- {e})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def jl_project(
+    base: DataFrame,
+    in_dim: int,
+    out_dim: int = JL_OUT_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: d-dim embeddings
+    down to `out_dim` coordinates y_j = Σ_i s_ij·x_i / √out_dim with the
+    deterministic ±1 matrix of `jl_signs` — the cheap dimensionality
+    reduction in front of clustering/LSH/dedup when d is large (pairwise
+    distances preserved within (1±ε) whp; the SimHash planes of
+    `lsh_bucket` are this projection's 1-bit quantization).
+
+    Output is `out_dim` SCALAR micro-quantized BIGINT columns p0..p{m-1}
+    (the gate surface is scalar-only by contract) — downstream operators
+    that want an array re-assemble it with array(p0, ...).
+
+    Scale: map-only, zero shuffles, one pass; the chain expressions are
+    plain arithmetic inside whole-stage codegen (no interpreted
+    higher-order lambdas on the hot path).
+    """
+    signs = jl_signs(in_dim, out_dim)
+    scale = f"sqrt(CAST({out_dim} AS DOUBLE))"
+    cols = [
+        F.expr(
+            f"CAST(floor((({jl_sum_expr('v', row, dl.SPARK)}) / {scale})"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    return (
+        base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select(F.col("id").alias(id_col), *cols)
+        .orderBy(id_col)
+    )

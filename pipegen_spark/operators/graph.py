@@ -227,3 +227,79 @@ def cc_star_labels(
     return e.select(F.col("c").alias("id"), F.col("p").alias("lbl")).unionByName(
         roots
     )
+
+
+# --- triangle counting (round-7) ---------------------------------------------
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle count + degree over an undirected pair graph
+    (input edges id-oriented a < b, deduplicated — the near-dup pair
+    frame's shape). Triangle density separates tight duplicate cliques
+    from accidental chains: a near-dup CLUSTER of mutually-similar docs
+    is triangle-rich, while a transitive false-positive chain
+    (A~B~C but not A~C) has none — the standard cluster-quality
+    diagnostic on top of connected components.
+
+    Algorithm: each triangle {a<b<c} is counted exactly once by joining
+    wedges (a,b)+(b,c) with the closing edge (a,c) — two equi-joins on
+    node keys, both partial-aggregable afterwards. Shuffle volume is
+    O(Σ deg²) wedge rows; at 100 TB scale the standard refinement is to
+    orient edges low-degree → high-degree instead of by id (caps wedge
+    count at O(E^1.5) on skewed graphs) — for bounded-degree near-dup
+    graphs the id orientation is already linear. Per-node counts credit
+    all three corners via one explode + groupBy.
+
+    Output: (node, degree, n_triangles) for every node incident to an
+    edge, ordered by node. Callers wanting zeros for isolated docs left
+    join from their id frame.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).distinct()
+    # The edge frame is consumed by THREE join branches (both wedge
+    # sides + the closing edge); without a cut, Spark re-executes the
+    # upstream pair pipeline (often an expensive MinHash chain) once per
+    # branch. Materialize it — edges are O(near-dup pairs), orders of
+    # magnitude smaller than the corpus (the pagerank edge discipline;
+    # at cluster scale use durable checkpoint()).
+    e = e.localCheckpoint(eager=True)
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+        .orderBy("node")
+    )

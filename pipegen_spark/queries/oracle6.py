@@ -400,3 +400,34 @@ FROM spine s LEFT JOIN counts c
   ON s.event_type = c.event_type AND s.hour_epoch = c.hour_epoch
 ORDER BY s.event_type, s.hour_epoch
 """
+
+RELATIONAL6_ORACLE["q77_mad_anomaly"] = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day_idx
+    FROM events
+),
+daily AS (
+    SELECT event_type, day_idx, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev GROUP BY event_type, day_idx
+),
+med AS (
+    SELECT event_type,
+           CAST(2.0 * quantile_cont(n_events, 0.5) AS BIGINT) AS med2
+    FROM daily GROUP BY event_type
+),
+dev AS (
+    SELECT d.event_type, d.day_idx, d.n_events, m.med2,
+           CAST(ABS(2 * d.n_events - m.med2) AS BIGINT) AS dev2
+    FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type,
+           CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+    FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, dev.day_idx, dev.n_events, dev.med2, dev.dev2,
+       mad.mad4, (dev.dev2 * 2 > mad.mad4 * 3) AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+ORDER BY dev.event_type, dev.day_idx
+"""

@@ -684,3 +684,64 @@ def q76_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_gap", F.col("n_events") == 0)
         .orderBy("event_type", "hour_epoch")
     )
+
+
+# --- Q77: robust (MAD) anomaly detection -------------------------------------
+def q77_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event-count anomalies via MEDIAN ABSOLUTE
+    DEVIATION — the robust sibling of q74's 3-sigma test (one wild day
+    inflates a standard deviation and masks real outliers; the median
+    pair doesn't break down until half the days are bad).
+
+    Integer-exact trick: for integer counts, 2x a median is always an
+    integer (interpolation only lands on halves), so the whole test
+    runs in scaled integer units — med2 = 2·median(c),
+    dev2 = |2c − med2| = 2·|c − med|, mad4 = 2·median(dev2) = 4·MAD,
+    and |c − med| > 3·MAD ⇔ 2·dev2 > 3·mad4 — no float tolerance, no
+    libm, bit-identical on both engines.
+
+    Plan shape: ONE partial-aggregated (type, day) count over the scan;
+    the two median passes group by type over ≤ |days| rows per group —
+    bounded groups, the q32 exact-percentile cost class — and the tiny
+    per-type stats broadcast back onto the daily frame.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(to_unix_timestamp(date_trunc('DAY', ts)) DIV 86400"
+            " AS BIGINT)"
+        ).alias("day_idx"),
+    )
+    daily = ev.groupBy("event_type", "day_idx").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr(
+            "CAST(2.0 * percentile(n_events, 0.5) AS BIGINT)"
+        ).alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        "med2",
+        F.expr("abs(2 * n_events - med2)").cast("long").alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2.0 * percentile(dev2, 0.5) AS BIGINT)").alias(
+            "mad4"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day_idx",
+            "n_events",
+            "med2",
+            "dev2",
+            "mad4",
+            (F.col("dev2") * 2 > F.col("mad4") * 3).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day_idx")
+    )

@@ -126,6 +126,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + degree per node of the near-dup pair graph —
+    cluster-quality diagnostic: tight duplicate cliques are
+    triangle-rich, transitive false-positive chains are triangle-free.
+    Same pair chain as dedup_minhash_lsh."""
+    from pipegen_spark.operators import graph as gr
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    )
+    return gr.triangle_counts(pairs)
+
+
 def dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via global-frequency prefix
     filtering (AllPairs/PPJoin family): every pair with trigram-set
@@ -284,6 +298,14 @@ def embed_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.cluster_balanced_sample(
         emb, F.col("vec_id") < KMEANS_K, iters=KMEANS_ITERS
     )
+
+
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection to 8 micro-quantized scalar
+    coordinates — the cheap dimensionality reduction ahead of
+    clustering/LSH at large d."""
+    emb = table(spark, sf_dir, "embeddings")
+    return em.jl_project(emb, in_dim=EMB_DIM)
 
 
 def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

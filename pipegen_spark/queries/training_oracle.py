@@ -127,6 +127,44 @@ def _near_dup_rate_sql() -> str:
     """
 
 
+def _triangles_sql() -> str:
+    """Mirror of graph.triangle_counts over the minhash near-dup pairs:
+    wedges (a,b)+(b,c) closed by (a,c), all three corners credited.
+    `dup` MATERIALIZED so the wedge/closing joins don't re-inline the
+    whole minhash chain three times."""
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    dup AS MATERIALIZED (
+        SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs
+        WHERE jac >= {td.MINHASH_THRESHOLD}
+    ),
+    tri AS (
+        SELECT x.a, x.b, y.b AS c
+        FROM dup x
+        JOIN dup y ON x.b = y.a
+        JOIN dup z ON z.a = x.a AND z.b = y.b
+    ),
+    corner AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    pn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corner GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM dup UNION ALL SELECT b FROM dup
+        ) t GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN pn ON deg.node = pn.node
+    ORDER BY deg.node
+    """
+
+
 def _containment_sql() -> str:
     """Same CTE chain; the verified measure is Broder containment
     |A∩B| / min(|A|,|B|) (see operators/dedup._containment_col)."""
@@ -955,6 +993,25 @@ def _emb_kmeans_sql() -> str:
         + f"\n    SELECT id AS vec_id, cluster_id, d2 FROM {last}"
         " ORDER BY vec_id\n    "
     )
+
+
+def _jl_sql() -> str:
+    """Mirror of embeddings.jl_project — the identical literal-sign
+    chains (generated from the same jl_signs matrix) in DuckDB text."""
+    import pipegen_spark.operators.embeddings as em
+
+    signs = em.jl_signs(td.EMB_DIM, em.JL_OUT_DIM)
+    scale = f"sqrt(CAST({em.JL_OUT_DIM} AS DOUBLE))"
+    cols = ",\n           ".join(
+        f"CAST(floor((({em.jl_sum_expr('embedding', row, D)}) / {scale})"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM embeddings ORDER BY vec_id
+    """
 
 
 def _cluster_sample_sql() -> str:
@@ -2322,6 +2379,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_setjoin": _setjoin_sql(),
+    "dedup_triangles": _triangles_sql(),
     "dedup_embedding_cosine": _emb_dup_sql(),
     "simsearch_bruteforce": _brute_force_sql(),
     "simsearch_range": _range_sql(),
@@ -2346,6 +2404,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "embed_normalize": _emb_normalize_sql(),
     "embed_quantize": _emb_quantize_sql(),
     "embed_cluster_sample": _cluster_sample_sql(),
+    "embed_jl_project": _jl_sql(),
     "embed_kmeans": _emb_kmeans_sql(),
     "text_fingerprint": _proj_sql({"fp": tx.fingerprint_expr("text", D)}),
     "curate_contamination": _contamination_sql(),

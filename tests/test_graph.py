@@ -151,3 +151,26 @@ def test_cc_star_rejects_nonpositive_max_rounds(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="max_rounds"):
         cc_star_labels(pairs, max_rounds=0)
+
+
+def test_triangle_counts_planted(spark):
+    from pipegen_spark.operators.graph import triangle_counts
+
+    # triangle {1,2,3}, chain 4-5-6 (no triangle), pendant 3-7
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6), (3, 7)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["node"]: r for r in triangle_counts(pairs).collect()}
+    assert {n: out[n]["n_triangles"] for n in sorted(out)} == {
+        1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0,
+    }
+    assert out[3]["degree"] == 3 and out[5]["degree"] == 2
+    # two triangles sharing an edge: add {2,3,8}
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 8), (3, 8)],
+        "doc_a long, doc_b long",
+    )
+    out2 = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(pairs2).collect()}
+    assert out2 == {1: 1, 2: 2, 3: 2, 8: 1}

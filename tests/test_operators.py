@@ -1194,3 +1194,58 @@ def test_gap_fill_spine_complete(spark):
         for r in rows:
             assert r["is_gap"] == (r["n_events"] == 0)
     assert len(out) == n_types * len(hours)
+
+
+def test_jl_project_hand_computed(spark):
+    import math
+
+    from pipegen_spark.operators.embeddings import (
+        JL_OUT_DIM,
+        jl_project,
+        jl_signs,
+    )
+
+    d = 16
+    signs = jl_signs(d, JL_OUT_DIM)
+    # e_0 basis vector: projection j = sign(j, 0) / sqrt(8)
+    e0 = [1.0] + [0.0] * (d - 1)
+    ones = [1.0] * d
+    df = spark.createDataFrame(
+        [(0, e0), (1, ones)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in jl_project(df, in_dim=d).collect()}
+    for j in range(JL_OUT_DIM):
+        want0 = math.floor(
+            signs[j][0] / math.sqrt(8.0) * 1_000_000.0 + 0.5
+        )
+        assert out[0][f"p{j}"] == want0
+        want1 = math.floor(
+            sum(signs[j]) / math.sqrt(8.0) * 1_000_000.0 + 0.5
+        )
+        assert out[1][f"p{j}"] == want1
+    # sign matrix is balanced-ish and deterministic
+    assert jl_signs(d, JL_OUT_DIM) == signs
+    flat = [s for row in signs for s in row]
+    assert {-1, 1} == set(flat)
+
+
+def test_mad_anomaly_internal_consistency(spark):
+    import statistics
+
+    from pipegen_spark.queries.relational6 import q77_mad_anomaly
+    from tests.conftest import SF_SMOKE
+
+    rows = q77_mad_anomaly(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        counts = [r["n_events"] for r in rs]
+        med2 = round(2 * statistics.median(counts))
+        assert all(r["med2"] == med2 for r in rs)
+        devs = [abs(2 * c - med2) for c in counts]
+        mad4 = round(2 * statistics.median(devs))
+        assert all(r["mad4"] == mad4 for r in rs)
+        for r in rs:
+            assert r["dev2"] == abs(2 * r["n_events"] - med2)
+            assert r["is_anomaly"] == (r["dev2"] * 2 > mad4 * 3)
