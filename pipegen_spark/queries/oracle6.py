@@ -431,3 +431,41 @@ SELECT dev.event_type, dev.day_idx, dev.n_events, dev.med2, dev.dev2,
 FROM dev JOIN mad ON dev.event_type = mad.event_type
 ORDER BY dev.event_type, dev.day_idx
 """
+
+RELATIONAL6_ORACLE["q78_streaks"] = """
+WITH ev AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day_idx
+    FROM events
+),
+isl AS (
+    SELECT user_id, day_idx,
+           day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day_idx) AS island
+    FROM ev
+),
+per_streak AS (
+    SELECT user_id, island,
+           CAST(COUNT(*) AS BIGINT) AS len_days,
+           MIN(day_idx) AS start_day
+    FROM isl GROUP BY user_id, island
+),
+summary AS (
+    SELECT user_id,
+           CAST(SUM(len_days) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len_days) AS BIGINT) AS max_streak_days
+    FROM per_streak GROUP BY user_id
+),
+best AS (
+    SELECT p.user_id, CAST(MIN(p.start_day) AS BIGINT)
+        AS best_streak_start
+    FROM per_streak p JOIN summary s
+      ON p.user_id = s.user_id AND p.len_days = s.max_streak_days
+    GROUP BY p.user_id
+)
+SELECT s.user_id, s.n_active_days, s.n_streaks, s.max_streak_days,
+       b.best_streak_start
+FROM summary s JOIN best b ON s.user_id = b.user_id
+ORDER BY s.user_id
+"""

@@ -745,3 +745,56 @@ def q77_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_idx")
     )
+
+
+# --- Q78: activity streaks (gaps & islands) ----------------------------------
+def q78_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks — the classic gaps-and-
+    islands shape (retention/engagement reporting): distinct activity
+    days per user, island id = day_idx − row_number (constant within a
+    consecutive run), then per-user summary: active days, number of
+    streaks, longest streak and its start day.
+
+    Plan shape: one distinct over (user, day) — partial-aggregated —
+    then ONE sort-shuffle on user_id shared by the row_number window;
+    the island and user rollups are hash aggregates on top. user_id is
+    high-cardinality, so window partitions stay balanced at any scale.
+    All-integer surfaces."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(to_unix_timestamp(date_trunc('DAY', ts)) DIV 86400"
+            " AS BIGINT)"
+        ).alias("day_idx"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_idx")
+    islands = ev.select(
+        "user_id",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(w)).alias("island"),
+    )
+    per_streak = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len_days"),
+        F.min("day_idx").alias("start_day"),
+    )
+    summary = per_streak.groupBy("user_id").agg(
+        F.sum("len_days").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len_days").cast("long").alias("max_streak_days"),
+    )
+    # Earliest start among the longest streaks — an explicit integer
+    # tie-break (a struct-keyed max_by would lean on engine-specific
+    # struct ordering).
+    best = (
+        per_streak.join(
+            summary.select(
+                "user_id", F.col("max_streak_days").alias("len_days")
+            ),
+            ["user_id", "len_days"],
+        )
+        .groupBy("user_id")
+        .agg(F.min("start_day").cast("long").alias("best_streak_start"))
+    )
+    return summary.join(best, "user_id").orderBy("user_id")

@@ -140,6 +140,49 @@ def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_counts(pairs)
 
 
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning table in ONE pass: every LSH candidate
+    pair scored once, histogrammed into 1/20-wide Jaccard buckets with a
+    top-down cumulative — "how many pairs would each threshold accept"
+    without re-running the pipeline per candidate threshold. Exact-set
+    duplicates are collapsed before banding (as in the production
+    chain), so the sweep covers the fuzzy region below 1.0.
+
+    Buckets are floor(jac·20): jac is the same IEEE division on both
+    engines, so bucketing is engine-identical even at representation
+    boundaries (a rational inter·20 DIV union occasionally differs by
+    one at exact-multiple boundaries — deterministically, on BOTH
+    sides, documented rather than epsilon-patched: this is a tuning
+    histogram, not a dedup verdict).
+
+    Scale: identical cost to dedup_minhash_lsh (same chain, threshold 0
+    keeps all candidates) + a ≤21-row histogram; the cumulative window
+    runs on that single tiny partition."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=0.0
+    )
+    hist = (
+        pairs.select(
+            F.expr("CAST(floor(jac * 20.0) AS BIGINT)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "bucket",
+        (F.col("bucket") * 50000).cast("long").alias("jac_lo_ppm"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
+    ).orderBy("bucket")
+
+
 def dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via global-frequency prefix
     filtering (AllPairs/PPJoin family): every pair with trigram-set

@@ -127,6 +127,27 @@ def _near_dup_rate_sql() -> str:
     """
 
 
+def _threshold_sweep_sql() -> str:
+    """Mirror of dedup_threshold_sweep: the shared candidate chain with
+    no threshold, IEEE-identical floor(jac*20) buckets, top-down
+    cumulative over the tiny histogram."""
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    hist AS (
+        SELECT CAST(floor(jac * 20.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(bucket * 50000 AS BIGINT) AS jac_lo_ppm,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_pairs_ge
+    FROM hist ORDER BY bucket
+    """
+
+
 def _triangles_sql() -> str:
     """Mirror of graph.triangle_counts over the minhash near-dup pairs:
     wedges (a,b)+(b,c) closed by (a,c), all three corners credited.
@@ -2379,6 +2400,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_setjoin": _setjoin_sql(),
+    "dedup_threshold_sweep": _threshold_sweep_sql(),
     "dedup_triangles": _triangles_sql(),
     "dedup_embedding_cosine": _emb_dup_sql(),
     "simsearch_bruteforce": _brute_force_sql(),

@@ -1249,3 +1249,55 @@ def test_mad_anomaly_internal_consistency(spark):
         for r in rs:
             assert r["dev2"] == abs(2 * r["n_events"] - med2)
             assert r["is_anomaly"] == (r["dev2"] * 2 > mad4 * 3)
+
+
+def test_threshold_sweep_cumulative_and_buckets(spark):
+    from pipegen_spark.queries.training_data import dedup_threshold_sweep
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        dedup_threshold_sweep(spark, SF_SMOKE).collect(),
+        key=lambda r: -r["bucket"],
+    )
+    run = 0
+    for r in rows:  # descending buckets: cumulative must telescope
+        run += r["n_pairs"]
+        assert r["n_pairs_ge"] == run
+        assert r["jac_lo_ppm"] == r["bucket"] * 50000
+        assert 0 <= r["bucket"] <= 20 and r["n_pairs"] > 0
+
+
+def test_streaks_match_bruteforce(spark):
+    from pipegen_spark.catalog import table
+    from pipegen_spark.queries.relational6 import q78_streaks
+    from tests.conftest import SF_SMOKE
+
+    out = {r["user_id"]: r for r in q78_streaks(spark, SF_SMOKE).collect()}
+    ev = table(spark, SF_SMOKE, "events").selectExpr(
+        "user_id",
+        "CAST(to_unix_timestamp(date_trunc('DAY', ts)) DIV 86400"
+        " AS BIGINT) AS d",
+    ).collect()
+    days = {}
+    for r in ev:
+        days.setdefault(r["user_id"], set()).add(r["d"])
+    assert set(out) == set(days)
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                streaks.append((start, prev - start + 1))
+                start = prev = d
+        streaks.append((start, prev - start + 1))
+        got = out[u]
+        assert got["n_active_days"] == len(ds)
+        assert got["n_streaks"] == len(streaks)
+        best = max(s[1] for s in streaks)
+        assert got["max_streak_days"] == best
+        assert got["best_streak_start"] == min(
+            s[0] for s in streaks if s[1] == best
+        )
