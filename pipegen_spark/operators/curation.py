@@ -1615,3 +1615,84 @@ def length_histogram(
         )
         .orderBy(group_col, "bucket")
     )
+
+
+# --- train/eval split-leakage audit (round-7) ---------------------------------
+
+SPLIT_LEAK_K = 3
+SPLIT_LEAK_FLAG_PPM = 500_000
+
+
+def split_leakage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPLIT_LEAK_K,
+    flag_ppm: int = SPLIT_LEAK_FLAG_PPM,
+) -> DataFrame:
+    """Train→eval leakage audit over the repo's own deterministic split:
+    for every val/test document, the fraction of its k-gram fingerprints
+    that also occur anywhere in the TRAIN split — the check that the
+    held-out sets actually hold anything out (benchmark decontamination
+    guards external eval sets; this guards the pipeline's OWN split,
+    where near-dups straddling the hash boundary silently inflate eval
+    scores).
+
+    Shape: one shingle pass carries the split label; fingerprints are
+    60-bit hashes before anything shuffles (the contamination_check
+    discipline — 8-byte longs, not n-gram strings). Unlike
+    contamination_check, the reference side here is the TRAIN split —
+    ~90% of the corpus — so it is NOT hint-broadcast: the overlap is a
+    plain fingerprint equi-join (AQE may still broadcast at small
+    scale). Eval docs shorter than k tokens report zeros via the
+    left-join-coalesce discipline.
+
+    Output: (id, split, n_ngrams, n_leaked, leak_ppm, flagged) for
+    every NON-train document.
+    """
+    labeled = with_split(docs, id_col)
+    sh = dd.shingle_rows(
+        labeled, text_col, id_col, k, extra_cols=("split",),
+        distinct=False,
+    ).select("id", "split", F.expr(dl.hash60("s", dl.SPARK)).alias("h"))
+    train_fp = (
+        sh.where(F.col("split") == "train")
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = sh.where(F.col("split") != "train").select("id", "h").distinct()
+    stats = (
+        ev.join(train_fp, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count("_hit").cast("long").alias("n_leaked"),
+        )
+    )
+    ids = labeled.where(F.col("split") != "train").select(
+        F.col(id_col).alias("id"), "split"
+    )
+    zero = F.lit(0).cast("long")
+    ppm = dl.idiv("n_leaked * 1000000", "n_ngrams", dl.SPARK)
+    return (
+        ids.join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "split",
+            F.coalesce("n_ngrams", zero).alias("n_ngrams"),
+            F.coalesce("n_leaked", zero).alias("n_leaked"),
+        )
+        .select(
+            id_col,
+            "split",
+            "n_ngrams",
+            "n_leaked",
+            F.when(F.col("n_ngrams") > 0, F.expr(ppm))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("leak_ppm"),
+        )
+        .withColumn("flagged", F.col("leak_ppm") >= F.lit(flag_ppm))
+        .orderBy(id_col)
+    )

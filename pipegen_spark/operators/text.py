@@ -1261,3 +1261,57 @@ def char_diversity(
         )
         .orderBy(id_col)
     )
+
+
+# --- vocabulary growth (round-7) ---------------------------------------------
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary statistics — the Heaps-law health report
+    for a corpus slice: total token mass, distinct types, type-token
+    ratio (ppm) and the hapax fraction (types seen exactly once — a
+    high hapax share signals noisy/OCR text, a collapsing one signals
+    template spam). Integer-exact everywhere.
+
+    Scale: one tokenize+explode, one (source, token) partial-aggregated
+    count, one bounded per-source rollup. The token strings shuffle
+    once in the (source, token) aggregate — at trillion-doc scale swap
+    the token for its hash60 (the rep_ngram convention; hapax/type
+    counts are then exact up to 60-bit collisions).
+    """
+    toks = (
+        docs.select(
+            F.col(group_col),
+            F.explode(
+                F.expr(dl.words(text_col, dl.SPARK))
+            ).alias("tok"),
+        )
+        .groupBy(group_col, "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ttr = dl.idiv("n_types * 1000000", "n_tokens", dl.SPARK)
+    hapax = dl.idiv("n_hapax * 1000000", "n_types", dl.SPARK)
+    return (
+        toks.groupBy(group_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr(ttr).cast("long").alias("ttr_ppm"),
+            F.expr(hapax).cast("long").alias("hapax_ppm"),
+        )
+        .orderBy(group_col)
+    )

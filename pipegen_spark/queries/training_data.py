@@ -311,6 +311,22 @@ def curate_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.length_histogram(docs)
 
 
+def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit over the deterministic 90/5/5 split:
+    per val/test doc, the ppm of its 3-gram fingerprints that occur
+    anywhere in the train split — the pipeline's own-decontamination
+    check (held-out sets must actually hold out)."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.split_leakage(docs)
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary health report: token mass, distinct types,
+    type-token ratio and hapax share (Heaps-law diagnostics)."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.vocab_growth(docs)
+
+
 def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate share (C4/RefinedWeb template removal
     signal): per-doc count/fraction of 3-token windows that occur in >= 5

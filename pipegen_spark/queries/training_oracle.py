@@ -579,6 +579,71 @@ def _chardiv_sql() -> str:
     """
 
 
+def _split_leakage_sql() -> str:
+    """Mirror of curation.split_leakage: the deterministic split label,
+    per-(doc, fingerprint) distinct rows, plain (non-broadcast) overlap
+    join against the train fingerprint set."""
+    split = cu.split_expr("doc_id", D)
+    shingles = dl.word_shingles_all("w", cu.SPLIT_LEAK_K, D)
+    h = dl.hash60("s", D)
+    ppm = dl.idiv("st.n_leaked * 1000000", "st.n_ngrams", D)
+    return f"""
+    WITH labeled AS (
+        SELECT doc_id AS id, text, {split} AS split FROM documents
+    ),
+    w AS (SELECT id, split, {dl.words('text', D)} AS w FROM labeled),
+    pos AS (SELECT id, split, unnest({shingles}) AS s FROM w),
+    fp AS (SELECT DISTINCT id, split, {h} AS h FROM pos),
+    train AS (SELECT DISTINCT h FROM fp WHERE split = 'train'),
+    ev AS (SELECT id, h FROM fp WHERE split <> 'train'),
+    st AS (
+        SELECT ev.id,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_leaked
+        FROM ev LEFT JOIN train t ON ev.h = t.h
+        GROUP BY ev.id
+    )
+    SELECT l.id AS doc_id, l.split,
+           CAST(COALESCE(st.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(st.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CAST(CASE WHEN COALESCE(st.n_ngrams, 0) > 0 THEN {ppm}
+                ELSE 0 END AS BIGINT) AS leak_ppm,
+           (CASE WHEN COALESCE(st.n_ngrams, 0) > 0 THEN {ppm}
+                ELSE 0 END) >= {cu.SPLIT_LEAK_FLAG_PPM} AS flagged
+    FROM labeled l LEFT JOIN st ON l.id = st.id
+    WHERE l.split <> 'train'
+    ORDER BY l.id
+    """
+
+
+def _vocab_growth_sql() -> str:
+    """Mirror of text.vocab_growth (per-(source, token) counts, bounded
+    per-source rollup, integer ppm ratios)."""
+    ttr = dl.idiv("n_types * 1000000", "n_tokens", D)
+    hapax = dl.idiv("n_hapax * 1000000", "n_types", D)
+    return f"""
+    WITH toks AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source, unnest({dl.words('text', D)}) AS tok
+            FROM documents
+        ) t GROUP BY source, tok
+    ),
+    per AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM toks GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           CAST({ttr} AS BIGINT) AS ttr_ppm,
+           CAST({hapax} AS BIGINT) AS hapax_ppm
+    FROM per ORDER BY source
+    """
+
+
 def _boilerplate_sql() -> str:
     """Mirror of curation.boilerplate_stats: per-position shingle rows,
     distinct-doc frequency, df-filtered boilerplate set joined back,
@@ -2408,6 +2473,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_knn_graph": _knn_graph_sql(),
     "curate_boilerplate": _boilerplate_sql(),
     "curate_length_stats": _length_stats_sql(),
+    "curate_split_leakage": _split_leakage_sql(),
+    "text_vocab_growth": _vocab_growth_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_quality_threshold": _quality_threshold_sql(),
     "curate_ensemble": _ensemble_sql(),

@@ -745,3 +745,56 @@ def test_ensemble_accepts_threshold_gate(spark):
         assert exact[d]["clf_keep"] == thresh[d]["clf_keep"]
         if exact[d]["pct_keep"] == thresh[d]["pct_keep"]:
             assert exact[d]["keep"] == thresh[d]["keep"]
+
+
+def test_split_leakage_planted(spark):
+    """Identical-text docs: every eval doc fully leaked (ppm 1e6,
+    flagged); a unique-text eval doc reports 0; a short eval doc is
+    counted with zeros. Split membership is discovered from the
+    deterministic labels rather than assumed."""
+    from pipegen_spark.operators import curation as cu
+
+    ids = list(range(400))
+    labels = {
+        r["doc_id"]: r["split"]
+        for r in cu.with_split(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        ).collect()
+    }
+    evals = [i for i in ids if labels[i] != "train"]
+    trains = [i for i in ids if labels[i] == "train"]
+    assert evals and trains
+    uniq, short = evals[0], evals[1]
+    rows = []
+    for i in ids:
+        if i == uniq:
+            rows.append((i, "totally unique eval words never in train"))
+        elif i == short:
+            rows.append((i, "so"))  # < k tokens
+        else:
+            rows.append((i, "alpha beta gamma delta epsilon"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cu.split_leakage(docs).collect()}
+    assert set(out) == set(evals)
+    for i in evals:
+        if i == uniq:
+            assert out[i]["leak_ppm"] == 0 and not out[i]["flagged"]
+        elif i == short:
+            assert tuple(out[i])[2:] == (0, 0, 0, False)
+        else:
+            assert out[i]["leak_ppm"] == 1_000_000 and out[i]["flagged"]
+
+
+def test_vocab_growth_hand_computed(spark):
+    from pipegen_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(0, "a", "x x y"), (1, "a", "x z"), (2, "b", "w w w")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in vocab_growth(docs).collect()}
+    # source a: tokens x,x,y,x,z -> 5 tokens, 3 types, hapax {y,z}
+    assert tuple(out["a"])[1:] == (
+        5, 3, 2, 3 * 1_000_000 // 5, 2 * 1_000_000 // 3,
+    )
+    assert tuple(out["b"])[1:] == (3, 1, 0, 333_333, 0)
