@@ -1315,3 +1315,89 @@ def vocab_growth(
         )
         .orderBy(group_col)
     )
+
+
+# --- RAKE keyword extraction (round-7) ----------------------------------------
+
+RAKE_TOPK = 3
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = RAKE_TOPK,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each token scores deg/freq (deg =
+    sum of the lengths of the phrases its occurrences sit in, freq = its
+    occurrence count); a phrase scores the sum of its members' scores;
+    the top-k distinct phrases per document win. Scores are integer
+    micro-units (deg·1e6 // freq per token, summed) — engine-exact.
+
+    Plan shape: one posexplode, the phrase islands come from the classic
+    gaps-and-islands trick (pos − row_number over one per-doc
+    sort-shuffle); every aggregate after that keys on (doc, island) or
+    (doc, token) — high-cardinality, partial-aggregated; the final
+    top-k window partitions per doc over its few candidate phrases.
+    Docs whose text is all stopwords (or empty) yield no phrases and no
+    rows — a top-k surface, not a per-doc census.
+    """
+    from pyspark.sql.window import Window
+
+    stop_arr = "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(dl.words(text_col, dl.SPARK))).alias(
+            "pos", "tok"
+        ),
+    ).where(~F.expr(dl.contains(stop_arr, "tok", dl.SPARK)))
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = tok.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    phr = isl.groupBy("id", "island").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, tok))), p -> p.tok), ' ')"
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    occ = isl.join(phr.select("id", "island", "plen"), ["id", "island"])
+    tok_score = (
+        occ.groupBy("id", "tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "id",
+            "tok",
+            F.expr(dl.idiv("deg * 1000000", "freq", dl.SPARK))
+            .cast("long")
+            .alias("tscore"),
+        )
+    )
+    scored = (
+        isl.join(tok_score, ["id", "tok"])
+        .groupBy("id", "island")
+        .agg(F.sum("tscore").cast("long").alias("score_micro"))
+        .join(phr, ["id", "island"])
+        .select("id", "phrase", "plen", "score_micro")
+        .distinct()  # identical phrase occurrences score identically
+    )
+    rw = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= topk)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rnk").cast("long").alias("rnk"),
+            "phrase",
+            "plen",
+            "score_micro",
+        )
+        .orderBy(id_col, "rnk")
+    )

@@ -320,6 +320,13 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.split_leakage(docs)
 
 
+def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: top-3 stopword-delimited phrases per doc
+    by summed deg/freq token scores (integer micro-units)."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.rake_keywords(docs)
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary health report: token mass, distinct types,
     type-token ratio and hapax share (Heaps-law diagnostics)."""

@@ -617,6 +617,67 @@ def _split_leakage_sql() -> str:
     """
 
 
+def _rake_sql() -> str:
+    """Mirror of text.rake_keywords: islands from pos − row_number,
+    ordered string_agg phrase assembly, integer deg/freq token scores,
+    distinct phrases, per-doc top-k."""
+    stop_arr = "[" + ",".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
+    tscore = dl.idiv("deg * 1000000", "freq", D)
+    return f"""
+    WITH tok AS (
+        SELECT id, pos, tok FROM (
+            SELECT doc_id AS id,
+                   unnest({dl.words('text', D)}) AS tok,
+                   generate_subscripts({dl.words('text', D)}, 1) AS pos
+            FROM documents
+        ) t WHERE NOT {dl.contains(stop_arr, 'tok', D)}
+    ),
+    isl AS (
+        SELECT id, pos, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos)
+                   AS island
+        FROM tok
+    ),
+    phr AS (
+        SELECT id, island,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM isl GROUP BY id, island
+    ),
+    ts AS (
+        SELECT o.id, o.tok,
+               CAST({tscore} AS BIGINT) AS tscore
+        FROM (
+            SELECT i.id, i.tok,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(p.plen) AS BIGINT) AS deg
+            FROM isl i JOIN phr p
+              ON i.id = p.id AND i.island = p.island
+            GROUP BY i.id, i.tok
+        ) o
+    ),
+    scored AS (
+        SELECT DISTINCT s.id, p.phrase, p.plen, s.score_micro
+        FROM (
+            SELECT i.id, i.island,
+                   CAST(SUM(t.tscore) AS BIGINT) AS score_micro
+            FROM isl i JOIN ts t ON i.id = t.id AND i.tok = t.tok
+            GROUP BY i.id, i.island
+        ) s JOIN phr p ON s.id = p.id AND s.island = p.island
+    ),
+    ranked AS (
+        SELECT id, phrase, plen, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY score_micro DESC, phrase) AS rnk
+        FROM scored
+    )
+    SELECT id AS doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, plen,
+           score_micro
+    FROM ranked WHERE rnk <= {tx.RAKE_TOPK}
+    ORDER BY doc_id, rnk
+    """
+
+
 def _vocab_growth_sql() -> str:
     """Mirror of text.vocab_growth (per-(source, token) counts, bounded
     per-source rollup, integer ppm ratios)."""
@@ -2474,6 +2535,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_boilerplate": _boilerplate_sql(),
     "curate_length_stats": _length_stats_sql(),
     "curate_split_leakage": _split_leakage_sql(),
+    "text_rake": _rake_sql(),
     "text_vocab_growth": _vocab_growth_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_quality_threshold": _quality_threshold_sql(),

@@ -1301,3 +1301,31 @@ def test_streaks_match_bruteforce(spark):
         assert got["best_streak_start"] == min(
             s[0] for s in streaks if s[1] == best
         )
+
+
+def test_rake_hand_computed(spark):
+    from pipegen_spark.operators.text import rake_keywords
+
+    # non-stop tokens: deep(0) learning(1) | deep(4) network(5)
+    # freq: deep 2, learning 1, network 1; deg: deep 4, learning 2,
+    # network 2 -> tscores 2e6 each -> both phrases score 4e6, tie
+    # broken by phrase string.
+    docs = spark.createDataFrame(
+        [(0, "deep learning of the deep network"),
+         (1, "the of to in"),            # all stopwords -> no rows
+         (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = rake_keywords(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    p0 = sorted(by_doc[0], key=lambda r: r["rnk"])
+    assert [(r["phrase"], r["plen"], r["score_micro"]) for r in p0] == [
+        ("deep learning", 2, 4_000_000),
+        ("deep network", 2, 4_000_000),
+    ]
+    assert [r["rnk"] for r in p0] == [1, 2]
+    assert by_doc[2][0]["phrase"] == "solo"
+    assert by_doc[2][0]["score_micro"] == 1_000_000
