@@ -452,3 +452,31 @@ def test_auto_decode_dispatches_jpeg():
     assert auto_decode(j) == jpeg_features(j)
     feats = jpeg_features(j)
     assert feats["feat_dim"] == 8 and feats["n_bytes"] == len(j)
+
+
+def test_encoder_golden_digests():
+    """Byte-stability pin for all three encoders: the gated queries hash
+    DECODED values, so a silent encoder change (zlib level, Huffman
+    table layout, marker order) could drift payload bytes without
+    tripping any oracle. Changing an encoder deliberately means
+    updating these digests consciously."""
+    import hashlib
+
+    from pipegen_spark.operators.codecs import (
+        jpeg_encode,
+        png_encode,
+        wav_encode,
+    )
+
+    px = (bytes(range(96)) * 2)[:192]
+    assert hashlib.sha256(jpeg_encode(8, 8, px, 3)).hexdigest() == (
+        "f4b75bf4421433068f9e192fb788d93a9c24ff9acecf725cc8864f6e2d9dac17"
+    )
+    assert hashlib.sha256(png_encode(8, 8, px, 3)).hexdigest() == (
+        "dad69fdb15f928624f75255560709b0e4fd721b37cdcd7068c4722adb997de8a"
+    )
+    assert hashlib.sha256(
+        wav_encode(list(range(-32, 32)), sample_rate=8000)
+    ).hexdigest() == (
+        "1f3bf0c2f14822ff377d61144c51837d6772b625dc96368bb2f34960962bd708"
+    )

@@ -226,3 +226,31 @@ def test_png_decode_total_on_garbage(data):
         # CRC-correct IDAT, which random bytes cannot produce (CRC32
         # guards every chunk) — anything else is a real bug.
         raise AssertionError(f"non-ValueError leak: {type(e).__name__}: {e}")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=hst.integers(min_value=1, max_value=12),
+    h=hst.integers(min_value=1, max_value=12),
+    ch=hst.sampled_from([1, 3]),
+    data=hst.data(),
+)
+def test_jpeg_roundtrip_error_bounded(w, h, ch, data):
+    """Property: baseline JPEG at quant=1 reconstructs ANY small image
+    within the DCT/color-rounding bound — arbitrary dims (padding+crop),
+    gray and RGB, arbitrary pixel bytes."""
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    n = w * h * ch
+    px = bytes(
+        data.draw(
+            hst.lists(
+                hst.integers(0, 255), min_size=n, max_size=n
+            )
+        )
+    )
+    ww, hh, cc, out = jpeg_decode(jpeg_encode(w, h, px, ch))
+    assert (ww, hh, cc) == (w, h, ch)
+    assert len(out) == n
+    tol = 6 if ch == 3 else 2  # gray skips the YCbCr round-trip
+    assert max(abs(a - b) for a, b in zip(px, out)) <= tol
