@@ -469,3 +469,69 @@ SELECT s.user_id, s.n_active_days, s.n_streaks, s.max_streak_days,
 FROM summary s JOIN best b ON s.user_id = b.user_id
 ORDER BY s.user_id
 """
+
+from pipegen_spark.queries.relational6 import (  # noqa: E402
+    Q79_REGION,
+    Q79_SIZE_MIN,
+    Q79_TYPE,
+    Q80_HI,
+    Q80_LO,
+    Q80_PREFIX,
+    Q80_SHARE_PPM,
+)
+
+RELATIONAL6_ORACLE["q79_tpch_min_cost_supp"] = f"""
+WITH ps AS (
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+           n.n_name,
+           CAST(MIN({_c(REV)}) AS BIGINT) AS cost_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size >= {Q79_SIZE_MIN}
+      AND p.p_type = '{Q79_TYPE}'
+      AND r.r_name = '{Q79_REGION}'
+    GROUP BY p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name
+)
+SELECT {_c("s_acctbal")} AS acctbal_cents,
+       s_name, n_name, p_partkey, p_name, cost_cents
+FROM ps
+WHERE cost_cents = (
+    SELECT MIN(cost_cents) FROM ps p2 WHERE p2.p_partkey = ps.p_partkey
+)
+ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+RELATIONAL6_ORACLE["q80_tpch_dominant_supplier"] = f"""
+WITH pairs AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS supp_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q80_LO}'
+      AND l_shipdate < TIMESTAMP '{Q80_HI}'
+    GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+    SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty
+    FROM pairs GROUP BY l_partkey
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+    SELECT p.l_suppkey
+    FROM pairs p
+    JOIN totals t ON p.l_partkey = t.l_partkey
+    WHERE 1000000 * p.supp_qty > {Q80_SHARE_PPM} * t.part_qty
+      AND p.l_partkey IN (
+          SELECT p_partkey FROM part
+          WHERE p_name LIKE '{Q80_PREFIX}%'
+      )
+)
+ORDER BY s_name
+"""

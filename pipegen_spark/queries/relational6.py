@@ -54,6 +54,12 @@ Q67_BRAND = "Brand#12"
 Q68_LO, Q68_HI = "1996-01-01", "1996-04-01"
 Q69_NATION = "NATION_3"
 Q69_FRACTION_PPM = 1000  # parts worth > 0.1% of total value
+Q79_SIZE_MIN = 45
+Q79_TYPE = "STANDARD"
+Q79_REGION = "ASIA"
+Q80_PREFIX = "small "
+Q80_LO, Q80_HI = "1997-01-01", "1998-01-01"
+Q80_SHARE_PPM = 400_000  # supplier shipped > 40% of the part's volume
 
 
 def _cents(expr: str):
@@ -798,3 +804,139 @@ def q78_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("start_day").cast("long").alias("best_streak_start"))
     )
     return summary.join(best, "user_id").orderBy("user_id")
+
+
+# --- Q79: min-cost supplier (TPC-H Q2) ---------------------------------------
+def q79_tpch_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-MIN shape, completing the 22-query set on
+    this schema (no partsupp table, so the supplier-part cost relation
+    is DERIVED from the fact: per (part, supplier), the minimum
+    discounted line price ever shipped stands in for ps_supplycost).
+    For large parts of one type, find the cheapest qualifying supplier
+    (region-restricted) — the per-part scalar MIN joins back on integer
+    equality so ties all surface, exactly like the reference Q2.
+
+    Plan shape (100 TB): ONE (partkey, suppkey) hash aggregate over the
+    fact — partial-aggregated map-side, the only wide shuffle; the part
+    filter and the supplier→nation→region chain are broadcast dims that
+    prune BEFORE the min-per-part aggregate, so the correlated MIN runs
+    over the filtered frame (~|parts(filter)| × |supps(region)| rows),
+    not the corpus; the join-back probe is that same small frame."""
+    region = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q79_REGION
+    )
+    nat = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_size") >= Q79_SIZE_MIN) & (F.col("p_type") == Q79_TYPE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            _cents(REV).alias("line_c"),
+        )
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name",
+        )
+        .agg(F.min("line_c").cast("long").alias("cost_cents"))
+    )
+    floor_ = ps.groupBy(F.col("p_partkey").alias("m_key")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    return (
+        ps.join(
+            F.broadcast(floor_),
+            (ps.p_partkey == floor_.m_key)
+            & (ps.cost_cents == floor_.min_cents),
+        )
+        .select(
+            _cents("s_acctbal").alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "cost_cents",
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# --- Q80: dominant supplier (TPC-H Q20) --------------------------------------
+def q80_tpch_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's nested-IN ladder re-targeted (no partsupp availqty):
+    suppliers who shipped MORE than a ppm share of some name-prefixed
+    part's total volume in one year — `s_suppkey IN (pairs WHERE qty
+    gate AND partkey IN (filtered parts))` becomes two stacked
+    left-semi joins, the same double-subquery plan Q20 compiles to.
+
+    Plan shape: the year-filtered fact reduces to ONE (part, supplier)
+    quantity aggregate (the wide shuffle); part totals are a second,
+    strictly smaller agg joined back per part (AQE broadcasts it); the
+    prefix part filter broadcasts into the pair frame; the supplier
+    table then semi-joins against the ~|qualifying pairs| frame. The
+    share gate is an integer cross-multiplication — no ratios."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            f"l_shipdate >= TIMESTAMP '{Q80_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{Q80_HI}'"
+        )
+    )
+    qty_l = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+    pairs = (
+        li.select("l_partkey", "l_suppkey", qty_l.alias("qty"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").cast("long").alias("supp_qty"))
+    )
+    totals = pairs.groupBy(F.col("l_partkey").alias("t_key")).agg(
+        F.sum("supp_qty").cast("long").alias("part_qty")
+    )
+    pref = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q80_PREFIX))
+        .select("p_partkey")
+    )
+    dominant = (
+        pairs.join(totals, pairs.l_partkey == totals.t_key)
+        .filter(
+            F.lit(1_000_000) * F.col("supp_qty")
+            > F.lit(Q80_SHARE_PPM) * F.col("part_qty")
+        )
+        .join(F.broadcast(pref), F.col("l_partkey") == pref.p_partkey, "left_semi")
+        .select("l_suppkey")
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+    )
+    return (
+        supp.join(
+            dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
