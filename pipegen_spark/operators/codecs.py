@@ -263,6 +263,26 @@ def wav_features(payload: bytes) -> dict:
     }
 
 
+def wav_samples(payload: bytes) -> list[int]:
+    """Decoded 16-bit PCM samples (signed, little-endian) of a
+    RIFF/WAVE payload — the raw-sample sibling of `wav_features` for
+    consumers that do their own frame arithmetic (windowed energy,
+    resampling). Same 16-bit-only boundary."""
+    import io
+    import wave
+
+    if payload is None:
+        payload = b""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported sample width {w.getsampwidth()} (16-bit only)"
+            )
+        frames = w.readframes(w.getnframes())
+    n = len(frames) // 2
+    return [s for (s,) in struct.iter_unpack("<h", frames[: n * 2])]
+
+
 # --- JPEG (ITU-T T.81 baseline sequential) -----------------------------------
 #
 # Round-7 stretch: the other ubiquitous corpus image format, implemented

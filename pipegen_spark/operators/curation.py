@@ -1696,3 +1696,114 @@ def split_leakage(
         .withColumn("flagged", F.col("leak_ppm") >= F.lit(flag_ppm))
         .orderBy(id_col)
     )
+
+
+# --- UniMax budget allocation (round-7) ---------------------------------------
+
+UNIMAX_BUDGET_PPM = 950_000  # token budget as ppm of the corpus total
+UNIMAX_MAX_EPOCHS = 1  # per-source repeat cap (UniMax N=1 default)
+
+
+def unimax_allocation(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    budget_ppm: int = UNIMAX_BUDGET_PPM,
+    max_epochs: int = UNIMAX_MAX_EPOCHS,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): distribute a total
+    token budget UNIFORMLY across sources, capping each source at
+    `max_epochs` repetitions of its own size — the published
+    alternative to temperature sampling that never over-replays small
+    sources. The iterative water-filling has a closed form over sources
+    sorted by cap ascending: source i saturates iff giving every
+    still-unsaturated source an equal share would exceed cap_i, i.e.
+    cap_i · (k − i + 1) ≤ B − prefix_{i−1} — an integer
+    cross-multiplication; everyone past the saturation point m gets the
+    common waterline λ = (B − prefix_m) / (k − m) by exact integer
+    division.
+
+    Shape (100 TB): one (source) token-count hash aggregate over the
+    scan — the only corpus-sized work; everything after runs on k rows
+    (k = source cardinality, bounded by construction — a corpus has
+    dozens of sources, not millions), so the single-partition
+    prefix-sum window is a k-row sort, not a data sort. Budget is
+    derived from the corpus total (budget_ppm), so the allocation is
+    scale-free.
+
+    Output: (source, n_tokens, cap_tokens, alloc_tokens, epochs_ppm,
+    saturated) ordered by source; Σ alloc ≤ B with floor residue < k.
+    """
+    n_tok = F.expr(
+        dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)
+    ).cast("long")
+    per = df.select(
+        F.col(source_col).alias("source"), n_tok.alias("t")
+    ).groupBy("source").agg(F.sum("t").cast("long").alias("n_tokens"))
+    per = per.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * max_epochs).cast("long").alias("cap_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "*",
+            F.expr(
+                dl.idiv(f"total * {budget_ppm}", "1000000", dl.SPARK)
+            ).alias("b"),
+            F.row_number().over(w).cast("long").alias("i"),
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long").alias("prefix"),
+        )
+        .withColumn(
+            "saturated",
+            F.col("cap_tokens") * (F.col("k") - F.col("i") + 1)
+            <= F.col("b") - (F.col("prefix") - F.col("cap_tokens")),
+        )
+    )
+    m = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("i"))), F.lit(0)
+        ).cast("long").alias("m"),
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("prefix"))), F.lit(0)
+        ).cast("long").alias("prefix_m"),
+    )
+    lam = dl.idiv("b - prefix_m", "k - m", dl.SPARK)
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_tokens",
+            "cap_tokens",
+            F.when(F.col("saturated"), F.col("cap_tokens"))
+            .otherwise(
+                F.least(
+                    F.when(F.col("k") > F.col("m"), F.expr(lam))
+                    .otherwise(F.lit(0).cast("long")),
+                    F.col("cap_tokens"),
+                )
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            "saturated",
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.expr(
+                dl.idiv("1000000 * alloc_tokens", "n_tokens", dl.SPARK)
+            ),
+        )
+        .select(
+            "source", "n_tokens", "cap_tokens", "alloc_tokens",
+            "epochs_ppm", "saturated",
+        )
+        .orderBy("source")
+    )

@@ -1165,3 +1165,127 @@ def bloom_admission(
         exact_dup.alias("exact_dup"),
         (bloom_hit & ~exact_dup).alias("false_positive"),
     )
+
+
+# --- tf-idf weighted cosine pair join (round-7) -------------------------------
+
+TFIDF_COS_K = 3  # shingle width of the feature space
+TFIDF_COS_DF_CAP = 3  # rare-feature df cap for candidate generation
+TFIDF_COS_IDF_CAP_MILLI = 100_000  # sublinear idf clip (100x, milli-units)
+TFIDF_COS_THRESHOLD_MICRO = 300_000  # emit pairs with cosine >= 0.30
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = TFIDF_COS_K,
+    df_cap: int = TFIDF_COS_DF_CAP,
+    idf_cap_milli: int = TFIDF_COS_IDF_CAP_MILLI,
+    threshold_micro: int = TFIDF_COS_THRESHOLD_MICRO,
+) -> DataFrame:
+    """WEIGHTED lexical near-dup join: cosine over tf-idf shingle vectors
+    — the IR-weighted sibling of `ngram_jaccard_pairs` (which treats all
+    shingles equally) and `setjoin_jaccard_pairs` (set semantics). Pairs
+    dominated by boilerplate shingles score low because high-df features
+    carry clipped idf; pairs sharing RARE content score high — exactly
+    the signal Jaccard dilutes on template-heavy corpora.
+
+    Candidate generation is the inverted-index rare-feature join: only
+    documents sharing at least one shingle with df <= `df_cap` ever
+    form a pair, so the pair space is Σ_rare df² — bounded by
+    df_cap²·|rare vocab|, never |docs|² (same discipline as the LSH
+    band join; a near-dup pair by construction shares rare shingles).
+    The numerator then runs over ALL shared features of the candidates
+    via two hash equi-joins — integer products, order-insensitive.
+
+    Integer discipline: idf_milli = min(1000·N/df, idf_cap_milli) by
+    exact integer division; w = tf·idf_milli (BIGINT). num and the
+    norms are exact BIGINT sums; the only doubles are the final
+    sqrt/divide on three already-exact scalars, written identically in
+    both dialects (int64→double conversion and sqrt are correctly
+    rounded, so the floor()ed micro surface is bit-identical).
+    Overflow envelope: w <= tf·1e5, so num <= shared·tf²·1e10 — safe
+    under 2^63 for tf·√shared to ~3e4; clip idf_cap_milli down first
+    at corpus scales beyond that.
+
+    Shape (100 TB): two hash-agg shuffles (tf, df), one broadcast
+    1-row N, the rare-feature self-join (bounded fan-out), two
+    id-keyed equi-joins for the numerator, one id-keyed norm join.
+    No window sorts, no Python, no all-pairs anywhere.
+    """
+    sh = shingle_rows(df, text_col, id_col, k, distinct=False)
+    tf = sh.groupBy("id", "s").agg(F.count("*").cast("long").alias("c"))
+    dfreq = tf.groupBy("s").agg(F.count("*").cast("long").alias("dfq"))
+    ndocs = df.agg(F.count("*").cast("long").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "s")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "id",
+            "s",
+            "dfq",
+            (
+                F.col("c")
+                * F.least(
+                    F.expr(dl.idiv("1000 * n_docs", "dfq", dl.SPARK)),
+                    F.lit(idf_cap_milli).cast("long"),
+                )
+            ).cast("long").alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("nrm")
+    )
+    rare = w.filter(F.col("dfq") <= df_cap).select("id", "s")
+    cand = (
+        rare.alias("ra")
+        .join(
+            rare.alias("rb"),
+            (F.col("ra.s") == F.col("rb.s"))
+            & (F.col("ra.id") < F.col("rb.id")),
+        )
+        .select(
+            F.col("ra.id").alias("ida"), F.col("rb.id").alias("idb")
+        )
+        .distinct()
+    )
+    wa = w.select(
+        F.col("id").alias("ida"), F.col("s").alias("sa"),
+        F.col("w").alias("va"),
+    )
+    wb = w.select(
+        F.col("id").alias("wb_id"), F.col("s").alias("sb"),
+        F.col("w").alias("vb"),
+    )
+    num = (
+        cand.join(wa, "ida")
+        .join(
+            wb,
+            (F.col("idb") == F.col("wb_id")) & (F.col("sa") == F.col("sb")),
+        )
+        .groupBy("ida", "idb")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).cast("long").alias("num"),
+            F.count("*").cast("long").alias("shared"),
+        )
+    )
+    na = norms.select(F.col("id").alias("ida"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("idb"), F.col("nrm").alias("nb"))
+    cos = (
+        "CAST(floor(1000000.0 * CAST(num AS DOUBLE) / "
+        "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) AS BIGINT)"
+    )
+    return (
+        num.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            "shared",
+            "num",
+            F.expr(cos).alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= threshold_micro)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -224,6 +224,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PAIR_LIMIT)
 
 
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical near-dup join: cosine over tf-idf shingle
+    vectors, candidates from the rare-feature inverted index (df-capped
+    fan-out — never all-pairs). The idf clip downweights boilerplate
+    shingles that dilute plain Jaccard."""
+    docs = table(spark, sf_dir, "documents")
+    return dd.tfidf_cosine_pairs(docs, "text", "doc_id").limit(PAIR_LIMIT)
+
+
 def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate/prefix dedup: same first-PREFIX_K-token fingerprint →
     keep-first flag + prefix-group size."""
@@ -713,6 +722,77 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("feat_norm").cast("long").alias("feat_norm"),
         )
         .orderBy("doc_id")
+    )
+
+
+WAV_ENERGY_BLOCKS = 16  # md5 blocks per payload (8 int16 samples each)
+WAV_ENERGY_WIN = 16  # frame-energy window, in samples
+
+
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed frame energy over REAL audio decode — the segmentation /
+    VAD primitive (energy per fixed frame is the first stage of any
+    voice-activity or silence-trim pass). Each document becomes a
+    128-sample 16-bit PCM WAV whose block j (8 samples) is
+    md5(text || ':' || j) read as little-endian int16 — unlike the
+    tiled `multimodal_wav_features` payload, every 16-sample window has
+    DIFFERENT content, so the per-window surface is value-sensitive to
+    sample order, not just the multiset.
+
+    Spark-first split: the Arrow `mapInPandas` stage does ONLY what SQL
+    cannot — RIFF container encode + real `codecs.wav_samples` decode —
+    and returns the sample ARRAY; the frame arithmetic (posexplode,
+    win = pos DIV 16, Σ s² per window) runs JVM-side in whole-stage
+    codegen. DuckDB reconstructs the expected integer energies from
+    md5() hex alone — a hard hash gate over every decoded sample
+    (energy: s² ≤ 2^30, 16 per window → < 2^35, BIGINT-safe).
+
+    Shape: both Arrow hops map-only; one (doc_id, win) hash aggregate
+    (128 rows/doc before partial aggregation). Linear in executors."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    n_blocks = WAV_ENERGY_BLOCKS
+
+    def roundtrip(batches):
+        import hashlib
+        import struct as st
+
+        from pipegen_spark.operators.codecs import wav_encode, wav_samples
+
+        for pdf in batches:
+            ids, arrs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    hashlib.md5(
+                        ((t or "") + f":{j}").encode("utf-8")
+                    ).digest()
+                    for j in range(n_blocks)
+                )
+                samples = [s for (s,) in st.iter_unpack("<h", raw)]
+                payload = wav_encode(samples, sample_rate=8_000)
+                ids.append(did)
+                arrs.append(wav_samples(payload))
+            yield pd.DataFrame({"doc_id": ids, "samples": arrs})
+
+    decoded = docs.select("doc_id", "text").mapInPandas(
+        roundtrip, "doc_id long, samples array<long>"
+    )
+    return (
+        decoded.select("doc_id", F.posexplode("samples").alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.expr(
+                dl.idiv("pos", str(WAV_ENERGY_WIN), dl.SPARK)
+            ).alias("win"),
+            "s",
+        )
+        .groupBy("doc_id", "win")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("energy"),
+        )
+        .orderBy("doc_id", "win")
     )
 
 
@@ -1481,6 +1561,57 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, one cross-multiplied rational per pair, integer millionths."""
     docs = table(spark, sf_dir, "documents")
     return tx.kneser_ney_bigrams(docs, "text")
+
+
+CAL_BUCKET_WIDTH = 50  # classifier-score micro-units per reliability bucket
+
+
+def curate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability (calibration) report: bucket the linear
+    classifier's score into fixed-width bins and measure the observed
+    Gopher-rule pass rate per bin — the standard check that a learned
+    quality score actually tracks an independent quality signal before
+    it gates a corpus. Fixed-width integer buckets keep the plan
+    map-only + one bounded aggregate (bucket count is bounded by the
+    score range, NOT corpus size — no ntile/global-sort deciles, the
+    skew trap the percentile gate's threshold variant exists to avoid).
+
+    Pure composition: the classifier and Gopher frames are the exact
+    standalone operators (and oracle fragments), joined on doc_id."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = cu.classifier_scores(docs).select("doc_id", "avg_micro")
+    g = cu.with_gopher(docs, "text", **GOPHER_TUNE).select(
+        "doc_id", "gopher_keep"
+    )
+    return (
+        c.join(g, "doc_id")
+        .select(
+            F.expr(
+                dl.idiv("avg_micro", str(CAL_BUCKET_WIDTH), dl.SPARK)
+            ).alias("bucket"),
+            "gopher_keep",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("gopher_keep"), 1).otherwise(0)
+            ).cast("long").alias("n_pass"),
+        )
+        .withColumn(
+            "pass_ppm",
+            F.expr(dl.idiv("1000000 * n_pass", "n_docs", dl.SPARK)),
+        )
+        .orderBy("bucket")
+    )
+
+
+def curate_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax uniform budget allocation across sources (waterfill with
+    per-source epoch caps) — the published alternative to temperature
+    sampling; closed-form over the k-row source frame, integer-exact."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.unimax_allocation(docs, "source", "text")
 
 
 def curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -368,6 +368,125 @@ def _ngram_sql() -> str:
     """
 
 
+
+def _tfidf_cos_sql() -> str:
+    """tf-idf shingle-cosine oracle mirroring operators/dedup.py
+    tfidf_cosine_pairs stage for stage: multiset shingle tf, df, the
+    clipped integer idf weight, rare-feature candidate join, the
+    all-shared-features numerator, and the identical floor'd
+    double-sqrt cosine expression (exact BIGINT inputs on both sides,
+    so the doubles agree bitwise)."""
+    k = dd.TFIDF_COS_K
+    cap = dd.TFIDF_COS_IDF_CAP_MILLI
+    shingles = dl.word_shingles_all("w", k, D)
+    cos = (
+        "CAST(floor(1000000.0 * CAST(num AS DOUBLE) / "
+        "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) AS BIGINT)"
+    )
+    return f"""
+    WITH {_W_CTE},
+    sh AS (SELECT id, unnest({shingles}) AS s FROM w),
+    tf AS (
+        SELECT id, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh GROUP BY id, s
+    ),
+    dfq AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY s
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wt AS (
+        SELECT tf.id, tf.s, dfq.dfq,
+               tf.c * LEAST({dl.idiv("1000 * nd.n_docs", "dfq.dfq", D)},
+                            CAST({cap} AS BIGINT)) AS w
+        FROM tf JOIN dfq ON tf.s = dfq.s CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT id, CAST(SUM(w * w) AS BIGINT) AS nrm FROM wt GROUP BY id
+    ),
+    rare AS (SELECT id, s FROM wt WHERE dfq <= {dd.TFIDF_COS_DF_CAP}),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.id AS ida, b.id AS idb
+        FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+    ),
+    num AS (
+        SELECT c.ida, c.idb,
+               CAST(SUM(wa.w * wb.w) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM cand c
+        JOIN wt wa ON wa.id = c.ida
+        JOIN wt wb ON wb.id = c.idb AND wb.s = wa.s
+        GROUP BY c.ida, c.idb
+    )
+    SELECT doc_a, doc_b, shared, num, cos_micro FROM (
+        SELECT n.ida AS doc_a, n.idb AS doc_b, n.shared, n.num,
+               {cos} AS cos_micro
+        FROM num n
+        JOIN (SELECT id, nrm AS na FROM norms) a ON n.ida = a.id
+        JOIN (SELECT id, nrm AS nb FROM norms) b ON n.idb = b.id
+    ) p
+    WHERE cos_micro >= {dd.TFIDF_COS_THRESHOLD_MICRO}
+    ORDER BY doc_a, doc_b LIMIT {td.PAIR_LIMIT}
+    """
+
+
+
+def _unimax_sql() -> str:
+    """UniMax waterfill oracle mirroring operators/curation.py
+    unimax_allocation: same k-row sort, prefix-sum saturation predicate
+    and integer waterline division."""
+    b_ppm = cu.UNIMAX_BUDGET_PPM
+    e = cu.UNIMAX_MAX_EPOCHS
+    words = dl.words("text", D)
+    return f"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(len({words})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    caps AS (
+        SELECT source, n_tokens,
+               CAST(n_tokens * {e} AS BIGINT) AS cap_tokens
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM caps
+    ),
+    ranked AS (
+        SELECT c.*, t.k,
+               {dl.idiv(f"t.total * {b_ppm}", "1000000", D)} AS b,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+               CAST(SUM(cap_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+        FROM caps c CROSS JOIN tot t
+        WINDOW w AS (ORDER BY cap_tokens, source)
+    ),
+    sat AS (
+        SELECT *,
+               cap_tokens * (k - i + 1) <= b - (prefix - cap_tokens)
+                   AS saturated
+        FROM ranked
+    ),
+    m AS (
+        SELECT COALESCE(MAX(CASE WHEN saturated THEN i END), 0) AS m,
+               COALESCE(MAX(CASE WHEN saturated THEN prefix END), 0)
+                   AS prefix_m
+        FROM sat
+    )
+    SELECT source, n_tokens, cap_tokens,
+           CAST(CASE WHEN saturated THEN cap_tokens
+                ELSE LEAST(CASE WHEN k > m.m
+                           THEN {dl.idiv("b - m.prefix_m", "k - m.m", D)}
+                           ELSE 0 END, cap_tokens)
+           END AS BIGINT) AS alloc_tokens,
+           {dl.idiv("1000000 * (CASE WHEN saturated THEN cap_tokens ELSE LEAST(CASE WHEN k > m.m THEN " + dl.idiv("b - m.prefix_m", "k - m.m", D) + " ELSE 0 END, cap_tokens) END)", "n_tokens", D)}
+               AS epochs_ppm,
+           saturated
+    FROM sat CROSS JOIN m
+    ORDER BY source
+    """
+
 def _setjoin_sql() -> str:
     """Prefix-filtered exact set-similarity join oracle mirroring
     operators/dedup.setjoin_jaccard_pairs step for step: global shingle
@@ -804,6 +923,27 @@ def _ensemble_sql() -> str:
     ORDER BY g.doc_id
     """
 
+
+
+def _calibration_sql() -> str:
+    """Mirror of queries.training_data.curate_calibration: the
+    classifier and Gopher oracles embedded verbatim, fixed-width
+    integer score buckets, per-bucket observed pass rate."""
+    from pipegen_spark.queries.training_data import CAL_BUCKET_WIDTH
+
+    return f"""
+    WITH c AS ({_classifier_sql()}),
+    g AS ({_gopher_sql()})
+    SELECT {dl.idiv("c.avg_micro", str(CAL_BUCKET_WIDTH), D)} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           {dl.idiv("1000000 * CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", D)}
+               AS pass_ppm
+    FROM c JOIN g ON c.doc_id = g.doc_id
+    GROUP BY bucket
+    ORDER BY bucket
+    """
 
 def _range_sql() -> str:
     """Mirror of similarity.range_search (exact cosine radius search)."""
@@ -2008,6 +2148,52 @@ def _multimodal_wav_sql() -> str:
     """
 
 
+
+def _wav_energy_sql() -> str:
+    """Expected windowed frame energies of the REAL WAV decode chain
+    from md5() hex alone (see queries.training_data.multimodal_wav_energy:
+    block j of the payload is md5(text || ':' || j) as 8 LE int16
+    samples, so sample (j, i) and its window j DIV 2 are analytically
+    known — any codec/container bug shifts a sample and flips an
+    integer energy)."""
+    from pipegen_spark.queries.training_data import (
+        WAV_ENERGY_BLOCKS,
+        WAV_ENERGY_WIN,
+    )
+
+    per_block = 8  # int16 samples per md5 digest
+    lo = "CAST(('0x' || substr(hx, 4 * i + 1, 2)) AS INT)"
+    hi = "CAST(('0x' || substr(hx, 4 * i + 3, 2)) AS INT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(b.range AS BIGINT) AS j,
+               md5(COALESCE(text, '') || ':' || CAST(b.range AS INT))
+                   AS hx
+        FROM documents CROSS JOIN range(0, {WAV_ENERGY_BLOCKS}) b
+    ),
+    u AS (
+        SELECT doc_id, j, CAST(t.i AS BIGINT) AS i,
+               {lo} + 256 * {hi} AS uval
+        FROM h CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS i
+            FROM range(0, {per_block}) r
+        ) t
+    ),
+    s AS (
+        SELECT doc_id,
+               (j * {per_block} + i) // {WAV_ENERGY_WIN} AS win,
+               CAST(uval - CASE WHEN uval >= 32768 THEN 65536 ELSE 0 END
+                    AS BIGINT) AS sv
+        FROM u
+    )
+    SELECT doc_id, win,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(sv * sv) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, win
+    ORDER BY doc_id, win
+    """
+
 def _bloom_sql() -> str:
     """Mirror of dedup.bloom_admission: 1024-bit / 32x32-bit-word Bloom
     filter over reference prefix fingerprints, k=3 salted probes, exact
@@ -2471,6 +2657,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
+    "multimodal_wav_energy": _wav_energy_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG
     # is lossy so decoded bytes are not SQL-derivable; the gated claim is
     # the reconstruction-error bound, which must hold for EVERY doc.
@@ -2525,6 +2712,9 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_keep_best": _keep_best_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
+    "dedup_tfidf_cosine": _tfidf_cos_sql(),
+    "curate_unimax": _unimax_sql(),
+    "curate_calibration": _calibration_sql(),
     "dedup_setjoin": _setjoin_sql(),
     "dedup_threshold_sweep": _threshold_sweep_sql(),
     "dedup_triangles": _triangles_sql(),

@@ -155,6 +155,16 @@ def test_wav_roundtrip_features():
     assert out["n_bytes"] == len(wav)
 
 
+def test_wav_samples_roundtrip():
+    from pipegen_spark.operators.codecs import wav_encode, wav_samples
+
+    samples = [0, 1, -1, 100, -100, 5000, -5000, 32767, -32768, 42]
+    assert wav_samples(wav_encode(samples, sample_rate=8000)) == samples
+    assert wav_samples(wav_encode([], sample_rate=8000)) == []
+    with pytest.raises(Exception):
+        wav_samples(b"not a wav")
+
+
 def test_auto_decode_dispatch():
     from pipegen_spark.operators.codecs import wav_encode, wav_features
 
