@@ -27,6 +27,14 @@ pass (`loadavg_1min`), and the run is diffed against the newest
 plus the top per-query cold regressions land in the stdout line
 (`drift`), the full table in the detail file.
 
+Round-8 additions: the run WAITS for an idle box before timing (1-min
+loadavg < 3, up to 10 min — the r7 artifact was captured at loadavg 10
+and warm came out ABOVE cold on untouched code; outcome recorded in
+`idle_gate`, opt out via SPARK_GRAFT_NO_IDLE_GATE=1), and the fixed
+per-query driver floor (median `SELECT 1` collect wall time) is
+measured and reported as `spark_floor_sec`, so small-query
+Spark/DuckDB ratios can be read floor-adjusted (BASELINE.md).
+
 Output contract (round-5 fix): the driver captures only the LAST 2000
 chars of stdout, and rounds 1-4 each emitted a single JSON line with 149
 per-query times + sha256 hashes — far past the window, so the driver
@@ -61,11 +69,57 @@ POOL_THREADS = 8
 TOP_QUERIES = 20  # stdout line carries only the slowest N (size budget)
 
 
+IDLE_LOADAVG = 3.0  # publishable-artifact gate: 1-min loadavg below this
+IDLE_MAX_WAIT = 600.0  # give up waiting after this many seconds
+
+
+def _await_idle_box() -> dict:
+    """Block until the box is quiet (1-min loadavg < IDLE_LOADAVG) or
+    IDLE_MAX_WAIT elapses. Round-7 finding: the final artifact was
+    captured at loadavg 10 and recorded warm times ABOVE cold on
+    untouched code — a pure contention signature that cost a round of
+    attribution. The telemetry existed; this acts on it. The gate
+    never blocks forever (the driver's bench run must complete), it
+    just trades up to 10 min of waiting for a clean artifact; the
+    outcome is recorded either way so a loaded-box artifact is
+    self-labeling. Disable with SPARK_GRAFT_NO_IDLE_GATE=1 (local
+    iteration loops don't need the wait)."""
+    if os.environ.get("SPARK_GRAFT_NO_IDLE_GATE"):
+        return {"enabled": False, "loadavg_at_start": round(os.getloadavg()[0], 2)}
+    t0 = time.perf_counter()
+    load = os.getloadavg()[0]
+    while load >= IDLE_LOADAVG and time.perf_counter() - t0 < IDLE_MAX_WAIT:
+        time.sleep(15.0)
+        load = os.getloadavg()[0]
+    return {
+        "enabled": True,
+        "threshold": IDLE_LOADAVG,
+        "waited_sec": round(time.perf_counter() - t0, 1),
+        "loadavg_at_start": round(load, 2),
+        "satisfied": bool(load < IDLE_LOADAVG),
+    }
+
+
+def _spark_floor(spark, n: int = 7) -> float:
+    """Median wall time of a `SELECT 1` collect — the fixed per-query
+    driver cost (plan + schedule + fetch) that dominates small queries
+    at sf0.1 (BASELINE.md floor paragraph). Measured, not guessed, so
+    per-query Spark/DuckDB ratios can be reported floor-adjusted."""
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.sql("SELECT 1").collect()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[n // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    idle_gate = _await_idle_box()
 
     # Python workers inherit this in local mode: keeps pandas/Arrow
     # FutureWarnings out of a merged stdout/stderr capture.
@@ -120,6 +174,10 @@ def main() -> None:
 
     def _load(tag: str) -> None:
         loadavg[tag] = round(os.getloadavg()[0], 2)
+
+    # Fixed per-query driver floor, measured on the warmed session just
+    # before the timed passes (round-7 verdict #7).
+    spark_floor = _spark_floor(spark)
 
     _load("cold_before")
     times: dict[str, float] = {}
@@ -224,6 +282,8 @@ def main() -> None:
         "result_sha256": hashes,
         "pooled_runs": pooled_runs,
         "loadavg_1min": loadavg,
+        "idle_gate": idle_gate,
+        "spark_floor_sec": spark_floor,
         "sf": sf,
         "n_queries": len(times),
         "cpus": cpus,
@@ -271,6 +331,8 @@ def main() -> None:
         "warm_total_sequential": warm_total_seq,
         "pooled_runs": pooled_runs,
         "loadavg_1min": loadavg,
+        "idle_gate": idle_gate,
+        "spark_floor_sec": spark_floor,
         "sf": sf,
         "n_queries": len(times),
         "cpus": cpus,

@@ -252,6 +252,22 @@ def idiv(a: str, b: str, d: str) -> str:
     return f"(({a}) DIV ({b}))" if d == SPARK else f"(({a}) // ({b}))"
 
 
+def mul_ppm(x: str, ppm: int, d: str) -> str:
+    """floor(x * ppm / 1e6) for non-negative BIGINT x WITHOUT the
+    intermediate x*ppm product: with x = q*1e6 + r the identity
+    q*ppm + floor(r*ppm/1e6) is exact, and neither term can overflow
+    until x itself nears BIGINT max (r < 1e6 and ppm < ~1e6 bound the
+    second term by ~1e12; the first is x/1e6 * ppm ≈ the result).
+    The naive form overflows at x ≈ 9.2e18/ppm ≈ 9.7e12 tokens —
+    i.e. well inside a 100 TB corpus."""
+    _check(d)
+    div = "DIV" if d == SPARK else "//"
+    return (
+        f"(((({x}) {div} 1000000) * {ppm})"
+        f" + (((({x}) % 1000000) * {ppm}) {div} 1000000))"
+    )
+
+
 def bigram_idx(words_expr: str, d: str) -> str:
     """Index array [1 .. size-1] over a token array — the left positions
     of its adjacent bigrams. Safe on 0/1-token docs (empty result):

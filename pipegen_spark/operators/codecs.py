@@ -15,6 +15,15 @@ else raises `ValueError` loudly (16-bit, gray+alpha, interlace): an
 explicit, honest boundary rather than a wrong answer. Encode always
 writes 8-bit non-interlaced with filter 0.
 
+Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0)
+only — 8-bit, 4:4:4 (Hi=Vi=1), 1 or 3 components, restart intervals.
+Progressive (SOF2) — a large share of real-world JPEGs — plus extended
+(SOF1+), lossless, arithmetic-coded, subsampled-chroma, and 16-bit-DQT
+streams raise `ValueError` loudly (`jpeg_decode` names the marker):
+the same honest-boundary policy. A production deployment swaps the
+PIL/libvips callable in at the documented call sites below; the WAV
+codec is full PCM (no subset caveat).
+
 Scale notes: these run inside Arrow-batched `mapInPandas` workers —
 decoding is map-only, linear in executors, and payload bytes cross the
 Arrow boundary once. Pure-Python pixel loops are fine at test scale; at

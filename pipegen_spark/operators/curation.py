@@ -1729,7 +1729,11 @@ def unimax_allocation(
     dozens of sources, not millions), so the single-partition
     prefix-sum window is a k-row sort, not a data sort. Budget is
     derived from the corpus total (budget_ppm), so the allocation is
-    scale-free.
+    scale-free; the total×ppm product is computed with the split-form
+    `dl.mul_ppm` (q·ppm + r·ppm DIV 1e6), exact and overflow-free to
+    BIGINT-max corpus totals — the naive product would fail-stop under
+    ANSI at ~9.7e12 tokens (~40 TB of text). Zero-token sources get
+    epochs_ppm = 0 (guarded division), matching the oracle.
 
     Output: (source, n_tokens, cap_tokens, alloc_tokens, epochs_ppm,
     saturated) ordered by source; Σ alloc ≤ B with floor residue < k.
@@ -1755,7 +1759,7 @@ def unimax_allocation(
         .select(
             "*",
             F.expr(
-                dl.idiv(f"total * {budget_ppm}", "1000000", dl.SPARK)
+                dl.mul_ppm("total", budget_ppm, dl.SPARK)
             ).alias("b"),
             F.row_number().over(w).cast("long").alias("i"),
             F.sum("cap_tokens").over(
@@ -1796,9 +1800,17 @@ def unimax_allocation(
             "saturated",
         )
         .withColumn(
+            # An all-empty source has n_tokens = 0 (and alloc 0): emit
+            # 0 epochs rather than tripping ANSI DIVIDE_BY_ZERO.
+            # Numerator envelope: a SINGLE source beyond ~9.2e12 tokens
+            # (~36 TB of text in one source) fail-stops under ANSI —
+            # far past any real per-source size; the budget multiply
+            # itself is overflow-free via mul_ppm.
             "epochs_ppm",
             F.expr(
-                dl.idiv("1000000 * alloc_tokens", "n_tokens", dl.SPARK)
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE "
+                + dl.idiv("1000000 * alloc_tokens", "n_tokens", dl.SPARK)
+                + " END"
             ),
         )
         .select(

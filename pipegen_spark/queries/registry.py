@@ -33,8 +33,16 @@ rounds; long-stable canaries stay in every window):
   the 18 lowest-numbered r3-green relational rows (the whole r1-r3
   tranche's newest rows date from r3), and the 6 canaries. After this
   window every query's newest driver row is <= 3 rounds old.
-- r8 plan: the remaining 26 r3-green relational rows (q18-q46 minus
-  canaries) + the oldest r5 rows, keeping the canaries.
+- r8 window (current): the remaining 26 r3-green relational rows
+  (q18-q46 minus canaries), the three changed/new surfaces
+  (curate_ensemble_threshold — brand-new gated 100 TB-shape ensemble;
+  curate_unimax, whose budget multiply went overflow-split and whose
+  epochs_ppm gained the zero-token guard in BOTH engines; and the
+  brand-new multimodal_frame_sample), the 15 alphabetically-first
+  r5-green ops, and the 6 canaries. After this window no driver row
+  anywhere predates r4.
+- r9 plan: the remaining 29 r5-green ops (dedup_setjoin onward) + the
+  oldest r6 rows, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -47,6 +55,14 @@ from pipegen_spark.queries import relational
 from pipegen_spark.queries.oracle import RELATIONAL_ORACLE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Declared corpus size, pinned so the docs can't drift from the code
+#: (round-7 verdict: SURVEY/COVERAGE said 175 while the repo ran 181 —
+#: six queries landed in the end-of-round snapshot after the docs were
+#: written). tests/test_registry_order.py asserts len(all_queries())
+#: equals this AND that SURVEY.md / COVERAGE.md state the same number:
+#: adding a query without bumping the docs fails the suite.
+CORPUS_SIZE = 183
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -61,73 +77,73 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 7: queries whose gated SURFACE is new or changed this round —
-#: the scale-safe per-source threshold gate (brand new), and the two
-#: real-codec queries re-gated because their output changed from the
-#: rows-only (doc_id, n_bytes, content_sha, ...) form to the
-#: md5-derived hard-oracle (doc_id, feat_dim, feat_norm) form.
+#: Round 8: queries whose gated SURFACE is new or changed this round —
+#: the gated 100 TB-shape ensemble composition (brand new: same three
+#: signals as curate_ensemble, histogram-cutoff gate instead of the
+#: exact-rank sort), and curate_unimax (overflow-split budget multiply
+#: via dl.mul_ppm + zero-token epochs_ppm guard, changed in BOTH
+#: engines this round).
 GATE_CHANGED = (
-    "curate_quality_threshold",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_png_features",
-    "multimodal_wav_features",
+    "curate_ensemble_threshold",
+    "curate_unimax",
+    "multimodal_frame_sample",
 )
 
-#: Rolling re-gates: the remaining 22 of the 38 r4-green ops (the first
-#: 16 alphabetically re-gated in r6) — after this window no driver row
-#: anywhere predates r3.
+#: Rolling re-gates: the 15 alphabetically-first of the 44 ops whose
+#: newest driver rows date from round 5 (the remaining 29, starting at
+#: dedup_setjoin, rotate in r9).
 GATE_ROLLING = (
-    "embed_kmeans",
-    "multimodal_binary_stats",
-    "q49_range_frame",
-    "q50_approx_percentile",
-    "q51_tpch_forecast_revenue",
-    "q52_tpch_priority_check",
-    "q55_tpch_disjunctive",
-    "q56_tpch_supplier_cnt",
-    "simsearch_bruteforce",
-    "simsearch_ivf",
-    "simsearch_lsh",
-    "simsearch_recall",
-    "text_bm25",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_sentiment",
-    "text_tfidf",
-    "text_tokens",
-    "text_vocab",
-    "text_winnow",
+    "curate_budget",
+    "curate_drift",
+    "curate_dsir",
+    "curate_fim",
+    "curate_gopher",
+    "curate_shuffle",
+    "curate_span_mask",
+    "curate_split",
+    "curate_temperature",
+    "curate_weighted_sample",
+    "dedup_bloom",
+    "dedup_cc_star",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_semantic",
 )
 
-#: Relational refresh: the 18 lowest-numbered of the 44 relational
-#: queries whose newest driver rows date from round 3 (the remaining 26,
-#: starting at q18_left_join — bumped to make room for the new JPEG
-#: roundtrip gate — rotate in r8).
+#: Relational refresh: the remaining 26 relational queries whose newest
+#: driver rows date from round 3 (q18-q46 minus the canaries) — after
+#: this window the whole r1-r3 tranche has a fresh row.
 GATE_RELATIONAL_REFRESH = (
-    "q01_scan_project",
-    "q02_filter_expr",
-    "q04_join_broadcast",
-    "q05_multi_join",
-    "q06_anti_join",
-    "q06_semi_join",
-    "q07_case_agg",
-    "q08_window_rownum",
-    "q09_rank_topk",
-    "q10_except",
-    "q10_intersect",
-    "q10_union_all",
-    "q11_string_funcs",
-    "q12_date_trunc",
-    "q14_distinct_dedup",
-    "q15_rollup",
-    "q16_count_distinct",
-    "q17_scalar_subquery",
+    "q18_left_join",
+    "q19_props_extract",
+    "q20_cube",
+    "q21_math_funcs",
+    "q22_array_funcs",
+    "q23_approx_distinct",
+    "q24_conditional_funcs",
+    "q25_full_outer",
+    "q26_cross_join",
+    "q27_exists_correlated",
+    "q28_union_distinct",
+    "q29_like_regex",
+    "q30_buckets",
+    "q31_sessionize",
+    "q32_percentiles",
+    "q33_window_family",
+    "q34_string_funcs2",
+    "q35_date_funcs",
+    "q36_curation_decision",
+    "q39_stream_session",
+    "q40_hopping_window",
+    "q41_stream_join",
+    "q42_stream_dedup",
+    "q44_tpch_shipping",
+    "q45_tpch_region_volume",
+    "q46_tpch_returns",
 )
 
-#: The full round-7 gate window, in enumeration order: 4 changed/new
-#: surfaces + 22 rolling re-gates + 18 relational refreshes + 6
+#: The full round-8 gate window, in enumeration order: 3 changed/new
+#: surfaces + 15 rolling re-gates + 26 relational refreshes + 6
 #: canaries = 50.
 GATE_WINDOW = (
     GATE_CHANGED + GATE_ROLLING + GATE_RELATIONAL_REFRESH + GATE_CANARIES

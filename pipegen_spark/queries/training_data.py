@@ -796,6 +796,60 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_EVERY_MS = 500  # frame-sampling stride
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling + keyframe selection PLUMBING — the §2B-B29
+    multimodal op the brief lists as "frame-sample". Each document
+    stands in for a video (media_id = doc_id, deterministic duration
+    1000 + (n_chars % 10)·500 ms); `operators/multimodal.frame_sample`
+    explodes it into frame timestamps at a 500 ms stride (pure JVM-side
+    `sequence()` explode — no Python anywhere), each frame gets a
+    deterministic md5-derived 60-bit signature (the stand-in for a
+    decoded-frame perceptual hash; real decode is the documented
+    PIL/ffmpeg swap point in operators/multimodal.py), and a
+    keyframe/scene-cut flag compares each signature to the previous
+    frame's via one per-media LAG window.
+
+    Shape (100 TB): explode is map-only and linear in output frames;
+    the only shuffle is the per-media window sort, keyed by media_id
+    (naturally high-cardinality — no skew), and frames-per-media is
+    bounded by duration/stride. Surface all-scalar for the gate."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1000) + (F.col("n_chars") % 10) * 500)
+        .cast("long")
+        .alias("meta_duration_ms"),
+    )
+    frames = mm.frame_sample(
+        media, every_ms=FRAME_EVERY_MS, id_col="media_id"
+    )
+    sig = dl.hash60(
+        "concat(cast(media_id AS string), ':',"
+        " cast(frame_ts_ms AS string))",
+        dl.SPARK,
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_ts_ms")
+    return (
+        frames.withColumn("frame_sig", F.expr(sig))
+        .withColumn("prev_sig", F.lag("frame_sig").over(w))
+        .select(
+            "media_id",
+            "frame_ts_ms",
+            "frame_sig",
+            (
+                F.col("prev_sig").isNull()
+                | ((F.col("frame_sig") % 10) < (F.col("prev_sig") % 10))
+            ).alias("is_keyframe"),
+        )
+        .orderBy("media_id", "frame_ts_ms")
+    )
+
+
 JPEG_ERR_TOL = 8  # 2x the measured worst reconstruction error (4) on
 # md5-noise pixels at quant=1 — DCT+color rounding only, no quant loss
 
@@ -1215,6 +1269,19 @@ def curate_ensemble(
             ).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+def curate_ensemble_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME three-signal ensemble as `curate_ensemble`, composed
+    with the histogram-cutoff `quality_threshold_gate` as the
+    percentile signal — i.e. the composition a 100 TB pipeline would
+    actually run (no per-source rank sort anywhere in the plan; the
+    skewed docs-per-source dimension only ever appears pre-aggregated).
+    Gated separately so the scale-shape composition carries its own
+    hard DuckDB oracle, not just the exact-rank test-scale form."""
+    return curate_ensemble(
+        spark, sf_dir, percentile_gate=cu.quality_threshold_gate
     )
 
 

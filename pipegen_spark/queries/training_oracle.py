@@ -455,7 +455,7 @@ def _unimax_sql() -> str:
     ),
     ranked AS (
         SELECT c.*, t.k,
-               {dl.idiv(f"t.total * {b_ppm}", "1000000", D)} AS b,
+               {dl.mul_ppm("t.total", b_ppm, D)} AS b,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
                CAST(SUM(cap_tokens) OVER (w ROWS BETWEEN UNBOUNDED
                     PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
@@ -480,8 +480,9 @@ def _unimax_sql() -> str:
                            THEN {dl.idiv("b - m.prefix_m", "k - m.m", D)}
                            ELSE 0 END, cap_tokens)
            END AS BIGINT) AS alloc_tokens,
+           CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE
            {dl.idiv("1000000 * (CASE WHEN saturated THEN cap_tokens ELSE LEAST(CASE WHEN k > m.m THEN " + dl.idiv("b - m.prefix_m", "k - m.m", D) + " ELSE 0 END, cap_tokens) END)", "n_tokens", D)}
-               AS epochs_ppm,
+           END AS epochs_ppm,
            saturated
     FROM sat CROSS JOIN m
     ORDER BY source
@@ -923,6 +924,26 @@ def _ensemble_sql() -> str:
     ORDER BY g.doc_id
     """
 
+
+
+def _ensemble_threshold_sql() -> str:
+    """Mirror of queries.training_data.curate_ensemble_threshold — same
+    three-CTE composition as _ensemble_sql but with the histogram-cutoff
+    threshold-gate oracle as the percentile signal (the 100 TB-shape
+    composition, oracle-checked in its own right)."""
+    return f"""
+    WITH g AS ({_gopher_sql()}),
+    c AS ({_classifier_sql()}),
+    p AS ({_quality_threshold_sql()})
+    SELECT g.doc_id,
+           g.gopher_keep,
+           c.keep AS clf_keep,
+           p.keep AS pct_keep,
+           (g.gopher_keep AND c.keep AND p.keep) AS keep
+    FROM g JOIN c ON g.doc_id = c.doc_id
+           JOIN p ON g.doc_id = p.doc_id
+    ORDER BY g.doc_id
+    """
 
 
 def _calibration_sql() -> str:
@@ -2149,6 +2170,45 @@ def _multimodal_wav_sql() -> str:
 
 
 
+def _frame_sample_sql() -> str:
+    """Mirror of queries.training_data.multimodal_frame_sample: the
+    frame-timestamp explode (generate_series — inclusive endpoint, same
+    as Spark's sequence(); the duration is always a stride multiple so
+    the endpoint rule cannot diverge), the md5-derived 60-bit frame
+    signature, and the per-media LAG keyframe flag."""
+    from pipegen_spark.queries.training_data import FRAME_EVERY_MS
+
+    sig = dl.hash60(
+        "concat(CAST(media_id AS VARCHAR), ':',"
+        " CAST(frame_ts_ms AS VARCHAR))",
+        D,
+    )
+    return f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(1000 + (n_chars % 10) * 500 AS BIGINT) AS dur
+        FROM documents
+    ),
+    frames AS (
+        SELECT media_id, CAST(u.f AS BIGINT) AS frame_ts_ms
+        FROM media,
+             unnest(generate_series(0, dur, {FRAME_EVERY_MS})) AS u(f)
+    ),
+    sigs AS (
+        SELECT media_id, frame_ts_ms, {sig} AS frame_sig,
+               LAG({sig}) OVER (
+                   PARTITION BY media_id ORDER BY frame_ts_ms
+               ) AS prev_sig
+        FROM frames
+    )
+    SELECT media_id, frame_ts_ms, frame_sig,
+           (prev_sig IS NULL OR (frame_sig % 10) < (prev_sig % 10))
+               AS is_keyframe
+    FROM sigs
+    ORDER BY media_id, frame_ts_ms
+    """
+
+
 def _wav_energy_sql() -> str:
     """Expected windowed frame energies of the REAL WAV decode chain
     from md5() hex alone (see queries.training_data.multimodal_wav_energy:
@@ -2658,6 +2718,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
     "multimodal_wav_energy": _wav_energy_sql(),
+    "multimodal_frame_sample": _frame_sample_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG
     # is lossy so decoded bytes are not SQL-derivable; the gated claim is
     # the reconstruction-error bound, which must hold for EVERY doc.
@@ -2730,6 +2791,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_quality_threshold": _quality_threshold_sql(),
     "curate_ensemble": _ensemble_sql(),
+    "curate_ensemble_threshold": _ensemble_threshold_sql(),
     "curate_near_dup_rate": _near_dup_rate_sql(),
     "embed_outliers": _outliers_sql(),
     "embed_dim_stats": _dim_stats_sql(),

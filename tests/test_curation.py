@@ -798,3 +798,73 @@ def test_vocab_growth_hand_computed(spark):
         5, 3, 2, 3 * 1_000_000 // 5, 2 * 1_000_000 // 3,
     )
     assert tuple(out["b"])[1:] == (3, 1, 0, 333_333, 0)
+
+
+def test_unimax_zero_token_source_cross_engine(spark, tmp_path):
+    """Round-7 ADVICE repro: a source whose documents are all
+    empty/whitespace has n_tokens = 0; epochs_ppm must be 0 (guarded
+    division) instead of ANSI DIVIDE_BY_ZERO, and Spark must agree
+    with the DuckDB oracle row-for-row on such a corpus."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from pipegen_spark.queries.training_data import curate_unimax
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "srcA", 34),
+        (1, "one two three four", "en", "srcA", 18),
+        (2, "", "en", "srcEmpty", 0),
+        (3, "   ", "en", "srcEmpty", 3),
+        (4, "lorem ipsum dolor sit amet", "en", "srcB", 26),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = {r["source"]: r for r in curate_unimax(spark, str(tmp_path)).collect()}
+    assert out["srcEmpty"]["n_tokens"] == 0
+    assert out["srcEmpty"]["alloc_tokens"] == 0
+    assert out["srcEmpty"]["epochs_ppm"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["curate_unimax"]).fetchall()
+    )
+    con.close()
+    srows = sorted(tuple(r) for r in out.values())
+    assert drows == srows
+
+
+def test_mul_ppm_overflow_safe_cross_engine(spark):
+    """mul_ppm must stay exact where the naive total*ppm product
+    overflows BIGINT (total > ~9.7e12 at ppm=950000) — verified against
+    Python's arbitrary-precision floor on both engines."""
+    import duckdb
+
+    from pipegen_spark.functions import dialect as dl
+
+    for total in (0, 1, 999_999, 1_000_000, 9_700_000_000_000,
+                  4_000_000_000_000_000, 9_223_000_000_000_000_000):
+        for ppm in (1, 950_000, 999_999):
+            want = total * ppm // 1_000_000
+            got_s = spark.sql(
+                "SELECT "
+                + dl.mul_ppm(f"CAST({total} AS BIGINT)", ppm, dl.SPARK)
+                + " AS v"
+            ).collect()[0]["v"]
+            got_d = duckdb.sql(
+                "SELECT "
+                + dl.mul_ppm(f"CAST({total} AS BIGINT)", ppm, dl.DUCK)
+                + " AS v"
+            ).fetchone()[0]
+            assert got_s == want, (total, ppm, got_s)
+            assert got_d == want, (total, ppm, got_d)

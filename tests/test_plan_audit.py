@@ -31,6 +31,7 @@ PANDAS_OK = {
     "multimodal_jpeg_roundtrip",
     "multimodal_png_features",
     "multimodal_wav_features",
+    "multimodal_wav_energy",
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
@@ -309,6 +310,29 @@ def test_quality_threshold_gate_has_no_per_group_full_sort(plans):
     exact-rank sibling keeps its window sort by design as the oracle
     surface)."""
     p = plans["curate_quality_threshold"]
+    assert "row_number" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    lines = p.splitlines()
+    desc_sorts = [
+        i for i, ln in enumerate(lines)
+        if "Sort [" in ln and "DESC" in ln
+    ]
+    assert desc_sorts, "histogram window sort missing:\n" + p
+    for i in desc_sorts:
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert (
+            "HashAggregate(keys=[source" in below
+            and "score_micro" in below
+        ), "window sort not over the bounded histogram:\n" + p
+
+
+def test_ensemble_threshold_composition_keeps_the_scale_shape(plans):
+    """The gated 100 TB-shape ensemble (round-8): composing the three
+    signals must not reintroduce a per-doc rank anywhere — the only
+    window machinery allowed is the threshold gate's bounded-histogram
+    cutoff (same assertion as the standalone gate), and the exact-rank
+    sibling's row_number must be absent."""
+    p = plans["curate_ensemble_threshold"]
     assert "row_number" not in p, p
     assert "BroadcastHashJoin" in p, p
     lines = p.splitlines()

@@ -38,6 +38,24 @@ def test_gate_window_composition():
     assert set(GATE_ROLLING) <= set(gate)
 
 
+def test_corpus_size_pinned_and_docs_in_sync():
+    """Round-7 verdict #3/#5: SURVEY §7.4 and COVERAGE.md drifted from
+    the real corpus (175 vs 181) because queries landed after the docs
+    were written. The declared size is now a registry constant, and the
+    docs must quote it — add a query, bump CORPUS_SIZE, update both
+    docs, or this fails."""
+    import os
+
+    from pipegen_spark.queries.registry import CORPUS_SIZE
+
+    assert len(all_queries()) == CORPUS_SIZE
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    needle = f"{CORPUS_SIZE} queries"
+    for doc in ("SURVEY.md", "COVERAGE.md"):
+        with open(os.path.join(repo, doc)) as fh:
+            assert needle in fh.read(), f"{doc} does not state '{needle}'"
+
+
 def test_registry_complete_and_oracle_keyed():
     qs = all_queries()
     oracles = oracle_queries()

@@ -1,0 +1,188 @@
+"""One-order-of-magnitude scale datapoint: run the most expensive
+training-data operators on a 10x corpus and MEASURE the scaling exponent
+the plans argue for in SCALE.md.
+
+The driver ships sf{0.001,0.01,0.1} only, so the 10x corpus (~sf1) is
+derived from sf0.1 — measurement input only, never a correctness input
+(the oracle gates all run on driver-shipped data):
+
+- `documents`: 10 copies, doc_id offset per copy, and each copy's text
+  passed through a per-copy letter rotation (Caesar on [a-z][A-Z]).
+  This keeps every distributional property the operators key on —
+  token counts, word lengths, per-source sizes, WITHIN-copy duplicate
+  structure — while making shingles/hashes distinct ACROSS copies, so
+  the corpus-wide duplication RATE stays constant. Naive concatenation
+  of identical copies would turn every doc into a 10-member near-dup
+  group and inflate LSH pair volume ~100x — measuring a harder corpus,
+  not a bigger one.
+- `embeddings`: 10 copies, vec_id offset, each copy's vector rotated by
+  a copy-specific offset (norms and within-copy geometry preserved;
+  cross-copy vectors decorrelated).
+
+For each selected query: one cold run at sf0.1 and one at the 10x dir,
+reporting the time ratio. A plan that is linear in executors should land
+near 10x wall on a fixed-size local box (same parallelism, 10x work);
+super-linear ratios flag the operators whose pair volume or state grows
+faster than the input — exactly what cannot be seen at a single scale.
+Archived to bench_history/scale_sf1.json.
+
+Usage: python tools/scale_bench.py [query ...]   (default: the TOP set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_COPIES = 10
+ID_OFFSET = 100_000_000  # far above any sf0.1 id
+SRC_DIR = "/root/testdata/sf0.1"
+OUT_DIR = os.path.join(REPO, ".benchmarks", "sf1x10")
+
+#: Default measurement set: the most expensive training ops from the
+#: latest bench detail, covering every family whose scaling argument is
+#: non-trivial (LSH pair volume, cluster-blocked cosine, set joins,
+#: graph iteration, histogram gates, Arrow codec stages).
+TOP = (
+    "dedup_semantic",
+    "curate_boilerplate",
+    "dedup_keep_best",
+    "curate_near_dup_rate",
+    "dedup_cc_star",
+    "dedup_setjoin",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "simsearch_knn_graph",
+    "embed_kmeans",
+    "curate_ensemble_threshold",
+    "curate_quality_threshold",
+    "multimodal_jpeg_roundtrip",
+    "text_bm25",
+)
+
+
+def _rot(s: str, k: int) -> str:
+    return s[k:] + s[:k]
+
+
+def build_corpus(spark) -> None:
+    """Write the 10x documents/embeddings derivation (idempotent)."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(OUT_DIR, "_BUILT")
+    if os.path.exists(done):
+        return
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    docs = spark.read.parquet(os.path.join(SRC_DIR, "documents.parquet"))
+    copies = []
+    for k in range(N_COPIES):
+        alpha = lower + upper
+        rotated = _rot(lower, k % 26) + _rot(upper, k % 26)
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * ID_OFFSET)).alias("doc_id"),
+                F.translate("text", alpha, rotated).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SRC_DIR, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    ecopies = []
+    for k in range(N_COPIES):
+        r = (k * 7) % dim
+        rot = (
+            F.col("embedding")
+            if r == 0
+            else F.expr(
+                f"concat(slice(embedding, {r + 1}, {dim - r}),"
+                f" slice(embedding, 1, {r}))"
+            )
+        )
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "embeddings.parquet")
+    )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
+def main() -> None:
+    os.environ.setdefault("PYTHONWARNINGS", "ignore")
+    from pipegen_spark.queries.registry import all_queries
+    from pipegen_spark.session import get_spark
+
+    names = sys.argv[1:] or list(TOP)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        "pipegen-scale-bench",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = all_queries()
+    build_corpus(spark)
+
+    # Warm-up (JVM + Arrow worker pool), not measured.
+    qs["text_tokens"](spark, SRC_DIR).collect()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        row = {}
+        for tag, d in (("sf0.1", SRC_DIR), ("x10", OUT_DIR)):
+            t0 = time.perf_counter()
+            n = len(fn(spark, d).collect())
+            row[tag] = round(time.perf_counter() - t0, 3)
+            row[f"{tag}_rows"] = n
+        row["ratio"] = round(row["x10"] / max(row["sf0.1"], 1e-9), 2)
+        results[name] = row
+        print(
+            f"{name:32s} {row['sf0.1']:8.2f}s -> {row['x10']:8.2f}s "
+            f"(x{row['ratio']:.2f}, rows {row['sf0.1_rows']} -> "
+            f"{row['x10_rows']})",
+            flush=True,
+        )
+
+    out = {
+        "n_copies": N_COPIES,
+        "src": SRC_DIR,
+        "loadavg_1min": round(os.getloadavg()[0], 2),
+        "cpus": cpus,
+        "queries": results,
+    }
+    path = os.path.join(REPO, "bench_history", "scale_sf1.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"wrote": os.path.relpath(path, REPO)}))
+    spark.sparkContext.setLogLevel("FATAL")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
