@@ -347,7 +347,15 @@ def knn_graph(
     the bucket id, so pair volume is sum of squared bucket sizes — with
     b planes that is ~n²/2^b, tuned linear by plane count; the window
     partitions by id (bounded rows per id). The base table shuffles
-    once, on the bucket key."""
+    once, on the bucket key.
+
+    Sizing b (measured: x7.28 wall on a x10 corpus at FIXED b —
+    bench_history/scale_sf1.json): expected bucket size is n/2^b, so
+    pair volume stays linear only if b grows with log2(n) — one extra
+    plane per corpus doubling pins bucket size. b is this constructor's
+    `plane_ids_pred` cardinality, i.e. a deployment knob; the gated
+    query keeps a fixed literal because the oracle's per-plane sign
+    chains are generated at import time."""
     planes = (
         base.filter(plane_ids_pred)
         .select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))

@@ -38,10 +38,10 @@ rounds; long-stable canaries stay in every window):
   (curate_ensemble_threshold — brand-new gated 100 TB-shape ensemble;
   curate_unimax, whose budget multiply went overflow-split and whose
   epochs_ppm gained the zero-token guard in BOTH engines; and the
-  brand-new multimodal_frame_sample), the 15 alphabetically-first
-  r5-green ops, and the 6 canaries. After this window no driver row
-  anywhere predates r4.
-- r9 plan: the remaining 29 r5-green ops (dedup_setjoin onward) + the
+  brand-new multimodal_frame_sample and dedup_semantic_auto), the 14
+  alphabetically-first r5-green ops, and the 6 canaries. After this
+  window no driver row anywhere predates r4.
+- r9 plan: the remaining 30 r5-green ops (dedup_semantic onward) + the
   oldest r6 rows, keeping the canaries.
 """
 
@@ -62,7 +62,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 183
+CORPUS_SIZE = 184
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -87,11 +87,13 @@ GATE_CHANGED = (
     "curate_ensemble_threshold",
     "curate_unimax",
     "multimodal_frame_sample",
+    "dedup_semantic_auto",
 )
 
-#: Rolling re-gates: the 15 alphabetically-first of the 44 ops whose
-#: newest driver rows date from round 5 (the remaining 29, starting at
-#: dedup_setjoin, rotate in r9).
+#: Rolling re-gates: the 14 alphabetically-first of the 44 ops whose
+#: newest driver rows date from round 5 (the remaining 30, starting at
+#: dedup_semantic, rotate in r9 — its scale-safe auto-k sibling above
+#: carries the identical algorithm through this window's gate).
 GATE_ROLLING = (
     "curate_budget",
     "curate_drift",
@@ -107,7 +109,6 @@ GATE_ROLLING = (
     "dedup_cc_star",
     "dedup_containment",
     "dedup_incremental",
-    "dedup_semantic",
 )
 
 #: Relational refresh: the remaining 26 relational queries whose newest
@@ -142,8 +143,8 @@ GATE_RELATIONAL_REFRESH = (
     "q46_tpch_returns",
 )
 
-#: The full round-8 gate window, in enumeration order: 3 changed/new
-#: surfaces + 15 rolling re-gates + 26 relational refreshes + 6
+#: The full round-8 gate window, in enumeration order: 4 changed/new
+#: surfaces + 14 rolling re-gates + 26 relational refreshes + 6
 #: canaries = 50.
 GATE_WINDOW = (
     GATE_CHANGED + GATE_ROLLING + GATE_RELATIONAL_REFRESH + GATE_CANARIES

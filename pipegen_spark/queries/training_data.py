@@ -81,6 +81,7 @@ TFIDF_TERMS = ("spark", "table", "fast", "merge")  # fixed retrieval query
 TFIDF_TOPK = 100
 KMEANS_K = 8  # k-means seeds: vec_id < 8 (deterministic)
 KMEANS_ITERS = 2
+SEMDEDUP_TARGET_CLUSTER = 250  # auto-k SemDeDup: expected cluster size
 PREFIX_K = 12  # prefix-dedup fingerprint length (tokens)
 VOCAB_TOPK = 50  # corpus vocabulary report size
 CHUNK_SIZE = 200  # chars per document chunk
@@ -1144,6 +1145,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.semantic_dedup(
         vecs,
         F.col("vec_id") < KMEANS_K,
+        threshold=EMB_DUP_THRESHOLD,
+        iters=KMEANS_ITERS,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=EMB_DIM,
+    ).orderBy("vec_id")
+
+
+def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe SemDeDup: identical algorithm to `dedup_semantic`, but
+    k derives from the corpus size — k = max(KMEANS_K,
+    ceil(n / SEMDEDUP_TARGET_CLUSTER)) — instead of staying fixed.
+
+    Why (measured, bench_history/scale_sf1.json): with fixed k the
+    clusters grow linearly with the corpus, so the within-cluster pair
+    join grows QUADRATICALLY — on a 10x corpus dedup_semantic's wall
+    went x14.95 while every other measured operator stayed sub-linear.
+    Size-proportional k (the discipline the SemDeDup paper itself uses:
+    cluster count scales with dataset size) pins the EXPECTED cluster
+    size at SEMDEDUP_TARGET_CLUSTER, making total pair volume linear in
+    n. The corpus count is one scalar collect (documented bounded-
+    collect site #5, SCALE.md); at this testdata scale the derived k
+    equals KMEANS_K, so this query also re-proves the fixed-k results
+    through an independently-derived oracle predicate.
+
+    Next bottleneck on the ladder (documented, not yet needed): the
+    broadcast-centroid assignment is O(n·k) = O(n²/target), which
+    stays cheap through ~1e8 vectors and then wants the IVF two-level
+    assignment (coarse sqrt(k) probe, then exact within the probed
+    cell) — the same structure `similarity.ivf_topk` already
+    implements."""
+    vecs = table(spark, sf_dir, "embeddings")
+    n = vecs.count()  # bounded collect: ONE scalar (see docstring)
+    k = max(
+        KMEANS_K,
+        (n + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER,
+    )
+    return em.semantic_dedup(
+        vecs,
+        F.col("vec_id") < k,
         threshold=EMB_DUP_THRESHOLD,
         iters=KMEANS_ITERS,
         vec_col="embedding",

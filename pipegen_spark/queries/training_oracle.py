@@ -1252,20 +1252,23 @@ def _emb_quantize_sql() -> str:
     """
 
 
-def _kmeans_chain() -> tuple[list[str], str]:
+def _kmeans_chain(seed_where: str | None = None) -> tuple[list[str], str]:
     """Lloyd unrolled to KMEANS_ITERS as a CTE chain — the same broadcast-
     assign / exact-scaled-mean steps as operators/embeddings.py. Returns
     (ctes, final_assignment_cte) where the final CTE carries
     (id, v, cluster_id, d2); consumed by _emb_kmeans_sql and
-    _semdedup_sql."""
+    _semdedup_sql. `seed_where` overrides the seed-selection predicate
+    (default: the fixed vec_id < KMEANS_K; the auto-k SemDeDup variant
+    passes a corpus-size-derived bound via a scalar subquery)."""
     import pipegen_spark.operators.embeddings as em
 
     d2 = dl.dist2_double("v.v", "c.cv", dl.size("v.v", D), D)
     val = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
+    seed_where = seed_where or f"vec_id < {td.KMEANS_K}"
     ctes = [
         "v AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
         f"""c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-               WHERE vec_id < {td.KMEANS_K})""",
+               WHERE {seed_where})""",
     ]
     for it in range(td.KMEANS_ITERS):
         ctes.append(f"""a{it} AS (
@@ -1348,10 +1351,25 @@ def _cluster_sample_sql() -> str:
     )
 
 
-def _semdedup_sql() -> str:
+def _semdedup_sql(auto_k: bool = False) -> str:
     """SemDeDup: the kmeans assignment chain, then within-cluster cosine
-    pruning (pairs meet through the cluster_id equi-join only)."""
-    ctes, last = _kmeans_chain()
+    pruning (pairs meet through the cluster_id equi-join only). With
+    `auto_k`, k derives from the corpus size (k = max(KMEANS_K,
+    ceil(n / SEMDEDUP_TARGET_CLUSTER)) — the scale-safe form measured in
+    bench_history/scale_sf1.json: fixed k made the pair join ~x15 on a
+    x10 corpus; size-proportional k keeps expected cluster size, and so
+    pair volume PER ROW, constant)."""
+    if auto_k:
+        kdef = (
+            f"kdef AS (SELECT GREATEST(CAST({td.KMEANS_K} AS BIGINT), "
+            f"CAST((COUNT(*) + {td.SEMDEDUP_TARGET_CLUSTER} - 1)"
+            f" // {td.SEMDEDUP_TARGET_CLUSTER} AS BIGINT)) AS k"
+            " FROM embeddings)"
+        )
+        ctes, last = _kmeans_chain("vec_id < (SELECT k FROM kdef)")
+        ctes.insert(0, kdef)
+    else:
+        ctes, last = _kmeans_chain()
     cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
     ctes.append(f"""pairs AS (
         SELECT b.id AS id, COUNT(*) AS n
@@ -2736,6 +2754,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(),
+    "dedup_semantic_auto": _semdedup_sql(auto_k=True),
     "curate_split": (
         "SELECT doc_id, lang, source, "
         + cu.split_expr("doc_id", D)

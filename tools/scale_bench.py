@@ -51,6 +51,7 @@ OUT_DIR = os.path.join(REPO, ".benchmarks", "sf1x10")
 #: graph iteration, histogram gates, Arrow codec stages).
 TOP = (
     "dedup_semantic",
+    "dedup_semantic_auto",
     "curate_boilerplate",
     "dedup_keep_best",
     "curate_near_dup_rate",
@@ -168,15 +169,22 @@ def main() -> None:
             flush=True,
         )
 
+    # Merge into the existing archive (a subset re-run must not clobber
+    # the full table — only refresh the queries it actually measured).
+    path = os.path.join(REPO, "bench_history", "scale_sf1.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    merged: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            merged = json.load(fh).get("queries", {})
+    merged.update(results)
     out = {
         "n_copies": N_COPIES,
         "src": SRC_DIR,
         "loadavg_1min": round(os.getloadavg()[0], 2),
         "cpus": cpus,
-        "queries": results,
+        "queries": merged,
     }
-    path = os.path.join(REPO, "bench_history", "scale_sf1.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"wrote": os.path.relpath(path, REPO)}))
