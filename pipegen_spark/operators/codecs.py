@@ -16,13 +16,16 @@ explicit, honest boundary rather than a wrong answer. Encode always
 writes 8-bit non-interlaced with filter 0.
 
 Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0)
-only — 8-bit, 4:4:4 (Hi=Vi=1), 1 or 3 components, restart intervals.
-Progressive (SOF2) — a large share of real-world JPEGs — plus extended
-(SOF1+), lossless, arithmetic-coded, subsampled-chroma, and 16-bit-DQT
-streams raise `ValueError` loudly (`jpeg_decode` names the marker):
-the same honest-boundary policy. A production deployment swaps the
-PIL/libvips callable in at the documented call sites below; the WAV
-codec is full PCM (no subset caveat).
+and PROGRESSIVE (SOF2) — 8-bit, 4:4:4 (Hi=Vi=1), 1 or 3 components,
+restart intervals, and for SOF2 the full scan toolbox: interleaved and
+single-component DC scans, spectral-selection AC band scans with
+EOB-run coding, and successive-approximation refinement (DC raw bits,
+AC correction bits, §G.2). Extended (SOF1/SOF3+), lossless,
+arithmetic-coded, subsampled-chroma, and 16-bit-DQT streams raise
+`ValueError` loudly (`jpeg_decode` names the marker): the same
+honest-boundary policy. A production deployment swaps the PIL/libvips
+callable in at the documented call sites below; the WAV codec is full
+PCM (no subset caveat).
 
 Scale notes: these run inside Arrow-batched `mapInPandas` workers —
 decoding is map-only, linear in executors, and payload bytes cross the
@@ -386,6 +389,10 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
 ]  # EOB, ZRL, then (run, size)
 _DC_BITS, _DC_VALS, _DC_ENC = _flat_huffman(_DC_SYMBOLS)
 _AC_BITS, _AC_VALS, _AC_ENC = _flat_huffman(_AC_SYMBOLS)
+_ACP_SYMBOLS = [n << 4 for n in range(15)] + [0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # progressive AC alphabet: EOBn (n=0..14, §G.1.2.2), ZRL, (run, size)
+_ACP_BITS, _ACP_VALS, _ACP_ENC = _flat_huffman(_ACP_SYMBOLS)
 
 
 class _BitWriter:
@@ -428,6 +435,27 @@ def _clamp8(v: float) -> int:
     return 0 if iv < 0 else (255 if iv > 255 else iv)
 
 
+def _jpeg_planes(
+    width: int, height: int, pixels: bytes, channels: int
+) -> tuple[list[list[int]], int, int]:
+    """Component planes in YCbCr (or Y alone), edge-replicated to the
+    8-aligned (pw, ph) grid. Returns (planes, pw, ph)."""
+    pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    planes: list[list[int]] = [[0] * (pw * ph) for _ in range(channels)]
+    for y in range(ph):
+        sy = min(y, height - 1)
+        for x in range(pw):
+            sx = min(x, width - 1)
+            if channels == 3:
+                i = (sy * width + sx) * 3
+                planes[0][y * pw + x], planes[1][y * pw + x], planes[2][
+                    y * pw + x
+                ] = _rgb_to_ycbcr(pixels[i], pixels[i + 1], pixels[i + 2])
+            else:
+                planes[0][y * pw + x] = pixels[sy * width + sx]
+    return planes, pw, ph
+
+
 def jpeg_encode(
     width: int,
     height: int,
@@ -449,20 +477,7 @@ def jpeg_encode(
         )
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be in [1, 255], got {quant}")
-    # Component planes in YCbCr (or Y alone), edge-replicated to 8k x 8k.
-    pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
-    planes: list[list[int]] = [[0] * (pw * ph) for _ in range(channels)]
-    for y in range(ph):
-        sy = min(y, height - 1)
-        for x in range(pw):
-            sx = min(x, width - 1)
-            if channels == 3:
-                i = (sy * width + sx) * 3
-                planes[0][y * pw + x], planes[1][y * pw + x], planes[2][
-                    y * pw + x
-                ] = _rgb_to_ycbcr(pixels[i], pixels[i + 1], pixels[i + 2])
-            else:
-                planes[0][y * pw + x] = pixels[sy * width + sx]
+    planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
 
     w = _BitWriter()
     dc_prev = [0] * channels
@@ -534,6 +549,219 @@ def jpeg_encode(
         + b"\x00\x3f\x00",
     )
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _emit_dc_first(
+    w: _BitWriter, blocks: list[list[list[int]]], cis: list[int], al: int
+) -> None:
+    """Progressive DC first scan (§G.1.2.1): DIFF-coded point-transformed
+    DC (arithmetic shift by Al), interleaved over `cis` in MCU order."""
+    prev = [0] * len(cis)
+    for bi in range(len(blocks[cis[0]])):
+        for si, ci in enumerate(cis):
+            val = blocks[ci][bi][0] >> al
+            diff = val - prev[si]
+            prev[si] = val
+            size = abs(diff).bit_length()
+            code, ln = _DC_ENC[size]
+            w.write(code, ln)
+            if size:
+                w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _emit_dc_refine(
+    w: _BitWriter, blocks: list[list[list[int]]], cis: list[int], al: int
+) -> None:
+    """Progressive DC refinement: one raw bit (bit Al of the
+    two's-complement DC) per block, no entropy coding (§G.1.2.1)."""
+    for bi in range(len(blocks[cis[0]])):
+        for ci in cis:
+            w.write((blocks[ci][bi][0] >> al) & 1, 1)
+
+
+def _flush_eobrun(w: _BitWriter, eobrun: int, pending: list[int]) -> int:
+    """Emit a pending EOBn run (symbol EOBn carries n extension bits of
+    the run length, §G.1.2.2) followed by the correction bits buffered
+    while the run was open; returns the reset run counter (0)."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, ln = _ACP_ENC[nbits << 4]
+        w.write(code, ln)
+        if nbits:
+            w.write(eobrun & ((1 << nbits) - 1), nbits)
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+    return 0
+
+
+def _emit_ac_first(
+    w: _BitWriter, blocks_c: list[list[int]], ss: int, se: int, al: int
+) -> None:
+    """Progressive AC first scan over band Ss..Se (§G.1.2.2): magnitudes
+    point-transformed by Al (toward-zero shift), zero runs as in
+    baseline, but end-of-band coded as cross-block EOBn runs."""
+    eobrun = 0
+    for blk in blocks_c:
+        r = 0
+        for k in range(ss, se + 1):
+            m = abs(blk[k]) >> al
+            if m == 0:
+                r += 1
+                continue
+            eobrun = _flush_eobrun(w, eobrun, [])
+            while r > 15:
+                code, ln = _ACP_ENC[0xF0]
+                w.write(code, ln)
+                r -= 16
+            s = m.bit_length()
+            code, ln = _ACP_ENC[(r << 4) | s]
+            w.write(code, ln)
+            v = m if blk[k] >= 0 else -m
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, eobrun, [])
+    _flush_eobrun(w, eobrun, [])
+
+
+def _emit_ac_refine(
+    w: _BitWriter, blocks_c: list[list[int]], ss: int, se: int, al: int
+) -> None:
+    """Progressive AC refinement (Ah=Al+1 → Al, §G.1.2.3): one
+    correction bit per already-nonzero coefficient, newly-significant
+    coefficients as (run<<4)|1 + sign bit, correction bits buffered
+    across EOB runs and replayed after the next emitted symbol."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding with the open run
+    for blk in blocks_c:
+        absv = [0] * 64
+        eob = 0  # last newly-significant position in the band
+        for k in range(ss, se + 1):
+            absv[k] = abs(blk[k]) >> al
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        cur: list[int] = []  # this block's bits since the last symbol
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                eobrun = _flush_eobrun(w, eobrun, pending)
+                code, ln = _ACP_ENC[0xF0]
+                w.write(code, ln)
+                r -= 16
+                for b in cur:
+                    w.write(b, 1)
+                cur = []
+            if t > 1:  # had history: append its next magnitude bit
+                cur.append(t & 1)
+                continue
+            eobrun = _flush_eobrun(w, eobrun, pending)
+            code, ln = _ACP_ENC[(r << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if blk[k] >= 0 else 0, 1)
+            for b in cur:
+                w.write(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            eobrun += 1
+            pending.extend(cur)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, eobrun, pending)
+    _flush_eobrun(w, eobrun, pending)
+
+
+def jpeg_encode_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quant: int = 1,
+) -> bytes:
+    """Progressive JPEG writer (ITU-T T.81 SOF2): the same component /
+    DCT / quantization pipeline as `jpeg_encode`, with the quantized
+    coefficients delivered over a multi-scan script that exercises the
+    full progressive toolbox — interleaved DC first scan at Al=1,
+    per-component spectral-selection AC first scans (bands 1-5 and
+    6-63 at Al=1, EOB-run coded), per-component AC refinement
+    (Ah=1 → Al=0: correction bits, sign-coded new coefficients,
+    buffered-bit EOB runs) and a raw-bit DC refinement scan. The
+    decoder reconstructs coefficients bit-identical to the sequential
+    encoding, so pixels match `jpeg_encode`'s exactly at equal
+    `quant`."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
+    planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
+    blocks: list[list[list[int]]] = []
+    for ci in range(channels):
+        plane = planes[ci]
+        bl: list[list[int]] = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                block = [
+                    float(plane[(by + r) * pw + bx + c]) - 128.0
+                    for r in range(8)
+                    for c in range(8)
+                ]
+                coefs = _dct_2d(block)
+                q = [int(round(coefs[i] / quant)) for i in range(64)]
+                bl.append([q[i] for i in _ZIGZAG])
+        blocks.append(bl)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(cis: list[int], ss: int, se: int, ah: int, al: int,
+            scan: bytes) -> bytes:
+        hdr = (
+            bytes([len(cis)])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in cis)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        return seg(0xFFDA, hdr) + scan
+
+    all_cis = list(range(channels))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(quant for _ in range(64)))
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, channels)
+        + b"".join(
+            struct.pack(">BBB", ci + 1, 0x11, 0) for ci in all_cis
+        ),
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+    w = _BitWriter()
+    _emit_dc_first(w, blocks, all_cis, 1)
+    out += sos(all_cis, 0, 0, 0, 1, w.flush())
+    for ss_, se_ in ((1, 5), (6, 63)):
+        for ci in all_cis:
+            w = _BitWriter()
+            _emit_ac_first(w, blocks[ci], ss_, se_, 1)
+            out += sos([ci], ss_, se_, 0, 1, w.flush())
+    for ci in all_cis:
+        w = _BitWriter()
+        _emit_ac_refine(w, blocks[ci], 1, 63, 0)
+        out += sos([ci], 1, 63, 1, 0, w.flush())
+    w = _BitWriter()
+    _emit_dc_refine(w, blocks, all_cis, 0)
+    out += sos(all_cis, 0, 0, 1, 0, w.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _BitReader:
@@ -625,12 +853,154 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _scan_ac_first(
+    rd: _BitReader, atab: dict, blk: list[int], ss: int, se: int,
+    al: int, eobrun: int,
+) -> int:
+    """Decode one block's band of an AC first scan (§G.2; also the AC
+    half of a baseline scan, whose EOB symbol is the EOB0 special
+    case). Returns the remaining cross-block EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(rd, atab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += rd.bits(r)
+            return eobrun - 1  # this block is the run's first
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of block")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _scan_ac_refine(
+    rd: _BitReader, atab: dict, blk: list[int], ss: int, se: int,
+    al: int, eobrun: int,
+) -> int:
+    """Decode one block's band of an AC refinement scan (§G.2):
+    newly-significant coefficients arrive as (run<<4)|1 + sign bit,
+    already-nonzero coefficients take one correction bit each as they
+    are passed over (including inside EOB runs and ZRLs)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(rd, atab)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # r == 15: ZRL skips 16 zero-history positions
+            elif s == 1:
+                newval = p1 if rd.bits(1) else m1
+            else:
+                raise ValueError("refinement AC size must be 0 or 1")
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # rest of band: correction bits only
+            if blk[k] != 0 and rd.bits(1) and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    data: bytes,
+    pos: int,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int, se: int, ah: int, al: int,
+    htabs: dict,
+    coefs: list[list[list[int]]],
+    n_units: int,
+    restart_interval: int,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient store and
+    return the stream position of the next marker. A unit is an MCU
+    (interleaved scan) or a single block (non-interleaved); at 4:4:4
+    both walk the same per-component block grid."""
+    rd = _BitReader(data, pos)
+    dc_prev = [0] * len(scan_comps)
+    eobrun = 0
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.align_restart(unit // restart_interval - 1)
+            dc_prev = [0] * len(scan_comps)
+            eobrun = 0
+        for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
+            blk = coefs[ci][unit]
+            if ss == 0:
+                if ah == 0:  # DC first (baseline: Al=0)
+                    dtab = htabs.get((0, dc_id))
+                    if dtab is None:
+                        raise ValueError("scan references missing table")
+                    size = _huff_decode(rd, dtab)
+                    if size > 11:
+                        raise ValueError(f"bad DC size category {size}")
+                    diff = _extend(rd.bits(size), size) if size else 0
+                    dc_prev[si] += diff
+                    blk[0] = dc_prev[si] << al
+                elif rd.bits(1):  # DC refinement: raw bit Al
+                    blk[0] |= 1 << al
+            if se > 0:
+                atab = htabs.get((1, ac_id))
+                if atab is None:
+                    raise ValueError("scan references missing table")
+                kstart = max(ss, 1)
+                if ah == 0:
+                    eobrun = _scan_ac_first(
+                        rd, atab, blk, kstart, se, al, eobrun
+                    )
+                else:
+                    eobrun = _scan_ac_refine(
+                        rd, atab, blk, kstart, se, al, eobrun
+                    )
+    # Skip any padding bits already consumed; the next unread byte is
+    # the following marker (scan data is byte-aligned before markers).
+    p = rd.pos
+    while p + 1 < len(data) and (
+        data[p] != 0xFF or data[p + 1] == 0x00
+    ):
+        p += 1
+    return p
+
+
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Parse baseline-sequential JPEG bytes -> (width, height, channels,
-    raw pixels). Supports SOF0, 8-bit, Hi=Vi=1 (4:4:4), 1 or 3
-    components, multiple DQT/DHT segments, APPn/COM skip, restart
-    intervals. Everything else raises ValueError (progressive SOF2,
-    extended/lossless/arithmetic SOFs, subsampling, 16-bit DQT)."""
+    """Parse JPEG bytes -> (width, height, channels, raw pixels).
+    Supports BASELINE sequential (SOF0) and PROGRESSIVE (SOF2): 8-bit,
+    Hi=Vi=1 (4:4:4), 1 or 3 components, multiple DQT/DHT segments,
+    APPn/COM skip, restart intervals, and for SOF2 the full multi-scan
+    toolbox — interleaved or single-component DC scans,
+    spectral-selection AC band scans with EOB-run coding, and
+    successive-approximation refinement (raw-bit DC, correction-bit
+    AC). Everything else raises ValueError (extended/lossless/
+    arithmetic SOFs, subsampling, 16-bit DQT). Decoding is
+    coefficient-domain: scans accumulate into per-block zigzag
+    coefficient stores; dequantize + IDCT happen once at EOI."""
     if data[:3] != JPEG_SOI or len(data) < 4:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -638,18 +1008,24 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     htabs: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     width = height = None
+    progressive = False
     restart_interval = 0
-    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
-    while pos + 4 <= len(data):
+    coefs: list[list[list[int]]] = []
+    n_blocks = 0
+    got_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
         marker = data[pos + 1]
-        if marker == 0xD9:
-            raise ValueError("EOI before SOS")
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         if pos + 2 + seglen > len(data):
             raise ValueError("truncated JPEG segment")
         body = data[pos + 4 : pos + 2 + seglen]
+        scan_start = pos + 2 + seglen
         pos += 2 + seglen
         if marker == 0xDB:  # DQT
             b = 0
@@ -668,7 +1044,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = body[b + 17 : b + 17 + n]
                 htabs[(tc, th)] = _huff_tree(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -681,11 +1058,16 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                         "chroma subsampling unsupported (4:4:4 only)"
                     )
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+            n_blocks = (pw // 8) * (ph // 8)
+            coefs = [
+                [[0] * 64 for _ in range(n_blocks)] for _ in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(baseline sequential only)"
+                "(baseline sequential and progressive only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -693,8 +1075,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if width is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("scan component count != frame")
+            scan_comps: list[tuple[int, int, int]] = []
             for i in range(ns):
                 cid, tda = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(
@@ -703,62 +1084,56 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 if idx is None:
                     raise ValueError(f"scan references unknown comp {cid}")
                 scan_comps.append((idx, tda >> 4, tda & 0x0F))
-            break
-        # APPn / COM / others: skipped
-    else:
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError("scan component count != frame")
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "baseline scan must be Ss=0 Se=63 Ah=Al=0"
+                    )
+            else:
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se=0 "
+                        "(no mixed DC+AC scan)"
+                    )
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component"
+                    )
+                if ss > se or se > 63:
+                    raise ValueError("bad spectral band in SOS")
+            pos = _jpeg_decode_scan(
+                data, scan_start, scan_comps, ss, se, ah, al,
+                htabs, coefs, n_blocks, restart_interval,
+            )
+            got_scan = True
+        # APPn / COM / DNL / others: skipped
+    if not got_scan:
         raise ValueError("no SOS marker")
 
     nf = len(comps)
     pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    bw = pw // 8
     planes = [[0] * (pw * ph) for _ in range(nf)]
-    rd = _BitReader(data, pos)
-    dc_prev = [0] * nf
-    mcu = 0
-    n_mcus = (pw // 8) * (ph // 8)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                rd.align_restart(mcu // restart_interval - 1)
-                dc_prev = [0] * nf
-            for ci, dc_id, ac_id in scan_comps:
-                dtab = htabs.get((0, dc_id))
-                atab = htabs.get((1, ac_id))
-                qtab = qtabs.get(comps[ci][1])
-                if dtab is None or atab is None or qtab is None:
-                    raise ValueError("scan references missing table")
-                zz = [0] * 64
-                size = _huff_decode(rd, dtab)
-                if size > 11:
-                    raise ValueError(f"bad DC size category {size}")
-                diff = _extend(rd.bits(size), size) if size else 0
-                dc_prev[ci] += diff
-                zz[0] = dc_prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(rd, atab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(rd.bits(size), size)
-                    k += 1
-                block = [0.0] * 64
-                for i, zi in enumerate(_ZIGZAG):
-                    block[zi] = float(zz[i] * qtab[i])
-                spatial = _dct_2d(block, inverse=True)
-                plane = planes[ci]
-                for r in range(8):
-                    row = (by + r) * pw + bx
-                    for c in range(8):
-                        plane[row + c] = _clamp8(spatial[r * 8 + c] + 128.0)
-            mcu += 1
-    if mcu != n_mcus:
-        raise ValueError("truncated MCU grid")
+    for ci in range(nf):
+        qtab = qtabs.get(comps[ci][1])
+        if qtab is None:
+            raise ValueError("scan references missing table")
+        plane = planes[ci]
+        for bi, zz in enumerate(coefs[ci]):
+            by, bx = (bi // bw) * 8, (bi % bw) * 8
+            block = [0.0] * 64
+            for i, zi in enumerate(_ZIGZAG):
+                block[zi] = float(zz[i] * qtab[i])
+            spatial = _dct_2d(block, inverse=True)
+            for r in range(8):
+                row = (by + r) * pw + bx
+                for c in range(8):
+                    plane[row + c] = _clamp8(spatial[r * 8 + c] + 128.0)
 
     out = bytearray(width * height * nf)
     if nf == 1:
@@ -782,7 +1157,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
 def jpeg_features(payload: bytes) -> dict:
     """Real-decoder drop-in for JPEG payloads: same 8-bin pixel histogram
-    surface as `png_features`, pixels from the baseline JPEG decode."""
+    surface as `png_features`, pixels from the JPEG decode (baseline
+    SOF0 or progressive SOF2, dispatched by the frame marker)."""
     if payload is None:
         payload = b""
     _, _, _, pixels = jpeg_decode(payload)

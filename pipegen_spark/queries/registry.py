@@ -62,7 +62,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 184
+CORPUS_SIZE = 185
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -88,12 +88,15 @@ GATE_CHANGED = (
     "curate_unimax",
     "multimodal_frame_sample",
     "dedup_semantic_auto",
+    "multimodal_jpeg_progressive",
 )
 
-#: Rolling re-gates: the 14 alphabetically-first of the 44 ops whose
-#: newest driver rows date from round 5 (the remaining 30, starting at
-#: dedup_semantic, rotate in r9 — its scale-safe auto-k sibling above
-#: carries the identical algorithm through this window's gate).
+#: Rolling re-gates: the 13 alphabetically-first of the 44 ops whose
+#: newest driver rows date from round 5 (the remaining 31, starting at
+#: dedup_incremental, rotate in r9 — dedup_semantic's scale-safe auto-k
+#: sibling above carries the identical algorithm through this window's
+#: gate; dedup_incremental yielded its slot to the brand-new progressive
+#: JPEG query).
 GATE_ROLLING = (
     "curate_budget",
     "curate_drift",
@@ -108,7 +111,6 @@ GATE_ROLLING = (
     "dedup_bloom",
     "dedup_cc_star",
     "dedup_containment",
-    "dedup_incremental",
 )
 
 #: Relational refresh: the remaining 26 relational queries whose newest
@@ -143,8 +145,8 @@ GATE_RELATIONAL_REFRESH = (
     "q46_tpch_returns",
 )
 
-#: The full round-8 gate window, in enumeration order: 4 changed/new
-#: surfaces + 14 rolling re-gates + 26 relational refreshes + 6
+#: The full round-8 gate window, in enumeration order: 5 changed/new
+#: surfaces + 13 rolling re-gates + 26 relational refreshes + 6
 #: canaries = 50.
 GATE_WINDOW = (
     GATE_CHANGED + GATE_ROLLING + GATE_RELATIONAL_REFRESH + GATE_CANARIES

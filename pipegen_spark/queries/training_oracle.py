@@ -2746,6 +2746,17 @@ TRAINING_ORACLE: dict[str, str] = {
            TRUE AS decode_ok
     FROM documents ORDER BY doc_id
     """,
+    # Property oracle, same pattern: the progressive (SOF2) encode must
+    # be a real multi-scan stream, decode bit-identical to the baseline
+    # path, and reconstruct within the DCT-rounding bound — all three
+    # must hold for EVERY doc.
+    "multimodal_jpeg_progressive": """
+    SELECT doc_id,
+           TRUE AS sof2_ok,
+           TRUE AS equal_baseline,
+           TRUE AS decode_ok
+    FROM documents ORDER BY doc_id
+    """,
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),
     "simsearch_pq_recall": _pq_recall_sql(),

@@ -428,9 +428,14 @@ def test_jpeg_error_paths():
     good = jpeg_encode(8, 8, bytes(192), 3)
     with pytest.raises(ValueError, match="bad SOI"):
         jpeg_decode(b"\x89PNG" + good)
-    # progressive (SOF2) rejected loudly
+    # extended sequential (SOF1) rejected loudly
+    ext = good.replace(b"\xff\xc0", b"\xff\xc1")
+    with pytest.raises(ValueError, match="unsupported SOF marker 0xFFC1"):
+        jpeg_decode(ext)
+    # SOF2 frame with a baseline-style mixed DC+AC scan is illegal:
+    # progressive DC must be coded alone (Ss=0 requires Se=0)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="baseline sequential only"):
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(prog)
     # chroma subsampling rejected: set Y component HV to 2x2
     sof_at = good.find(b"\xff\xc0")
@@ -489,4 +494,109 @@ def test_encoder_golden_digests():
         wav_encode(list(range(-32, 32)), sample_rate=8000)
     ).hexdigest() == (
         "1f3bf0c2f14822ff377d61144c51837d6772b625dc96368bb2f34960962bd708"
+    )
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """The progressive scan script delivers the SAME quantized
+    coefficients as the sequential encoding (spectral selection splits
+    them across scans, successive approximation across bit positions),
+    so decoded pixels must be bit-identical to the baseline path at
+    equal quant — an exact-equality property, stronger than the
+    roundtrip error bound."""
+    from pipegen_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    cases = [
+        (8, 8, 3, 1), (8, 8, 1, 1), (16, 16, 3, 1), (10, 6, 3, 1),
+        (8, 8, 3, 16), (24, 17, 3, 8), (32, 32, 1, 4), (8, 8, 3, 255),
+    ]
+    for w, h, ch, quant in cases:
+        px = _noise_px(f"prog{w}x{h}x{ch}q{quant}".encode(), w * h * ch)
+        base = jpeg_decode(jpeg_encode(w, h, px, ch, quant))
+        prog = jpeg_decode(jpeg_encode_progressive(w, h, px, ch, quant))
+        assert base == prog, (w, h, ch, quant)
+    # smooth gradient: long EOB runs across blocks (EOBn > 1 coding)
+    for quant in (1, 16):
+        px = bytes(
+            ((x + y) // 2) % 256
+            for y in range(64)
+            for x in range(64)
+            for _ in range(3)
+        )
+        base = jpeg_decode(jpeg_encode(64, 64, px, 3, quant))
+        prog = jpeg_decode(jpeg_encode_progressive(64, 64, px, 3, quant))
+        assert base == prog
+
+
+def test_jpeg_progressive_scan_structure():
+    """The emitted file is a genuine SOF2 multi-scan stream: one DC
+    first scan, two spectral AC bands + one refinement per component,
+    one DC refinement — 2 + 3*channels SOS markers."""
+    from pipegen_spark.operators.codecs import jpeg_encode_progressive
+
+    px = _noise_px(b"struct", 16 * 16 * 3)
+    data = jpeg_encode_progressive(16, 16, px, 3)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") >= 2 + 3 * 3  # >=: entropy bytes may collide
+    g = jpeg_encode_progressive(8, 8, _noise_px(b"g1", 64), 1)
+    assert b"\xff\xc2" in g
+
+
+def test_jpeg_progressive_error_paths():
+    from pipegen_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    good = jpeg_encode_progressive(8, 8, _noise_px(b"perr", 192), 3)
+    # corrupt the first AC scan's Se byte past 63 -> bad spectral band
+    sos_at = good.find(b"\xff\xda", good.find(b"\xff\xda") + 2)
+    body = sos_at + 4  # past marker + length
+    assert good[body] == 1  # single-component AC scan
+    se_at = body + 1 + 2 * 1 + 1  # ns, (cid, tda), Ss
+    assert good[se_at] == 5
+    bad = bytearray(good)
+    bad[se_at] = 100
+    with pytest.raises(ValueError, match="bad spectral band"):
+        jpeg_decode(bytes(bad))
+    # truncated mid-scan entropy data
+    with pytest.raises(ValueError, match="truncated|marker inside"):
+        jpeg_decode(good[: len(good) // 2])
+
+
+def test_jpeg_progressive_through_auto_decode():
+    """auto_decode dispatches on the SOI magic, so progressive payloads
+    flow through the same jpeg_features surface transparently."""
+    from pipegen_spark.operators.codecs import (
+        auto_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_features,
+    )
+
+    px = _noise_px(b"autoprog", 192)
+    prog = jpeg_encode_progressive(8, 8, px, 3)
+    base = jpeg_encode(8, 8, px, 3)
+    fp, fb = jpeg_features(prog), jpeg_features(base)
+    assert fp["feat_norm"] == fb["feat_norm"]  # identical decoded pixels
+    assert auto_decode(prog) == fp
+
+
+def test_jpeg_progressive_golden_digest():
+    """Byte-stability pin for the progressive encoder (same rationale as
+    test_encoder_golden_digests)."""
+    import hashlib
+
+    from pipegen_spark.operators.codecs import jpeg_encode_progressive
+
+    px = (bytes(range(96)) * 2)[:192]
+    digest = hashlib.sha256(
+        jpeg_encode_progressive(8, 8, px, 3)
+    ).hexdigest()
+    assert digest == (
+        "a4a89b4a94dd437786cd6efca47e52910c4a73010dce1539e1b1bff14d9d0c86"
     )

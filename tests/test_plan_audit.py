@@ -29,6 +29,7 @@ PANDAS_OK = {
     "dedup_embedding_cosine",
     "multimodal_features",
     "multimodal_jpeg_roundtrip",
+    "multimodal_jpeg_progressive",
     "multimodal_png_features",
     "multimodal_wav_features",
     "multimodal_wav_energy",
