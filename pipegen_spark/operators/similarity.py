@@ -400,6 +400,84 @@ def knn_graph(
     )
 
 
+def hard_negatives(
+    base: DataFrame,
+    plane_ids_pred,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining within LSH sign buckets: for
+    every anchor vector, the single most-similar vector carrying a
+    DIFFERENT label — the ANN-mined negative that contrastive embedding
+    training (DPR/SimCSE-style pipelines) pairs with each anchor, where
+    random negatives are too easy to carry gradient.
+
+    Same scale shape as `knn_graph` (which mines same-ish neighbors;
+    this mines cross-label ones): bucket assignment is map-only against
+    broadcast planes, candidate pairs meet ONLY through the bucket
+    equi-join (~n²/2^b rows, linear when the plane count b tracks
+    log2 n — see knn_graph's sizing note), cross-label filter before
+    the cosine, and a per-anchor top-1 window inside buckets. Anchors
+    whose buckets hold no cross-label candidate are dropped — mining is
+    approximate by design; more planes trade recall for pair volume.
+
+    Output: (vec_id, label, neg_id, neg_label, cos), one row per
+    anchor with a found negative, deterministic tiebreak (cos desc,
+    neg_id asc)."""
+    planes = (
+        base.filter(plane_ids_pred)
+        .select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
+    )
+    wp = Window.orderBy("pid")
+    planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select(
+        "bit", "pv"
+    )
+    buckets = bucket_ids(base, planes, vec_col, id_col, dim=dim)
+    vecs = base.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+    )
+    bv = buckets.join(vecs, "id")
+    raw = (
+        bv.alias("a")
+        .join(bv.alias("b"), "bucket")
+        .filter(F.col("a.lbl") != F.col("b.lbl"))
+        .select(
+            F.col("a.id").alias("src_id"),
+            F.col("a.lbl").alias("src_lbl"),
+            F.col("b.id").alias("neg_id"),
+            F.col("b.lbl").alias("neg_lbl"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
+        )
+    )
+    if dim is not None:
+        pairs = _staged_cosine(raw, "_va", "_vb", dim, out="cos")
+    else:
+        pairs = raw.select(
+            "src_id", "src_lbl", "neg_id", "neg_lbl",
+            _cos("_va", "_vb", None).alias("cos"),
+        )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("neg_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("src_id").alias(id_col),
+            F.col("src_lbl").cast("long").alias(label_col),
+            F.col("neg_id").alias("neg_id"),
+            F.col("neg_lbl").cast("long").alias("neg_label"),
+            "cos",
+        )
+        .orderBy(id_col)
+    )
+
+
 def rrf_expr(k: int = 60) -> str:
     """Reciprocal-rank-fusion score over columns r_lex, r_dense — ONE
     expression string shared verbatim by the Spark plan and the DuckDB

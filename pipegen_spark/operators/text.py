@@ -930,6 +930,94 @@ def ngram_diversity(
 # --- BPE merge-candidate statistics -------------------------------------------
 
 BPE_TOPK = 50
+BPE_TRAIN_ROUNDS = 8
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_TRAIN_ROUNDS,
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING — learn the merge table, not
+    just the round-one statistic `bpe_pair_counts` reports: the classic
+    subword-unit trainer loop (Sennrich et al. 2016, public algorithm)
+    over the corpus word-count vocabulary. Each round counts adjacent
+    symbol pairs weighted by word frequency (overlap-inclusive, as in
+    the reference algorithm's get_stats), picks the most frequent pair
+    (count desc, then lexicographic x, y — deterministic), and merges
+    it left-to-right non-overlapping in every word.
+
+    Representation trick shared verbatim with the oracle: a word is a
+    symbol STRING with every symbol wrapped in single spaces
+    (' c  a  t '); merging (x, y) is `replace(w, ' x  y ', ' xy ')` —
+    SQL replace scans left-to-right non-overlapping, which IS the BPE
+    merge semantics, and the doubled separator at symbol boundaries
+    makes cross-boundary false matches impossible. Tokens are
+    [a-z0-9]+ (dl.words), so the space separator is safe.
+
+    Shape (100 TB): the vocabulary aggregate is one hash agg bounded by
+    corpus VOCABULARY, not corpus size — exactly how production BPE
+    trainers structure the problem; each round is then one bounded pair
+    aggregate over the vocab + a map-only merge, best-pair selection is
+    TakeOrdered (no global sort), and the only driver transfer is ONE
+    row per round (a documented bounded collect — rounds are
+    inherently sequential, each merge conditions the next counts).
+    Per-round vocab frames are persisted so round r+1 does not replay
+    rounds 1..r.
+
+    Output: (merge_rank, sym_x, sym_y, pair_count, merged), one row
+    per learned merge, rank-ordered."""
+    spark = df.sparkSession
+    vocab = (
+        df.select(
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("wd")
+        )
+        .groupBy("wd")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .select(
+            F.expr("regexp_replace(wd, '(.)', ' $1 ')").alias("w"), "wc"
+        )
+    )
+    merges: list[tuple] = []
+    cached: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        vocab = vocab.persist()
+        cached.append(vocab)
+        pairs = (
+            vocab.select(F.expr("split(trim(w), '  ')").alias("sy"), "wc")
+            .select(
+                F.explode(
+                    F.expr(dl.bigram_idx("sy", dl.SPARK))
+                ).alias("i"),
+                "sy",
+                "wc",
+            )
+            .select(
+                F.expr(dl.elem("sy", "i", dl.SPARK)).alias("x"),
+                F.expr(dl.elem("sy", "i + 1", dl.SPARK)).alias("y"),
+                "wc",
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "x", "y").limit(1).collect()
+        )
+        if not best:
+            break
+        x, y, cnt = best[0]["x"], best[0]["y"], best[0]["cnt"]
+        merges.append((r, x, y, cnt, x + y))
+        vocab = vocab.select(
+            F.expr(f"replace(w, ' {x}  {y} ', ' {x}{y} ')").alias("w"),
+            "wc",
+        )
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_x string, sym_y string, "
+        "pair_count long, merged string",
+    ).orderBy("merge_rank")
 
 
 def bpe_pair_counts(

@@ -305,6 +305,18 @@ def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (ANN-mined cross-label top-1
+    per anchor, LSH-bucketed — the DPR/SimCSE negative-selection step;
+    see operators/similarity.hard_negatives for the 100 TB shape)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(
+        emb,
+        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
+        dim=EMB_DIM,
+    )
+
+
 def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-percentile gate (keep the top 60% of each
     source by the shared quality score). Exact per-doc rank — the
@@ -730,26 +742,10 @@ WAV_ENERGY_BLOCKS = 16  # md5 blocks per payload (8 int16 samples each)
 WAV_ENERGY_WIN = 16  # frame-energy window, in samples
 
 
-def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed frame energy over REAL audio decode — the segmentation /
-    VAD primitive (energy per fixed frame is the first stage of any
-    voice-activity or silence-trim pass). Each document becomes a
-    128-sample 16-bit PCM WAV whose block j (8 samples) is
-    md5(text || ':' || j) read as little-endian int16 — unlike the
-    tiled `multimodal_wav_features` payload, every 16-sample window has
-    DIFFERENT content, so the per-window surface is value-sensitive to
-    sample order, not just the multiset.
-
-    Spark-first split: the Arrow `mapInPandas` stage does ONLY what SQL
-    cannot — RIFF container encode + real `codecs.wav_samples` decode —
-    and returns the sample ARRAY; the frame arithmetic (posexplode,
-    win = pos DIV 16, Σ s² per window) runs JVM-side in whole-stage
-    codegen. DuckDB reconstructs the expected integer energies from
-    md5() hex alone — a hard hash gate over every decoded sample
-    (energy: s² ≤ 2^30, 16 per window → < 2^35, BIGINT-safe).
-
-    Shape: both Arrow hops map-only; one (doc_id, win) hash aggregate
-    (128 rows/doc before partial aggregation). Linear in executors."""
+def _wav_energy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared decode→frame-energy pipeline behind multimodal_wav_energy
+    and multimodal_vad_segments: real WAV encode+decode in one Arrow
+    stage, then JVM-side posexplode + per-(doc, window) Σ s² energy."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
@@ -793,7 +789,81 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_samples"),
             F.sum(F.col("s") * F.col("s")).cast("long").alias("energy"),
         )
-        .orderBy("doc_id", "win")
+    )
+
+
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed frame energy over REAL audio decode — the segmentation /
+    VAD primitive (energy per fixed frame is the first stage of any
+    voice-activity or silence-trim pass). Each document becomes a
+    128-sample 16-bit PCM WAV whose block j (8 samples) is
+    md5(text || ':' || j) read as little-endian int16 — unlike the
+    tiled `multimodal_wav_features` payload, every 16-sample window has
+    DIFFERENT content, so the per-window surface is value-sensitive to
+    sample order, not just the multiset.
+
+    Spark-first split: the Arrow `mapInPandas` stage does ONLY what SQL
+    cannot — RIFF container encode + real `codecs.wav_samples` decode —
+    and returns the sample ARRAY; the frame arithmetic (posexplode,
+    win = pos DIV 16, Σ s² per window) runs JVM-side in whole-stage
+    codegen. DuckDB reconstructs the expected integer energies from
+    md5() hex alone — a hard hash gate over every decoded sample
+    (energy: s² ≤ 2^30, 16 per window → < 2^35, BIGINT-safe).
+
+    Shape: both Arrow hops map-only; one (doc_id, win) hash aggregate
+    (128 rows/doc before partial aggregation). Linear in executors."""
+    return _wav_energy_frames(spark, sf_dir).orderBy("doc_id", "win")
+
+
+#: Activity threshold for VAD segmentation: the EXPECTED frame energy of
+#: 16 uniform int16 samples is 16·E[s²] ≈ 16·(2^32/12) ≈ 5.73e9; a
+#: slightly-lower cutoff splits md5-noise frames roughly 55/45 so both
+#: states (and multi-frame islands of each) occur in every corpus.
+VAD_THRESHOLD = 5_500_000_000
+
+
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL audio decode — the second
+    stage of the VAD pipeline whose first stage (windowed frame energy)
+    is `multimodal_wav_energy`: frames with energy ≥ VAD_THRESHOLD are
+    "active", and contiguous active frames merge into segments via
+    gaps-and-islands (win − row_number() per doc is constant within a
+    run). The surface is one row per segment: start/end window, width,
+    and total energy — exactly what a silence-trim or speech-extract
+    pass consumes.
+
+    Spark-first split: the Arrow stage is the same real
+    RIFF-encode + `codecs.wav_samples`-decode hop shared with
+    `multimodal_wav_energy` (`_wav_energy_frames`); thresholding, the
+    per-doc LAG-free island id, and the segment aggregate all run
+    JVM-side. DuckDB reconstructs every expected segment from md5()
+    hex alone — the same hard hash gate, now value-sensitive to the
+    island bookkeeping too.
+
+    Shape (100 TB): the only added shuffle beyond the frame aggregate
+    is the per-doc window sort, keyed by doc_id (high-cardinality, no
+    skew) over ≤ 8 frames/doc, then a (doc_id, island) hash aggregate.
+    Linear in executors; segment count bounded by frames/doc."""
+    from pyspark.sql.window import Window
+
+    frames = _wav_energy_frames(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("win")
+    active = frames.where(F.col("energy") >= F.lit(VAD_THRESHOLD))
+    islands = active.withColumn(
+        "isl", F.col("win") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("win").cast("long").alias("seg_start"),
+            F.max("win").cast("long").alias("seg_end"),
+            F.count("*").cast("long").alias("n_wins"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+        )
+        .select(
+            "doc_id", "seg_start", "seg_end", "n_wins", "seg_energy"
+        )
+        .orderBy("doc_id", "seg_start")
     )
 
 
@@ -1636,6 +1706,15 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-cardinality aggregate and TakeOrdered selection."""
     docs = table(spark, sf_dir, "documents")
     return tx.bpe_pair_counts(docs, "text")
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (8 sequential rounds) over the corpus
+    word-count vocabulary — tokenizer TRAINING, the step beyond
+    text_bpe_pairs' round-one statistic (see operators/text.bpe_train
+    for the 100 TB shape and the shared merge-string representation)."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, "text")
 
 
 def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

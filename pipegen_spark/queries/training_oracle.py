@@ -609,6 +609,45 @@ def _knn_graph_sql() -> str:
     """
 
 
+def _hard_negatives_sql() -> str:
+    """Mirror of similarity.hard_negatives (within-bucket cross-label
+    top-1 per anchor — knn_graph's bucket/cosine machinery plus the
+    label filter)."""
+    dot = dl.dot_double("e.embedding", "p.pv", td.EMB_DIM, D)
+    cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    return f"""
+    WITH planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
+               embedding AS pv
+        FROM embeddings
+        WHERE vec_id BETWEEN {td.KNN_PLANE_LO} AND {td.KNN_PLANE_HI}
+    ),
+    buckets AS (
+        SELECT e.vec_id AS id,
+               CAST(SUM(CASE WHEN {dot} > 0
+                        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    bv AS (SELECT b.id, b.bucket, e.embedding AS v, e.label AS lbl
+           FROM buckets b JOIN embeddings e ON b.id = e.vec_id),
+    scored AS (
+        SELECT a.id AS src_id, a.lbl AS src_lbl,
+               b.id AS neg_id, b.lbl AS neg_lbl, {cos} AS cos
+        FROM bv a JOIN bv b
+          ON a.bucket = b.bucket AND a.lbl <> b.lbl
+    )
+    SELECT src_id AS vec_id, CAST(src_lbl AS BIGINT) AS label,
+           neg_id, CAST(neg_lbl AS BIGINT) AS neg_label, cos
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY cos DESC, neg_id) AS rnk
+        FROM scored
+    ) t WHERE rnk = 1
+    ORDER BY vec_id
+    """
+
+
 def _quality_percentile_sql() -> str:
     """Mirror of curation.quality_percentile_gate (per-source percentile
     rank over the shared quality score, integer ppm). Boundary semantics
@@ -2227,13 +2266,14 @@ def _frame_sample_sql() -> str:
     """
 
 
-def _wav_energy_sql() -> str:
-    """Expected windowed frame energies of the REAL WAV decode chain
-    from md5() hex alone (see queries.training_data.multimodal_wav_energy:
-    block j of the payload is md5(text || ':' || j) as 8 LE int16
-    samples, so sample (j, i) and its window j DIV 2 are analytically
-    known — any codec/container bug shifts a sample and flips an
-    integer energy)."""
+def _wav_energy_ctes() -> str:
+    """Shared WITH-clause body reconstructing the REAL WAV decode
+    chain's windowed frame energies from md5() hex alone (see
+    queries.training_data._wav_energy_frames: block j of the payload is
+    md5(text || ':' || j) as 8 LE int16 samples, so sample (j, i) and
+    its window are analytically known — any codec/container bug shifts
+    a sample and flips an integer energy). Ends with the `frames` CTE
+    (doc_id, win, n_samples, energy)."""
     from pipegen_spark.queries.training_data import (
         WAV_ENERGY_BLOCKS,
         WAV_ENERGY_WIN,
@@ -2264,12 +2304,45 @@ def _wav_energy_sql() -> str:
                CAST(uval - CASE WHEN uval >= 32768 THEN 65536 ELSE 0 END
                     AS BIGINT) AS sv
         FROM u
+    ),
+    frames AS (
+        SELECT doc_id, win,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(sv * sv) AS BIGINT) AS energy
+        FROM s GROUP BY doc_id, win
+    )"""
+
+
+def _wav_energy_sql() -> str:
+    return f"""
+    {_wav_energy_ctes()}
+    SELECT doc_id, win, n_samples, energy
+    FROM frames ORDER BY doc_id, win
+    """
+
+
+def _vad_segments_sql() -> str:
+    """Mirror of multimodal_vad_segments: the same md5-reconstructed
+    frame energies, thresholded and merged into contiguous active
+    segments via the identical gaps-and-islands bookkeeping."""
+    from pipegen_spark.queries.training_data import VAD_THRESHOLD
+
+    return f"""
+    {_wav_energy_ctes()},
+    active AS (
+        SELECT doc_id, win, energy,
+               win - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY win
+               ) AS isl
+        FROM frames WHERE energy >= {VAD_THRESHOLD}
     )
-    SELECT doc_id, win,
-           CAST(COUNT(*) AS BIGINT) AS n_samples,
-           CAST(SUM(sv * sv) AS BIGINT) AS energy
-    FROM s GROUP BY doc_id, win
-    ORDER BY doc_id, win
+    SELECT doc_id,
+           CAST(MIN(win) AS BIGINT) AS seg_start,
+           CAST(MAX(win) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_wins,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM active GROUP BY doc_id, isl
+    ORDER BY doc_id, seg_start
     """
 
 def _bloom_sql() -> str:
@@ -2503,6 +2576,72 @@ def _bpe_pairs_sql() -> str:
     """
 
 
+def _bpe_train_sql() -> str:
+    """Mirror of text.bpe_train: one CTE pair (pair counts -> best
+    merge) per round, chained through the shared wrapped-symbol-string
+    representation. v/b CTEs are MATERIALIZED — each is referenced
+    more than once, and DuckDB's per-reference re-inlining would
+    otherwise replay the whole merge chain exponentially."""
+    rounds = tx.BPE_TRAIN_ROUNDS
+    words = dl.words("text", D)
+    nope = "'#NOPE#'"  # no-op replace pattern once merges run dry
+    parts = [
+        f"""
+    WITH v1 AS MATERIALIZED (
+        SELECT regexp_replace(wd, '(.)', ' \\1 ', 'g') AS w, wc
+        FROM (
+            SELECT wd, CAST(COUNT(*) AS BIGINT) AS wc
+            FROM (SELECT unnest({words}) AS wd FROM documents)
+            GROUP BY wd
+        )
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+        SELECT {dl.elem('sy', 'i', D)} AS x,
+               {dl.elem('sy', 'i + 1', D)} AS y,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (
+            SELECT regexp_split_to_array(trim(w), '  ') AS sy, wc
+            FROM v{r}
+        ) t, unnest({dl.bigram_idx('sy', D)}) u(i)
+        GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT {r} AS merge_rank, x, y, cnt FROM p{r}
+        ORDER BY cnt DESC, x, y LIMIT 1
+    )"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+    v{r + 1} AS MATERIALIZED (
+        SELECT replace(
+                   w,
+                   COALESCE((SELECT ' ' || x || '  ' || y || ' '
+                             FROM b{r}), {nope}),
+                   COALESCE((SELECT ' ' || x || y || ' '
+                             FROM b{r}), {nope})
+               ) AS w,
+               wc
+        FROM v{r}
+    )"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(merge_rank AS INT) AS merge_rank, x AS sym_x,
+           y AS sym_y, cnt AS pair_count, x || y AS merged
+    FROM ({union}) ORDER BY merge_rank
+    """
+    )
+    return "".join(parts)
+
+
 def _fim_sql() -> str:
     """Mirror of curation.with_fim."""
     e = cu.fim_exprs("text", "doc_id", D)
@@ -2731,11 +2870,13 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_span_mask": _span_mask_sql(),
     "curate_fim": _fim_sql(),
     "text_bpe_pairs": _bpe_pairs_sql(),
+    "text_bpe_train": _bpe_train_sql(),
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
     "multimodal_wav_energy": _wav_energy_sql(),
+    "multimodal_vad_segments": _vad_segments_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG
     # is lossy so decoded bytes are not SQL-derivable; the gated claim is
@@ -2813,6 +2954,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_bruteforce": _brute_force_sql(),
     "simsearch_range": _range_sql(),
     "simsearch_knn_graph": _knn_graph_sql(),
+    "embed_hard_negatives": _hard_negatives_sql(),
     "curate_boilerplate": _boilerplate_sql(),
     "curate_length_stats": _length_stats_sql(),
     "curate_split_leakage": _split_leakage_sql(),

@@ -1329,3 +1329,81 @@ def test_rake_hand_computed(spark):
     assert [r["rnk"] for r in p0] == [1, 2]
     assert by_doc[2][0]["phrase"] == "solo"
     assert by_doc[2][0]["score_micro"] == 1_000_000
+
+
+def _ref_bpe(corpus_words, rounds):
+    """From-scratch reference BPE trainer (list-of-symbols form, the
+    textbook algorithm) — validates bpe_train's string-replace encoding
+    against the real thing, independently of either SQL engine."""
+    vocab = {}
+    for wd in corpus_words:
+        vocab[wd] = vocab.get(wd, 0) + 1
+    words = {wd: list(wd) for wd in vocab}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for wd, syms in words.items():
+            for i in range(len(syms) - 1):  # overlap-inclusive
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + vocab[wd]
+                )
+        if not counts:
+            break
+        (x, y), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, x, y, cnt, x + y))
+        for wd, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):  # left-to-right non-overlapping merge
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == x
+                    and syms[i + 1] == y
+                ):
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wd] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from pipegen_spark.operators.text import bpe_train
+
+    # 'aaa' pins the overlap rules: counting sees (a,a) twice, the merge
+    # collapses left-to-right to [aa, a]; round 2 can then merge
+    # (aa, a). 'banana' exercises interior repeats, the rest ties.
+    texts = [
+        (0, "aaa banana aaa band"),
+        (1, "banana bandana aaa"),
+        (2, "low lower lowest low"),
+        (3, ""),
+    ]
+    corpus_words = [
+        w for _, t in texts for w in t.split() if w
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["sym_x"], r["sym_y"], r["pair_count"],
+         r["merged"])
+        for r in bpe_train(docs, rounds=6).collect()
+    ]
+    assert got == _ref_bpe(corpus_words, 6)
+
+
+def test_bpe_train_merge_chain_and_dry_out(spark):
+    from pipegen_spark.operators.text import bpe_train
+
+    # single repeated word: merges chain a->aa->aaaa... until the word
+    # is one symbol, then the trainer runs dry early (< rounds rows).
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa")], "doc_id long, text string"
+    )
+    rows = bpe_train(docs, rounds=8).collect()
+    assert [(r["sym_x"], r["sym_y"]) for r in rows] == [
+        ("a", "a"), ("aa", "aa")
+    ]
+    assert [r["pair_count"] for r in rows] == [6, 2]

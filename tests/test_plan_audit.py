@@ -33,6 +33,7 @@ PANDAS_OK = {
     "multimodal_png_features",
     "multimodal_wav_features",
     "multimodal_wav_energy",
+    "multimodal_vad_segments",
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
