@@ -478,6 +478,139 @@ def hard_negatives(
     )
 
 
+BITEXT_K = 4  # top-k neighborhood size in the margin denominator
+
+
+def bitext_margin(
+    base: DataFrame,
+    plane_ids_pred,
+    src_pred,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = BITEXT_K,
+    dim: int | None = None,
+) -> DataFrame:
+    """Margin-based bitext (parallel-pair) mining — the
+    ratio-margin criterion of Artetxe & Schwenk (2019) that
+    LASER/CCMatrix-style multilingual pipelines use to pick aligned
+    sentence pairs, where raw cosine over-selects hubs: a candidate
+    pair scores cos(x,y) normalized by the mean cosine of each side's
+    top-k cross-lingual neighborhood, so a pair only wins if it is
+    similar BEYOND what its two endpoints' neighborhoods predict.
+
+    `src_pred` splits the corpus (e.g. lang == 'en'): sources mine
+    against everything else. Candidates meet ONLY through the LSH
+    bucket equi-join (knn_graph's scale shape; neighborhoods are
+    bucket-restricted — the standard practical approximation).
+    Negative-cosine candidates are dropped up front (noise for
+    alignment, and it keeps every margin quantity positive).
+
+    Bit-exactness across engines: the pairwise cosine double is
+    micro-quantized BEFORE any aggregation, so the top-k sums, the
+    per-side means, and the final ratio are pure BIGINT arithmetic —
+    no float summation-order hazard. margin_ppm = 2e6·cos_micro /
+    (avg_src_micro + avg_tgt_micro), numerator ≤ 2e12: BIGINT-safe.
+
+    Output: (vec_id, tgt_id, cos_micro, margin_ppm) — each source's
+    single best target by margin (margin desc, tgt_id asc)."""
+    planes = (
+        base.filter(plane_ids_pred)
+        .select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
+    )
+    wp = Window.orderBy("pid")
+    planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select(
+        "bit", "pv"
+    )
+    buckets = bucket_ids(base, planes, vec_col, id_col, dim=dim)
+    vecs = base.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        src_pred.alias("is_src"),
+    )
+    bv = buckets.join(vecs, "id")
+    raw = (
+        bv.filter("is_src").alias("a")
+        .join(bv.filter("NOT is_src").alias("b"), "bucket")
+        .select(
+            F.col("a.id").alias("src_id"),
+            F.col("b.id").alias("tgt_id"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
+        )
+    )
+    if dim is not None:
+        pairs = _staged_cosine(raw, "_va", "_vb", dim, out="cos")
+    else:
+        pairs = raw.select(
+            "src_id", "tgt_id", _cos("_va", "_vb", None).alias("cos")
+        )
+    pm = pairs.select(
+        "src_id",
+        "tgt_id",
+        F.expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "cos_micro"
+        ),
+    ).filter(F.col("cos_micro") > 0)
+    # Neighborhood stats as WINDOW aggregates over the one pair table —
+    # the groupBy-then-join-back form would make Spark recompute the
+    # whole bucket-join + cosine subtree once per reference. Each side
+    # is one exchange: rank and the top-k sum share the partitioning.
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("cos_micro").desc(), "tgt_id"
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_micro").desc(), "src_id"
+    )
+    ws_all = Window.partitionBy("src_id")
+    wt_all = Window.partitionBy("tgt_id")
+    in_k_src = F.when(F.col("rs") <= k, F.col("cos_micro"))
+    in_k_tgt = F.when(F.col("rt") <= k, F.col("cos_micro"))
+    ranked = (
+        pm.withColumn("rs", F.row_number().over(ws))
+        .withColumn("s_sum", F.sum(in_k_src).over(ws_all).cast("long"))
+        .withColumn(
+            "s_cnt",
+            F.sum(
+                F.when(F.col("rs") <= k, F.lit(1)).otherwise(0)
+            ).over(ws_all).cast("long"),
+        )
+        .withColumn("rt", F.row_number().over(wt))
+        .withColumn("t_sum", F.sum(in_k_tgt).over(wt_all).cast("long"))
+        .withColumn(
+            "t_cnt",
+            F.sum(
+                F.when(F.col("rt") <= k, F.lit(1)).otherwise(0)
+            ).over(wt_all).cast("long"),
+        )
+    )
+    den = (
+        f"({dl.idiv('s_sum', 's_cnt', dl.SPARK)}"
+        f" + {dl.idiv('t_sum', 't_cnt', dl.SPARK)})"
+    )
+    scored = ranked.select(
+        "src_id",
+        "tgt_id",
+        "cos_micro",
+        F.expr(
+            dl.idiv("cos_micro * 2000000", den, dl.SPARK)
+        ).cast("long").alias("margin_ppm"),
+    )
+    w1 = Window.partitionBy("src_id").orderBy(
+        F.col("margin_ppm").desc(), "tgt_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("src_id").alias(id_col),
+            "tgt_id",
+            "cos_micro",
+            "margin_ppm",
+        )
+        .orderBy(id_col)
+    )
+
+
 def rrf_expr(k: int = 60) -> str:
     """Reciprocal-rank-fusion score over columns r_lex, r_dense — ONE
     expression string shared verbatim by the Spark plan and the DuckDB

@@ -317,6 +317,27 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simsearch_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining: each English document's best
+    non-English alignment candidate by the ratio-margin criterion
+    (cosine normalized by both endpoints' top-k neighborhood means —
+    the LASER/CCMatrix selection rule; see
+    operators/similarity.bitext_margin for the integer-exact margin
+    and the 100 TB bucket shape). Embeddings join documents 1:1 on
+    vec_id = doc_id; lang supplies the source/target split."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    base = emb.join(docs, "vec_id")
+    return sim.bitext_margin(
+        base,
+        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
+        F.col("lang") == "en",
+        dim=EMB_DIM,
+    )
+
+
 def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-percentile gate (keep the top 60% of each
     source by the shared quality score). Exact per-doc rank — the

@@ -648,6 +648,80 @@ def _hard_negatives_sql() -> str:
     """
 
 
+def _bitext_sql() -> str:
+    """Mirror of similarity.bitext_margin (bucketed cross-lingual
+    candidates, micro-quantized cosine, integer top-k means, ratio
+    margin, per-source top-1)."""
+    from pipegen_spark.operators.similarity import BITEXT_K
+
+    dot = dl.dot_double("e.embedding", "p.pv", td.EMB_DIM, D)
+    cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    den = f"({dl.idiv('s_sum', 's_cnt', D)} + {dl.idiv('t_sum', 't_cnt', D)})"
+    margin = dl.idiv("pm.cos_micro * 2000000", den, D)
+    return f"""
+    WITH planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
+               embedding AS pv
+        FROM embeddings
+        WHERE vec_id BETWEEN {td.KNN_PLANE_LO} AND {td.KNN_PLANE_HI}
+    ),
+    buckets AS (
+        SELECT e.vec_id AS id,
+               CAST(SUM(CASE WHEN {dot} > 0
+                        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    bv AS (
+        SELECT b.id, b.bucket, e.embedding AS v, (d.lang = 'en') AS is_src
+        FROM buckets b
+        JOIN embeddings e ON b.id = e.vec_id
+        JOIN documents d ON b.id = d.doc_id
+    ),
+    pm AS MATERIALIZED (
+        SELECT src_id, tgt_id, cos_micro FROM (
+            SELECT a.id AS src_id, b.id AS tgt_id,
+                   CAST(floor({cos} * 1000000.0 + 0.5) AS BIGINT)
+                       AS cos_micro
+            FROM bv a JOIN bv b
+              ON a.bucket = b.bucket AND a.is_src AND NOT b.is_src
+        ) q WHERE cos_micro > 0
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cos_micro DESC, tgt_id) AS rs,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos_micro DESC, src_id) AS rt
+        FROM pm
+    ),
+    stats AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN rs <= {BITEXT_K} THEN cos_micro END)
+                    OVER (PARTITION BY src_id) AS BIGINT) AS s_sum,
+               CAST(SUM(CASE WHEN rs <= {BITEXT_K} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY src_id) AS BIGINT) AS s_cnt,
+               CAST(SUM(CASE WHEN rt <= {BITEXT_K} THEN cos_micro END)
+                    OVER (PARTITION BY tgt_id) AS BIGINT) AS t_sum,
+               CAST(SUM(CASE WHEN rt <= {BITEXT_K} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY tgt_id) AS BIGINT) AS t_cnt
+        FROM ranked
+    ),
+    scored AS (
+        SELECT pm.src_id, pm.tgt_id, pm.cos_micro,
+               CAST({margin} AS BIGINT) AS margin_ppm
+        FROM stats pm
+    )
+    SELECT src_id AS vec_id, tgt_id, cos_micro, margin_ppm
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY margin_ppm DESC, tgt_id) AS rnk
+        FROM scored
+    ) f WHERE rnk = 1
+    ORDER BY vec_id
+    """
+
+
 def _quality_percentile_sql() -> str:
     """Mirror of curation.quality_percentile_gate (per-source percentile
     rank over the shared quality score, integer ppm). Boundary semantics
@@ -2955,6 +3029,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_range": _range_sql(),
     "simsearch_knn_graph": _knn_graph_sql(),
     "embed_hard_negatives": _hard_negatives_sql(),
+    "simsearch_bitext": _bitext_sql(),
     "curate_boilerplate": _boilerplate_sql(),
     "curate_length_stats": _length_stats_sql(),
     "curate_split_leakage": _split_leakage_sql(),
