@@ -1407,3 +1407,123 @@ def test_bpe_train_merge_chain_and_dry_out(spark):
         ("a", "a"), ("aa", "aa")
     ]
     assert [r["pair_count"] for r in rows] == [6, 2]
+
+
+def _py_buckets(vecs, plane_ids):
+    """Sign-LSH bucket ids, mirroring similarity.bucket_ids: bit i set
+    when dot(v, plane_i) > 0, planes ordered by their vec_id."""
+    planes = [vecs[p][0] for p in sorted(plane_ids)]
+    out = {}
+    for vid, (v, _) in vecs.items():
+        b = 0
+        for i, pv in enumerate(planes):
+            if sum(x * y for x, y in zip(v, pv)) > 0:
+                b |= 1 << i
+        out[vid] = b
+    return out
+
+
+def _py_cos(a, b):
+    import math
+
+    num = sum(x * y for x, y in zip(a, b))
+    return num / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+    )
+
+
+def test_hard_negatives_reference(spark):
+    # Hand-built geometry: labels 0/1 interleaved so every bucket holds
+    # cross-label candidates; vec 0 doubles as the single LSH plane
+    # (2 buckets: sign of x-coordinate).
+    data = {
+        0: ([1.0, 0.0], 0),
+        1: ([0.9, 0.1], 1),
+        2: ([0.8, -0.2], 0),
+        3: ([-1.0, 0.1], 1),
+        4: ([-0.9, -0.1], 0),
+        5: ([0.7, 0.7], 1),
+    }
+    base = spark.createDataFrame(
+        [(k, v, l) for k, (v, l) in data.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: (r["label"], r["neg_id"], r["neg_label"])
+        for r in sim.hard_negatives(
+            base, F.col("vec_id") == 0, dim=2
+        ).collect()
+    }
+    buckets = _py_buckets(data, [0])
+    expect = {}
+    for a, (va, la) in data.items():
+        cands = [
+            (b, _py_cos(va, vb), lb)
+            for b, (vb, lb) in data.items()
+            if b != a and lb != la and buckets[b] == buckets[a]
+        ]
+        if cands:
+            best = max(cands, key=lambda c: (c[1], -c[0]))
+            expect[a] = (la, best[0], best[2])
+    assert got == expect
+    # every mined negative really is cross-label
+    assert all(l != nl for (l, _, nl) in got.values())
+
+
+def test_bitext_margin_reference(spark):
+    import math
+
+    # en sources vs xx targets; vec 0 is the plane. Margins computed by
+    # an independent list-based replica of the ratio-margin rule.
+    data = {
+        0: ([1.0, 0.0], "en"),
+        1: ([0.95, 0.05], "xx"),
+        2: ([0.9, -0.1], "en"),
+        3: ([0.7, 0.3], "xx"),
+        4: ([-0.8, 0.1], "en"),
+        5: ([-0.9, -0.2], "xx"),
+        6: ([0.6, 0.6], "xx"),
+    }
+    base = spark.createDataFrame(
+        [(k, v, lang) for k, (v, lang) in data.items()],
+        "vec_id long, embedding array<float>, lang string",
+    )
+    k = 2
+    got = {
+        r["vec_id"]: (r["tgt_id"], r["cos_micro"], r["margin_ppm"])
+        for r in sim.bitext_margin(
+            base,
+            F.col("vec_id") == 0,
+            F.col("lang") == "en",
+            k=k,
+            dim=2,
+        ).collect()
+    }
+    buckets = _py_buckets(
+        {kk: (v, 0) for kk, (v, _) in data.items()}, [0]
+    )
+    pairs = []
+    for s, (vs, ls) in data.items():
+        if ls != "en":
+            continue
+        for t, (vt, lt) in data.items():
+            if lt == "en" or buckets[t] != buckets[s]:
+                continue
+            cm = math.floor(_py_cos(vs, vt) * 1_000_000 + 0.5)
+            if cm > 0:
+                pairs.append((s, t, cm))
+    s_top = {}
+    t_top = {}
+    for s, t, cm in sorted(pairs, key=lambda p: (-p[2], p[1])):
+        s_top.setdefault(s, []).append(cm)
+    for s, t, cm in sorted(pairs, key=lambda p: (-p[2], p[0])):
+        t_top.setdefault(t, []).append(cm)
+    expect = {}
+    for s, t, cm in pairs:
+        ss, tt = s_top[s][:k], t_top[t][:k]
+        den = sum(ss) // len(ss) + sum(tt) // len(tt)
+        margin = (cm * 2_000_000) // den
+        cur = expect.get(s)
+        if cur is None or (margin, -t) > (cur[2], -cur[0]):
+            expect[s] = (t, cm, margin)
+    assert got == expect
