@@ -33,7 +33,13 @@ and warm came out ABOVE cold on untouched code; outcome recorded in
 `idle_gate`, opt out via SPARK_GRAFT_NO_IDLE_GATE=1), and the fixed
 per-query driver floor (median `SELECT 1` collect wall time) is
 measured and reported as `spark_floor_sec`, so small-query
-Spark/DuckDB ratios can be read floor-adjusted (BASELINE.md).
+Spark/DuckDB ratios can be read floor-adjusted (BASELINE.md). The
+DuckDB baseline pass gets its own settle gate (same idle criterion):
+it runs right after the pooled passes and was inheriting their load
+tail, inflating its slowest oracles 1.5-2x — an unfairly slow
+baseline flatters the ratio; its watchdog is 40 s/query so the
+heavy dedup oracles (16-19 s idle) don't convert contention into
+`timed_out` coverage gaps.
 
 Output contract (round-5 fix): the driver captures only the LAST 2000
 chars of stdout, and rounds 1-4 each emitted a single JSON line with 149
@@ -232,9 +238,15 @@ def main() -> None:
     # Single-node comparative baseline: the same queries (their oracle SQL)
     # through DuckDB on the same files — ALL of them, each under a
     # per-query watchdog, so the ratio compares equal query sets.
+    # Let the pooled pass's load drain first (r8 finding: the baseline
+    # inherited loadavg ~10 from pooled run 2, inflating its slowest
+    # oracles 1.5-2x and pushing two 16-19 s queries over the watchdog
+    # — an unfairly SLOW baseline flatters the ratio).
+    settle = _await_idle_box()
     baseline = None
     try:
         baseline = _duckdb_baseline(sf_dir)
+        baseline["settle_gate"] = settle
     except Exception as e:  # baseline is context, not the metric — but
         # say WHY it is missing (stderr keeps the stdout JSON line clean)
         print(f"duckdb baseline failed: {e!r}", file=sys.stderr)
@@ -492,7 +504,7 @@ def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
 
-def _duckdb_baseline(sf_dir: str, per_query_timeout: float = 20.0) -> dict:
+def _duckdb_baseline(sf_dir: str, per_query_timeout: float = 40.0) -> dict:
     """Time the FULL oracle corpus in DuckDB.
 
     Rounds 1-5 used a corpus wall-clock budget, which truncated coverage
