@@ -1819,3 +1819,89 @@ def unimax_allocation(
         )
         .orderBy("source")
     )
+
+
+PREF_PAIRS_CAP = 50  # preference pairs per source (top/bottom halves)
+
+
+def preference_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    cap: int = PREF_PAIRS_CAP,
+) -> DataFrame:
+    """Preference-pair construction for preference-optimization training
+    (DPO/RLHF reward-model data prep): within each source, the top-half
+    documents by the shared quality score become `chosen` and the
+    bottom-half `rejected`, paired by intra-extreme rank (best vs
+    worst, 2nd-best vs 2nd-worst, ...) and capped at `cap` pairs per
+    source. Only STRICT preferences survive (margin_micro > 0) — a
+    tied pair carries no training signal. Halving the group guarantees
+    the two sides are disjoint; the reversed id tiebreak on the bottom
+    rank keeps the pairing deterministic even under score ties.
+
+    Scale: same per-group window-sort caveat as
+    `quality_percentile_gate` above — the exact-rank form is the
+    deterministic oracle surface at test scale; at mega-source scale
+    the extremes would be pre-gated with `quality_threshold_gate`'s
+    bounded histogram cutoffs (keep top/bottom frac) before ranking
+    only the survivors, whose count `cap` bounds.
+
+    Output: (source, pair_rank, chosen_id, rejected_id, chosen_micro,
+    rejected_micro, margin_micro), strict-margin rows only."""
+    from pipegen_spark.operators import text as tx
+
+    scored = tx.with_quality(
+        docs.select(id_col, group_col, text_col), text_col
+    ).select(
+        id_col,
+        group_col,
+        F.expr(
+            "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    wt = Window.partitionBy(group_col).orderBy(
+        F.col("score_micro").desc(), id_col
+    )
+    wb = Window.partitionBy(group_col).orderBy(
+        F.col("score_micro").asc(), F.col(id_col).desc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = scored.select(
+        id_col,
+        group_col,
+        "score_micro",
+        F.row_number().over(wt).cast("long").alias("_rt"),
+        F.row_number().over(wb).cast("long").alias("_rb"),
+        F.count("*").over(wn).cast("long").alias("_n"),
+    )
+    lim = F.expr(f"least(CAST({cap} AS BIGINT), _n DIV 2)")
+    chosen = ranked.filter(F.col("_rt") <= lim).select(
+        group_col,
+        F.col("_rt").alias("pair_rank"),
+        F.col(id_col).alias("chosen_id"),
+        F.col("score_micro").alias("chosen_micro"),
+    )
+    rejected = ranked.filter(F.col("_rb") <= lim).select(
+        group_col,
+        F.col("_rb").alias("pair_rank"),
+        F.col(id_col).alias("rejected_id"),
+        F.col("score_micro").alias("rejected_micro"),
+    )
+    return (
+        chosen.join(rejected, [group_col, "pair_rank"])
+        .select(
+            group_col,
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_micro",
+            "rejected_micro",
+            (F.col("chosen_micro") - F.col("rejected_micro"))
+            .cast("long")
+            .alias("margin_micro"),
+        )
+        .filter(F.col("margin_micro") > 0)
+        .orderBy(group_col, "pair_rank")
+    )

@@ -483,8 +483,8 @@ BITEXT_K = 4  # top-k neighborhood size in the margin denominator
 
 def bitext_margin(
     base: DataFrame,
+    groups: DataFrame,
     plane_ids_pred,
-    src_pred,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = BITEXT_K,
@@ -498,12 +498,20 @@ def bitext_margin(
     top-k cross-lingual neighborhood, so a pair only wins if it is
     similar BEYOND what its two endpoints' neighborhoods predict.
 
-    `src_pred` splits the corpus (e.g. lang == 'en'): sources mine
-    against everything else. Candidates meet ONLY through the LSH
-    bucket equi-join (knn_graph's scale shape; neighborhoods are
-    bucket-restricted — the standard practical approximation).
-    Negative-cosine candidates are dropped up front (noise for
-    alignment, and it keeps every margin quantity positive).
+    `groups` — a (id_col, is_src boolean) frame — splits the corpus
+    (e.g. is_src = lang == 'en'): sources mine against everything
+    else; ids absent from `groups` drop out (inner join). It joins in
+    AFTER the bucket aggregate on purpose: fusing a group join into
+    the bucket-assignment stage stacks a second broadcast-join consume
+    on top of the 64-term plane dots, and the generated
+    `bhj_doConsume` method blows the JVM's 64 KB limit — whole-stage
+    codegen silently falls back to interpreted for the hottest
+    map stage (reproduced; the post-exchange join keeps every method
+    small). Candidates meet ONLY through the LSH bucket equi-join
+    (knn_graph's scale shape; neighborhoods are bucket-restricted —
+    the standard practical approximation). Negative-cosine candidates
+    are dropped up front (noise for alignment, and it keeps every
+    margin quantity positive).
 
     Bit-exactness across engines: the pairwise cosine double is
     micro-quantized BEFORE any aggregation, so the top-k sums, the
@@ -523,11 +531,10 @@ def bitext_margin(
     )
     buckets = bucket_ids(base, planes, vec_col, id_col, dim=dim)
     vecs = base.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        src_pred.alias("is_src"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    bv = buckets.join(vecs, "id")
+    grp = groups.select(F.col(id_col).alias("id"), "is_src")
+    bv = buckets.join(vecs, "id").join(grp, "id")
     raw = (
         bv.filter("is_src").alias("a")
         .join(bv.filter("NOT is_src").alias("b"), "bucket")
@@ -544,13 +551,27 @@ def bitext_margin(
         pairs = raw.select(
             "src_id", "tgt_id", _cos("_va", "_vb", None).alias("cos")
         )
+    # The positivity filter is an EXPLODE of a 0/1-element array, not a
+    # Filter node: a Filter on floor(cos*1e6+0.5) gets predicate-pushed
+    # through every _staged_cosine barrier projection, re-inlining the
+    # full 3*dim-term chain into the pair-join stage — janino's 64 KB
+    # method limit trips and the hottest stage falls back to
+    # interpreted (reproduced; same landmine range_search documents for
+    # its bnlj consume). Generate output cannot be pushed past, so the
+    # staged chain stays JIT-able.
     pm = pairs.select(
         "src_id",
         "tgt_id",
         F.expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").alias(
-            "cos_micro"
+            "_cm"
         ),
-    ).filter(F.col("cos_micro") > 0)
+    ).select(
+        "src_id",
+        "tgt_id",
+        F.explode(
+            F.expr("filter(array(_cm), x -> x > 0)")
+        ).alias("cos_micro"),
+    )
     # Neighborhood stats as WINDOW aggregates over the one pair table —
     # the groupBy-then-join-back form would make Spark recompute the
     # whole bucket-join + cosine subtree once per reference. Each side

@@ -326,14 +326,14 @@ def simsearch_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 100 TB bucket shape). Embeddings join documents 1:1 on
     vec_id = doc_id; lang supplies the source/target split."""
     emb = table(spark, sf_dir, "embeddings")
-    docs = table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "lang"
+    groups = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        (F.col("lang") == "en").alias("is_src"),
     )
-    base = emb.join(docs, "vec_id")
     return sim.bitext_margin(
-        base,
+        emb,
+        groups,
         F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
-        F.col("lang") == "en",
         dim=EMB_DIM,
     )
 
@@ -345,6 +345,14 @@ def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-scale form (see curate_quality_threshold for the 100 TB one)."""
     docs = table(spark, sf_dir, "documents")
     return cu.quality_percentile_gate(docs)
+
+
+def curate_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per source, top-half docs
+    by quality paired against bottom-half by intra-extreme rank, strict
+    margins only (see operators/curation.preference_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.preference_pairs(docs)
 
 
 def curate_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -648,6 +648,46 @@ def _hard_negatives_sql() -> str:
     """
 
 
+def _preference_pairs_sql() -> str:
+    """Mirror of curation.preference_pairs (top/bottom halves by the
+    shared quality score, rank-paired, strict margins)."""
+    q = tx.quality_exprs("text", D)
+    score_micro = (
+        f"CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, {score_micro} AS score_micro FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY score_micro DESC, doc_id) AS rt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY score_micro ASC, doc_id DESC) AS rb,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    ),
+    chosen AS (
+        SELECT source, CAST(rt AS BIGINT) AS pair_rank,
+               doc_id AS chosen_id, score_micro AS chosen_micro
+        FROM ranked WHERE rt <= least({cu.PREF_PAIRS_CAP}, n // 2)
+    ),
+    rejected AS (
+        SELECT source, CAST(rb AS BIGINT) AS pair_rank,
+               doc_id AS rejected_id, score_micro AS rejected_micro
+        FROM ranked WHERE rb <= least({cu.PREF_PAIRS_CAP}, n // 2)
+    )
+    SELECT c.source, c.pair_rank, chosen_id, rejected_id,
+           chosen_micro, rejected_micro,
+           CAST(chosen_micro - rejected_micro AS BIGINT) AS margin_micro
+    FROM chosen c JOIN rejected r
+      ON c.source = r.source AND c.pair_rank = r.pair_rank
+    WHERE chosen_micro - rejected_micro > 0
+    ORDER BY c.source, c.pair_rank
+    """
+
+
 def _bitext_sql() -> str:
     """Mirror of similarity.bitext_margin (bucketed cross-lingual
     candidates, micro-quantized cosine, integer top-k means, ratio
@@ -3030,6 +3070,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_knn_graph": _knn_graph_sql(),
     "embed_hard_negatives": _hard_negatives_sql(),
     "simsearch_bitext": _bitext_sql(),
+    "curate_preference_pairs": _preference_pairs_sql(),
     "curate_boilerplate": _boilerplate_sql(),
     "curate_length_stats": _length_stats_sql(),
     "curate_split_leakage": _split_leakage_sql(),

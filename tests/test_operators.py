@@ -1485,16 +1485,20 @@ def test_bitext_margin_reference(spark):
         6: ([0.6, 0.6], "xx"),
     }
     base = spark.createDataFrame(
-        [(k, v, lang) for k, (v, lang) in data.items()],
-        "vec_id long, embedding array<float>, lang string",
+        [(k, v) for k, (v, _) in data.items()],
+        "vec_id long, embedding array<float>",
+    )
+    groups = spark.createDataFrame(
+        [(k, lang == "en") for k, (_, lang) in data.items()],
+        "vec_id long, is_src boolean",
     )
     k = 2
     got = {
         r["vec_id"]: (r["tgt_id"], r["cos_micro"], r["margin_ppm"])
         for r in sim.bitext_margin(
             base,
+            groups,
             F.col("vec_id") == 0,
-            F.col("lang") == "en",
             k=k,
             dim=2,
         ).collect()
