@@ -41,8 +41,12 @@ rounds; long-stable canaries stay in every window):
   brand-new multimodal_frame_sample and dedup_semantic_auto), the 14
   alphabetically-first r5-green ops, and the 6 canaries. After this
   window no driver row anywhere predates r4.
-- r9 plan: the remaining 30 r5-green ops (dedup_semantic onward) + the
-  oldest r6 rows, keeping the canaries.
+- r9 plan: the remaining 31 r5-green ops (dedup_incremental onward) +
+  the six round-8 additions that landed after the r8 window was cut
+  (multimodal_vad_segments, embed_hard_negatives, text_bpe_train,
+  simsearch_bitext, curate_preference_pairs — all oracle-green on the
+  local mirror — plus a re-gate of simsearch_bitext's final plan
+  shape), keeping the canaries; overflow rolls to r10.
 """
 
 from __future__ import annotations
