@@ -896,6 +896,55 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup BLOCKING over the REAL WAV decode — the
+    energy-delta sign signature (the core idea of
+    chromaprint/shazam-class audio fingerprints, reduced to the energy
+    feature this pipeline already extracts): bit i of the fingerprint
+    is [energy(frame i+1) > energy(frame i)], robust to gain changes
+    because only the energy ORDER matters. Payloads sharing a
+    fingerprint are the candidates a downstream content-hash verify
+    resolves — the same blocking pattern multimodal_phash applies to
+    images, completing per-modality dedup (text: simhash/minhash;
+    image: phash; audio: this).
+
+    Spark-first split: frame energies come from the shared
+    `_wav_energy_frames` Arrow decode; the LAG comparison, bit packing
+    and fingerprint aggregate run JVM-side. DuckDB reconstructs every
+    fingerprint from md5() hex alone — hard hash gate.
+
+    Shape (100 TB): one per-doc window (keyed by doc_id, bounded
+    frames/doc), one fingerprint aggregate, one fingerprint-partition
+    window for the dup stats. Linear in executors."""
+    from pyspark.sql.window import Window as W
+
+    frames = _wav_energy_frames(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("win")
+    fp = (
+        frames.withColumn("prev", F.lag("energy").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "doc_id",
+            F.when(
+                F.col("energy") > F.col("prev"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(win - 1 AS INT))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("long").alias("audio_fp"))
+    )
+    wf = W.partitionBy("audio_fp").orderBy("doc_id")
+    wn = W.partitionBy("audio_fp")
+    return fp.select(
+        "doc_id",
+        "audio_fp",
+        F.count("*").over(wn).cast("long").alias("n_same_fp"),
+        (F.row_number().over(wf) > 1).alias("is_fp_dup"),
+    ).orderBy("doc_id")
+
+
 FRAME_EVERY_MS = 500  # frame-sampling stride
 
 

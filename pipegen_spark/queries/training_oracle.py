@@ -648,6 +648,34 @@ def _hard_negatives_sql() -> str:
     """
 
 
+def _audio_fp_sql() -> str:
+    """Mirror of multimodal_audio_fp: the md5-reconstructed frame
+    energies, LAG-compared, bit-packed, then the fingerprint-partition
+    dup stats (same surface pattern as multimodal_phash)."""
+    return f"""
+    {_wav_energy_ctes()},
+    lagged AS (
+        SELECT doc_id, win, energy,
+               LAG(energy) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+        FROM frames
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN energy > prev
+                        THEN (CAST(1 AS BIGINT) << CAST(win - 1 AS INT))
+                        ELSE 0 END) AS BIGINT) AS audio_fp
+        FROM lagged WHERE prev IS NOT NULL
+        GROUP BY doc_id
+    )
+    SELECT doc_id, audio_fp,
+           CAST(COUNT(*) OVER (PARTITION BY audio_fp) AS BIGINT)
+               AS n_same_fp,
+           (ROW_NUMBER() OVER (PARTITION BY audio_fp ORDER BY doc_id) > 1)
+               AS is_fp_dup
+    FROM fp ORDER BY doc_id
+    """
+
+
 def _preference_pairs_sql() -> str:
     """Mirror of curation.preference_pairs (top/bottom halves by the
     shared quality score, rank-paired, strict margins)."""
@@ -2991,6 +3019,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_wav_features": _multimodal_wav_sql(),
     "multimodal_wav_energy": _wav_energy_sql(),
     "multimodal_vad_segments": _vad_segments_sql(),
+    "multimodal_audio_fp": _audio_fp_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG
     # is lossy so decoded bytes are not SQL-derivable; the gated claim is
