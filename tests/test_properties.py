@@ -254,3 +254,54 @@ def test_jpeg_roundtrip_error_bounded(w, h, ch, data):
     assert len(out) == n
     tol = 6 if ch == 3 else 2  # gray skips the YCbCr round-trip
     assert max(abs(a - b) for a, b in zip(px, out)) <= tol
+
+
+# --- BPE wrapped-string merge encoding ---------------------------------------
+#
+# text.bpe_train represents a word as ' a  b  c ' (each symbol wrapped
+# in single spaces) and applies a merge of (x, y) as
+# replace(w, ' x  y ', ' xy ') — claiming SQL/str replace's
+# left-to-right non-overlapping scan IS the BPE merge rule and that
+# the doubled separator makes cross-boundary matches impossible.
+# Python str.replace has the same scan semantics as Spark/DuckDB
+# replace, so the claim is checkable exhaustively without a session.
+
+
+def _list_merge(syms, x, y):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _wrap(syms):
+    return "".join(f" {s} " for s in syms)
+
+
+@given(
+    hst.lists(
+        hst.text(alphabet="ab1", min_size=1, max_size=3),
+        min_size=0,
+        max_size=8,
+    ),
+    hst.text(alphabet="ab1", min_size=1, max_size=3),
+    hst.text(alphabet="ab1", min_size=1, max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_wrapped_replace_equals_list_merge(syms, x, y):
+    got = _wrap(syms).replace(f" {x}  {y} ", f" {x}{y} ")
+    assert got == _wrap(_list_merge(syms, x, y))
+
+
+def test_bpe_wrapped_replace_overlap_pins():
+    # aaa + (a,a): counting sees the pair twice, the merge collapses
+    # left-to-right once -> [aa, a]; then (aa, a) finishes the word.
+    w = _wrap(list("aaa"))
+    w = w.replace(" a  a ", " aa ")
+    assert w == _wrap(["aa", "a"])
+    assert w.replace(" aa  a ", " aaa ") == _wrap(["aaa"])
