@@ -258,11 +258,17 @@ def main() -> None:
     # The machine's 1-min loadavg is recorded alongside: the r4->r5
     # throughput delta (117.9k -> 107.5k rows/s) was unattributable
     # because load context was not captured.
+    # Same settle logic as the DuckDB pass: the probe ran at loadavg ~8
+    # in the r8 pre-run (inherited from the preceding passes) and read
+    # 81.6k rows/s vs 133k on a quiet box — throughput noise that is
+    # pure contention, not regression.
+    stream_settle = _await_idle_box()
     streaming = None
     try:
         load_before = round(os.getloadavg()[0], 2)
         streaming = _stream_throughput(spark, target_rps=50_000, seconds=8)
         streaming["loadavg_1min_before"] = load_before
+        streaming["settle_gate"] = stream_settle
     except Exception as e:
         print(f"streaming probe failed: {e!r}", file=sys.stderr)
 
