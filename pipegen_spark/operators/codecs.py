@@ -418,6 +418,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill padding (§F.1.2.3)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill) and append RSTn — marker bytes bypass
+        stuffing by spec (§B.1.1.2: markers are the one legal unstuffed
+        0xFF in entropy data)."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 | (n & 7)])
+
 
 def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -552,12 +561,17 @@ def jpeg_encode(
 
 
 def _emit_dc_first(
-    w: _BitWriter, blocks: list[list[list[int]]], cis: list[int], al: int
+    w: _BitWriter, blocks: list[list[list[int]]], cis: list[int],
+    al: int, ri: int = 0,
 ) -> None:
     """Progressive DC first scan (§G.1.2.1): DIFF-coded point-transformed
-    DC (arithmetic shift by Al), interleaved over `cis` in MCU order."""
+    DC (arithmetic shift by Al), interleaved over `cis` in MCU order;
+    `ri` > 0 emits RSTn every `ri` MCUs (predictors reset, §E.2.4)."""
     prev = [0] * len(cis)
     for bi in range(len(blocks[cis[0]])):
+        if ri and bi and bi % ri == 0:
+            w.restart(bi // ri - 1)
+            prev = [0] * len(cis)
         for si, ci in enumerate(cis):
             val = blocks[ci][bi][0] >> al
             diff = val - prev[si]
@@ -570,11 +584,14 @@ def _emit_dc_first(
 
 
 def _emit_dc_refine(
-    w: _BitWriter, blocks: list[list[list[int]]], cis: list[int], al: int
+    w: _BitWriter, blocks: list[list[list[int]]], cis: list[int],
+    al: int, ri: int = 0,
 ) -> None:
     """Progressive DC refinement: one raw bit (bit Al of the
     two's-complement DC) per block, no entropy coding (§G.1.2.1)."""
     for bi in range(len(blocks[cis[0]])):
+        if ri and bi and bi % ri == 0:
+            w.restart(bi // ri - 1)
         for ci in cis:
             w.write((blocks[ci][bi][0] >> al) & 1, 1)
 
@@ -596,13 +613,19 @@ def _flush_eobrun(w: _BitWriter, eobrun: int, pending: list[int]) -> int:
 
 
 def _emit_ac_first(
-    w: _BitWriter, blocks_c: list[list[int]], ss: int, se: int, al: int
+    w: _BitWriter, blocks_c: list[list[int]], ss: int, se: int,
+    al: int, ri: int = 0,
 ) -> None:
     """Progressive AC first scan over band Ss..Se (§G.1.2.2): magnitudes
     point-transformed by Al (toward-zero shift), zero runs as in
-    baseline, but end-of-band coded as cross-block EOBn runs."""
+    baseline, but end-of-band coded as cross-block EOBn runs; a
+    restart boundary force-flushes the open run (EOB runs cannot span
+    restart intervals, §G.1.2.2)."""
     eobrun = 0
-    for blk in blocks_c:
+    for bi, blk in enumerate(blocks_c):
+        if ri and bi and bi % ri == 0:
+            eobrun = _flush_eobrun(w, eobrun, [])
+            w.restart(bi // ri - 1)
         r = 0
         for k in range(ss, se + 1):
             m = abs(blk[k]) >> al
@@ -628,15 +651,20 @@ def _emit_ac_first(
 
 
 def _emit_ac_refine(
-    w: _BitWriter, blocks_c: list[list[int]], ss: int, se: int, al: int
+    w: _BitWriter, blocks_c: list[list[int]], ss: int, se: int,
+    al: int, ri: int = 0,
 ) -> None:
     """Progressive AC refinement (Ah=Al+1 → Al, §G.1.2.3): one
     correction bit per already-nonzero coefficient, newly-significant
     coefficients as (run<<4)|1 + sign bit, correction bits buffered
-    across EOB runs and replayed after the next emitted symbol."""
+    across EOB runs and replayed after the next emitted symbol; a
+    restart boundary force-flushes the run AND its buffered bits."""
     eobrun = 0
     pending: list[int] = []  # correction bits riding with the open run
-    for blk in blocks_c:
+    for bi, blk in enumerate(blocks_c):
+        if ri and bi and bi % ri == 0:
+            eobrun = _flush_eobrun(w, eobrun, pending)
+            w.restart(bi // ri - 1)
         absv = [0] * 64
         eob = 0  # last newly-significant position in the band
         for k in range(ss, se + 1):
@@ -683,6 +711,7 @@ def jpeg_encode_progressive(
     pixels: bytes,
     channels: int = 3,
     quant: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG writer (ITU-T T.81 SOF2): the same component /
     DCT / quantization pipeline as `jpeg_encode`, with the quantized
@@ -694,7 +723,10 @@ def jpeg_encode_progressive(
     buffered-bit EOB runs) and a raw-bit DC refinement scan. The
     decoder reconstructs coefficients bit-identical to the sequential
     encoding, so pixels match `jpeg_encode`'s exactly at equal
-    `quant`."""
+    `quant`. `restart_interval` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs in EVERY scan (DC predictors, EOB
+    runs, and buffered refinement bits reset per spec §E.2.4 /
+    §G.1.2.2 — runs cannot span a restart)."""
     if channels not in (1, 3):
         raise ValueError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -745,20 +777,23 @@ def jpeg_encode_progressive(
     )
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+    ri = restart_interval
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
     w = _BitWriter()
-    _emit_dc_first(w, blocks, all_cis, 1)
+    _emit_dc_first(w, blocks, all_cis, 1, ri)
     out += sos(all_cis, 0, 0, 0, 1, w.flush())
     for ss_, se_ in ((1, 5), (6, 63)):
         for ci in all_cis:
             w = _BitWriter()
-            _emit_ac_first(w, blocks[ci], ss_, se_, 1)
+            _emit_ac_first(w, blocks[ci], ss_, se_, 1, ri)
             out += sos([ci], ss_, se_, 0, 1, w.flush())
     for ci in all_cis:
         w = _BitWriter()
-        _emit_ac_refine(w, blocks[ci], 1, 63, 0)
+        _emit_ac_refine(w, blocks[ci], 1, 63, 0, ri)
         out += sos([ci], 1, 63, 1, 0, w.flush())
     w = _BitWriter()
-    _emit_dc_refine(w, blocks, all_cis, 0)
+    _emit_dc_refine(w, blocks, all_cis, 0, ri)
     out += sos(all_cis, 0, 0, 1, 0, w.flush())
     out += b"\xff\xd9"
     return bytes(out)

@@ -600,3 +600,53 @@ def test_jpeg_progressive_golden_digest():
     assert digest == (
         "a4a89b4a94dd437786cd6efca47e52910c4a73010dce1539e1b1bff14d9d0c86"
     )
+
+
+def test_jpeg_progressive_restart_intervals():
+    """RSTn markers inside progressive scans: DC predictors, EOB runs,
+    and buffered refinement bits must reset at every boundary — pixels
+    stay bit-identical to the no-restart baseline decode."""
+    from pipegen_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    for w, h, ch, quant, ri in [
+        (16, 16, 3, 1, 1), (32, 24, 3, 8, 3), (24, 24, 1, 4, 2),
+    ]:
+        px = _noise_px(f"ri{w}x{h}q{quant}i{ri}".encode(), w * h * ch)
+        base = jpeg_decode(jpeg_encode(w, h, px, ch, quant))
+        pr = jpeg_encode_progressive(
+            w, h, px, ch, quant, restart_interval=ri
+        )
+        assert b"\xff\xdd" in pr  # DRI present
+        n_rst = sum(
+            pr.count(bytes([0xFF, 0xD0 | k])) for k in range(8)
+        )
+        assert n_rst > 0
+        assert jpeg_decode(pr) == base
+    # long cross-block EOB runs must flush at each boundary
+    px = bytes(
+        ((x + y) // 2) % 256
+        for y in range(64)
+        for x in range(64)
+        for _ in range(3)
+    )
+    a = jpeg_decode(jpeg_encode(64, 64, px, 3, 16))
+    b = jpeg_decode(
+        jpeg_encode_progressive(64, 64, px, 3, 16, restart_interval=2)
+    )
+    assert a == b
+    # out-of-order restart marker still rejected in progressive scans
+    import pytest as _pytest
+
+    pr = jpeg_encode_progressive(
+        16, 16, _noise_px(b"ooo", 768), 3, 1, restart_interval=1
+    )
+    first_rst = pr.find(b"\xff\xd0")
+    assert first_rst > 0
+    bad = bytearray(pr)
+    bad[first_rst + 1] = 0xD5  # RST5 where RST0 expected
+    with _pytest.raises(ValueError, match="restart marker out of order"):
+        jpeg_decode(bytes(bad))
