@@ -465,18 +465,111 @@ def _jpeg_planes(
     return planes, pw, ph
 
 
+def _encode_block_seq(
+    w: _BitWriter,
+    plane: list[int],
+    pw: int,
+    by: int,
+    bx: int,
+    quant: int,
+    dc_prev: list[int],
+    ci: int,
+) -> None:
+    """FDCT + quantize + sequential DC/AC entropy-code one 8x8 block at
+    plane offset (by, bx) — the shared baseline block emitter."""
+    block = [
+        float(plane[(by + r) * pw + bx + c]) - 128.0
+        for r in range(8)
+        for c in range(8)
+    ]
+    coefs = _dct_2d(block)
+    q = [int(round(coefs[i] / quant)) for i in range(64)]
+    zz = [q[i] for i in _ZIGZAG]
+    diff = zz[0] - dc_prev[ci]
+    dc_prev[ci] = zz[0]
+    size = abs(diff).bit_length()
+    code, ln = _DC_ENC[size]
+    w.write(code, ln)
+    if size:
+        amp = diff if diff >= 0 else diff + (1 << size) - 1
+        w.write(amp, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, 64):
+        if i > last_nz:
+            code, ln = _AC_ENC[0x00]  # EOB
+            w.write(code, ln)
+            break
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_ENC[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        code, ln = _AC_ENC[(run << 4) | size]
+        w.write(code, ln)
+        amp = v if v >= 0 else v + (1 << size) - 1
+        w.write(amp, size)
+        run = 0
+
+
+def _jpeg_planes_420(
+    width: int, height: int, pixels: bytes
+) -> tuple[tuple, tuple, tuple]:
+    """4:2:0 component planes: Y edge-replicated to the 16-aligned MCU
+    grid, Cb/Cr 2x2 box-averaged (round-half-up) onto the 8-aligned
+    half-resolution grid. Returns ((yp, yw, yh), (cb, cw, ch),
+    (cr, cw, ch))."""
+    mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+    yw, yh = 16 * mcux, 16 * mcuy
+    yp = [0] * (yw * yh)
+    cbf = [0] * (yw * yh)
+    crf = [0] * (yw * yh)
+    for y in range(yh):
+        sy = min(y, height - 1)
+        for x in range(yw):
+            sx = min(x, width - 1)
+            i = (sy * width + sx) * 3
+            j = y * yw + x
+            yp[j], cbf[j], crf[j] = _rgb_to_ycbcr(
+                pixels[i], pixels[i + 1], pixels[i + 2]
+            )
+    cw, ch_ = 8 * mcux, 8 * mcuy
+    cb = [0] * (cw * ch_)
+    cr = [0] * (cw * ch_)
+    for y in range(ch_):
+        for x in range(cw):
+            j0 = (2 * y) * yw + 2 * x
+            j1 = j0 + yw
+            cb[y * cw + x] = (
+                cbf[j0] + cbf[j0 + 1] + cbf[j1] + cbf[j1 + 1] + 2
+            ) // 4
+            cr[y * cw + x] = (
+                crf[j0] + crf[j0 + 1] + crf[j1] + crf[j1 + 1] + 2
+            ) // 4
+    return (yp, yw, yh), (cb, cw, ch_), (cr, cw, ch_)
+
+
 def jpeg_encode(
     width: int,
     height: int,
     pixels: bytes,
     channels: int = 3,
     quant: int = 1,
+    subsampling: str = "444",
 ) -> bytes:
-    """Minimal baseline-sequential JPEG writer: 8-bit, 4:4:4 (Hi=Vi=1),
-    uniform quantization table of `quant` (default 1 — near-lossless,
-    error comes only from color-convert + DCT rounding), computed flat
-    Huffman tables, one DQT/DC-DHT/AC-DHT shared by all components.
-    `pixels` is row-major packed samples (1=gray, 3=RGB)."""
+    """Minimal baseline-sequential JPEG writer: 8-bit, 4:4:4 (Hi=Vi=1)
+    or 4:2:0 (`subsampling="420"`, RGB only: Y at 2x2, box-averaged
+    half-resolution chroma, 6-block MCUs — the layout the overwhelming
+    majority of real-world camera JPEGs use), uniform quantization
+    table of `quant` (default 1 — near-lossless, error comes only from
+    color-convert + DCT rounding, plus chroma averaging at 4:2:0),
+    computed flat Huffman tables, one DQT/DC-DHT/AC-DHT shared by all
+    components. `pixels` is row-major packed samples (1=gray,
+    3=RGB)."""
     if channels not in (1, 3):
         raise ValueError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -486,53 +579,44 @@ def jpeg_encode(
         )
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be in [1, 255], got {quant}")
-    planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("4:2:0 requires 3 channels (chroma to subsample)")
 
     w = _BitWriter()
-    dc_prev = [0] * channels
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(channels):
-                plane = planes[ci]
-                block = [
-                    float(plane[(by + r) * pw + bx + c]) - 128.0
-                    for r in range(8)
-                    for c in range(8)
-                ]
-                coefs = _dct_2d(block)
-                q = [int(round(coefs[i] / quant)) for i in range(64)]
-                zz = [q[i] for i in _ZIGZAG]
-                diff = zz[0] - dc_prev[ci]
-                dc_prev[ci] = zz[0]
-                size = abs(diff).bit_length()
-                code, ln = _DC_ENC[size]
-                w.write(code, ln)
-                if size:
-                    amp = diff if diff >= 0 else diff + (1 << size) - 1
-                    w.write(amp, size)
-                run = 0
-                last_nz = max(
-                    (i for i in range(1, 64) if zz[i]), default=0
+    if subsampling == "444":
+        planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
+        dc_prev = [0] * channels
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(channels):
+                    _encode_block_seq(
+                        w, planes[ci], pw, by, bx, quant, dc_prev, ci
+                    )
+        comp_hv = [0x11] * channels
+    else:
+        (yp, yw, _), (cbp, cw, _), (crp, _, _) = _jpeg_planes_420(
+            width, height, pixels
+        )
+        mcux, mcuy = cw // 8, 0
+        mcuy = (height + 15) // 16
+        dc_prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        _encode_block_seq(
+                            w, yp, yw, my * 16 + by * 8,
+                            mx * 16 + bx * 8, quant, dc_prev, 0,
+                        )
+                _encode_block_seq(
+                    w, cbp, cw, my * 8, mx * 8, quant, dc_prev, 1
                 )
-                for i in range(1, 64):
-                    if i > last_nz:
-                        code, ln = _AC_ENC[0x00]  # EOB
-                        w.write(code, ln)
-                        break
-                    v = zz[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = _AC_ENC[0xF0]  # ZRL
-                        w.write(code, ln)
-                        run -= 16
-                    size = abs(v).bit_length()
-                    code, ln = _AC_ENC[(run << 4) | size]
-                    w.write(code, ln)
-                    amp = v if v >= 0 else v + (1 << size) - 1
-                    w.write(amp, size)
-                    run = 0
+                _encode_block_seq(
+                    w, crp, cw, my * 8, mx * 8, quant, dc_prev, 2
+                )
+        comp_hv = [0x22, 0x11, 0x11]
     scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -544,7 +628,7 @@ def jpeg_encode(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, channels)
         + b"".join(
-            struct.pack(">BBB", ci + 1, 0x11, 0)
+            struct.pack(">BBB", ci + 1, comp_hv[ci], 0)
             for ci in range(channels)
         ),
     )
@@ -560,40 +644,67 @@ def jpeg_encode(
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def _dc_scan_walk(
+    blocks: list[list[list[int]]],
+    cis: list[int],
+    orders: list[list[int]] | None,
+    per_mcu: list[int] | None,
+):
+    """Yield (mcu_index, si, block) in interleaved DC-scan order:
+    `orders[si]` lists each scan component's block indices MCU by MCU
+    (`per_mcu[si]` of them per MCU, §A.2.3); default = one block per
+    component per MCU in raster order (the 4:4:4 / single-grid case)."""
+    if orders is None:
+        orders = [list(range(len(blocks[ci]))) for ci in cis]
+        per_mcu = [1] * len(cis)
+    n_mcus = len(orders[0]) // per_mcu[0]
+    for m in range(n_mcus):
+        for si, ci in enumerate(cis):
+            k = per_mcu[si]
+            for j in range(k):
+                yield m, si, blocks[ci][orders[si][m * k + j]]
+
+
 def _emit_dc_first(
     w: _BitWriter, blocks: list[list[list[int]]], cis: list[int],
     al: int, ri: int = 0,
+    orders: list[list[int]] | None = None,
+    per_mcu: list[int] | None = None,
 ) -> None:
     """Progressive DC first scan (§G.1.2.1): DIFF-coded point-transformed
     DC (arithmetic shift by Al), interleaved over `cis` in MCU order;
     `ri` > 0 emits RSTn every `ri` MCUs (predictors reset, §E.2.4)."""
     prev = [0] * len(cis)
-    for bi in range(len(blocks[cis[0]])):
-        if ri and bi and bi % ri == 0:
-            w.restart(bi // ri - 1)
+    last_m = 0
+    for m, si, blk in _dc_scan_walk(blocks, cis, orders, per_mcu):
+        if ri and m != last_m and m % ri == 0:
+            w.restart(m // ri - 1)
             prev = [0] * len(cis)
-        for si, ci in enumerate(cis):
-            val = blocks[ci][bi][0] >> al
-            diff = val - prev[si]
-            prev[si] = val
-            size = abs(diff).bit_length()
-            code, ln = _DC_ENC[size]
-            w.write(code, ln)
-            if size:
-                w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        last_m = m
+        val = blk[0] >> al
+        diff = val - prev[si]
+        prev[si] = val
+        size = abs(diff).bit_length()
+        code, ln = _DC_ENC[size]
+        w.write(code, ln)
+        if size:
+            w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
 
 
 def _emit_dc_refine(
     w: _BitWriter, blocks: list[list[list[int]]], cis: list[int],
     al: int, ri: int = 0,
+    orders: list[list[int]] | None = None,
+    per_mcu: list[int] | None = None,
 ) -> None:
     """Progressive DC refinement: one raw bit (bit Al of the
     two's-complement DC) per block, no entropy coding (§G.1.2.1)."""
-    for bi in range(len(blocks[cis[0]])):
-        if ri and bi and bi % ri == 0:
-            w.restart(bi // ri - 1)
-        for ci in cis:
-            w.write((blocks[ci][bi][0] >> al) & 1, 1)
+    last_m = 0
+    for m, _si, blk in _dc_scan_walk(blocks, cis, orders, per_mcu):
+        if ri and m != last_m and m % ri == 0:
+            w.restart(m // ri - 1)
+        last_m = m
+        w.write((blk[0] >> al) & 1, 1)
 
 
 def _flush_eobrun(w: _BitWriter, eobrun: int, pending: list[int]) -> int:
@@ -964,6 +1075,39 @@ def _scan_ac_refine(
     return eobrun
 
 
+def _decode_block(
+    rd: _BitReader,
+    blk: list[int],
+    ss: int, se: int, ah: int, al: int,
+    dtab, atab,
+    dc_prev: list[int], si: int,
+    eobrun: int,
+) -> int:
+    """Decode one block's share of a scan (DC and/or AC band, first or
+    refinement pass); returns the updated cross-block EOB run."""
+    if ss == 0:
+        if ah == 0:  # DC first (baseline: Al=0)
+            if dtab is None:
+                raise ValueError("scan references missing table")
+            size = _huff_decode(rd, dtab)
+            if size > 11:
+                raise ValueError(f"bad DC size category {size}")
+            diff = _extend(rd.bits(size), size) if size else 0
+            dc_prev[si] += diff
+            blk[0] = dc_prev[si] << al
+        elif rd.bits(1):  # DC refinement: raw bit Al
+            blk[0] |= 1 << al
+    if se > 0:
+        if atab is None:
+            raise ValueError("scan references missing table")
+        kstart = max(ss, 1)
+        if ah == 0:
+            eobrun = _scan_ac_first(rd, atab, blk, kstart, se, al, eobrun)
+        else:
+            eobrun = _scan_ac_refine(rd, atab, blk, kstart, se, al, eobrun)
+    return eobrun
+
+
 def _jpeg_decode_scan(
     data: bytes,
     pos: int,
@@ -971,49 +1115,55 @@ def _jpeg_decode_scan(
     ss: int, se: int, ah: int, al: int,
     htabs: dict,
     coefs: list[list[list[int]]],
-    n_units: int,
+    geom: dict,
     restart_interval: int,
 ) -> int:
     """Decode one entropy-coded scan into the coefficient store and
-    return the stream position of the next marker. A unit is an MCU
-    (interleaved scan) or a single block (non-interleaved); at 4:4:4
-    both walk the same per-component block grid."""
+    return the stream position of the next marker. Interleaved scans
+    walk MCUs (h_c x v_c blocks per component each, §A.2.3);
+    single-component scans walk that component's own un-padded block
+    grid in raster order. `geom` carries mcux/mcuy and per-component
+    (h, v, cbw, ubw, ubh): cbw is the MCU-padded row stride the
+    coefficient store uses, (ubw, ubh) the used grid."""
     rd = _BitReader(data, pos)
     dc_prev = [0] * len(scan_comps)
     eobrun = 0
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = geom["mcux"] * geom["mcuy"]
+    else:
+        _, _, _, ubw, ubh = geom["comps"][scan_comps[0][0]]
+        n_units = ubw * ubh
     for unit in range(n_units):
         if restart_interval and unit and unit % restart_interval == 0:
             rd.align_restart(unit // restart_interval - 1)
             dc_prev = [0] * len(scan_comps)
             eobrun = 0
-        for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
-            blk = coefs[ci][unit]
-            if ss == 0:
-                if ah == 0:  # DC first (baseline: Al=0)
-                    dtab = htabs.get((0, dc_id))
-                    if dtab is None:
-                        raise ValueError("scan references missing table")
-                    size = _huff_decode(rd, dtab)
-                    if size > 11:
-                        raise ValueError(f"bad DC size category {size}")
-                    diff = _extend(rd.bits(size), size) if size else 0
-                    dc_prev[si] += diff
-                    blk[0] = dc_prev[si] << al
-                elif rd.bits(1):  # DC refinement: raw bit Al
-                    blk[0] |= 1 << al
-            if se > 0:
+        if interleaved:
+            my, mx = divmod(unit, geom["mcux"])
+            for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
+                h, v, cbw, _, _ = geom["comps"][ci]
+                dtab = htabs.get((0, dc_id))
                 atab = htabs.get((1, ac_id))
-                if atab is None:
-                    raise ValueError("scan references missing table")
-                kstart = max(ss, 1)
-                if ah == 0:
-                    eobrun = _scan_ac_first(
-                        rd, atab, blk, kstart, se, al, eobrun
-                    )
-                else:
-                    eobrun = _scan_ac_refine(
-                        rd, atab, blk, kstart, se, al, eobrun
-                    )
+                for by in range(v):
+                    for bx in range(h):
+                        blk = coefs[ci][
+                            (my * v + by) * cbw + (mx * h + bx)
+                        ]
+                        eobrun = _decode_block(
+                            rd, blk, ss, se, ah, al, dtab, atab,
+                            dc_prev, si, eobrun,
+                        )
+        else:
+            ci, dc_id, ac_id = scan_comps[0]
+            _, _, cbw, ubw, _ = geom["comps"][ci]
+            row, col = divmod(unit, ubw)
+            blk = coefs[ci][row * cbw + col]
+            eobrun = _decode_block(
+                rd, blk, ss, se, ah, al,
+                htabs.get((0, dc_id)), htabs.get((1, ac_id)),
+                dc_prev, 0, eobrun,
+            )
     # Skip any padding bits already consumed; the next unread byte is
     # the following marker (scan data is byte-aligned before markers).
     p = rd.pos
@@ -1027,26 +1177,28 @@ def _jpeg_decode_scan(
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Parse JPEG bytes -> (width, height, channels, raw pixels).
     Supports BASELINE sequential (SOF0) and PROGRESSIVE (SOF2): 8-bit,
-    Hi=Vi=1 (4:4:4), 1 or 3 components, multiple DQT/DHT segments,
-    APPn/COM skip, restart intervals, and for SOF2 the full multi-scan
-    toolbox — interleaved or single-component DC scans,
-    spectral-selection AC band scans with EOB-run coding, and
-    successive-approximation refinement (raw-bit DC, correction-bit
-    AC). Everything else raises ValueError (extended/lossless/
-    arithmetic SOFs, subsampling, 16-bit DQT). Decoding is
-    coefficient-domain: scans accumulate into per-block zigzag
-    coefficient stores; dequantize + IDCT happen once at EOI."""
+    sampling factors Hi, Vi in {1, 2} (4:4:4, 4:2:0, 4:2:2 and
+    transposes — chroma upsampled by sample replication), 1 or 3
+    components, multiple DQT/DHT segments, APPn/COM skip, restart
+    intervals, and for SOF2 the full multi-scan toolbox — interleaved
+    or single-component DC scans, spectral-selection AC band scans
+    with EOB-run coding, and successive-approximation refinement
+    (raw-bit DC, correction-bit AC). Everything else raises ValueError
+    (extended/lossless/arithmetic SOFs, Hi/Vi > 2, 16-bit DQT).
+    Decoding is coefficient-domain: scans accumulate into per-block
+    zigzag coefficient stores; dequantize + IDCT happen once at
+    EOI."""
     if data[:3] != JPEG_SOI or len(data) < 4:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, tq, h, v)
     width = height = None
     progressive = False
     restart_interval = 0
     coefs: list[list[list[int]]] = []
-    n_blocks = 0
+    geom: dict = {}
     got_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -1088,16 +1240,27 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported component count {nf}")
             for i in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                if hv != 0x11:
+                h, v = hv >> 4, hv & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"unsupported sampling factors {h}x{v} "
+                        "(Hi, Vi must be 1 or 2)"
                     )
-                comps.append((cid, tq))
-            pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
-            n_blocks = (pw // 8) * (ph // 8)
-            coefs = [
-                [[0] * 64 for _ in range(n_blocks)] for _ in comps
-            ]
+                comps.append((cid, tq, h, v))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            geom = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax,
+                    "vmax": vmax, "comps": []}
+            coefs = []
+            for _, _, h, v in comps:
+                cbw, cbh = mcux * h, mcuy * v  # MCU-padded grid
+                cw = (width * h + hmax - 1) // hmax
+                ch_ = (height * v + vmax - 1) // vmax
+                ubw, ubh = (cw + 7) // 8, (ch_ + 7) // 8
+                geom["comps"].append((h, v, cbw, ubw, ubh))
+                coefs.append([[0] * 64 for _ in range(cbw * cbh)])
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -1143,7 +1306,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("bad spectral band in SOS")
             pos = _jpeg_decode_scan(
                 data, scan_start, scan_comps, ss, se, ah, al,
-                htabs, coefs, n_blocks, restart_interval,
+                htabs, coefs, geom, restart_interval,
             )
             got_scan = True
         # APPn / COM / DNL / others: skipped
@@ -1151,38 +1314,48 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("no SOS marker")
 
     nf = len(comps)
-    pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
-    bw = pw // 8
-    planes = [[0] * (pw * ph) for _ in range(nf)]
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    planes: list[list[int]] = []
+    cpws: list[int] = []
     for ci in range(nf):
         qtab = qtabs.get(comps[ci][1])
         if qtab is None:
             raise ValueError("scan references missing table")
-        plane = planes[ci]
+        h, v, cbw, _, _ = geom["comps"][ci]
+        cpw, cph = cbw * 8, geom["mcuy"] * v * 8
+        plane = [0] * (cpw * cph)
         for bi, zz in enumerate(coefs[ci]):
-            by, bx = (bi // bw) * 8, (bi % bw) * 8
+            by, bx = (bi // cbw) * 8, (bi % cbw) * 8
             block = [0.0] * 64
             for i, zi in enumerate(_ZIGZAG):
                 block[zi] = float(zz[i] * qtab[i])
             spatial = _dct_2d(block, inverse=True)
             for r in range(8):
-                row = (by + r) * pw + bx
+                row = (by + r) * cpw + bx
                 for c in range(8):
                     plane[row + c] = _clamp8(spatial[r * 8 + c] + 128.0)
+        planes.append(plane)
+        cpws.append(cpw)
 
     out = bytearray(width * height * nf)
     if nf == 1:
-        plane = planes[0]
+        plane, cpw = planes[0], cpws[0]
         for y in range(height):
             out[y * width : (y + 1) * width] = bytes(
-                plane[y * pw : y * pw + width]
+                plane[y * cpw : y * cpw + width]
             )
     else:
         py, pb, pr = planes
+        (hy, vy, _, _, _), (hb, vb, _, _, _), (hr, vr, _, _, _) = geom[
+            "comps"
+        ]
         for y in range(height):
             for x in range(width):
-                i = y * pw + x
-                yy, cb, cr = py[i], pb[i] - 128, pr[i] - 128
+                # per-component sample replication (integer downshift
+                # of the full-res coordinate into the comp grid)
+                yy = py[(y * vy // vmax) * cpws[0] + (x * hy // hmax)]
+                cb = pb[(y * vb // vmax) * cpws[1] + (x * hb // hmax)] - 128
+                cr = pr[(y * vr // vmax) * cpws[2] + (x * hr // hmax)] - 128
                 o = (y * width + x) * 3
                 out[o] = _clamp8(yy + 1.402 * cr)
                 out[o + 1] = _clamp8(yy - 0.344136 * cb - 0.714136 * cr)

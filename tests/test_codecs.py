@@ -437,11 +437,12 @@ def test_jpeg_error_paths():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(prog)
-    # chroma subsampling rejected: set Y component HV to 2x2
+    # sampling factors beyond 2 rejected: set Y component HV to 3x3
+    # (1 and 2 are now decodable — 4:4:4 / 4:2:0 / 4:2:2 / transposes)
     sof_at = good.find(b"\xff\xc0")
     sub = bytearray(good)
-    sub[sof_at + 11] = 0x22  # comp 1 HV byte
-    with pytest.raises(ValueError, match="4:4:4 only"):
+    sub[sof_at + 11] = 0x33  # comp 1 HV byte
+    with pytest.raises(ValueError, match="unsupported sampling factors"):
         jpeg_decode(bytes(sub))
     # 16-bit DQT rejected
     dqt_at = good.find(b"\xff\xdb")

@@ -34,6 +34,7 @@ PANDAS_OK = {
     "multimodal_wav_features",
     "multimodal_wav_energy",
     "multimodal_vad_segments",
+    "multimodal_audio_fp",
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
