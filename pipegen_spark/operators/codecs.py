@@ -16,14 +16,16 @@ explicit, honest boundary rather than a wrong answer. Encode always
 writes 8-bit non-interlaced with filter 0.
 
 Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0)
-and PROGRESSIVE (SOF2) — 8-bit, 4:4:4 (Hi=Vi=1), 1 or 3 components,
-restart intervals, and for SOF2 the full scan toolbox: interleaved and
-single-component DC scans, spectral-selection AC band scans with
-EOB-run coding, and successive-approximation refinement (DC raw bits,
-AC correction bits, §G.2). Extended (SOF1/SOF3+), lossless,
-arithmetic-coded, subsampled-chroma, and 16-bit-DQT streams raise
-`ValueError` loudly (`jpeg_decode` names the marker): the same
-honest-boundary policy. A production deployment swaps the PIL/libvips
+and PROGRESSIVE (SOF2) — 8-bit, sampling factors Hi, Vi in {1, 2}
+(4:4:4, 4:2:0, 4:2:2 and transposes; chroma upsampled by sample
+replication), 1 or 3 components, restart intervals, and for SOF2 the
+full scan toolbox: interleaved and single-component DC scans,
+spectral-selection AC band scans with EOB-run coding, and
+successive-approximation refinement (DC raw bits, AC correction bits,
+§G.2). Both encoders write 4:4:4 or 4:2:0 (`subsampling="420"`).
+Extended (SOF1/SOF3+), lossless, arithmetic-coded, Hi/Vi > 2, and
+16-bit-DQT streams raise `ValueError` loudly (`jpeg_decode` names the
+marker): the same honest-boundary policy. A production deployment swaps the PIL/libvips
 callable in at the documented call sites below; the WAV codec is full
 PCM (no subset caveat).
 
@@ -816,6 +818,26 @@ def _emit_ac_refine(
     _flush_eobrun(w, eobrun, pending)
 
 
+def _quant_blocks(
+    plane: list[int], pw: int, ph: int, quant: int
+) -> list[list[int]]:
+    """FDCT + quantize a component plane into zigzag coefficient blocks
+    in block-grid raster order (the coefficient-domain store both the
+    progressive encoder and the decoder walk)."""
+    bl: list[list[int]] = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = [
+                float(plane[(by + r) * pw + bx + c]) - 128.0
+                for r in range(8)
+                for c in range(8)
+            ]
+            coefs = _dct_2d(block)
+            q = [int(round(coefs[i] / quant)) for i in range(64)]
+            bl.append([q[i] for i in _ZIGZAG])
+    return bl
+
+
 def jpeg_encode_progressive(
     width: int,
     height: int,
@@ -823,6 +845,7 @@ def jpeg_encode_progressive(
     channels: int = 3,
     quant: int = 1,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Progressive JPEG writer (ITU-T T.81 SOF2): the same component /
     DCT / quantization pipeline as `jpeg_encode`, with the quantized
@@ -834,10 +857,16 @@ def jpeg_encode_progressive(
     buffered-bit EOB runs) and a raw-bit DC refinement scan. The
     decoder reconstructs coefficients bit-identical to the sequential
     encoding, so pixels match `jpeg_encode`'s exactly at equal
-    `quant`. `restart_interval` > 0 emits a DRI segment and RSTn
-    markers every that-many MCUs in EVERY scan (DC predictors, EOB
-    runs, and buffered refinement bits reset per spec §E.2.4 /
-    §G.1.2.2 — runs cannot span a restart)."""
+    `quant` and `subsampling`. `subsampling="420"` (RGB only) uses the
+    same 6-block-MCU geometry as the baseline writer: the interleaved
+    DC scans walk 4 Y blocks + Cb + Cr per MCU (§A.2.3) while the
+    single-component AC scans walk each component's own un-padded
+    block grid in raster order — MCU padding blocks carry DC only.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that-many MCUs in EVERY scan (DC predictors, EOB runs, and
+    buffered refinement bits reset per spec §E.2.4 / §G.1.2.2 — runs
+    cannot span a restart; in AC scans a "unit" is one block of the
+    un-padded grid)."""
     if channels not in (1, 3):
         raise ValueError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -847,22 +876,52 @@ def jpeg_encode_progressive(
         )
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be in [1, 255], got {quant}")
-    planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
-    blocks: list[list[list[int]]] = []
-    for ci in range(channels):
-        plane = planes[ci]
-        bl: list[list[int]] = []
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                block = [
-                    float(plane[(by + r) * pw + bx + c]) - 128.0
-                    for r in range(8)
-                    for c in range(8)
-                ]
-                coefs = _dct_2d(block)
-                q = [int(round(coefs[i] / quant)) for i in range(64)]
-                bl.append([q[i] for i in _ZIGZAG])
-        blocks.append(bl)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("4:2:0 requires 3 channels (chroma to subsample)")
+    orders: list[list[int]] | None = None
+    per_mcu: list[int] | None = None
+    if subsampling == "444":
+        planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
+        blocks = [
+            _quant_blocks(planes[ci], pw, ph, quant)
+            for ci in range(channels)
+        ]
+        ac_blocks = blocks  # used grid == padded grid at Hi=Vi=1
+        comp_hv = [0x11] * channels
+    else:
+        (yp, yw, yh), (cbp, cw, ch_), (crp, _, _) = _jpeg_planes_420(
+            width, height, pixels
+        )
+        blocks = [
+            _quant_blocks(yp, yw, yh, quant),
+            _quant_blocks(cbp, cw, ch_, quant),
+            _quant_blocks(crp, cw, ch_, quant),
+        ]
+        comp_hv = [0x22, 0x11, 0x11]
+        ybw = yw // 8
+        mcux, mcuy = cw // 8, ch_ // 8
+        # DC scans interleave h*v blocks per component per MCU
+        y_order = [
+            (2 * my + by) * ybw + (2 * mx + bx)
+            for my in range(mcuy)
+            for mx in range(mcux)
+            for by in range(2)
+            for bx in range(2)
+        ]
+        c_order = list(range(mcux * mcuy))
+        orders = [y_order, c_order, c_order]
+        per_mcu = [4, 1, 1]
+        # AC scans cover only the used (un-padded) Y block grid; the
+        # 8-aligned chroma grid is exactly its used grid
+        ubw, ubh = (width + 7) // 8, (height + 7) // 8
+        y_ac = [
+            blocks[0][r * ybw + c]
+            for r in range(ubh)
+            for c in range(ubw)
+        ]
+        ac_blocks = [y_ac, blocks[1], blocks[2]]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -883,7 +942,7 @@ def jpeg_encode_progressive(
         0xFFC2,
         struct.pack(">BHHB", 8, height, width, channels)
         + b"".join(
-            struct.pack(">BBB", ci + 1, 0x11, 0) for ci in all_cis
+            struct.pack(">BBB", ci + 1, comp_hv[ci], 0) for ci in all_cis
         ),
     )
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
@@ -892,19 +951,19 @@ def jpeg_encode_progressive(
     if ri:
         out += seg(0xFFDD, struct.pack(">H", ri))
     w = _BitWriter()
-    _emit_dc_first(w, blocks, all_cis, 1, ri)
+    _emit_dc_first(w, blocks, all_cis, 1, ri, orders, per_mcu)
     out += sos(all_cis, 0, 0, 0, 1, w.flush())
     for ss_, se_ in ((1, 5), (6, 63)):
         for ci in all_cis:
             w = _BitWriter()
-            _emit_ac_first(w, blocks[ci], ss_, se_, 1, ri)
+            _emit_ac_first(w, ac_blocks[ci], ss_, se_, 1, ri)
             out += sos([ci], ss_, se_, 0, 1, w.flush())
     for ci in all_cis:
         w = _BitWriter()
-        _emit_ac_refine(w, blocks[ci], 1, 63, 0, ri)
+        _emit_ac_refine(w, ac_blocks[ci], 1, 63, 0, ri)
         out += sos([ci], 1, 63, 1, 0, w.flush())
     w = _BitWriter()
-    _emit_dc_refine(w, blocks, all_cis, 0, ri)
+    _emit_dc_refine(w, blocks, all_cis, 0, ri, orders, per_mcu)
     out += sos(all_cis, 0, 0, 1, 0, w.flush())
     out += b"\xff\xd9"
     return bytes(out)

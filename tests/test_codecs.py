@@ -651,3 +651,108 @@ def test_jpeg_progressive_restart_intervals():
     bad[first_rst + 1] = 0xD5  # RST5 where RST0 expected
     with _pytest.raises(ValueError, match="restart marker out of order"):
         jpeg_decode(bytes(bad))
+
+
+def test_jpeg_420_roundtrip_bounds():
+    """Baseline 4:2:0: luma survives with DCT-rounding error only
+    (chroma is box-averaged, so noise chroma error is large by design
+    — the smooth/flat cases bound it instead), geometry is exact, and
+    the SOF records the 2x2/1x1/1x1 sampling factors."""
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    for w, h in [(8, 8), (16, 16), (17, 13), (1, 1), (9, 23)]:
+        px = _noise_px(f"s420 {w}x{h}".encode(), w * h * 3)
+        enc = jpeg_encode(w, h, px, 3, subsampling="420")
+        sof_at = enc.find(b"\xff\xc0")
+        assert enc[sof_at + 11] == 0x22  # Y at 2x2
+        assert enc[sof_at + 14] == 0x11  # Cb at 1x1
+        ww, hh, ch, out = jpeg_decode(enc)
+        assert (ww, hh, ch) == (w, h, 3)
+    # flat color: chroma averaging is exact, error is rounding only
+    flat = bytes([100, 150, 200]) * (16 * 16)
+    _, _, _, out = jpeg_decode(jpeg_encode(16, 16, flat, 3, subsampling="420"))
+    assert max(abs(a - b) for a, b in zip(flat, out)) <= 1
+    # smooth gradient: small bounded error
+    px = bytes(
+        b for y in range(32) for x in range(32) for b in (x * 7, y * 7, 128)
+    )
+    _, _, _, out = jpeg_decode(jpeg_encode(32, 32, px, 3, subsampling="420"))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 8
+
+
+def test_jpeg_420_error_paths():
+    from pipegen_spark.operators.codecs import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        jpeg_encode(8, 8, bytes(192), 3, subsampling="422")
+    with pytest.raises(ValueError, match="3 channels"):
+        jpeg_encode(8, 8, bytes(64), 1, subsampling="420")
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        jpeg_encode_progressive(8, 8, bytes(192), 3, subsampling="411")
+    with pytest.raises(ValueError, match="3 channels"):
+        jpeg_encode_progressive(8, 8, bytes(64), 1, subsampling="420")
+
+
+def test_jpeg_progressive_420_matches_baseline_420():
+    """Progressive 4:2:0 delivers the SAME quantized coefficients as
+    the baseline 4:2:0 encoding — interleaved DC scans walk 6-block
+    MCUs, AC scans only the un-padded per-component grids — so decoded
+    pixels are bit-identical at equal quant, with or without
+    restarts (where the Y padding-block split makes the walk orders
+    genuinely different from the 4:4:4 case)."""
+    from pipegen_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    for w, h, quant, ri in [
+        (8, 8, 1, 0), (16, 16, 1, 2), (17, 13, 1, 0), (17, 13, 8, 3),
+        (32, 24, 16, 5), (9, 23, 1, 1), (31, 17, 4, 0), (1, 1, 1, 0),
+    ]:
+        px = _noise_px(f"p420 {w}x{h}q{quant}i{ri}".encode(), w * h * 3)
+        base = jpeg_decode(jpeg_encode(w, h, px, 3, quant, "420"))
+        pr = jpeg_encode_progressive(
+            w, h, px, 3, quant, restart_interval=ri, subsampling="420"
+        )
+        sof_at = pr.find(b"\xff\xc2")
+        assert pr[sof_at + 11] == 0x22
+        assert jpeg_decode(pr) == base, (w, h, quant, ri)
+    # smooth image: cross-block EOB runs over the subsampled walk
+    px = bytes(
+        ((x + y) // 2) % 256
+        for y in range(48)
+        for x in range(48)
+        for _ in range(3)
+    )
+    a = jpeg_decode(jpeg_encode(48, 48, px, 3, 16, "420"))
+    b = jpeg_decode(
+        jpeg_encode_progressive(
+            48, 48, px, 3, 16, restart_interval=2, subsampling="420"
+        )
+    )
+    assert a == b
+
+
+def test_jpeg_420_golden_digests():
+    """Byte-stability pins for both 4:2:0 encoders (same rationale as
+    test_encoder_golden_digests)."""
+    import hashlib
+
+    from pipegen_spark.operators.codecs import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    px = (bytes(range(96)) * 8)[:16 * 16 * 3]
+    d_base = hashlib.sha256(
+        jpeg_encode(16, 16, px, 3, subsampling="420")
+    ).hexdigest()
+    d_prog = hashlib.sha256(
+        jpeg_encode_progressive(16, 16, px, 3, subsampling="420")
+    ).hexdigest()
+    assert d_base == "b2da9be755dff4fecf249a2f4105bb9b1e609216a4b945e89241509a6e2f4442"
+    assert d_prog == "54b498b5feb9d943834968db73a186283a1a150d513dc5c0eb946c6eda773a74"
