@@ -1020,6 +1020,107 @@ def bpe_train(
     ).orderBy("merge_rank")
 
 
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = BPE_TRAIN_ROUNDS,
+) -> DataFrame:
+    """APPLY the learned BPE merge table corpus-wide — the second half
+    of the tokenizer story (`bpe_train` learns the merges; this is the
+    tokenization pass every training pipeline runs next): per-document
+    subword token counts under the trained vocabulary, the real
+    "how many tokens is this corpus" statistic that drives mixture
+    budgets and packing.
+
+    Semantics: each [a-z0-9]+ word is wrapped into the shared
+    symbol-string representation (' c  a  t ') and the merges are
+    applied as chained `replace(w, ' x  y ', ' xy ')` in rank order —
+    left-to-right non-overlapping, exactly the reference BPE encoder
+    (property-tested against the textbook list-based merge in
+    tests/test_properties.py). A word's token count is its symbol
+    count after the last merge.
+
+    Shape (100 TB): the merge table itself is the driver artifact
+    (`rounds` rows — the same documented bounded collect as
+    `bpe_train`, a tokenizer IS driver metadata), and encoding runs
+    over the DISTINCT VOCABULARY, not the corpus: one vocab-bounded
+    map stage applies the chained replaces once per distinct word,
+    then one equi-join of per-(doc, word) counts against the encoded
+    vocab and a per-doc hash agg. This is exactly how production
+    tokenizer passes batch: encode types, multiply by token counts.
+
+    Output: (id, n_words, n_chars_az, n_bpe_tokens, tok_per_char_ppm)
+    with zero-word documents kept at all-zero; tok_per_char_ppm is the
+    integer-exact micro-ratio n_bpe_tokens/n_chars_az (1e6 = one token
+    per character = no compression; lower = the vocab compresses)."""
+    merges = bpe_train(df, text_col, rounds).collect()
+    # The vocab branch re-derives from its own scan + explode (Catalyst
+    # collapses the distinct straight onto the tokenizer, which is the
+    # cheapest stateless form — exchange reuse is unreachable here
+    # because column pruning gives the two branches different aggregate
+    # outputs). A long-lived deployment materializes the tokenized
+    # (id, word, count) table once and feeds both branches from it;
+    # in-query we accept the second linear scan rather than leak a
+    # .persist() past the operator's lifetime.
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("wd"),
+        )
+        .groupBy("id", "wd")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    expr = "w"
+    for m in merges:
+        x, y = m["sym_x"], m["sym_y"]
+        expr = f"replace({expr}, ' {x}  {y} ', ' {x}{y} ')"
+    enc = (
+        occ.select("wd")
+        .distinct()
+        .select(
+            "wd", F.expr("regexp_replace(wd, '(.)', ' $1 ')").alias("w")
+        )
+        .select(
+            "wd",
+            F.expr(f"size(split(trim({expr}), '  '))")
+            .cast("long")
+            .alias("toks"),
+            F.length("wd").cast("long").alias("wlen"),
+        )
+    )
+    per = (
+        occ.join(enc, "wd")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("wlen"))
+            .cast("long")
+            .alias("n_chars_az"),
+            F.sum(F.col("c") * F.col("toks"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    ratio = dl.idiv(
+        "n_bpe_tokens * CAST(1000000 AS BIGINT)", "n_chars_az", dl.SPARK
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_words", z).alias("n_words"),
+            F.coalesce("n_chars_az", z).alias("n_chars_az"),
+            F.coalesce("n_bpe_tokens", z).alias("n_bpe_tokens"),
+            F.coalesce(F.expr(ratio).cast("long"), z).alias(
+                "tok_per_char_ppm"
+            ),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -45,7 +45,9 @@ rounds; long-stable canaries stay in every window):
   the six round-8 additions that landed after the r8 window was cut
   (multimodal_vad_segments, multimodal_audio_fp,
   embed_hard_negatives, text_bpe_train, simsearch_bitext,
-  curate_preference_pairs — all oracle-green on the
+  curate_preference_pairs, multimodal_jpeg_420 — 4:2:0 chroma
+  subsampling, baseline + progressive — and text_bpe_encode — the
+  trained-merge tokenization pass — all oracle-green on the
   local mirror — plus a re-gate of simsearch_bitext's final plan
   shape), keeping the canaries; overflow rolls to r10.
 """
@@ -67,7 +69,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 191
+CORPUS_SIZE = 193
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

@@ -1139,6 +1139,102 @@ def multimodal_jpeg_progressive(
     )
 
 
+def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG under the driver gate — the layout
+    the overwhelming majority of real-world camera JPEGs use: each
+    document's md5 digest is tiled into a 7x13 RGB buffer (deliberately
+    NOT MCU-aligned: the 16x16 MCU pads the Y block grid to 2x2 while
+    the used grid is 1x2, so the interleaved DC walk and the un-padded
+    AC grids genuinely diverge — and the codec stage stays ~36
+    pure-Python block transforms per doc, the same budget band as the
+    other gated codec queries) and encoded twice — baseline sequential
+    (`jpeg_encode(subsampling="420")`: 6-block MCUs, box-averaged
+    half-resolution chroma) and progressive
+    (`jpeg_encode_progressive(..., restart_interval=2,
+    subsampling="420")`: explicit per-component block orders, RSTn
+    every 2 MCUs) — then decoded through the one multi-scan
+    `codecs.jpeg_decode` (sampling-factor geometry, chroma upsampled by
+    replication).
+
+    Gated claims, per document: `hv_ok` (both files really record
+    Y at 2x2 / chroma at 1x1 in their SOF), `geom_ok` (decode returns
+    the exact 17x13x3 geometry from subsampled planes), `equal_baseline`
+    (the progressive 4:2:0 decode is BIT-IDENTICAL to the baseline
+    4:2:0 decode — same quantized coefficients through a completely
+    different scan script, so any defect in the MCU walk, padded-vs-used
+    grid bookkeeping, or subsampled restart handling breaks exact
+    equality), and `flat_ok` (a per-doc FLAT 8x8 color image — digest
+    bytes 0..2 — roundtrips at 4:2:0 within +-1: box-averaging a constant is
+    exact, so only DCT rounding remains; this pins the chroma VALUE
+    path, not just geometry). Lossy codec => property oracle, like the
+    other two jpeg queries. Map-only, one Arrow hop, repartitioned
+    ahead of the CPU-heavy codec stage."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import (
+            jpeg_decode,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        w0, h0 = 7, 13
+        for pdf in batches:
+            ids, hv, geom, eqb, flat = [], [], [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                px = (seed * 18)[: w0 * h0 * 3]
+                base = jpeg_encode(w0, h0, px, 3, subsampling="420")
+                prog = jpeg_encode_progressive(
+                    w0, h0, px, 3, restart_interval=2, subsampling="420"
+                )
+                sof0, sof2 = base.find(b"\xff\xc0"), prog.find(b"\xff\xc2")
+                bw, bh, bc, bpx = jpeg_decode(base)
+                ppx = jpeg_decode(prog)[3]
+                fpx = bytes(seed[:3]) * (8 * 8)
+                fdec = jpeg_decode(
+                    jpeg_encode(8, 8, fpx, 3, subsampling="420")
+                )[3]
+                ids.append(did)
+                hv.append(
+                    sof0 > 0 and sof2 > 0
+                    and base[sof0 + 11] == 0x22
+                    and base[sof0 + 14] == 0x11
+                    and prog[sof2 + 11] == 0x22
+                    and b"\xff\xc0" not in prog
+                )
+                geom.append((bw, bh, bc) == (w0, h0, 3))
+                eqb.append(ppx == bpx)
+                flat.append(
+                    max(abs(a - b) for a, b in zip(fpx, fdec)) <= 1
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "hv_ok": hv,
+                    "geom_ok": geom,
+                    "equal_baseline": eqb,
+                    "flat_ok": flat,
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, hv_ok boolean, geom_ok boolean, "
+            "equal_baseline boolean, flat_ok boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_chardiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact character-diversity screen (Simpson collision index
     in ppm + distinct chars): catches degenerate repeated-char text and
@@ -1793,6 +1889,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the 100 TB shape and the shared merge-string representation)."""
     docs = table(spark, sf_dir, "documents")
     return tx.bpe_train(docs, "text")
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts under the TRAINED merge table —
+    the tokenization pass that follows text_bpe_train: the corpus-true
+    "how many BPE tokens" statistic (mixture budgets, packing input),
+    encoded over the distinct vocabulary and joined back (see
+    operators/text.bpe_encode_stats for the 100 TB shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.bpe_encode_stats(docs, "text").orderBy("doc_id")
 
 
 def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2784,6 +2784,119 @@ def _bpe_train_sql() -> str:
     return "".join(parts)
 
 
+def _bpe_encode_sql() -> str:
+    """Mirror of text.bpe_encode_stats: the SAME merge-training CTE
+    ladder as _bpe_train_sql (b1..bN hold the learned merges), then the
+    distinct vocabulary is wrapped and encoded through one chained
+    replace per merge (scalar subqueries against b{r}, #NOPE#-coalesced
+    once merges run dry — identical no-op semantics to the Spark side's
+    literal chain simply being shorter), and per-(doc, word) counts
+    join the encoded types back for the per-doc aggregate."""
+    rounds = tx.BPE_TRAIN_ROUNDS
+    words = dl.words("text", D)
+    nope = "'#NOPE#'"
+    parts = [
+        f"""
+    WITH v1 AS MATERIALIZED (
+        SELECT regexp_replace(wd, '(.)', ' \\1 ', 'g') AS w, wc
+        FROM (
+            SELECT wd, CAST(COUNT(*) AS BIGINT) AS wc
+            FROM (SELECT unnest({words}) AS wd FROM documents)
+            GROUP BY wd
+        )
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+        SELECT {dl.elem('sy', 'i', D)} AS x,
+               {dl.elem('sy', 'i + 1', D)} AS y,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (
+            SELECT regexp_split_to_array(trim(w), '  ') AS sy, wc
+            FROM v{r}
+        ) t, unnest({dl.bigram_idx('sy', D)}) u(i)
+        GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT {r} AS merge_rank, x, y, cnt FROM p{r}
+        ORDER BY cnt DESC, x, y LIMIT 1
+    )"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+    v{r + 1} AS MATERIALIZED (
+        SELECT replace(
+                   w,
+                   COALESCE((SELECT ' ' || x || '  ' || y || ' '
+                             FROM b{r}), {nope}),
+                   COALESCE((SELECT ' ' || x || y || ' '
+                             FROM b{r}), {nope})
+               ) AS w,
+               wc
+        FROM v{r}
+    )"""
+            )
+    parts.append(
+        f""",
+    occ AS MATERIALIZED (
+        SELECT doc_id AS id, wd, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({words}) AS wd FROM documents)
+        GROUP BY doc_id, wd
+    ),
+    e0 AS (
+        SELECT wd, regexp_replace(wd, '(.)', ' \\1 ', 'g') AS w
+        FROM (SELECT DISTINCT wd FROM occ)
+    )"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    e{r} AS (
+        SELECT wd, replace(
+                   w,
+                   COALESCE((SELECT ' ' || x || '  ' || y || ' '
+                             FROM b{r}), {nope}),
+                   COALESCE((SELECT ' ' || x || y || ' '
+                             FROM b{r}), {nope})
+               ) AS w
+        FROM e{r - 1}
+    )"""
+        )
+    parts.append(
+        f""",
+    enc AS MATERIALIZED (
+        SELECT wd,
+               CAST(len(regexp_split_to_array(trim(w), '  ')) AS BIGINT)
+                   AS toks,
+               CAST(length(wd) AS BIGINT) AS wlen
+        FROM e{rounds}
+    ),
+    per AS (
+        SELECT id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(SUM(c * wlen) AS BIGINT) AS n_chars_az,
+               CAST(SUM(c * toks) AS BIGINT) AS n_bpe_tokens
+        FROM occ JOIN enc USING (wd) GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_words, 0) AS n_words,
+           COALESCE(n_chars_az, 0) AS n_chars_az,
+           COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(
+               {dl.idiv('n_bpe_tokens * CAST(1000000 AS BIGINT)',
+                        'n_chars_az', D)},
+               0
+           ) AS tok_per_char_ppm
+    FROM documents d LEFT JOIN per ON per.id = d.doc_id
+    ORDER BY d.doc_id
+    """
+    )
+    return "".join(parts)
+
+
 def _fim_sql() -> str:
     """Mirror of curation.with_fim."""
     e = cu.fim_exprs("text", "doc_id", D)
@@ -3013,6 +3126,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_fim": _fim_sql(),
     "text_bpe_pairs": _bpe_pairs_sql(),
     "text_bpe_train": _bpe_train_sql(),
+    "text_bpe_encode": _bpe_encode_sql(),
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
@@ -3039,6 +3153,18 @@ TRAINING_ORACLE: dict[str, str] = {
            TRUE AS sof2_ok,
            TRUE AS equal_baseline,
            TRUE AS decode_ok
+    FROM documents ORDER BY doc_id
+    """,
+    # Property oracle, same pattern: 4:2:0 sampling factors recorded in
+    # both SOFs, exact geometry back from subsampled planes, progressive
+    # bit-identical to baseline, and the flat-color chroma-value pin —
+    # all four must hold for EVERY doc.
+    "multimodal_jpeg_420": """
+    SELECT doc_id,
+           TRUE AS hv_ok,
+           TRUE AS geom_ok,
+           TRUE AS equal_baseline,
+           TRUE AS flat_ok
     FROM documents ORDER BY doc_id
     """,
     "embed_pq": _pq_sql(),

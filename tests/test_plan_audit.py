@@ -35,6 +35,7 @@ PANDAS_OK = {
     "multimodal_wav_energy",
     "multimodal_vad_segments",
     "multimodal_audio_fp",
+    "multimodal_jpeg_420",
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
