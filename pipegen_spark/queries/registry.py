@@ -49,7 +49,11 @@ rounds; long-stable canaries stay in every window):
   subsampling, baseline + progressive — and text_bpe_encode — the
   trained-merge tokenization pass — all oracle-green on the
   local mirror — plus a re-gate of simsearch_bitext's final plan
-  shape), keeping the canaries; overflow rolls to r10.
+  shape and of embed_normalize / embed_quantize, whose gate surface
+  changed late in r8 from exploded per-element rows to per-vector
+  in-engine md5 folds — same element sensitivity, 64x fewer result
+  rows, measured 3.6 -> 0.8 s warm), keeping the canaries; overflow
+  rolls to r10.
 """
 
 from __future__ import annotations

@@ -457,28 +457,49 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate surface is the EXPLODED unit vector — (vec_id, idx, nrm,
-    unit_val) scalar rows, not an array column: the driver's pandas-based
-    canonicalizer cannot sort/hash list values (the round-4
-    embed_normalize/embed_quantize harness crash), and exploding checks
-    every element rather than a digest. Map-only either way; NO orderBy —
-    the gate canon (both driver and local) sorts rows itself, so a global
-    sort of the exploded frame would be pure wasted shuffle."""
+    """Gate surface is one row per vector: (vec_id, nrm, unit_md5) with
+    the unit vector folded to an in-engine md5 over its micro-quantized
+    elements (floor(x*1e6) — IEEE-identical across engines, the codec
+    queries' md5-derived-oracle pattern). Earlier rounds exploded all
+    dim elements to scalar rows (the driver's pandas canonicalizer
+    cannot hash list values); that checked elements at full double
+    precision but made result COLLECTION the dominant cost — 64x the
+    rows, measured 3.6 s warm at sf0.1 vs ~0.5 s of actual engine work.
+    The fold keeps per-element sensitivity (any element off by >=1e-6
+    flips the digest) at one row per vector. Map-only, no shuffle, no
+    orderBy (gate canon sorts rows itself)."""
     vecs = table(spark, sf_dir, "embeddings")
     out = em.l2_normalize(vecs, "embedding", "vec_id")
-    return out.select(
-        "vec_id", "nrm", F.posexplode("unit").alias("idx", "unit_val")
-    ).select("vec_id", "idx", "nrm", "unit_val")
+    digest = (
+        "md5(" + dl.arr_join(
+            dl.transform(
+                "unit",
+                "x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS STRING)",
+                dl.SPARK,
+            ),
+            ",",
+            dl.SPARK,
+        ) + ")"
+    )
+    return out.select("vec_id", "nrm", F.expr(digest).alias("unit_md5"))
 
 
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded int8 codes — scalar-only gate surface (see
-    embed_normalize)."""
+    """One row per vector: (vec_id, maxabs, q_md5) — int8 codes folded
+    to an in-engine md5 (integers, so no quantization step needed; see
+    embed_normalize for the exploded-surface history)."""
     vecs = table(spark, sf_dir, "embeddings")
     out = em.quantize_int8(vecs, "embedding", "vec_id")
-    return out.select(
-        "vec_id", "maxabs", F.posexplode("qvec").alias("idx", "q_val")
-    ).select("vec_id", "idx", "maxabs", "q_val")
+    digest = (
+        "md5(" + dl.arr_join(
+            dl.transform(
+                "qvec", "x -> CAST(x AS STRING)", dl.SPARK
+            ),
+            ",",
+            dl.SPARK,
+        ) + ")"
+    )
+    return out.select("vec_id", "maxabs", F.expr(digest).alias("q_md5"))
 
 
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1398,38 +1398,57 @@ def _tfidf_sql() -> str:
 
 
 def _emb_normalize_sql() -> str:
-    """Exploded (vec_id, idx, nrm, unit_val) scalar rows — same per-element
-    divide as operators/embeddings.l2_normalize; the CROSS JOIN range
-    expansion mirrors posexplode (see the kmeans chain)."""
+    """One row per vector (vec_id, nrm, unit_md5) — same per-element
+    divide as operators/embeddings.l2_normalize, folded to an in-engine
+    md5 over the micro-quantized (floor(x*1e6), IEEE-identical) unit
+    elements; the exploded-rows form this replaced made result
+    collection the dominant measured cost."""
     norm = f"sqrt({dl.norm2_double('v', dl.size('v', D), D)})"
-    x = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
+    unit = dl.transform(
+        "v",
+        "x -> CASE WHEN nrm = 0.0 THEN 0.0"
+        " ELSE CAST(x AS DOUBLE) / nrm END",
+        D,
+    )
+    digest = "md5(" + dl.arr_join(
+        dl.transform(
+            unit,
+            "u -> CAST(CAST(floor(u * 1000000.0) AS BIGINT) AS VARCHAR)",
+            D,
+        ),
+        ",",
+        D,
+    ) + ")"
     return f"""
     WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
     n AS (SELECT id, v, {norm} AS nrm FROM v)
-    SELECT id AS vec_id, CAST(r.range AS INT) AS idx, nrm,
-           CASE WHEN nrm = 0.0 THEN 0.0
-                ELSE CAST({x} AS DOUBLE) / nrm END AS unit_val
-    FROM n CROSS JOIN range(0, {td.EMB_DIM}) r
-    ORDER BY vec_id, idx
+    SELECT id AS vec_id, nrm, {digest} AS unit_md5
+    FROM n ORDER BY vec_id
     """
 
 
 def _emb_quantize_sql() -> str:
-    """Exploded (vec_id, idx, maxabs, q_val) scalar rows — same half-up
-    quantization as operators/embeddings.quantize_int8."""
+    """One row per vector (vec_id, maxabs, q_md5) — same half-up
+    quantization as operators/embeddings.quantize_int8, int8 codes
+    folded to an in-engine md5 (see _emb_normalize_sql)."""
     maxabs = dl.arr_max(
         dl.transform("v", "x -> abs(CAST(x AS DOUBLE))", D), D
     )
-    x = dl.elem("v", "(CAST(r.range AS INT) + 1)", D)
+    q = dl.transform(
+        "v",
+        "x -> CASE WHEN maxabs = 0.0 THEN 0 ELSE"
+        " CAST(floor(((CAST(x AS DOUBLE) * 127.0) / maxabs) + 0.5)"
+        " AS INT) END",
+        D,
+    )
+    digest = "md5(" + dl.arr_join(
+        dl.transform(q, "c -> CAST(c AS VARCHAR)", D), ",", D
+    ) + ")"
     return f"""
     WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
     m AS (SELECT id, v, {maxabs} AS maxabs FROM v)
-    SELECT id AS vec_id, CAST(r.range AS INT) AS idx, maxabs,
-           CASE WHEN maxabs = 0.0 THEN 0 ELSE
-             CAST(floor(((CAST({x} AS DOUBLE) * 127.0) / maxabs) + 0.5)
-                  AS INT) END AS q_val
-    FROM m CROSS JOIN range(0, {td.EMB_DIM}) r
-    ORDER BY vec_id, idx
+    SELECT id AS vec_id, maxabs, {digest} AS q_md5
+    FROM m ORDER BY vec_id
     """
 
 
