@@ -367,6 +367,19 @@ def norm2_double(a: str, dim_expr, d: str) -> str:
     return fold(sq, "CAST(0.0 AS DOUBLE)", "(acc,x) -> acc + x", d)
 
 
+def arr_sub(a: str, b: str, dim_expr, d: str) -> str:
+    """Element-wise DOUBLE difference a[i] - b[i] over 1..dim — the
+    residual-vector builder (IVF-PQ). IEEE subtraction, so bit-identical
+    across engines for identical inputs."""
+    _check(d)
+    return transform(
+        seq("1", dim_expr, d),
+        f"i -> CAST({elem(a, 'i', d)} AS DOUBLE)"
+        f" - CAST({elem(b, 'i', d)} AS DOUBLE)",
+        d,
+    )
+
+
 def dist2_double(a: str, b: str, dim_expr, d: str) -> str:
     """Squared L2 distance in DOUBLE (same association discipline)."""
     if isinstance(dim_expr, int):

@@ -793,6 +793,194 @@ def quantized_l2_topk(
     )
 
 
+def ivfpq_topk(
+    base: DataFrame,
+    query_pred,
+    coarse_pred,
+    codebook_pred,
+    nprobe: int = 2,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 15,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV): the two quantizers composed —
+    a coarse inverted-file quantizer prunes the corpus to `nprobe`
+    lists per query, and within the probed lists candidates are ranked
+    by ADC over product-quantized RESIDUALS (vector minus its coarse
+    centroid), so the fine codebook spends its 3m bits on the
+    within-cell displacement instead of the whole space. This is the
+    composition FAISS ships as IndexIVFPQ and the standard
+    billion-vector search layout.
+
+    Bootstrap sampling as elsewhere: coarse centroids are the
+    `coarse_pred` sample rows, the residual codebook is the
+    `codebook_pred` rows' OWN residuals w.r.t. their coarse cell (a
+    zero-residual codebook would result if the two samples coincided —
+    keep them disjoint). Distances: coarse assignment in DOUBLE with
+    total (d2, cid) tie-break; all fine/ADC distances are the integer-
+    quantized `pq_subdist_expr` sub-distances, so ranking is bit-exact.
+
+    Shape (100 TB): centroids and codebook broadcast (K_c + K rows);
+    coarse assignment + residual + PQ encode are ONE map pass over the
+    corpus (argmin as a map-side-partial min(struct) agg keyed by id —
+    at production scale this runs once at ingest and only the packed
+    (id, list_id, pq_code) row — one BIGINT of payload — is stored);
+    the per-(query, probed-list) LUT broadcasts (n_q * nprobe * K * m
+    integer rows) and candidates meet it through the list_id equi-join:
+    a query is never compared outside its probed lists, and the scan
+    side of the join carries codes, not vectors.
+
+    Output: (query_id, neighbor_id, adc_dist, rnk), self excluded,
+    rnk by (adc_dist asc, neighbor_id) — total order.
+    """
+    from pipegen_spark.operators import embeddings as em
+    from pipegen_spark.operators.text import _barrier
+
+    sub_dim = dim // m
+    cents = base.filter(coarse_pred).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    d2 = F.expr(dl.dist2_double("v", "cv", dim, dl.SPARK))
+
+    def _residuals(frame: DataFrame) -> DataFrame:
+        """(id, list_id, rv): nearest coarse cell + residual, built as
+        one broadcast-expand + map-side-partial argmin, then one more
+        broadcast hit for the centroid values. The residual transform
+        is materialized behind a barrier: pq_subdist_expr indexes its
+        operands per element, and an inlined transform would replay
+        the whole subtraction chain dim times per row."""
+        scored = frame.crossJoin(F.broadcast(cents)).select(
+            "id", "cid", d2.alias("d2")
+        )
+        amin = scored.groupBy("id").agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("mc")
+        )
+        rv = dl.arr_sub("v", "cv", dim, dl.SPARK)
+        return _barrier(
+            frame.join(amin, "id")
+            .select("id", "v", F.col("mc.cid").alias("list_id"))
+            .join(
+                F.broadcast(cents.withColumnRenamed("cid", "list_id")),
+                "list_id",
+            )
+            .select(
+                "id", "list_id", F.expr(rv).alias("rv")
+            )
+        )
+
+    wcb = Window.orderBy("cbid")
+    cb = _barrier(
+        _residuals(
+            base.filter(codebook_pred).select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            )
+        )
+        .withColumnRenamed("id", "cbid")
+        .withColumn("cidx", F.row_number().over(wcb).cast("long") - 1)
+        .select("cidx", F.col("rv").alias("rcv"))
+    )
+
+    res = _residuals(vecs)
+    ds = [
+        F.expr(
+            em.pq_subdist_expr("rv", "rcv", s, sub_dim, scale_bits, dl.SPARK)
+        ).alias(f"d{s}")
+        for s in range(m)
+    ]
+    mins = (
+        res.crossJoin(F.broadcast(cb))
+        .select("id", "list_id", "cidx", *ds)
+        .groupBy("id", "list_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(F.col(f"d{s}").alias("d"),
+                             F.col("cidx").alias("c"))
+                ).alias(f"m{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    code_rows = mins.select(
+        F.col("id").alias("neighbor_id"),
+        "list_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"m{s}.c").alias("cidx")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("neighbor_id", "list_id", "sc.s", "sc.cidx")
+
+    # Probes: nprobe nearest lists per query, then the query's residual
+    # against EACH probed list's centroid feeds the LUT.
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    wq = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
+    qr = dl.arr_sub("v", "cv", dim, dl.SPARK)
+    probes = _barrier(
+        q.crossJoin(F.broadcast(cents))
+        .select("id", "cid", "v", "cv", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("cid").alias("list_id"),
+            F.expr(qr).alias("qr"),
+        )
+    )
+    lds = [
+        F.expr(
+            em.pq_subdist_expr("qr", "rcv", s, sub_dim, scale_bits, dl.SPARK)
+        ).alias(f"d{s}")
+        for s in range(m)
+    ]
+    lut = (
+        probes.crossJoin(F.broadcast(cb))
+        .select("query_id", "list_id", "cidx", *lds)
+        .select(
+            "query_id",
+            "list_id",
+            "cidx",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"), F.col(f"d{s}").alias("d")
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sd"),
+        )
+        .select("query_id", "list_id", F.col("sd.s").alias("s"),
+                "cidx", F.col("sd.d").alias("d"))
+    )
+    scored = (
+        code_rows.join(F.broadcast(lut), ["list_id", "s", "cidx"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist",
+                F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
 # --- MMR diversified reranking -----------------------------------------------
 
 MMR_LAMBDA_NUM = 7  # lambda = 0.7 as the rational 7/10 — the relevance

@@ -69,6 +69,9 @@ RECALL_PLANE_LO, RECALL_PLANE_HI = 100, 101
 CENTROID_LO, CENTROID_HI = 200, 215  # IVF centroids: vec_id in [200, 215]
 PQ_M = 8  # product-quantization subspaces (64 dims -> 8x 8-dim)
 PQ_CENT_LO, PQ_CENT_HI = 200, 207  # PQ codebook: 8 sample vectors (3-bit)
+IVFPQ_CB_LO, IVFPQ_CB_HI = 216, 223  # IVF-PQ residual codebook sample
+# (disjoint from the coarse centroids [200, 215]: a codebook row that IS
+# a coarse centroid would contribute a zero residual codeword)
 PAIR_LIMIT = 500  # deterministic cap on pair outputs (ordered first)
 # Curation-family parameters (shared with the oracle):
 CONTAM_N = 8  # 8-grams: only genuinely duplicated passages collide
@@ -1775,6 +1778,26 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return cu.weighted_sample(docs, "n_chars", k=WSAMPLE_K).orderBy(
         "priority", "doc_id"
+    )
+
+
+def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the coarse inverted file composed with ADC over
+    product-quantized RESIDUALS (FAISS IndexIVFPQ, the standard
+    billion-vector layout): queries probe IVF_NPROBE lists, candidates
+    rank by integer LUT sums over 3-bit residual codes (see
+    operators/similarity.ivfpq_topk for the one-ingest-pass encode and
+    broadcast-LUT scale shape)."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(
+        vecs,
+        F.col("vec_id") < N_QUERY_VECS,
+        F.col("vec_id").between(CENTROID_LO, CENTROID_HI),
+        F.col("vec_id").between(IVFPQ_CB_LO, IVFPQ_CB_HI),
+        nprobe=IVF_NPROBE,
+        k=TOPK_IVF,
+        m=PQ_M,
+        dim=EMB_DIM,
     )
 
 

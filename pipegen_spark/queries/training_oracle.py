@@ -2206,6 +2206,112 @@ def _pq_adc_ctes() -> str:
     )"""
 
 
+def _ivfpq_sql() -> str:
+    """Mirror of similarity.ivfpq_topk (IVFADC): coarse assignment with
+    (d2, cid) tie-break, residuals, residual codebook from the disjoint
+    sample rows, per-subspace argmin encode, per-(query, probed-list)
+    residual LUT, ADC sum, top-k. res/cb/ce/qp/lut are MATERIALIZED —
+    each is referenced downstream more than once and the residual
+    subtree is the expensive part."""
+    from pipegen_spark.operators import embeddings as em
+
+    sub_dim = td.EMB_DIM // td.PQ_M
+    d2_vc = dl.dist2_double("v", "cv", td.EMB_DIM, D)
+    d2_qc = dl.dist2_double("qv", "cv", td.EMB_DIM, D)
+    rsub = dl.arr_sub("v", "cv", td.EMB_DIM, D)
+    qsub = dl.arr_sub("qv", "cv", td.EMB_DIM, D)
+    ds = ",\n               ".join(
+        em.pq_subdist_expr("rv", "rcv", s, sub_dim, 15, D) + f" AS d{s}"
+        for s in range(td.PQ_M)
+    )
+    lds = ",\n               ".join(
+        em.pq_subdist_expr("qr", "rcv", s, sub_dim, 15, D) + f" AS d{s}"
+        for s in range(td.PQ_M)
+    )
+    unpivot = ", ".join(
+        f"STRUCT_PACK(s := {s}, d := d{s})" for s in range(td.PQ_M)
+    )
+    return f"""
+    WITH cents AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN {td.CENTROID_LO} AND {td.CENTROID_HI}
+    ),
+    vv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    asg AS MATERIALIZED (
+        SELECT id, cid AS list_id FROM (
+            SELECT vv.id, c.cid,
+                   row_number() OVER (PARTITION BY vv.id
+                                      ORDER BY {d2_vc}, c.cid) AS rn
+            FROM vv CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    res AS MATERIALIZED (
+        SELECT a.id, a.list_id, {rsub} AS rv
+        FROM asg a
+        JOIN vv ON vv.id = a.id
+        JOIN cents c ON c.cid = a.list_id
+    ),
+    cb AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+                   AS cidx,
+               rv AS rcv
+        FROM res WHERE id BETWEEN {td.IVFPQ_CB_LO} AND {td.IVFPQ_CB_HI}
+    ),
+    p AS (
+        SELECT r.id, r.list_id, cb.cidx,
+               {ds}
+        FROM res r CROSS JOIN cb
+    ),
+    u AS (
+        SELECT id, list_id, cidx, x.s AS s, x.d AS d
+        FROM p, UNNEST([{unpivot}]) AS t(x)
+    ),
+    ce AS MATERIALIZED (
+        SELECT id AS neighbor_id, list_id, s, cidx FROM (
+            SELECT id, list_id, s, cidx,
+                   row_number() OVER (PARTITION BY id, s
+                                      ORDER BY d, cidx) AS rn
+            FROM u
+        ) WHERE rn = 1
+    ),
+    qp AS MATERIALIZED (
+        SELECT query_id, cid AS list_id, {qsub} AS qr FROM (
+            SELECT q.id AS query_id, c.cid, c.cv, q.v AS qv,
+                   row_number() OVER (PARTITION BY q.id
+                                      ORDER BY {d2_qc}, c.cid) AS rn
+            FROM (SELECT * FROM vv WHERE id < {td.N_QUERY_VECS}) q
+            CROSS JOIN cents c
+        ) WHERE rn <= {td.IVF_NPROBE}
+    ),
+    lut AS MATERIALIZED (
+        SELECT query_id, list_id, cidx, x.s AS s, x.d AS d
+        FROM (
+            SELECT pr.query_id, pr.list_id, cb.cidx,
+               {lds}
+            FROM qp pr CROSS JOIN cb
+        ), UNNEST([{unpivot}]) AS t(x)
+    ),
+    adc AS (
+        SELECT l.query_id, ce.neighbor_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+        FROM ce
+        JOIN lut l ON ce.list_id = l.list_id AND ce.s = l.s
+                   AND ce.cidx = l.cidx
+        WHERE ce.neighbor_id <> l.query_id
+        GROUP BY l.query_id, ce.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM adc
+    )
+    WHERE rnk <= {td.TOPK_IVF}
+    ORDER BY query_id, rnk
+    """
+
+
 def _pq_adc_sql() -> str:
     return f"""
     WITH {_pq_adc_ctes()}
@@ -3188,6 +3294,7 @@ TRAINING_ORACLE: dict[str, str] = {
     """,
     "embed_pq": _pq_sql(),
     "simsearch_pq": _pq_adc_sql(),
+    "simsearch_ivfpq": _ivfpq_sql(),
     "simsearch_pq_recall": _pq_recall_sql(),
     "text_pmi": _pmi_sql(),
     "text_lm_bigram": _lm_bigram_sql(),
