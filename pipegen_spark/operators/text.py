@@ -1590,3 +1590,69 @@ def rake_keywords(
         )
         .orderBy(id_col, "rnk")
     )
+
+
+# --- TextRank keyword ranking (round-8) ---------------------------------------
+
+TEXTRANK_TOPK = 15
+TEXTRANK_ITERS = 3
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = TEXTRANK_ITERS,
+    topk: int = TEXTRANK_TOPK,
+) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau 2004 §3.1, the keyword
+    variant): rank vocabulary words by PageRank over the UNWEIGHTED
+    undirected co-occurrence graph of adjacent content words — the
+    graph-centrality alternative to frequency-based keyword scores
+    (RAKE's deg/freq): a word matters because it co-occurs with words
+    that matter. Stopwords are excluded (the shared STOPWORDS list, the
+    paper's syntactic-filter stand-in) and self-loops dropped; each
+    distinct adjacent pair contributes one symmetric edge, per the
+    paper's unweighted formulation.
+
+    Shape (100 TB): the graph is VOCABULARY x co-occurrence bounded,
+    not corpus bounded — one distinct-pair aggregate over the bigram
+    explode, then `graph.pagerank_fixed`'s integer-mass iterations
+    (one dst-keyed shuffle per round over the word graph). Integer
+    rank units make every round engine-exact.
+
+    Output: (word, rank_micro, rnk) — top-`topk` by
+    (rank_micro desc, word asc), total order."""
+    from pyspark.sql import Window
+
+    from pipegen_spark.operators import graph as gr
+
+    stop_arr = "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    occ = (
+        df.select(F.expr(dl.words(text_col, dl.SPARK)).alias("w"))
+        .select(
+            F.explode(F.expr(dl.bigram_idx("w", dl.SPARK))).alias("i"), "w"
+        )
+        .select(
+            F.expr(dl.elem("w", "i", dl.SPARK)).alias("w1"),
+            F.expr(dl.elem("w", "i + 1", dl.SPARK)).alias("w2"),
+        )
+        .filter(
+            (F.col("w1") != F.col("w2"))
+            & ~F.expr(dl.contains(stop_arr, "w1", dl.SPARK))
+            & ~F.expr(dl.contains(stop_arr, "w2", dl.SPARK))
+        )
+        .distinct()
+    )
+    edges = occ.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionByName(
+        occ.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    ).distinct()
+    ranks = gr.pagerank_fixed(edges, iters=iters)
+    wk = Window.orderBy(F.col("rank_micro").desc(), F.col("id"))
+    return (
+        ranks.withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select(F.col("id").alias("word"), "rank_micro", "rnk")
+        .orderBy("rnk")
+    )

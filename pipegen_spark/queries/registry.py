@@ -53,8 +53,9 @@ rounds; long-stable canaries stay in every window):
   changed late in r8 from exploded per-element rows to per-vector
   in-engine md5 folds — same element sensitivity, 64x fewer result
   rows, measured 3.6 -> 0.8 s warm — and the brand-new
-  simsearch_ivfpq, IVFADC over product-quantized residuals), keeping
-  the canaries; overflow rolls to r10.
+  simsearch_ivfpq, IVFADC over product-quantized residuals, and
+  text_textrank, PageRank keyword ranking over the co-occurrence
+  graph), keeping the canaries; overflow rolls to r10.
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 194
+CORPUS_SIZE = 195
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

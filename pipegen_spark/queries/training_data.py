@@ -1945,6 +1945,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encode_stats(docs, "text").orderBy("doc_id")
 
 
+def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword ranking — PageRank over the unweighted
+    undirected adjacent-content-word graph (the graph-centrality
+    keyword score next to RAKE's frequency one; see
+    operators/text.textrank_keywords for the vocabulary-bounded
+    shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.textrank_keywords(docs, "text")
+
+
 def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary typo/variant pairs (edit distance <= 1) via FastSS
     deletion-neighborhood blocking + levenshtein verify — the string

@@ -2346,6 +2346,71 @@ _BIGRAM_CTES = f"""
     )"""
 
 
+def _textrank_sql() -> str:
+    """Mirror of text.textrank_keywords: distinct non-stopword adjacent
+    pairs -> symmetric edge set -> graph.pagerank_fixed's integer-mass
+    rounds unrolled as CTEs (the q61 oracle pattern on string node ids)
+    -> top-k by (rank desc, word)."""
+    from pipegen_spark.operators import graph as _gr
+
+    iters = tx.TEXTRANK_ITERS
+    words = dl.words("text", D)
+    stop_arr = "[" + ",".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
+    tele = (
+        f"(({_gr.PR_DAMP_DEN - _gr.PR_DAMP_NUM} * "
+        f"CAST({_gr.PR_SCALE} AS BIGINT)) // ({_gr.PR_DAMP_DEN} * t.n))"
+    )
+    damp = (
+        f"(({_gr.PR_DAMP_NUM} * COALESCE(c.s, CAST(0 AS BIGINT))) "
+        f"// {_gr.PR_DAMP_DEN})"
+    )
+    ctes = [
+        f"""wt AS (SELECT {words} AS w FROM documents)""",
+        f"""pairs AS (
+        SELECT DISTINCT {dl.elem('w', 'i', D)} AS w1,
+                        {dl.elem('w', 'i + 1', D)} AS w2
+        FROM (SELECT w, unnest({dl.bigram_idx('w', D)}) AS i FROM wt)
+        WHERE {dl.elem('w', 'i', D)} <> {dl.elem('w', 'i + 1', D)}
+          AND NOT {dl.contains(stop_arr, dl.elem('w', 'i', D), D)}
+          AND NOT {dl.contains(stop_arr, dl.elem('w', 'i + 1', D), D)}
+    )""",
+        """edges AS (
+        SELECT w1 AS src, w2 AS dst FROM pairs
+        UNION
+        SELECT w2 AS src, w1 AS dst FROM pairs
+    )""",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "outdeg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS od"
+        " FROM edges GROUP BY src)",
+        "ncnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT id, CAST({_gr.PR_SCALE} AS BIGINT) // n AS r"
+        " FROM nodes CROSS JOIN ncnt)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+        SELECT e.dst AS id, CAST(SUM(r.r // o.od) AS BIGINT) AS s
+        FROM edges e JOIN r{i - 1} r ON e.src = r.id
+        JOIN outdeg o ON e.src = o.id
+        GROUP BY e.dst
+    )""")
+        ctes.append(f"""r{i} AS (
+        SELECT n.id, CAST({tele} + {damp} AS BIGINT) AS r
+        FROM nodes n CROSS JOIN ncnt t LEFT JOIN c{i} c ON n.id = c.id
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT id AS word, r AS rank_micro, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT id, r,
+               row_number() OVER (ORDER BY r DESC, id) AS rnk
+        FROM r{iters}
+    )
+    WHERE rnk <= {tx.TEXTRANK_TOPK}
+    ORDER BY rnk
+    """
+
+
 def _pmi_sql() -> str:
     lift = dl.idiv(
         f"b.c_xy * t.n_tokens * CAST({tx.PMI_SCALE} AS BIGINT)",
@@ -3297,6 +3362,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "simsearch_ivfpq": _ivfpq_sql(),
     "simsearch_pq_recall": _pq_recall_sql(),
     "text_pmi": _pmi_sql(),
+    "text_textrank": _textrank_sql(),
     "text_lm_bigram": _lm_bigram_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
