@@ -1905,3 +1905,140 @@ def preference_pairs(
         .filter(F.col("margin_micro") > 0)
         .orderBy(group_col, "pair_rank")
     )
+
+
+# --- DoReMi-style domain reweighting (round-8) ---------------------------------
+
+DOREMI_ROUNDS = 3
+DOREMI_ETA_DEN = 2  # eta = 1/2 as a rational
+DOREMI_SMOOTH_NUM = 1  # uniform smoothing 1/10 (DoReMi's regularizer)
+DOREMI_SMOOTH_DEN = 10
+DOREMI_LOSS_CAP = 1_000_000  # clamp keeps every product inside BIGINT
+
+
+def doremi_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = DOREMI_ROUNDS,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): iterate
+    multiplicative weights over the source domains, upweighting domains
+    with EXCESS loss against the current mixture — the published
+    mixture optimizer whose output feeds `mixture_sample` exactly like
+    the temperature / UniMax weights do.
+
+    Two deliberate substitutions keep it engine-exact and model-free:
+    (1) the per-domain loss signal is the deficit of the domain's mean
+    fastText-style classifier score (`classifier_scores`, already
+    oracle-proven) against the best domain — a deterministic stand-in
+    for the proxy-vs-reference excess loss the paper measures with two
+    trained models; (2) the update is the (1 + eta * excess) POLYNOMIAL
+    multiplicative-weights rule (Arora, Hazan & Kale 2012 §2 — the MW
+    family DoReMi's exponentiated-gradient update belongs to) instead
+    of exp(eta * excess), because exp() is libm and would break the
+    bit-exact oracle; both are no-regret updates with the same
+    upweight-the-lagging-domain behavior.
+
+    Integer envelope: losses clamp to DOREMI_LOSS_CAP (1e6 micro), so
+    raw_i = w_i * (1e6 + excess_i/2) <= 1.5e12 and the renormalizing
+    (raw_i * 1e6) DIV sum(raw) stays under 1.5e18 < BIGINT max for any
+    domain count.
+
+    Shape (100 TB): ONE corpus pass (the classifier-score aggregate,
+    already map-side partial) reduces to a k-row domain frame; every
+    MW round is then two 1-row broadcast aggregates + a k-row map —
+    nothing driver-side, no collect. Output per domain:
+    (source, n_docs, loss_micro, w_ppm, w_smooth_ppm), where
+    w_smooth_ppm mixes the converged weights with uniform at
+    DOREMI_SMOOTH_NUM/DEN (the paper's regularization toward uniform).
+    """
+    scored = classifier_scores(df, text_col, id_col).join(
+        df.select(id_col, source_col), id_col
+    )
+    per = scored.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("avg_micro").cast("long").alias("score_sum"),
+    ).select(
+        source_col,
+        "n_docs",
+        F.expr(dl.idiv("score_sum", "n_docs", dl.SPARK))
+        .cast("long")
+        .alias("mean_micro"),
+    )
+    best = per.agg(F.max("mean_micro").alias("best_micro"))
+    # Truncate lineage at the k-row domain frame (pagerank_fixed's
+    # discipline): every MW round hangs two 1-row aggregates off this
+    # frame, and without the checkpoint each one re-executes the whole
+    # corpus classifier aggregate upstream — measured 21.6 s -> ~7 s
+    # cold at sf0.01. At cluster scale use durable checkpoint().
+    dom = per.crossJoin(F.broadcast(best)).select(
+        source_col,
+        "n_docs",
+        F.least(
+            F.col("best_micro") - F.col("mean_micro"),
+            F.lit(DOREMI_LOSS_CAP).cast("long"),
+        ).alias("loss_micro"),
+    ).localCheckpoint(eager=True)
+    k1 = dom.agg(F.count("*").alias("k"))
+    w = dom.crossJoin(F.broadcast(k1)).select(
+        source_col,
+        "n_docs",
+        "loss_micro",
+        F.expr(dl.idiv("CAST(1000000 AS BIGINT)", "k", dl.SPARK))
+        .cast("long")
+        .alias("w"),
+    )
+    for _ in range(rounds):
+        lbar = w.agg(
+            F.expr(
+                dl.idiv(
+                    "SUM(w * loss_micro)", "CAST(1000000 AS BIGINT)",
+                    dl.SPARK,
+                )
+            ).cast("long").alias("lbar")
+        )
+        raw = w.crossJoin(F.broadcast(lbar)).select(
+            source_col,
+            "n_docs",
+            "loss_micro",
+            (
+                F.col("w")
+                * (
+                    F.lit(1_000_000).cast("long")
+                    + F.expr(
+                        dl.idiv(
+                            "greatest(loss_micro - lbar, CAST(0 AS BIGINT))",
+                            str(DOREMI_ETA_DEN),
+                            dl.SPARK,
+                        )
+                    )
+                )
+            ).cast("long").alias("raw"),
+        )
+        tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+        w = raw.crossJoin(F.broadcast(tot)).select(
+            source_col,
+            "n_docs",
+            "loss_micro",
+            F.expr(
+                dl.idiv("raw * CAST(1000000 AS BIGINT)", "tot", dl.SPARK)
+            ).cast("long").alias("w"),
+        )
+    uni = dl.idiv("CAST(1000000 AS BIGINT)", "k", dl.SPARK)
+    smooth = (
+        f"(({DOREMI_SMOOTH_DEN - DOREMI_SMOOTH_NUM} * w"
+        f" + {DOREMI_SMOOTH_NUM} * ({uni})) DIV {DOREMI_SMOOTH_DEN})"
+    )
+    return (
+        w.crossJoin(F.broadcast(k1))
+        .select(
+            source_col,
+            "n_docs",
+            "loss_micro",
+            F.col("w").alias("w_ppm"),
+            F.expr(smooth).cast("long").alias("w_smooth_ppm"),
+        )
+        .orderBy(source_col)
+    )

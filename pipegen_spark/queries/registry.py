@@ -55,7 +55,8 @@ rounds; long-stable canaries stay in every window):
   rows, measured 3.6 -> 0.8 s warm — and the brand-new
   simsearch_ivfpq, IVFADC over product-quantized residuals, and
   text_textrank, PageRank keyword ranking over the co-occurrence
-  graph), keeping the canaries; overflow rolls to r10.
+  graph, and curate_doremi, multiplicative-weights domain
+  reweighting), keeping the canaries; overflow rolls to r10.
 """
 
 from __future__ import annotations
@@ -75,7 +76,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 195
+CORPUS_SIZE = 196
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

@@ -2123,6 +2123,17 @@ def curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.temperature_weights(docs, "source", "doc_id")
 
 
+def curate_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting: multiplicative-weights rounds
+    over per-source excess loss (classifier-score deficit proxy),
+    smoothed toward uniform — the published mixture optimizer next to
+    temperature and UniMax (see operators/curation.doremi_weights for
+    the engine-exact polynomial MW substitution and the one-corpus-pass
+    shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.doremi_weights(docs, "source", "text", "doc_id")
+
+
 def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term burstiness (variance-to-mean of per-doc counts, zeros via
     the n term): topic words cluster (VMR >> 1), function words spread

@@ -3236,6 +3236,96 @@ def _classifier_sql() -> str:
     """
 
 
+def _doremi_sql() -> str:
+    """Mirror of curation.doremi_weights: the classifier per-doc scores
+    (CTEs shared with _classifier_sql) reduce to a per-source frame,
+    then DOREMI_ROUNDS polynomial-MW rounds unroll as CTE pairs
+    (mixture loss -> reweight -> renormalize), uniform smoothing last.
+    Domain/weight CTEs are MATERIALIZED — each feeds two consumers."""
+    feats_arr = cu.dsir_features("w", D)
+    wgt = cu.clf_weight_expr(
+        f"({dl.hash60('f', D)}) % {cu.CLF_BUCKETS}"
+    )
+    avg = dl.idiv("sum_w", "n_feats", D)
+    eta_div = cu.DOREMI_ETA_DEN
+    cap = cu.DOREMI_LOSS_CAP
+    sn, sd = cu.DOREMI_SMOOTH_NUM, cu.DOREMI_SMOOTH_DEN
+    ctes = [
+        f"""wdoc AS (
+        SELECT doc_id AS id, {dl.words("text", D)} AS w FROM documents
+    )""",
+        f"""feats AS (
+        SELECT id, CAST({wgt} AS BIGINT) AS wgt
+        FROM (SELECT id, unnest({feats_arr}) AS f FROM wdoc)
+    )""",
+        """doc AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(wgt) AS BIGINT) AS sum_w
+        FROM feats GROUP BY id
+    )""",
+        f"""ds AS (
+        SELECT d.source,
+               CASE WHEN COALESCE(n_feats, 0) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST({avg} AS BIGINT) END AS avg_micro
+        FROM documents d LEFT JOIN doc ON doc.id = d.doc_id
+    )""",
+        """per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(avg_micro) AS BIGINT) AS score_sum
+        FROM ds GROUP BY source
+    )""",
+        f"""per2 AS (
+        SELECT source, n_docs,
+               {dl.idiv("score_sum", "n_docs", D)} AS mean_micro
+        FROM per
+    )""",
+        "best AS (SELECT CAST(MAX(mean_micro) AS BIGINT) AS best_micro"
+        " FROM per2)",
+        f"""dom AS MATERIALIZED (
+        SELECT source, n_docs,
+               LEAST(best_micro - mean_micro, CAST({cap} AS BIGINT))
+                   AS loss_micro
+        FROM per2 CROSS JOIN best
+    )""",
+        "kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom)",
+        f"""w0 AS MATERIALIZED (
+        SELECT source, n_docs, loss_micro,
+               CAST(1000000 AS BIGINT) // k AS w
+        FROM dom CROSS JOIN kk
+    )""",
+    ]
+    for i in range(1, cu.DOREMI_ROUNDS + 1):
+        ctes.append(f"""l{i} AS (
+        SELECT CAST(SUM(w * loss_micro) // 1000000 AS BIGINT) AS lbar
+        FROM w{i - 1}
+    )""")
+        ctes.append(f"""raw{i} AS MATERIALIZED (
+        SELECT source, n_docs, loss_micro,
+               CAST(w * (1000000 +
+                    GREATEST(loss_micro - lbar, CAST(0 AS BIGINT))
+                        // {eta_div}) AS BIGINT) AS raw
+        FROM w{i - 1} CROSS JOIN l{i}
+    )""")
+        ctes.append(f"""t{i} AS (
+        SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM raw{i}
+    )""")
+        ctes.append(f"""w{i} AS MATERIALIZED (
+        SELECT source, n_docs, loss_micro,
+               CAST(raw * 1000000 // tot AS BIGINT) AS w
+        FROM raw{i} CROSS JOIN t{i}
+    )""")
+    joined = ",\n    ".join(ctes)
+    last = cu.DOREMI_ROUNDS
+    return f"""
+    WITH {joined}
+    SELECT source, n_docs, loss_micro, w AS w_ppm,
+           CAST(({sd - sn} * w + {sn} * (CAST(1000000 AS BIGINT) // k))
+                // {sd} AS BIGINT) AS w_smooth_ppm
+    FROM w{last} CROSS JOIN kk
+    ORDER BY source
+    """
+
+
 def _rep_ngram_sql() -> str:
     """Mirror of curation.rep_ngram_stats (Gopher A1 char-mass
     repetition metrics, integer ppm)."""
@@ -3306,6 +3396,7 @@ def _rep_ngram_sql() -> str:
 TRAINING_ORACLE: dict[str, str] = {
     "curate_rep_ngram": _rep_ngram_sql(),
     "curate_classifier": _classifier_sql(),
+    "curate_doremi": _doremi_sql(),
     "curate_dsir": _dsir_sql(),
     "dedup_bloom": _bloom_sql(),
     "text_cms_topk": _cms_sql(),
