@@ -795,10 +795,12 @@ WAV_ENERGY_BLOCKS = 16  # md5 blocks per payload (8 int16 samples each)
 WAV_ENERGY_WIN = 16  # frame-energy window, in samples
 
 
-def _wav_energy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared decode→frame-energy pipeline behind multimodal_wav_energy
-    and multimodal_vad_segments: real WAV encode+decode in one Arrow
-    stage, then JVM-side posexplode + per-(doc, window) Σ s² energy."""
+def _wav_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Arrow stage behind the wav-family queries: per doc, the
+    md5-block PCM buffer -> real RIFF `wav_encode` -> real
+    `codecs.wav_samples` decode, returning (doc_id, samples). ONLY the
+    container/codec work SQL cannot express lives here; all frame /
+    resample arithmetic stays JVM-side downstream."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
@@ -825,9 +827,16 @@ def _wav_energy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arrs.append(wav_samples(payload))
             yield pd.DataFrame({"doc_id": ids, "samples": arrs})
 
-    decoded = docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInPandas(
         roundtrip, "doc_id long, samples array<long>"
     )
+
+
+def _wav_energy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared decode→frame-energy pipeline behind multimodal_wav_energy
+    and multimodal_vad_segments: real WAV encode+decode in one Arrow
+    stage, then JVM-side posexplode + per-(doc, window) Σ s² energy."""
+    decoded = _wav_decoded(spark, sf_dir)
     return (
         decoded.select("doc_id", F.posexplode("samples").alias("pos", "s"))
         .select(
@@ -866,6 +875,83 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: both Arrow hops map-only; one (doc_id, win) hash aggregate
     (128 rows/doc before partial aggregation). Linear in executors."""
     return _wav_energy_frames(spark, sf_dir).orderBy("doc_id", "win")
+
+
+#: Rational resample ratio: out_rate = in_rate * RESAMPLE_P / RESAMPLE_Q
+#: (8 kHz -> 5.333 kHz at 2/3 — a genuine fractional ratio, so both the
+#: pass-through (frac = 0) and interpolated (frac > 0) paths occur).
+RESAMPLE_P, RESAMPLE_Q = 2, 3
+
+
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear audio resampling over REAL WAV decode — the sample-rate
+    normalization pass every audio training pipeline runs before
+    feature extraction. Output sample t sits at exact source position
+    t*Q/P: idx = (t*Q) DIV P, frac = (t*Q) % P, and the interpolation
+    is computed on the +32768-shifted UNSIGNED samples as
+    (a*(P-frac) + b*frac) DIV P — every term non-negative, so
+    truncating and flooring division agree and the arithmetic is
+    engine-exact (a signed (b-a)*frac DIV P would diverge between
+    Spark's truncation and DuckDB's floor on odd negative diffs).
+
+    Spark-first split: the shared `_wav_decoded` Arrow stage does only
+    the RIFF encode + real codec decode; the resampler itself is
+    JVM-side — posexplode + lead(s) for the neighbor sample, an output
+    index frame joined back on (doc, idx) — and the gate surface is
+    one row per doc: output count, Σ v² energy, and an in-engine md5
+    over the ORDERED resampled values (the embed_normalize fold
+    pattern — element-exact without exploded-row collection). DuckDB
+    reconstructs every resampled value analytically from md5() hex.
+
+    Shape: map-only Arrow hop, one pos-keyed window + one (doc, idx)
+    equi-join + one per-doc hash agg. Linear in executors."""
+    from pyspark.sql.window import Window
+
+    n_in = WAV_ENERGY_BLOCKS * 8
+    p_, q_ = RESAMPLE_P, RESAMPLE_Q
+    n_out = (p_ * (n_in - 1) - 1) // q_ + 1
+    decoded = _wav_decoded(spark, sf_dir)
+    sam = decoded.select(
+        "doc_id", F.posexplode("samples").alias("pos", "s")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = sam.select(
+        "doc_id", "pos", (F.col("s") + 32768).alias("a")
+    ).withColumn("b", F.lead("a").over(w))
+    idx_frame = decoded.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {n_out - 1})")).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(dl.idiv(f"t * {q_}", str(p_), dl.SPARK)).alias("pos"),
+        F.expr(f"(t * {q_}) % {p_}").alias("frac"),
+    )
+    out = idx_frame.join(led, ["doc_id", "pos"]).select(
+        "doc_id",
+        "t",
+        (
+            F.expr(
+                dl.idiv(
+                    f"a * ({p_} - frac) + coalesce(b, a) * frac",
+                    str(p_),
+                    dl.SPARK,
+                )
+            )
+            - 32768
+        ).cast("long").alias("v"),
+    )
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_out"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("energy"),
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list("
+                "struct(t, v))), x -> CAST(x.v AS STRING)), ','))"
+            ).alias("resamp_md5"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 #: Activity threshold for VAD segmentation: the EXPECTED frame energy of

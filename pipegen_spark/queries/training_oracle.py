@@ -2653,6 +2653,73 @@ def _wav_energy_sql() -> str:
     """
 
 
+def _resample_sql() -> str:
+    """Mirror of multimodal_resample: the decoded samples reconstructed
+    analytically from md5() hex (the _wav_energy_ctes sample math, kept
+    at per-sample resolution), LEAD for the neighbor, the same
+    unsigned-shifted linear interpolation, and the same ordered md5
+    fold — every resampled value is hash-checked."""
+    from pipegen_spark.queries.training_data import (
+        RESAMPLE_P,
+        RESAMPLE_Q,
+        WAV_ENERGY_BLOCKS,
+    )
+
+    n_in = WAV_ENERGY_BLOCKS * 8
+    p_, q_ = RESAMPLE_P, RESAMPLE_Q
+    n_out = (p_ * (n_in - 1) - 1) // q_ + 1
+    per_block = 8
+    lo = "CAST(('0x' || substr(hx, 4 * i + 1, 2)) AS INT)"
+    hi = "CAST(('0x' || substr(hx, 4 * i + 3, 2)) AS INT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(b.range AS BIGINT) AS j,
+               md5(COALESCE(text, '') || ':' || CAST(b.range AS INT))
+                   AS hx
+        FROM documents CROSS JOIN range(0, {WAV_ENERGY_BLOCKS}) b
+    ),
+    u AS (
+        SELECT doc_id, j, CAST(t.i AS BIGINT) AS i,
+               {lo} + 256 * {hi} AS uval
+        FROM h CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS i
+            FROM range(0, {per_block}) r
+        ) t
+    ),
+    sm AS (
+        SELECT doc_id, j * {per_block} + i AS pos,
+               CAST((uval + 32768) % 65536 AS BIGINT) AS a
+        FROM u
+    ),
+    led AS (
+        SELECT doc_id, pos, a,
+               LEAD(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM sm
+    ),
+    tf AS (
+        SELECT doc_id, CAST(r.range AS BIGINT) AS t,
+               (CAST(r.range AS BIGINT) * {q_}) // {p_} AS pos,
+               (CAST(r.range AS BIGINT) * {q_}) % {p_} AS frac
+        FROM documents CROSS JOIN range(0, {n_out}) r
+    ),
+    outp AS (
+        SELECT tf.doc_id, tf.t,
+               CAST((led.a * ({p_} - tf.frac)
+                     + COALESCE(led.b, led.a) * tf.frac) // {p_}
+                    - 32768 AS BIGINT) AS v
+        FROM tf JOIN led ON led.doc_id = tf.doc_id AND led.pos = tf.pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY t))
+               AS resamp_md5
+    FROM outp GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
 def _vad_segments_sql() -> str:
     """Mirror of multimodal_vad_segments: the same md5-reconstructed
     frame energies, thresholded and merged into contiguous active
@@ -3414,6 +3481,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_wav_features": _multimodal_wav_sql(),
     "multimodal_wav_energy": _wav_energy_sql(),
     "multimodal_vad_segments": _vad_segments_sql(),
+    "multimodal_resample": _resample_sql(),
     "multimodal_audio_fp": _audio_fp_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG

@@ -36,6 +36,7 @@ PANDAS_OK = {
     "multimodal_vad_segments",
     "multimodal_audio_fp",
     "multimodal_jpeg_420",
+    "multimodal_resample",
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
