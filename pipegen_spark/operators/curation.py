@@ -2042,3 +2042,94 @@ def doremi_weights(
         )
         .orderBy(source_col)
     )
+
+
+# --- word-boundary blocklist filtering (round-8) --------------------------------
+
+#: C4-style banned-list patterns (Raffel et al. 2020 filter a published
+#: "bad words" list; the mechanics — word-boundary phrase matching over
+#: the lowercased token stream — are what matters, the entries are
+#: corpus-appropriate stand-ins). Keys are column slugs, values are
+#: space-separated token phrases.
+BLOCKLIST: dict[str, str] = {
+    "slow": "slow",
+    "big_table": "big table",
+    "merge_batch": "merge batch",
+}
+
+
+def blocklist_exprs(
+    text: str, d: str, patterns: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Per-pattern word-boundary phrase hit counts over the tokenized
+    text — the C4 banned-list mechanic. Tokens are wrapped with the BPE
+    DOUBLED-separator representation (' a  b  c ': every token carries
+    its own flanking spaces), so a phrase pattern ' big  table ' can
+    only match at true token boundaries AND adjacent matches never
+    compete for a shared separator — making the non-overlapping
+    replace-scan count exact:
+    count = (len(s) - len(replace(s, pat, ''))) / len(pat).
+    `replace` scans left-to-right non-overlapping identically on both
+    engines (property-pinned for the BPE encoder)."""
+    patterns = patterns or BLOCKLIST
+    toks = dl.words(f"COALESCE({text}, '')", d)
+    padded = dl.transform(toks, "x -> x || ' '", d)
+    wrapped = f"(' ' || {dl.arr_join(padded, ' ', d)})"
+    out: dict[str, str] = {"_wrapped": wrapped}
+    for name, phrase in patterns.items():
+        pat = " " + "  ".join(phrase.split()) + " "
+        out[f"hits_{name}"] = (
+            f"CAST((length(w) - length(replace(w, '{pat}', '')))"
+            f" DIV length('{pat}') AS BIGINT)"
+            if d == dl.SPARK
+            else f"CAST((length(w) - length(replace(w, '{pat}', '')))"
+            f" // length('{pat}') AS BIGINT)"
+        )
+    return out
+
+
+def with_blocklist(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, n_tokens, hits_*, n_block_hits, keep): per-pattern counts,
+    total, and the C4 keep decision (any hit drops the doc). Map-only —
+    the wrapped token string materializes behind a barrier so each
+    pattern's count scans it once, not once per reference.
+
+    Shape (100 TB): scan -> tokenize -> fixed number of string scans
+    per row; no shuffle, no UDF, fully whole-stage codegen. A large
+    blocklist swaps the per-pattern scans for one explode + broadcast
+    semi-join against the phrase set (the dedup_setjoin shape); the
+    per-pattern-column surface here is the small-list form."""
+    from pipegen_spark.operators.text import _barrier
+
+    patterns = patterns or BLOCKLIST
+    e = blocklist_exprs(text_col, dl.SPARK, patterns)
+    toks = dl.words(f"COALESCE({text_col}, '')", dl.SPARK)
+    staged = _barrier(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"CAST({dl.size(toks, dl.SPARK)} AS BIGINT)").alias(
+                "n_tokens"
+            ),
+            F.expr(e["_wrapped"]).alias("w"),
+        )
+    )
+    hit_cols = [
+        F.expr(e[f"hits_{name}"]).alias(f"hits_{name}") for name in patterns
+    ]
+    scored = staged.select("id", "n_tokens", *hit_cols)
+    total = None
+    for name in patterns:
+        c = F.col(f"hits_{name}")
+        total = c if total is None else total + c
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        *[f"hits_{name}" for name in patterns],
+        total.cast("long").alias("n_block_hits"),
+        (total == 0).alias("keep"),
+    )

@@ -57,8 +57,9 @@ rounds; long-stable canaries stay in every window):
   text_textrank, PageRank keyword ranking over the co-occurrence
   graph, and curate_doremi, multiplicative-weights domain
   reweighting, and multimodal_resample, engine-exact linear audio
-  resampling over the real WAV decode), keeping the canaries;
-  overflow rolls to r10.
+  resampling over the real WAV decode, and curate_blocklist,
+  C4-style word-boundary banned-list filtering), keeping the
+  canaries; overflow rolls to r10.
 """
 
 from __future__ import annotations
@@ -78,7 +79,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 197
+CORPUS_SIZE = 198
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

@@ -2220,6 +2220,15 @@ def curate_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.doremi_weights(docs, "source", "text", "doc_id")
 
 
+def curate_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style banned-list filtering: word-boundary phrase hit counts
+    over the tokenized text via the doubled-separator replace-scan
+    count (see operators/curation.blocklist_exprs), per-pattern columns
+    + total + the keep decision. Map-only."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.with_blocklist(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term burstiness (variance-to-mean of per-doc counts, zeros via
     the n term): topic words cluster (VMR >> 1), function words spread

@@ -3393,6 +3393,35 @@ def _doremi_sql() -> str:
     """
 
 
+def _blocklist_sql() -> str:
+    """Mirror of curation.with_blocklist — the shared blocklist_exprs
+    rendered in the DuckDB dialect over the same wrapped token
+    string."""
+    e = cu.blocklist_exprs("text", D)
+    hit_cols = ",\n           ".join(
+        e[f"hits_{name}"] + f" AS hits_{name}" for name in cu.BLOCKLIST
+    )
+    total = " + ".join(f"hits_{name}" for name in cu.BLOCKLIST)
+    toks = dl.words("COALESCE(text, '')", D)
+    return f"""
+    WITH staged AS (
+        SELECT doc_id,
+               CAST({dl.size(toks, D)} AS BIGINT) AS n_tokens,
+               {e["_wrapped"]} AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens,
+           {hit_cols}
+        FROM staged
+    )
+    SELECT doc_id, n_tokens, {", ".join(f"hits_{n}" for n in cu.BLOCKLIST)},
+           CAST({total} AS BIGINT) AS n_block_hits,
+           ({total}) = 0 AS keep
+    FROM scored ORDER BY doc_id
+    """
+
+
 def _rep_ngram_sql() -> str:
     """Mirror of curation.rep_ngram_stats (Gopher A1 char-mass
     repetition metrics, integer ppm)."""
@@ -3464,6 +3493,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_rep_ngram": _rep_ngram_sql(),
     "curate_classifier": _classifier_sql(),
     "curate_doremi": _doremi_sql(),
+    "curate_blocklist": _blocklist_sql(),
     "curate_dsir": _dsir_sql(),
     "dedup_bloom": _bloom_sql(),
     "text_cms_topk": _cms_sql(),

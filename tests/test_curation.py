@@ -868,3 +868,40 @@ def test_mul_ppm_overflow_safe_cross_engine(spark):
             ).fetchone()[0]
             assert got_s == want, (total, ppm, got_s)
             assert got_d == want, (total, ppm, got_d)
+
+
+def test_blocklist_word_boundary_phrase_counts(spark):
+    """Planted C4-style blocklist semantics: phrase matches only at true
+    token boundaries, adjacent repeats all count (the doubled-separator
+    wrapped string gives every token its own flanking spaces), substrings
+    of longer tokens never match, NULL text keeps."""
+    import pipegen_spark.operators.curation as cu
+
+    df = spark.createDataFrame(
+        [
+            # "slow" x2 adjacent + "big table" x2 (one split by "is")
+            (1, "the big table is slow slow and big table again"),
+            # non-overlapping phrase scan: merge batch | merge batch | merge
+            (2, "merge batch merge batch merge"),
+            (3, "clean text only"),
+            # substring must NOT match: "slowly" is one token, "bigger
+            # tables" shares no boundary-aligned phrase
+            (4, "slowly bigger tables merge batches"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in cu.with_blocklist(df).collect()
+    }
+    assert rows[1]["hits_slow"] == 2
+    assert rows[1]["hits_big_table"] == 2
+    assert rows[1]["n_block_hits"] == 4 and not rows[1]["keep"]
+    assert rows[2]["hits_merge_batch"] == 2 and not rows[2]["keep"]
+    assert rows[3]["n_block_hits"] == 0 and rows[3]["keep"]
+    assert rows[4]["n_block_hits"] == 0 and rows[4]["keep"]
+    assert rows[5] == {
+        "doc_id": 5, "n_tokens": 0, "hits_slow": 0, "hits_big_table": 0,
+        "hits_merge_batch": 0, "n_block_hits": 0, "keep": True,
+    }
