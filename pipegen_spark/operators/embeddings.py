@@ -777,3 +777,86 @@ def jl_project(
         .select(F.col("id").alias(id_col), *cols)
         .orderBy(id_col)
     )
+
+
+# --- dominant principal direction (round-8) ------------------------------------
+
+POWER_ROUNDS = 4
+POWER_SCALE = 1024  # 2^10 renormalization target for the iterate
+
+
+def top_direction(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rounds: int = POWER_ROUNDS,
+) -> DataFrame:
+    """Dominant principal direction of the embedding second-moment
+    matrix by POWER ITERATION — the spectral step behind
+    "all-but-the-top" embedding postprocessing (Mu & Viswanath 2018:
+    removing the top direction(s) de-hubs embedding spaces) and the
+    sanity probe for anisotropy. v_{t+1} = G v_t, renormalized each
+    round to max|component| = POWER_SCALE by INTEGER division —
+    infinity-norm normalization converges to the same dominant
+    eigenvector as the L2 form (the iterate differs by a scalar) while
+    staying libm-free and engine-exact; G is PSD, so with the all-ones
+    start the orientation is stable and deterministic.
+
+    Integer envelope: |G| cells inherit `gram_matrix`'s ~8.6e9-vector
+    bound; each matvec term is G[i,k] * v[k] <= |G| * 2^10 summed over
+    d=64, safe while |G| < 1.4e14 (~1.3e5 unit-scale vectors at 2^30
+    cell scale — the corpus Gram at production scale divides by N
+    first, same envelope discipline as centroid_outliers). The
+    renormalizer divides by max(m DIV POWER_SCALE, 1) instead of
+    multiplying the iterate up, so no intermediate exceeds the matvec
+    bound.
+
+    Shape (100 TB): ONE corpus pass (gram_matrix's map-side partial
+    2080-cell aggregate); the d x d matrix is lineage-truncated and
+    every round is a broadcast d-row join + d-group aggregate — fixed
+    size work, independent of corpus size.
+
+    Output: (dim_idx, comp, gnorm) — comp in [-POWER_SCALE,
+    POWER_SCALE], gnorm the final pre-normalization max |G v| (the
+    dominant-eigenvalue proxy, identical on every row)."""
+    g = gram_matrix(df, vec_col, dim).select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "gram"
+    )
+    full = (
+        g.unionByName(
+            g.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+            )
+        )
+        # d*d rows; truncating here keeps the per-round 1-row aggregates
+        # from re-executing the corpus Gram pass (the doremi_weights
+        # discipline). At cluster scale use durable checkpoint().
+        .localCheckpoint(eager=True)
+    )
+    v = full.select(F.col("i").alias("k")).distinct().select(
+        "k", F.lit(POWER_SCALE).cast("long").alias("v")
+    )
+    m = None
+    for _ in range(rounds):
+        u = (
+            full.join(F.broadcast(v), full["j"] == v["k"])
+            .groupBy("i")
+            .agg(F.sum(F.col("gram") * F.col("v")).cast("long").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).cast("long").alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("k"),
+            F.expr(
+                f"CAST(u DIV greatest(m DIV {POWER_SCALE},"
+                f" CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("v"),
+        )
+    return (
+        v.crossJoin(F.broadcast(m))
+        .select(
+            F.col("k").alias("dim_idx"),
+            F.col("v").alias("comp"),
+            F.col("m").alias("gnorm"),
+        )
+        .orderBy("dim_idx")
+    )

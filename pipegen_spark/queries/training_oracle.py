@@ -1985,6 +1985,67 @@ def _substring_sql() -> str:
     """
 
 
+def _top_direction_sql() -> str:
+    """Mirror of embeddings.top_direction: the _gram_sql quantization
+    (full symmetric matrix via the mirrored upper triangle), then
+    POWER_ROUNDS matvec/renormalize CTE pairs with the same
+    divide-by-(max DIV scale) integer rule."""
+    from pipegen_spark.operators import embeddings as em
+
+    s_ = 1 << em.GRAM_SCALE_BITS
+    dim = td.EMB_DIM
+    scale = em.POWER_SCALE
+    ctes = [
+        f"""q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {s_}.0 + 0.5)
+                        AS BIGINT)) AS q
+        FROM embeddings
+    )""",
+        f"""gup AS (
+        SELECT i, j, CAST(SUM((q[i]) * (q[j])) AS BIGINT) AS gram
+        FROM q,
+             UNNEST(range(1, {dim + 1})) AS t(i),
+             UNNEST(range(1, {dim + 1})) AS u(j)
+        WHERE j >= i
+        GROUP BY i, j
+    )""",
+        """gfull AS MATERIALIZED (
+        SELECT i, j, gram FROM gup
+        UNION ALL
+        SELECT j AS i, i AS j, gram FROM gup WHERE i <> j
+    )""",
+        f"""v0 AS (
+        SELECT CAST(r.range AS BIGINT) AS k,
+               CAST({scale} AS BIGINT) AS v
+        FROM range(1, {dim + 1}) r
+    )""",
+    ]
+    for t in range(1, em.POWER_ROUNDS + 1):
+        ctes.append(f"""u{t} AS MATERIALIZED (
+        SELECT g.i, CAST(SUM(g.gram * v.v) AS BIGINT) AS u
+        FROM gfull g JOIN v{t - 1} v ON g.j = v.k
+        GROUP BY g.i
+    )""")
+        ctes.append(f"""m{t} AS (
+        SELECT CAST(MAX(ABS(u)) AS BIGINT) AS m FROM u{t}
+    )""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+        SELECT i AS k,
+               CAST(u // GREATEST(m // {scale}, CAST(1 AS BIGINT))
+                    AS BIGINT) AS v
+        FROM u{t} CROSS JOIN m{t}
+    )""")
+    joined = ",\n    ".join(ctes)
+    last = em.POWER_ROUNDS
+    return f"""
+    WITH {joined}
+    SELECT k AS dim_idx, v AS comp, m AS gnorm
+    FROM v{last} CROSS JOIN m{last}
+    ORDER BY dim_idx
+    """
+
+
 def _gram_sql() -> str:
     """Mirror of operators/embeddings.gram_matrix: same per-coordinate
     fixed-point quantization, integer sums, upper triangle."""
@@ -3566,6 +3627,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_substring": _substring_sql(),
     "dedup_containment": _containment_sql(),
     "embed_gram": _gram_sql(),
+    "embed_top_direction": _top_direction_sql(),
     "simsearch_hybrid": _hybrid_sql(),
     "curate_budget": _budget_sql(),
     "text_rarity": _rarity_sql(),
