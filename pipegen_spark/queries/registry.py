@@ -60,7 +60,8 @@ rounds; long-stable canaries stay in every window):
   resampling over the real WAV decode, and curate_blocklist,
   C4-style word-boundary banned-list filtering, and
   embed_top_direction, integer power iteration over the exact Gram
-  matrix), keeping the canaries; overflow rolls to r10.
+  matrix, and multimodal_patches, ViT-style patch statistics over
+  the real PNG codec), keeping the canaries; overflow rolls to r10.
 """
 
 from __future__ import annotations
@@ -80,7 +81,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 199
+CORPUS_SIZE = 200
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

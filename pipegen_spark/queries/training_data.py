@@ -877,6 +877,85 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wav_energy_frames(spark, sf_dir).orderBy("doc_id", "win")
 
 
+#: ViT-style patch grid over the decoded image: 16x16 RGB image (48
+#: md5 blocks), 8x8 patches -> a 2x2 grid.
+PATCH_IMG_W, PATCH_IMG_H, PATCH_P = 16, 16, 8
+
+
+def multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction over the REAL PNG codec — the
+    vision-transformer preprocessing primitive (image -> fixed patch
+    grid -> per-patch statistics) run end to end through genuine
+    encode/decode: each document becomes a 16x16 RGB PNG whose byte b
+    is md5(text || ':' || b DIV 16)[b % 16] (every block different, so
+    patch statistics are position-sensitive), encoded and decoded with
+    the real codec (chunk framing, CRC, zlib, filter reconstruction)
+    in one Arrow stage that returns the pixel array; patch geometry
+    (pixel -> (patch row, patch col), channel split) and per-(doc,
+    patch, channel) Σs / Σs² run JVM-side.
+
+    PNG is lossless, so DuckDB reconstructs every decoded byte
+    analytically from md5() hex and computes identical integer patch
+    statistics — a hard value oracle over the whole codec path AND the
+    patch bookkeeping (an off-by-one in filter reconstruction or the
+    patch grid moves bytes across patch boundaries and flips sums).
+
+    Shape: map-only Arrow hop, one (doc, patch, channel) hash
+    aggregate. Linear in executors."""
+    import pandas as pd
+
+    w0, h0, pp = PATCH_IMG_W, PATCH_IMG_H, PATCH_P
+    n_bytes = w0 * h0 * 3
+    n_blocks = n_bytes // 16
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import png_decode, png_encode
+
+        for pdf in batches:
+            ids, arrs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    hashlib.md5(
+                        ((t or "") + f":{j}").encode("utf-8")
+                    ).digest()
+                    for j in range(n_blocks)
+                )
+                _, _, _, out = png_decode(png_encode(w0, h0, raw, 3))
+                ids.append(did)
+                arrs.append(list(out))
+            yield pd.DataFrame({"doc_id": ids, "px": arrs})
+
+    decoded = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(roundtrip, "doc_id long, px array<long>")
+    )
+    grid_w = w0 // pp
+    return (
+        decoded.select(
+            "doc_id", F.posexplode("px").alias("b", "s")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"((b DIV 3) DIV {w0} DIV {pp}) * {grid_w}"
+                f" + ((b DIV 3) % {w0}) DIV {pp}"
+            ).cast("long").alias("patch_id"),
+            F.expr("b % 3").cast("long").alias("channel"),
+            "s",
+        )
+        .groupBy("doc_id", "patch_id", "channel")
+        .agg(
+            F.count("*").cast("long").alias("n_px"),
+            F.sum("s").cast("long").alias("s_sum"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("s_sq"),
+        )
+        .orderBy("doc_id", "patch_id", "channel")
+    )
+
+
 #: Rational resample ratio: out_rate = in_rate * RESAMPLE_P / RESAMPLE_Q
 #: (8 kHz -> 5.333 kHz at 2/3 — a genuine fractional ratio, so both the
 #: pass-through (frac = 0) and interpolated (frac > 0) paths occur).

@@ -2714,6 +2714,55 @@ def _wav_energy_sql() -> str:
     """
 
 
+def _patches_sql() -> str:
+    """Mirror of multimodal_patches: every decoded byte reconstructed
+    analytically (byte b = md5(text || ':' || b DIV 16)[b % 16], PNG is
+    lossless), then the identical patch-grid/channel bookkeeping and
+    integer sums."""
+    from pipegen_spark.queries.training_data import (
+        PATCH_IMG_H,
+        PATCH_IMG_W,
+        PATCH_P,
+    )
+
+    w0, pp = PATCH_IMG_W, PATCH_P
+    n_bytes = PATCH_IMG_W * PATCH_IMG_H * 3
+    n_blocks = n_bytes // 16
+    grid_w = w0 // pp
+    byte_val = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(b.range AS BIGINT) AS j,
+               md5(COALESCE(text, '') || ':' || CAST(b.range AS INT))
+                   AS hx
+        FROM documents CROSS JOIN range(0, {n_blocks}) b
+    ),
+    px AS (
+        SELECT doc_id,
+               j * 16 + t.i AS b,
+               {byte_val} AS s
+        FROM h CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS i FROM range(0, 16) r
+        ) t
+    ),
+    tagged AS (
+        SELECT doc_id,
+               ((b // 3) // {w0} // {pp}) * {grid_w}
+                   + ((b // 3) % {w0}) // {pp} AS patch_id,
+               b % 3 AS channel,
+               s
+        FROM px
+    )
+    SELECT doc_id, patch_id, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(s) AS BIGINT) AS s_sum,
+           CAST(SUM(s * s) AS BIGINT) AS s_sq
+    FROM tagged GROUP BY doc_id, patch_id, channel
+    ORDER BY doc_id, patch_id, channel
+    """
+
+
 def _resample_sql() -> str:
     """Mirror of multimodal_resample: the decoded samples reconstructed
     analytically from md5() hex (the _wav_energy_ctes sample math, kept
@@ -3573,6 +3622,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_wav_energy": _wav_energy_sql(),
     "multimodal_vad_segments": _vad_segments_sql(),
     "multimodal_resample": _resample_sql(),
+    "multimodal_patches": _patches_sql(),
     "multimodal_audio_fp": _audio_fp_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG

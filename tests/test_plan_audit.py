@@ -37,6 +37,7 @@ PANDAS_OK = {
     "multimodal_audio_fp",
     "multimodal_jpeg_420",
     "multimodal_resample",
+    "multimodal_patches",
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}
