@@ -106,3 +106,52 @@ def test_round8_additions_empty(spark, empty_docs, empty_emb):
         "doc_id long, text string, source string",
     )
     assert cu.preference_pairs(singles).count() == 0
+
+
+def test_round8_late_tranche_empty(spark, empty_docs, empty_emb):
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.operators import curation as cu
+    from pipegen_spark.operators import embeddings as em
+    from pipegen_spark.operators import similarity as sim
+    from pipegen_spark.operators import text as tx
+
+    # BPE tokenization pass: empty corpus -> empty per-doc frame
+    out = tx.bpe_encode_stats(empty_docs, rounds=3)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_words", "n_chars_az", "n_bpe_tokens",
+        "tok_per_char_ppm",
+    ]
+    # TextRank: empty corpus -> no edges -> empty ranking
+    assert tx.textrank_keywords(empty_docs).count() == 0
+    # ... and a corpus whose every bigram is stopword-adjacent or a
+    # self-pair (no qualifying edges) -> empty, not a crash
+    degenerate = spark.createDataFrame(
+        [(0, "the the the"), (1, "a of the")],
+        "doc_id long, text string",
+    )
+    assert tx.textrank_keywords(degenerate).count() == 0
+    # DoReMi: empty corpus -> no domains; single source -> weight 1e6
+    assert cu.doremi_weights(empty_docs).count() == 0
+    one_src = spark.createDataFrame(
+        [(0, "some text here", "src0"), (1, "more text there", "src0")],
+        "doc_id long, text string, source string",
+    )
+    rows = cu.doremi_weights(one_src).collect()
+    assert len(rows) == 1
+    assert rows[0]["w_ppm"] == 1_000_000  # loss deficit vs itself is 0
+    # Blocklist: empty corpus -> empty frame (NULL text covered in
+    # tests/test_curation.py)
+    assert cu.with_blocklist(empty_docs).count() == 0
+    # IVF-PQ: empty base (no centroids, no codebook, no queries)
+    assert sim.ivfpq_topk(
+        empty_emb,
+        F.col("vec_id") < 0,
+        F.col("vec_id") < 0,
+        F.col("vec_id") < 0,
+        dim=2,
+        m=1,
+    ).count() == 0
+    # Power iteration: empty embeddings -> empty Gram -> empty direction
+    assert em.top_direction(empty_emb, dim=2).count() == 0
