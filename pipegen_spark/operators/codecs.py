@@ -467,6 +467,24 @@ def _jpeg_planes(
     return planes, pw, ph
 
 
+def _quant_block(
+    plane: list[int], pw: int, by: int, bx: int, quant: int
+) -> list[int]:
+    """Level-shift + FDCT + quantize + zigzag one 8x8 block at plane
+    offset (by, bx) — the ONE coefficient producer shared by the
+    sequential emitter and the progressive block collector (the
+    'progressive decodes bit-identical to sequential' invariant rests
+    on both paths quantizing through this exact function)."""
+    block = [
+        float(plane[(by + r) * pw + bx + c]) - 128.0
+        for r in range(8)
+        for c in range(8)
+    ]
+    coefs = _dct_2d(block)
+    q = [int(round(coefs[i] / quant)) for i in range(64)]
+    return [q[i] for i in _ZIGZAG]
+
+
 def _encode_block_seq(
     w: _BitWriter,
     plane: list[int],
@@ -477,16 +495,9 @@ def _encode_block_seq(
     dc_prev: list[int],
     ci: int,
 ) -> None:
-    """FDCT + quantize + sequential DC/AC entropy-code one 8x8 block at
-    plane offset (by, bx) — the shared baseline block emitter."""
-    block = [
-        float(plane[(by + r) * pw + bx + c]) - 128.0
-        for r in range(8)
-        for c in range(8)
-    ]
-    coefs = _dct_2d(block)
-    q = [int(round(coefs[i] / quant)) for i in range(64)]
-    zz = [q[i] for i in _ZIGZAG]
+    """Sequential DC/AC entropy-code one quantized 8x8 block at plane
+    offset (by, bx) — the shared baseline block emitter."""
+    zz = _quant_block(plane, pw, by, bx, quant)
     diff = zz[0] - dc_prev[ci]
     dc_prev[ci] = zz[0]
     size = abs(diff).bit_length()
@@ -601,8 +612,7 @@ def jpeg_encode(
         (yp, yw, _), (cbp, cw, _), (crp, _, _) = _jpeg_planes_420(
             width, height, pixels
         )
-        mcux, mcuy = cw // 8, 0
-        mcuy = (height + 15) // 16
+        mcux, mcuy = cw // 8, (height + 15) // 16
         dc_prev = [0, 0, 0]
         for my in range(mcuy):
             for mx in range(mcux):
@@ -824,18 +834,11 @@ def _quant_blocks(
     """FDCT + quantize a component plane into zigzag coefficient blocks
     in block-grid raster order (the coefficient-domain store both the
     progressive encoder and the decoder walk)."""
-    bl: list[list[int]] = []
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = [
-                float(plane[(by + r) * pw + bx + c]) - 128.0
-                for r in range(8)
-                for c in range(8)
-            ]
-            coefs = _dct_2d(block)
-            q = [int(round(coefs[i] / quant)) for i in range(64)]
-            bl.append([q[i] for i in _ZIGZAG])
-    return bl
+    return [
+        _quant_block(plane, pw, by, bx, quant)
+        for by in range(0, ph, 8)
+        for bx in range(0, pw, 8)
+    ]
 
 
 def jpeg_encode_progressive(

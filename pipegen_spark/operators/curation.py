@@ -2072,6 +2072,19 @@ def blocklist_exprs(
     `replace` scans left-to-right non-overlapping identically on both
     engines (property-pinned for the BPE encoder)."""
     patterns = patterns or BLOCKLIST
+    for name, phrase in patterns.items():
+        words_ = phrase.split()
+        if not words_ or any(
+            not w.isascii() or not w.isalnum() or w != w.lower()
+            for w in words_
+        ):
+            # The token stream is lowercased [a-z0-9]+, so any other
+            # phrase would be a silently-dead entry (and quotes would
+            # break the spliced SQL literal): reject loudly.
+            raise ValueError(
+                f"blocklist entry {name!r}={phrase!r} must be "
+                "space-separated lowercase [a-z0-9]+ tokens"
+            )
     toks = dl.words(f"COALESCE({text}, '')", d)
     padded = dl.transform(toks, "x -> x || ' '", d)
     wrapped = f"(' ' || {dl.arr_join(padded, ' ', d)})"

@@ -819,6 +819,8 @@ def top_direction(
     Output: (dim_idx, comp, gnorm) — comp in [-POWER_SCALE,
     POWER_SCALE], gnorm the final pre-normalization max |G v| (the
     dominant-eigenvalue proxy, identical on every row)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     g = gram_matrix(df, vec_col, dim).select(
         F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "gram"
     )

@@ -968,10 +968,12 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction. Output sample t sits at exact source position
     t*Q/P: idx = (t*Q) DIV P, frac = (t*Q) % P, and the interpolation
     is computed on the +32768-shifted UNSIGNED samples as
-    (a*(P-frac) + b*frac) DIV P — every term non-negative, so
-    truncating and flooring division agree and the arithmetic is
-    engine-exact (a signed (b-a)*frac DIV P would diverge between
-    Spark's truncation and DuckDB's floor on odd negative diffs).
+    (a*(P-frac) + b*frac) DIV P — every term non-negative, so the
+    division is the plain Euclidean one and no floor-vs-truncation
+    question even arises (both engines truncate toward zero on signed
+    integers — verified (-7)//2 = -3 in DuckDB — but keeping the
+    operands non-negative makes the invariant obvious rather than
+    semantics-dependent).
 
     Spark-first split: the shared `_wav_decoded` Arrow stage does only
     the RIFF encode + real codec decode; the resampler itself is

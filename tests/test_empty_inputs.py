@@ -155,3 +155,20 @@ def test_round8_late_tranche_empty(spark, empty_docs, empty_emb):
     ).count() == 0
     # Power iteration: empty embeddings -> empty Gram -> empty direction
     assert em.top_direction(empty_emb, dim=2).count() == 0
+
+
+def test_round8_validation_errors(spark, empty_docs, empty_emb):
+    """Loud rejection beats silent no-ops: bad blocklist entries (wrong
+    case / punctuation can never match the lowercased [a-z0-9]+ token
+    stream) and a zero-round power iteration raise ValueError."""
+    from pipegen_spark.operators import curation as cu
+    from pipegen_spark.operators import embeddings as em
+
+    with pytest.raises(ValueError, match="blocklist entry"):
+        cu.blocklist_exprs("text", "spark", {"bad": "Slow"})
+    with pytest.raises(ValueError, match="blocklist entry"):
+        cu.blocklist_exprs("text", "spark", {"bad": "don't"})
+    with pytest.raises(ValueError, match="blocklist entry"):
+        cu.blocklist_exprs("text", "spark", {"bad": ""})
+    with pytest.raises(ValueError, match="rounds"):
+        em.top_direction(empty_emb, dim=2, rounds=0)
