@@ -1262,12 +1262,26 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     coefs: list[list[list[int]]] = []
     geom: dict = {}
     got_scan = False
+    saw_eoi = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): skip one 0xFF
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if marker == 0x00 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # Standalone codes between segments: 0xFF00 is a stuffed
+            # byte (only legal inside entropy data), TEM and stray RSTn
+            # carry no length field — reading one as a 2-byte segment
+            # length would misparse everything after it. Foreign
+            # streams only; our encoder never emits these here.
+            raise ValueError(
+                f"standalone marker 0xFF{marker:02X} between segments"
+            )
         if pos + 4 > len(data):
             raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
@@ -1374,6 +1388,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         # APPn / COM / DNL / others: skipped
     if not got_scan:
         raise ValueError("no SOS marker")
+    if not saw_eoi:
+        raise ValueError("truncated JPEG: missing EOI marker")
 
     nf = len(comps)
     hmax, vmax = geom["hmax"], geom["vmax"]

@@ -1939,7 +1939,15 @@ def doremi_weights(
     family DoReMi's exponentiated-gradient update belongs to) instead
     of exp(eta * excess), because exp() is libm and would break the
     bit-exact oracle; both are no-regret updates with the same
-    upweight-the-lagging-domain behavior.
+    upweight-the-lagging-domain behavior. The excess is deliberately
+    ONE-SIDED — `greatest(loss_micro - lbar, 0)` — so domains already
+    beating the mixture keep a x1 multiplier and are downweighted only
+    indirectly through renormalization (lagging domains grow, the
+    normalizer grows, leaders shrink). A signed excess would need a
+    positivity floor (1 + eta*excess can cross zero) and would widen
+    the raw-weight envelope below; the one-sided form keeps every raw
+    weight >= w_i and <= w_i * 1.5e6, which is what the BIGINT bound in
+    the next paragraph is sized against.
 
     Integer envelope: losses clamp to DOREMI_LOSS_CAP (1e6 micro), so
     raw_i = w_i * (1e6 + excess_i/2) <= 1.5e12 and the renormalizing

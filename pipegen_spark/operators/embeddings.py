@@ -330,6 +330,12 @@ def pq_encode(
     squared quantized sub-distances to the chosen codewords (the encode
     residual, scaled by 2^(2*scale_bits)).
     """
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the trailing "
+            f"{dim % m} coordinates would be silently dropped from "
+            "every sub-distance (honest-boundary policy: fail loudly)"
+        )
     sub_dim = dim // m
     wc = Window.orderBy("cid")
     cents = (

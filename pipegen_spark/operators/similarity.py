@@ -675,6 +675,12 @@ def pq_adc_topk(
     """
     from pipegen_spark.operators import embeddings as em
 
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the trailing "
+            f"{dim % m} coordinates would be silently dropped from "
+            "every ADC distance (honest-boundary policy: fail loudly)"
+        )
     sub_dim = dim // m
     codes = em.pq_encode(
         base, codebook_pred, m=m, dim=dim, vec_col=vec_col,
@@ -839,6 +845,12 @@ def ivfpq_topk(
     from pipegen_spark.operators import embeddings as em
     from pipegen_spark.operators.text import _barrier
 
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the trailing "
+            f"{dim % m} coordinates would be silently dropped from "
+            "every ADC distance (honest-boundary policy: fail loudly)"
+        )
     sub_dim = dim // m
     cents = base.filter(coarse_pred).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")

@@ -31,11 +31,24 @@ def main() -> None:
     only = {a for a in args if not os.path.isdir(a)}
 
     # Capture the JVM's stderr (log4j writes there) via an fd-level
-    # redirect — Python-level sys.stderr tricks don't see it.
+    # redirect — Python-level sys.stderr tricks don't see it. Keep a
+    # dup of the real stderr so (a) tracebacks raised after setup are
+    # still visible and (b) fd 2 is restored on exit.
     log_path = "/tmp/codegen_audit_err.log"
     log_fd = os.open(log_path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    real_stderr_fd = os.dup(2)
     os.dup2(log_fd, 2)
+    sys.stderr = os.fdopen(real_stderr_fd, "w")  # Python-side errors
 
+    try:
+        _run(sf_dir, only, log_path)
+    finally:
+        sys.stderr.flush()
+        os.dup2(real_stderr_fd, 2)
+        os.close(log_fd)
+
+
+def _run(sf_dir: str, only: set, log_path: str) -> None:
     import __spark_entry__ as entry_mod
     from pipegen_spark.session import get_spark
 
@@ -43,6 +56,11 @@ def main() -> None:
     qs = entry_mod.queries()
 
     def n_errors() -> int:
+        # Executor threads flush log lines asynchronously: wait for
+        # the in-flight jobs to fully drain before sampling, so a
+        # late-flushed line from the previous query can't be charged
+        # to the next one.
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
         with open(log_path, "rb") as f:
             return f.read().count(b"ERROR CodeGenerator")
 
