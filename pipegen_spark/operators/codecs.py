@@ -259,12 +259,7 @@ def wav_features(payload: bytes) -> dict:
 
     if payload is None:
         payload = b""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError(
-                f"unsupported sample width {w.getsampwidth()} (16-bit only)"
-            )
-        frames = w.readframes(w.getnframes())
+    frames = _wav_frames(payload)
     n = len(frames) // 2
     feats = [0] * 8
     for (s,) in struct.iter_unpack("<h", frames[: n * 2]):
@@ -282,19 +277,35 @@ def wav_samples(payload: bytes) -> list[int]:
     RIFF/WAVE payload — the raw-sample sibling of `wav_features` for
     consumers that do their own frame arithmetic (windowed energy,
     resampling). Same 16-bit-only boundary."""
+    if payload is None:
+        payload = b""
+    frames = _wav_frames(payload)
+    n = len(frames) // 2
+    return [s for (s,) in struct.iter_unpack("<h", frames[: n * 2])]
+
+
+def _wav_frames(payload: bytes) -> bytes:
+    """Shared RIFF/WAVE parse -> raw PCM frame bytes. stdlib `wave`
+    signals malformed streams with wave.Error / EOFError / struct
+    errors; convert them ALL to ValueError so hostile scraped bytes
+    fail the same loud way as the PNG/JPEG/AVI boundaries
+    (tests/test_codecs_fuzz.py pins this contract)."""
     import io
     import wave
 
-    if payload is None:
-        payload = b""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError(
-                f"unsupported sample width {w.getsampwidth()} (16-bit only)"
-            )
-        frames = w.readframes(w.getnframes())
-    n = len(frames) // 2
-    return [s for (s,) in struct.iter_unpack("<h", frames[: n * 2])]
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"unsupported sample width {w.getsampwidth()}"
+                    " (16-bit only)"
+                )
+            return w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        # stdlib wave/chunk surface malformed streams as wave.Error,
+        # EOFError, struct.error AND bare RuntimeError (seen on
+        # corrupted fmt headers) — all mean the same thing here.
+        raise ValueError(f"malformed WAV: {exc}") from exc
 
 
 # --- JPEG (ITU-T T.81 baseline sequential) -----------------------------------
@@ -1034,12 +1045,22 @@ class _BitReader:
 
 def _huff_tree(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
     """Canonical code table from a DHT segment: {(length, code): symbol}
-    (§C.2 code assignment)."""
+    (§C.2 code assignment). Corrupted segments (a BITS list promising
+    more symbols than HUFFVAL carries, or codes overflowing a length)
+    raise ValueError — hostile-bytes contract."""
+    if len(bits) != 16:
+        raise ValueError("truncated DHT BITS list")
+    if sum(bits) > len(vals):
+        raise ValueError(
+            f"DHT declares {sum(bits)} symbols, carries {len(vals)}"
+        )
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("DHT code overflow (invalid BITS list)")
             out[(length, code)] = vals[k]
             code += 1
             k += 1
@@ -1293,6 +1314,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xDB:  # DQT
             b = 0
             while b < len(body):
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quantization unsupported")
@@ -1301,6 +1324,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = body[b + 1 : b + 17]
                 n = sum(bits)
@@ -1309,7 +1334,15 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 b += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             prec, height, width, nf = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("truncated SOF component list")
+            if width == 0 or height == 0:
+                raise ValueError("zero image dimension in SOF")
+            if comps:
+                raise ValueError("multiple SOF markers")
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
             if nf not in (1, 3):
@@ -1344,11 +1377,17 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 "(baseline sequential and progressive only)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if width is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated SOS header")
             ns = body[0]
+            if ns == 0:
+                raise ValueError("SOS with zero scan components")
             scan_comps: list[tuple[int, int, int]] = []
             for i in range(ns):
                 cid, tda = body[1 + 2 * i], body[2 + 2 * i]
@@ -1457,6 +1496,183 @@ def jpeg_features(payload: bytes) -> dict:
         "feat_dim": 8,
         "feat_norm": sum(f * f for f in feats),
     }
+
+
+# --- AVI / Motion-JPEG container (round 9: the video decode boundary) ---
+#
+# Minimal AVI 1.0 (RIFF 'AVI ') muxer/demuxer for Motion-JPEG — each
+# video frame is a complete baseline JPEG carried in a '00dc' chunk, so
+# the frame pictures decode through the from-scratch `jpeg_decode`
+# above and the video boundary is as honest as the PNG/WAV/JPEG ones.
+# Subset (decode): one 'vids'/'MJPG' stream, no OpenDML extensions, no
+# audio; anything else raises ValueError loudly (same honest-boundary
+# policy as the other codecs). A production deployment swaps an
+# ffmpeg-backed callable in at the same call site.
+
+AVIF_HASINDEX = 0x10
+AVIIF_KEYFRAME = 0x10
+
+
+def avi_mjpeg_encode(
+    frames: list[bytes], width: int, height: int, fps: int = 4
+) -> bytes:
+    """Mux complete JPEG frames into a spec-shaped AVI 1.0 container:
+    RIFF('AVI ', LIST(hdrl: avih + LIST(strl: strh 'vids'/'MJPG' +
+    strf BITMAPINFOHEADER)), LIST(movi: '00dc' chunks, word-aligned),
+    idx1). Every size field is real — `avi_mjpeg_decode` and any
+    standard player agree on the layout."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    if fps <= 0:
+        raise ValueError(f"bad fps {fps}")
+    for i, fr in enumerate(frames):
+        if fr[:2] != b"\xff\xd8":
+            raise ValueError(f"frame {i} is not a JPEG (no SOI)")
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(f) for f in frames)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, max_bytes * fps, 0, AVIF_HASINDEX,
+        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        max_bytes, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for fr in frames:
+        # idx1 offsets point at the chunk id, relative to the 'movi'
+        # fourcc (the convention every mainstream demuxer accepts).
+        idx += struct.pack(
+            "<4sIII", b"00dc", AVIIF_KEYFRAME, len(movi_body), len(fr)
+        )
+        movi_body += chunk(b"00dc", fr)
+    movi = chunk(b"LIST", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(idx))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk sibling RIFF chunks in data[pos:end] -> (tag, body_lo,
+    body_hi) with hard bounds checks (truncated/overrunning chunks
+    raise ValueError — hostile bytes must fail loudly, never index
+    past the buffer)."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated RIFF chunk header")
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        lo, hi = pos + 8, pos + 8 + size
+        if hi > end:
+            raise ValueError(
+                f"RIFF chunk {tag!r} overruns its parent "
+                f"({hi} > {end})"
+            )
+        yield tag, lo, hi
+        pos = hi + (size & 1)  # word alignment
+
+
+def avi_mjpeg_decode(
+    data: bytes,
+) -> tuple[int, int, int, list[bytes]]:
+    """Parse AVI bytes -> (width, height, us_per_frame, jpeg_frames).
+    Validates the RIFF framing, requires exactly one 'vids' stream
+    with an 'MJPG' handler, collects the '00dc' movi chunks (each must
+    open with a JPEG SOI), and cross-checks the frame count against
+    the avih header. Everything outside the subset (audio streams,
+    OpenDML 'AVIX', non-MJPG video) raises ValueError loudly; frame
+    pictures decode through `jpeg_decode`."""
+    if len(data) < 12 or data[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if 8 + riff_size > len(data):
+        raise ValueError("truncated RIFF payload")
+    if data[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI (form {data[8:12]!r})")
+
+    width = height = us_per_frame = total_frames = None
+    handler = None
+    n_streams = 0
+    frames: list[bytes] = []
+    for tag, lo, hi in _riff_chunks(data, 12, 8 + riff_size):
+        if tag != b"LIST":
+            continue  # idx1 / JUNK: optional, not needed for decode
+        form = data[lo : lo + 4]
+        if form == b"hdrl":
+            for t2, l2, h2 in _riff_chunks(data, lo + 4, hi):
+                if t2 == b"avih":
+                    if h2 - l2 < 40:
+                        raise ValueError("avih header too short")
+                    (us_per_frame,) = struct.unpack_from("<I", data, l2)
+                    total_frames, _, n_streams = struct.unpack_from(
+                        "<III", data, l2 + 16
+                    )
+                    width, height = struct.unpack_from(
+                        "<II", data, l2 + 32
+                    )
+                elif t2 == b"LIST" and data[l2 : l2 + 4] == b"strl":
+                    for t3, l3, h3 in _riff_chunks(data, l2 + 4, h2):
+                        if t3 == b"strh":
+                            if h3 - l3 < 8:
+                                raise ValueError("strh too short")
+                            fcc_type = data[l3 : l3 + 4]
+                            if fcc_type != b"vids":
+                                raise ValueError(
+                                    "unsupported stream type "
+                                    f"{fcc_type!r} (MJPG video only)"
+                                )
+                            handler = data[l3 + 4 : l3 + 8]
+        elif form == b"movi":
+            for t2, l2, h2 in _riff_chunks(data, lo + 4, hi):
+                if t2 == b"00dc":
+                    fr = data[l2:h2]
+                    if fr[:2] != b"\xff\xd8":
+                        raise ValueError(
+                            "movi 00dc chunk is not a JPEG frame"
+                        )
+                    frames.append(fr)
+                elif t2[2:4] in (b"wb", b"db", b"dc"):
+                    raise ValueError(
+                        f"unsupported movi chunk {t2!r} "
+                        "(single MJPG video stream only)"
+                    )
+        elif form == b"AVIX":
+            raise ValueError("OpenDML AVIX extension unsupported")
+    if width is None:
+        raise ValueError("no avih header")
+    if n_streams != 1:
+        raise ValueError(f"expected 1 stream, header says {n_streams}")
+    if handler != b"MJPG":
+        raise ValueError(f"unsupported video handler {handler!r}")
+    if not frames:
+        raise ValueError("no 00dc frames in movi")
+    if total_frames != len(frames):
+        raise ValueError(
+            f"frame count mismatch: avih says {total_frames}, "
+            f"movi carries {len(frames)}"
+        )
+    return width, height, us_per_frame, frames
 
 
 def auto_decode(payload: bytes) -> dict:

@@ -353,9 +353,10 @@ def knn_graph(
     bench_history/scale_sf1.json): expected bucket size is n/2^b, so
     pair volume stays linear only if b grows with log2(n) — one extra
     plane per corpus doubling pins bucket size. b is this constructor's
-    `plane_ids_pred` cardinality, i.e. a deployment knob; the gated
-    query keeps a fixed literal because the oracle's per-plane sign
-    chains are generated at import time."""
+    `plane_ids_pred` cardinality; the gated queries derive it from the
+    corpus count (`training_data.knn_plane_count`, round-9) and the
+    oracle mirrors the same integer formula in SQL, so the sizing is
+    self-tuning, not a literal."""
     planes = (
         base.filter(plane_ids_pred)
         .select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))

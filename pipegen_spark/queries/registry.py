@@ -33,35 +33,37 @@ rounds; long-stable canaries stay in every window):
   the 18 lowest-numbered r3-green relational rows (the whole r1-r3
   tranche's newest rows date from r3), and the 6 canaries. After this
   window every query's newest driver row is <= 3 rounds old.
-- r8 window (current): the remaining 26 r3-green relational rows
-  (q18-q46 minus canaries), the three changed/new surfaces
+- r8 window: the remaining 26 r3-green relational rows (q18-q46 minus
+  canaries), the three changed/new surfaces
   (curate_ensemble_threshold — brand-new gated 100 TB-shape ensemble;
   curate_unimax, whose budget multiply went overflow-split and whose
   epochs_ppm gained the zero-token guard in BOTH engines; and the
   brand-new multimodal_frame_sample and dedup_semantic_auto), the 14
-  alphabetically-first r5-green ops, and the 6 canaries. After this
-  window no driver row anywhere predates r4.
-- r9 plan: the remaining 31 r5-green ops (dedup_incremental onward) +
-  the six round-8 additions that landed after the r8 window was cut
-  (multimodal_vad_segments, multimodal_audio_fp,
-  embed_hard_negatives, text_bpe_train, simsearch_bitext,
-  curate_preference_pairs, multimodal_jpeg_420 — 4:2:0 chroma
-  subsampling, baseline + progressive — and text_bpe_encode — the
-  trained-merge tokenization pass — all oracle-green on the
-  local mirror — plus a re-gate of simsearch_bitext's final plan
-  shape and of embed_normalize / embed_quantize, whose gate surface
-  changed late in r8 from exploded per-element rows to per-vector
-  in-engine md5 folds — same element sensitivity, 64x fewer result
-  rows, measured 3.6 -> 0.8 s warm — and the brand-new
-  simsearch_ivfpq, IVFADC over product-quantized residuals, and
-  text_textrank, PageRank keyword ranking over the co-occurrence
-  graph, and curate_doremi, multiplicative-weights domain
-  reweighting, and multimodal_resample, engine-exact linear audio
-  resampling over the real WAV decode, and curate_blocklist,
-  C4-style word-boundary banned-list filtering, and
-  embed_top_direction, integer power iteration over the exact Gram
-  matrix, and multimodal_patches, ViT-style patch statistics over
-  the real PNG codec), keeping the canaries; overflow rolls to r10.
+  alphabetically-first r5-green ops, and the 6 canaries. Came back
+  50/50 green; after this window no driver row anywhere predated r4.
+- r9 window (current): retires the whole never-gated set — the 31
+  round-8 late-tranche queries that had no driver row (q76-q80,
+  curate_blocklist/boilerplate/calibration/doremi/length_stats/
+  preference_pairs/split_leakage, dedup_tfidf_cosine/threshold_sweep/
+  triangles, embed_cluster_sample/jl_project/top_direction,
+  multimodal_audio_fp/jpeg_420/patches/resample/vad_segments/
+  wav_energy, simsearch_ivfpq, text_bpe_encode/bpe_train/chardiv/
+  rake/textrank/vocab_growth) — plus the 7 changed/new surfaces
+  (dedup_semantic re-pointed at the scale-safe auto-k plan, retiring
+  the redundant dedup_semantic_auto key; simsearch_knn_graph /
+  embed_hard_negatives / simsearch_bitext with the size-derived LSH
+  plane count; embed_normalize / embed_quantize whose gate surface
+  went to per-vector md5 folds late in r8; and the brand-new
+  multimodal_mjpeg_frames — real MJPEG/AVI container decode over the
+  from-scratch JPEG codec), 6 rolling r5 re-gates (dedup_incremental,
+  dedup_setjoin, dedup_substring, embed_gram, embed_matryoshka,
+  embed_pq), and the 6 canaries. After this window EVERY query in the
+  corpus has at least one driver row.
+- r10 plan: the remaining 22 r5-green ops (multimodal_features,
+  multimodal_phash, q48/q53/q54/q57/q75, simsearch_hybrid/mmr/pq/
+  pq_recall, text_bpe_pairs/burstiness/cms_topk/diversity/
+  good_turing/kneser_ney/lm_bigram/pmi/rarity/readability/
+  typo_pairs) + the r6 tranche head, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -96,80 +98,79 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 8: queries whose gated SURFACE is new or changed this round —
-#: the gated 100 TB-shape ensemble composition (brand new: same three
-#: signals as curate_ensemble, histogram-cutoff gate instead of the
-#: exact-rank sort), and curate_unimax (overflow-split budget multiply
-#: via dl.mul_ppm + zero-token epochs_ppm guard, changed in BOTH
-#: engines this round).
+#: Round 9: queries whose gated SURFACE is new or changed this round —
+#: dedup_semantic re-pointed at the scale-safe size-derived-k SemDeDup
+#: plan (the r8-gated dedup_semantic_auto algorithm; that redundant key
+#: is retired), the three LSH consumers whose plane count now derives
+#: from the corpus size (knn_plane_count, mirrored by the oracle's
+#: CASE-ladder CTE), the two embed surfaces whose gate output went to
+#: per-vector md5 folds after the r8 window was cut, and the brand-new
+#: multimodal_mjpeg_frames (real MJPEG/AVI container decode over the
+#: from-scratch JPEG codec).
 GATE_CHANGED = (
-    "curate_ensemble_threshold",
-    "curate_unimax",
-    "multimodal_frame_sample",
-    "dedup_semantic_auto",
-    "multimodal_jpeg_progressive",
+    "dedup_semantic",
+    "simsearch_knn_graph",
+    "embed_hard_negatives",
+    "simsearch_bitext",
+    "embed_normalize",
+    "embed_quantize",
+    "multimodal_mjpeg_frames",
 )
 
-#: Rolling re-gates: the 13 alphabetically-first of the 44 ops whose
-#: newest driver rows date from round 5 (the remaining 31, starting at
-#: dedup_incremental, rotate in r9 — dedup_semantic's scale-safe auto-k
-#: sibling above carries the identical algorithm through this window's
-#: gate; dedup_incremental yielded its slot to the brand-new progressive
-#: JPEG query).
+#: Never-gated retirement (round-9 priority, VERDICT r8 top_next): the
+#: 31 queries that landed after the r8 window was cut and have no
+#: driver CORRECTNESS row anywhere (embed_hard_negatives and
+#: simsearch_bitext, also never gated, ride GATE_CHANGED above). After
+#: this window every query in the corpus has at least one hard row.
+GATE_NEVER = (
+    "q76_gap_fill",
+    "q77_mad_anomaly",
+    "q78_streaks",
+    "q79_tpch_min_cost_supp",
+    "q80_tpch_dominant_supplier",
+    "curate_blocklist",
+    "curate_boilerplate",
+    "curate_calibration",
+    "curate_doremi",
+    "curate_length_stats",
+    "curate_preference_pairs",
+    "curate_split_leakage",
+    "dedup_tfidf_cosine",
+    "dedup_threshold_sweep",
+    "dedup_triangles",
+    "embed_cluster_sample",
+    "embed_jl_project",
+    "embed_top_direction",
+    "multimodal_audio_fp",
+    "multimodal_jpeg_420",
+    "multimodal_patches",
+    "multimodal_resample",
+    "multimodal_vad_segments",
+    "multimodal_wav_energy",
+    "simsearch_ivfpq",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_chardiv",
+    "text_rake",
+    "text_textrank",
+    "text_vocab_growth",
+)
+
+#: Rolling re-gates: the 6 alphabetically-first of the ops whose newest
+#: driver rows date from round 5 (the remaining 22 rotate in r10).
 GATE_ROLLING = (
-    "curate_budget",
-    "curate_drift",
-    "curate_dsir",
-    "curate_fim",
-    "curate_gopher",
-    "curate_shuffle",
-    "curate_span_mask",
-    "curate_split",
-    "curate_temperature",
-    "curate_weighted_sample",
-    "dedup_bloom",
-    "dedup_cc_star",
-    "dedup_containment",
+    "dedup_incremental",
+    "dedup_setjoin",
+    "dedup_substring",
+    "embed_gram",
+    "embed_matryoshka",
+    "embed_pq",
 )
 
-#: Relational refresh: the remaining 26 relational queries whose newest
-#: driver rows date from round 3 (q18-q46 minus the canaries) — after
-#: this window the whole r1-r3 tranche has a fresh row.
-GATE_RELATIONAL_REFRESH = (
-    "q18_left_join",
-    "q19_props_extract",
-    "q20_cube",
-    "q21_math_funcs",
-    "q22_array_funcs",
-    "q23_approx_distinct",
-    "q24_conditional_funcs",
-    "q25_full_outer",
-    "q26_cross_join",
-    "q27_exists_correlated",
-    "q28_union_distinct",
-    "q29_like_regex",
-    "q30_buckets",
-    "q31_sessionize",
-    "q32_percentiles",
-    "q33_window_family",
-    "q34_string_funcs2",
-    "q35_date_funcs",
-    "q36_curation_decision",
-    "q39_stream_session",
-    "q40_hopping_window",
-    "q41_stream_join",
-    "q42_stream_dedup",
-    "q44_tpch_shipping",
-    "q45_tpch_region_volume",
-    "q46_tpch_returns",
-)
-
-#: The full round-8 gate window, in enumeration order: 5 changed/new
-#: surfaces + 13 rolling re-gates + 26 relational refreshes + 6
+#: The full round-9 gate window, in enumeration order: 7 changed/new
+#: surfaces + 31 never-gated retirements + 6 rolling re-gates + 6
 #: canaries = 50.
-GATE_WINDOW = (
-    GATE_CHANGED + GATE_ROLLING + GATE_RELATIONAL_REFRESH + GATE_CANARIES
-)
+GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 
 def _collect(module) -> dict[str, QueryFn]:

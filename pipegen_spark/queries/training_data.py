@@ -61,7 +61,28 @@ N_QUERY_VECS = 5  # query vectors: vec_id < 5
 RANGE_COS_THRESHOLD = 0.2  # radius search: ~140 hits at sf0.01 (max ~0.4)
 PLANE_LO, PLANE_HI = 100, 107  # plane vectors: vec_id in [100, 107]
 KNN_PLANE_LO, KNN_PLANE_HI = 100, 103  # kNN graph: 4 planes -> 16 buckets
+# Size-parameterized LSH plane count (round-9: fixed b measured x7.28
+# wall at 10x data — bench_history/scale_sf1.json — because expected
+# bucket size is n/2^b; one extra plane per corpus doubling keeps it
+# pinned). b = min(BASE + ceil(log2(ceil(n / KNN_BASE_N))), MAX), an
+# integer-exact formula both engines compute from COUNT(*) — at the
+# declared base size it reduces to the historical 4 planes, so gate
+# rows stay comparable. MAX=12 uses plane vectors vec_id 100..111
+# (plain corpus rows; the reserve ends well before the centroid block
+# at 200). Beyond 2^8 x base the count clamps — past that, re-declare
+# KNN_BASE_N for the deployment.
+KNN_BASE_N = 500  # declared base corpus size (sf0.01 embeddings count)
+KNN_PLANES_BASE = 4
+KNN_PLANES_MAX = 12
 KNN_GRAPH_K = 3
+
+
+def knn_plane_count(n: int) -> int:
+    """ceil-log2 plane sizing: min(BASE + ceil(log2(ceil(n/N0))), MAX).
+    (q-1).bit_length() == ceil(log2(q)) for q >= 1, so this is pure
+    integer arithmetic — the oracle mirrors it with a CASE ladder."""
+    q = (n + KNN_BASE_N - 1) // KNN_BASE_N
+    return min(KNN_PLANES_BASE + (q - 1).bit_length(), KNN_PLANES_MAX)
 # Recall measurement uses a coarser index (2 planes -> 4 buckets): with 8
 # planes over random near-orthogonal vectors recall@5 is uniformly 0,
 # which checks nothing; 4 wide buckets give a 0.2-0.8 spread to verify.
@@ -297,12 +318,17 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed all-corpus kNN graph (k=3, 4 LSH planes -> 16 buckets —
-    pairs meet only through the bucket equi-join)."""
+    """Bucketed all-corpus kNN graph (k=3; pairs meet only through the
+    bucket equi-join). Plane count b = knn_plane_count(n) scales with
+    the corpus (round-9: one extra plane per doubling past KNN_BASE_N
+    keeps the expected bucket size, hence pair volume per row,
+    constant); at base size it is the historical 4 planes / 16
+    buckets. n is one bounded scalar collect."""
     emb = table(spark, sf_dir, "embeddings")
+    b = knn_plane_count(emb.count())
     return sim.knn_graph(
         emb,
-        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
+        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_LO + b - 1),
         k=KNN_GRAPH_K,
         dim=EMB_DIM,
     )
@@ -311,11 +337,14 @@ def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (ANN-mined cross-label top-1
     per anchor, LSH-bucketed — the DPR/SimCSE negative-selection step;
-    see operators/similarity.hard_negatives for the 100 TB shape)."""
+    see operators/similarity.hard_negatives for the 100 TB shape).
+    Plane count scales with corpus size exactly as in
+    simsearch_knn_graph (shared knn_plane_count sizing)."""
     emb = table(spark, sf_dir, "embeddings")
+    b = knn_plane_count(emb.count())
     return sim.hard_negatives(
         emb,
-        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
+        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_LO + b - 1),
         dim=EMB_DIM,
     )
 
@@ -327,25 +356,33 @@ def simsearch_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LASER/CCMatrix selection rule; see
     operators/similarity.bitext_margin for the integer-exact margin
     and the 100 TB bucket shape). Embeddings join documents 1:1 on
-    vec_id = doc_id; lang supplies the source/target split."""
+    vec_id = doc_id; lang supplies the source/target split. Plane
+    count scales with corpus size (shared knn_plane_count sizing)."""
     emb = table(spark, sf_dir, "embeddings")
     groups = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"),
         (F.col("lang") == "en").alias("is_src"),
     )
+    b = knn_plane_count(emb.count())
     return sim.bitext_margin(
         emb,
         groups,
-        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_HI),
+        F.col("vec_id").between(KNN_PLANE_LO, KNN_PLANE_LO + b - 1),
         dim=EMB_DIM,
     )
 
 
 def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quality-percentile gate (keep the top 60% of each
-    source by the shared quality score). Exact per-doc rank — the
-    deterministic oracle surface; its per-source window sort is the
-    test-scale form (see curate_quality_threshold for the 100 TB one)."""
+    """[test-scale] Per-source quality-percentile gate (keep the top 60%
+    of each source by the shared quality score) via exact per-doc window
+    rank. DO NOT deploy on a mega-source: ranking every row of one
+    source is a single-partition sort at 100 TB (the r6-verdict
+    scale-killer shape). The production form is
+    `curate_quality_threshold` (bounded histogram + broadcast cutoff —
+    identical keep decisions on this micro-quantized score), which is
+    what `curate_ensemble_threshold` composes; this exact-rank surface
+    is retained as the deterministic oracle baseline the threshold gate
+    is proven against."""
     docs = table(spark, sf_dir, "documents")
     return cu.quality_percentile_gate(docs)
 
@@ -1193,6 +1230,132 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 JPEG_ERR_TOL = 8  # 2x the measured worst reconstruction error (4) on
 # md5-noise pixels at quant=1 — DCT+color rounding only, no quant loss
 
+MJPEG_FPS = 4  # -> us_per_frame 250000, frame_ts stride 250 ms
+
+
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode boundary (round 9 — closes the last multimodal
+    stand-in): each document becomes a genuine Motion-JPEG VIDEO — 2 +
+    (n_chars % 3) frames, frame f an 8x8 RGB picture tiled from
+    md5(text || ':' || f), each encoded to a real baseline JPEG and
+    muxed into a spec-shaped AVI 1.0 container
+    (`codecs.avi_mjpeg_encode`: RIFF/hdrl/avih/strl/movi/idx1 with real
+    size fields). The SAME bytes are then demuxed back through
+    `codecs.avi_mjpeg_decode` (RIFF walk with hard bounds checks,
+    header cross-validation) and every frame picture decodes through
+    the from-scratch `codecs.jpeg_decode` — so the video path is as
+    honest as the PNG/WAV/JPEG ones (ffmpeg remains the documented
+    production swap-in at the same call site).
+
+    Per-frame gated claims: `container_ok` (demux returns the exact
+    8x8 geometry, the exact us_per_frame for MJPEG_FPS, the header
+    frame count matches, and the demuxed frame bytes are BIT-IDENTICAL
+    to what was muxed — any framing/size-field/alignment bug breaks
+    it) and `decode_ok` (the frame's JPEG decode reconstructs the
+    original 8x8 buffer within JPEG_ERR_TOL — the same lossy-codec
+    property oracle as the other jpeg queries). The analytic half of
+    the surface is hard-valued: frame_ts_ms from the container stride,
+    the md5-derived 60-bit frame signature, and the per-media LAG
+    scene-cut flag (the keyframe rule multimodal_frame_sample
+    established) are all SQL-reconstructable, so the oracle hashes
+    real values, not just all-true booleans. Map-only Arrow stage,
+    repartitioned ahead of the CPU-heavy codec work; the only shuffle
+    is the per-media LAG window keyed by media_id."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+
+    def mux_demux(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import (
+            avi_mjpeg_decode,
+            avi_mjpeg_encode,
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            ids, idxs, cok, dok = [], [], [], []
+            for did, t, nc in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                n_frames = 2 + int(nc) % 3
+                origs, jpgs = [], []
+                for f in range(n_frames):
+                    seed = hashlib.md5(
+                        f"{t or ''}:{f}".encode("utf-8")
+                    ).digest()
+                    px = (seed * 12)[: 8 * 8 * 3]
+                    origs.append(px)
+                    jpgs.append(jpeg_encode(8, 8, px, 3))
+                avi = avi_mjpeg_encode(jpgs, 8, 8, fps=MJPEG_FPS)
+                w, h, uspf, out = avi_mjpeg_decode(avi)
+                c_ok = (
+                    (w, h, uspf) == (8, 8, 1_000_000 // MJPEG_FPS)
+                    and out == jpgs
+                )
+                for f in range(n_frames):
+                    dw, dh, dc, dpx = jpeg_decode(out[f])
+                    ids.append(did)
+                    idxs.append(f)
+                    cok.append(c_ok)
+                    dok.append(
+                        (dw, dh, dc) == (8, 8, 3)
+                        and max(
+                            abs(a - b)
+                            for a, b in zip(origs[f], dpx)
+                        ) <= JPEG_ERR_TOL
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "container_ok": cok,
+                    "decode_ok": dok,
+                }
+            )
+
+    from pyspark.sql.window import Window
+
+    par = spark.sparkContext.defaultParallelism
+    frames = (
+        docs.select("doc_id", "text", "n_chars")
+        .repartition(par)
+        .mapInPandas(
+            mux_demux,
+            "media_id long, frame_idx int, container_ok boolean, "
+            "decode_ok boolean",
+        )
+    )
+    sig = dl.hash60(
+        "concat(cast(media_id AS string), ':',"
+        " cast(frame_idx AS string))",
+        dl.SPARK,
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    return (
+        frames.withColumn(
+            "frame_ts_ms",
+            (F.col("frame_idx") * (1000 // MJPEG_FPS)).cast("long"),
+        )
+        .withColumn("frame_sig", F.expr(sig))
+        .withColumn("prev_sig", F.lag("frame_sig").over(w))
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            "frame_sig",
+            (
+                F.col("prev_sig").isNull()
+                | ((F.col("frame_sig") % 10) < (F.col("prev_sig") % 10))
+            ).alias("is_scene_cut"),
+            "container_ok",
+            "decode_ok",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
 
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG codec under the driver gate (round-7 stretch):
@@ -1662,37 +1825,28 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means the embeddings (same seeds/
-    iterations as embed_kmeans), then flag within-cluster semantic
-    duplicates at cosine >= EMB_DUP_THRESHOLD, keep-first by vec_id."""
-    vecs = table(spark, sf_dir, "embeddings")
-    return em.semantic_dedup(
-        vecs,
-        F.col("vec_id") < KMEANS_K,
-        threshold=EMB_DUP_THRESHOLD,
-        iters=KMEANS_ITERS,
-        vec_col="embedding",
-        id_col="vec_id",
-        dim=EMB_DIM,
-    ).orderBy("vec_id")
-
-
-def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe SemDeDup: identical algorithm to `dedup_semantic`, but
-    k derives from the corpus size — k = max(KMEANS_K,
-    ceil(n / SEMDEDUP_TARGET_CLUSTER)) — instead of staying fixed.
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then flag
+    within-cluster semantic duplicates at cosine >= EMB_DUP_THRESHOLD,
+    keep-first by vec_id. k derives from the corpus size —
+    k = max(KMEANS_K, ceil(n / SEMDEDUP_TARGET_CLUSTER)) — NOT a fixed
+    literal (round-9 re-point; this key carried the fixed-k form
+    through r8, landed as `dedup_semantic_auto` in r8's gate, and is
+    now the one gated surface).
 
     Why (measured, bench_history/scale_sf1.json): with fixed k the
     clusters grow linearly with the corpus, so the within-cluster pair
-    join grows QUADRATICALLY — on a 10x corpus dedup_semantic's wall
+    join grows QUADRATICALLY — on a 10x corpus the fixed-k form's wall
     went x14.95 while every other measured operator stayed sub-linear.
     Size-proportional k (the discipline the SemDeDup paper itself uses:
     cluster count scales with dataset size) pins the EXPECTED cluster
     size at SEMDEDUP_TARGET_CLUSTER, making total pair volume linear in
     n. The corpus count is one scalar collect (documented bounded-
     collect site #5, SCALE.md); at this testdata scale the derived k
-    equals KMEANS_K, so this query also re-proves the fixed-k results
-    through an independently-derived oracle predicate.
+    equals KMEANS_K, so the results also match the historical fixed-k
+    rows through an independently-derived oracle predicate. The fixed-k
+    form remains available as `ref_dedup_semantic_fixedk` (test-scale
+    surface, exercised in tests only — never deploy on a growing
+    corpus).
 
     Next bottleneck on the ladder (documented, not yet needed): the
     broadcast-centroid assignment is O(n·k) = O(n²/target), which
@@ -1709,6 +1863,27 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.semantic_dedup(
         vecs,
         F.col("vec_id") < k,
+        threshold=EMB_DUP_THRESHOLD,
+        iters=KMEANS_ITERS,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=EMB_DIM,
+    ).orderBy("vec_id")
+
+
+def ref_dedup_semantic_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[test-scale] The fixed-k SemDeDup form `dedup_semantic` carried
+    through round 8 — kept OUT of the corpus (the `ref_` prefix is not
+    collected by the registry) as a labeled test surface: with k fixed,
+    cluster size grows linearly with the corpus and the within-cluster
+    pair join goes quadratic (measured x14.95 wall at 10x,
+    bench_history/scale_sf1.json). tests/test_operators.py pins its
+    equivalence to `dedup_semantic` at test scale, where the derived k
+    equals KMEANS_K."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return em.semantic_dedup(
+        vecs,
+        F.col("vec_id") < KMEANS_K,
         threshold=EMB_DUP_THRESHOLD,
         iters=KMEANS_ITERS,
         vec_col="embedding",

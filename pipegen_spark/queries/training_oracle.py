@@ -575,17 +575,39 @@ def _brute_force_sql() -> str:
     """
 
 
+def _knn_planes_ctes() -> str:
+    """Shared CTEs for the size-parameterized LSH plane count: bdef
+    computes b = min(BASE + ceil(log2(ceil(n/N0))), MAX) from COUNT(*)
+    with a CASE ladder (integer-exact mirror of
+    training_data.knn_plane_count — (q-1).bit_length() unrolled to the
+    clamp), then `planes` selects the first b plane vectors. At the
+    declared base size this reduces to the historical 4-plane index."""
+    n0 = td.KNN_BASE_N
+    ladder = " ".join(
+        f"WHEN q <= {1 << e} THEN {e}"
+        for e in range(td.KNN_PLANES_MAX - td.KNN_PLANES_BASE)
+    )
+    clamp = td.KNN_PLANES_MAX - td.KNN_PLANES_BASE
+    return f"""planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
+               embedding AS pv
+        FROM embeddings
+        WHERE vec_id BETWEEN {td.KNN_PLANE_LO}
+              AND {td.KNN_PLANE_LO} + (
+                  SELECT {td.KNN_PLANES_BASE}
+                         + CASE {ladder} ELSE {clamp} END
+                  FROM (SELECT (COUNT(*) + {n0 - 1}) // {n0} AS q
+                        FROM embeddings) t
+              ) - 1
+    )"""
+
+
 def _knn_graph_sql() -> str:
     """Mirror of similarity.knn_graph (within-bucket all-corpus kNN)."""
     dot = dl.dot_double("e.embedding", "p.pv", td.EMB_DIM, D)
     cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
     return f"""
-    WITH planes AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
-               embedding AS pv
-        FROM embeddings
-        WHERE vec_id BETWEEN {td.KNN_PLANE_LO} AND {td.KNN_PLANE_HI}
-    ),
+    WITH {_knn_planes_ctes()},
     buckets AS (
         SELECT e.vec_id AS id,
                CAST(SUM(CASE WHEN {dot} > 0
@@ -616,12 +638,7 @@ def _hard_negatives_sql() -> str:
     dot = dl.dot_double("e.embedding", "p.pv", td.EMB_DIM, D)
     cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
     return f"""
-    WITH planes AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
-               embedding AS pv
-        FROM embeddings
-        WHERE vec_id BETWEEN {td.KNN_PLANE_LO} AND {td.KNN_PLANE_HI}
-    ),
+    WITH {_knn_planes_ctes()},
     buckets AS (
         SELECT e.vec_id AS id,
                CAST(SUM(CASE WHEN {dot} > 0
@@ -727,12 +744,7 @@ def _bitext_sql() -> str:
     den = f"({dl.idiv('s_sum', 's_cnt', D)} + {dl.idiv('t_sum', 't_cnt', D)})"
     margin = dl.idiv("pm.cos_micro * 2000000", den, D)
     return f"""
-    WITH planes AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS bit,
-               embedding AS pv
-        FROM embeddings
-        WHERE vec_id BETWEEN {td.KNN_PLANE_LO} AND {td.KNN_PLANE_HI}
-    ),
+    WITH {_knn_planes_ctes()},
     buckets AS (
         SELECT e.vec_id AS id,
                CAST(SUM(CASE WHEN {dot} > 0
@@ -2659,6 +2671,49 @@ def _frame_sample_sql() -> str:
     """
 
 
+def _mjpeg_frames_sql() -> str:
+    """Mirror of queries.training_data.multimodal_mjpeg_frames: the
+    per-doc frame fan-out (2 + n_chars % 3 frames), the container
+    timestamp stride (1000/MJPEG_FPS ms), the md5-derived 60-bit frame
+    signature, and the per-media LAG scene-cut flag are all analytic;
+    the AVI demux + JPEG decode claims are lossy-codec property
+    columns (all-true — same oracle style as the jpeg family)."""
+    from pipegen_spark.queries.training_data import MJPEG_FPS
+
+    stride = 1000 // MJPEG_FPS
+    sig = dl.hash60(
+        "concat(CAST(media_id AS VARCHAR), ':',"
+        " CAST(frame_idx AS VARCHAR))",
+        D,
+    )
+    return f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, 2 + (n_chars % 3) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT media_id, CAST(u.f AS INT) AS frame_idx
+        FROM media,
+             unnest(generate_series(0, n_frames - 1)) AS u(f)
+    ),
+    sigs AS (
+        SELECT media_id, frame_idx, {sig} AS frame_sig,
+               LAG({sig}) OVER (
+                   PARTITION BY media_id ORDER BY frame_idx
+               ) AS prev_sig
+        FROM frames
+    )
+    SELECT media_id, frame_idx,
+           CAST(frame_idx * {stride} AS BIGINT) AS frame_ts_ms,
+           frame_sig,
+           (prev_sig IS NULL OR (frame_sig % 10) < (prev_sig % 10))
+               AS is_scene_cut,
+           TRUE AS container_ok, TRUE AS decode_ok
+    FROM sigs
+    ORDER BY media_id, frame_idx
+    """
+
+
 def _wav_energy_ctes() -> str:
     """Shared WITH-clause body reconstructing the REAL WAV decode
     chain's windowed frame energies from md5() hex alone (see
@@ -3625,6 +3680,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_patches": _patches_sql(),
     "multimodal_audio_fp": _audio_fp_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
+    "multimodal_mjpeg_frames": _mjpeg_frames_sql(),
     # Property oracle (see multimodal_jpeg_roundtrip's docstring): JPEG
     # is lossy so decoded bytes are not SQL-derivable; the gated claim is
     # the reconstruction-error bound, which must hold for EVERY doc.
@@ -3666,8 +3722,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_lm_bigram": _lm_bigram_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
-    "dedup_semantic": _semdedup_sql(),
-    "dedup_semantic_auto": _semdedup_sql(auto_k=True),
+    "dedup_semantic": _semdedup_sql(auto_k=True),
     "curate_split": (
         "SELECT doc_id, lang, source, "
         + cu.split_expr("doc_id", D)

@@ -756,3 +756,99 @@ def test_jpeg_420_golden_digests():
     ).hexdigest()
     assert d_base == "b2da9be755dff4fecf249a2f4105bb9b1e609216a4b945e89241509a6e2f4442"
     assert d_prog == "54b498b5feb9d943834968db73a186283a1a150d513dc5c0eb946c6eda773a74"
+
+
+def test_avi_mjpeg_roundtrip():
+    """Mux genuine JPEG frames into AVI and demux bit-identically; the
+    demuxed frames decode through jpeg_decode within tolerance."""
+    import hashlib
+
+    from pipegen_spark.operators.codecs import (
+        avi_mjpeg_decode,
+        avi_mjpeg_encode,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    origs, frames = [], []
+    for i in range(4):
+        px = (hashlib.md5(f"f{i}".encode()).digest() * 12)[: 8 * 8 * 3]
+        origs.append(px)
+        frames.append(jpeg_encode(8, 8, px, 3))
+    avi = avi_mjpeg_encode(frames, 8, 8, fps=4)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    # declared RIFF size must match the actual byte count
+    import struct as _s
+
+    assert _s.unpack_from("<I", avi, 4)[0] == len(avi) - 8
+    w, h, uspf, out = avi_mjpeg_decode(avi)
+    assert (w, h, uspf) == (8, 8, 250000)
+    assert out == frames
+    for px, fr in zip(origs, out):
+        dw, dh, dc, dpx = jpeg_decode(fr)
+        assert (dw, dh, dc) == (8, 8, 3)
+        assert max(abs(a - b) for a, b in zip(px, dpx)) <= 8
+
+
+def test_avi_odd_frame_sizes_word_aligned():
+    """JPEG frames with odd byte lengths exercise the RIFF pad byte."""
+    from pipegen_spark.operators.codecs import (
+        avi_mjpeg_decode,
+        avi_mjpeg_encode,
+    )
+
+    # Hand-roll odd-length pseudo-JPEGs (SOI prefix is all the muxer
+    # validates; the demuxer must return them bit-identically).
+    frames = [b"\xff\xd8" + bytes(range(n)) for n in (1, 2, 3, 4, 5)]
+    avi = avi_mjpeg_encode(frames, 8, 8, fps=2)
+    w, h, uspf, out = avi_mjpeg_decode(avi)
+    assert (w, h, uspf) == (8, 8, 500000)
+    assert out == frames
+
+
+def test_avi_error_paths():
+    """Honest-boundary policy: every malformed container raises
+    ValueError — never a hang, index error, or silent wrong answer."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from pipegen_spark.operators.codecs import (
+        avi_mjpeg_decode,
+        avi_mjpeg_encode,
+        jpeg_encode,
+    )
+
+    fr = jpeg_encode(8, 8, bytes(range(192)), 3)
+    avi = avi_mjpeg_encode([fr, fr], 8, 8, fps=4)
+
+    with _pt.raises(ValueError):
+        avi_mjpeg_encode([], 8, 8)  # no frames
+    with _pt.raises(ValueError):
+        avi_mjpeg_encode([b"notjpeg"], 8, 8)  # frame without SOI
+    with _pt.raises(ValueError):
+        avi_mjpeg_encode([fr], 8, 8, fps=0)  # bad rate
+    with _pt.raises(ValueError):
+        avi_mjpeg_decode(b"RIFX" + avi[4:])  # bad magic
+    with _pt.raises(ValueError):
+        avi_mjpeg_decode(avi[:40])  # truncated payload
+    with _pt.raises(ValueError):  # wrong form type
+        avi_mjpeg_decode(avi[:8] + b"WAVE" + avi[12:])
+    # frame-count mismatch: bump avih dwTotalFrames (offset: RIFF(12) +
+    # LIST hdr(8) + 'hdrl'(4) + 'avih' hdr(8) + 16 into avih body)
+    broken = bytearray(avi)
+    _s.pack_into("<I", broken, 12 + 8 + 4 + 8 + 16, 99)
+    with _pt.raises(ValueError):
+        avi_mjpeg_decode(bytes(broken))
+    # corrupt a movi frame's SOI
+    pos = avi.find(b"00dc")
+    broken = bytearray(avi)
+    broken[pos + 8] = 0x00
+    with _pt.raises(ValueError):
+        avi_mjpeg_decode(bytes(broken))
+    # a chunk whose size overruns its parent
+    pos = avi.find(b"00dc")
+    broken = bytearray(avi)
+    _s.pack_into("<I", broken, pos + 4, 1 << 30)
+    with _pt.raises(ValueError):
+        avi_mjpeg_decode(bytes(broken))

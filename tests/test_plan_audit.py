@@ -38,6 +38,7 @@ PANDAS_OK = {
     "multimodal_jpeg_420",
     "multimodal_resample",
     "multimodal_patches",
+    "multimodal_mjpeg_frames",  # r9: AVI mux/demux + JPEG decode stage
 }
 # Queries that intentionally build an unconstrained pair space.
 CARTESIAN_OK = {"q26_cross_join"}

@@ -16,7 +16,7 @@ from tests.conftest import SF_SMOKE
 from pipegen_spark.queries.registry import (
     GATE_CANARIES,
     GATE_CHANGED,
-    GATE_RELATIONAL_REFRESH,
+    GATE_NEVER,
     GATE_ROLLING,
     GATE_WINDOW,
     all_queries,
@@ -34,7 +34,7 @@ def test_gate_window_composition():
     assert len(set(GATE_WINDOW)) == GATE_ROWS  # no duplicate rows wasted
     assert set(GATE_CANARIES) <= set(gate)
     assert set(GATE_CHANGED) <= set(gate)
-    assert set(GATE_RELATIONAL_REFRESH) <= set(gate)
+    assert set(GATE_NEVER) <= set(gate)
     assert set(GATE_ROLLING) <= set(gate)
 
 

@@ -50,8 +50,7 @@ OUT_DIR = os.path.join(REPO, ".benchmarks", "sf1x10")
 #: non-trivial (LSH pair volume, cluster-blocked cosine, set joins,
 #: graph iteration, histogram gates, Arrow codec stages).
 TOP = (
-    "dedup_semantic",
-    "dedup_semantic_auto",
+    "dedup_semantic",  # r9: now the size-derived-k (scale-safe) plan
     "curate_boilerplate",
     "dedup_keep_best",
     "curate_near_dup_rate",
