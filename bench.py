@@ -446,7 +446,22 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
     ~50k rows/batch the 32-way layout is overhead-dominated — measured
     1.45x throughput from 32 → 8. This is the same state-sizing decision a
     real deployment makes (state partition count is fixed at stream start
-    and should match state size, not batch-query parallelism)."""
+    and should match state size, not batch-query parallelism).
+
+    Round-9 probe hardening (tools/stream_profile.py attribution of the
+    r7→r8 133k→94k artifact drift — contention, not code: identical
+    config measured 46.5k median under load vs 109.2k idle this round):
+    (a) the rate source runs 8 tasks, not defaultParallelism=32 — 32
+    near-empty generator tasks per 1 s batch are pure scheduling
+    overhead (measured 109k → 133k median); (b) state partitions sized
+    4, not 8 — this window agg's state is a handful of (window,
+    event_type) keys, and each partition is a per-batch state-store
+    commit (3×10 s idle repeats: median 113-119k at state=8 vs
+    142-150k at state=4); (c) `achieved_rps` is now the MEDIAN
+    per-batch rate — one contended batch no longer drags the headline;
+    the legacy rows/total-duration aggregate stays in `aggregate_rps`,
+    and best/worst expose the spread the drift table needs."""
+    import statistics as _stats
     import time as _time
 
     from pyspark.sql import functions as F
@@ -460,8 +475,10 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
         {"name": "amount", "type": "double"},
         {"name": "quantity", "type": "int"},
     ]
-    with state_partitions(spark):
-        stream = synthetic_stream(spark, fields, target_rps)
+    with state_partitions(spark, n=4):
+        stream = synthetic_stream(
+            spark, fields, target_rps, num_partitions=8
+        )
         agg = (
             stream.withWatermark("_emit_ts", "2 seconds")
             .groupBy(F.window("_emit_ts", "1 second"), "event_type")
@@ -488,15 +505,24 @@ def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
                 q.stop()
             finally:
                 spark.sparkContext.setLogLevel("ERROR")
-    # Drop the warm-up batch; rate = processed rows / processing wall time.
+    # Drop the warm-up batch. Headline = median per-batch rate (robust
+    # to one contended batch); the legacy aggregate + spread ride along.
+    rates = [
+        1000.0 * int(p["numInputRows"]) / max(float(p["batchDuration"]), 1.0)
+        for p in progress[1:]
+        if int(p["numInputRows"]) > 0
+    ]
     rows = sum(int(p["numInputRows"]) for p in progress[1:])
     dur = sum(
         float(p["batchDuration"]) for p in progress[1:]
     ) / 1000.0 or 1.0
-    achieved = rows / max(dur, 1e-9)
+    achieved = _stats.median(rates) if rates else 0.0
     return {
         "target_rps": target_rps,
         "achieved_rps": round(achieved, 1),
+        "aggregate_rps": round(rows / max(dur, 1e-9), 1),
+        "best_rps": round(max(rates), 1) if rates else 0.0,
+        "worst_rps": round(min(rates), 1) if rates else 0.0,
         "batches": len(progress),
         "sustained_target": bool(achieved >= target_rps),
     }

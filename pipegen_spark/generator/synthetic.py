@@ -159,16 +159,24 @@ def synthetic_stream(
     fields: list[dict],
     rows_per_second: int,
     seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming generator: `rate` source + the same field expressions
     (the rate source's `value` is the message id). Rate control happens at
     the source; traffic-pattern spikes are applied by the producer wrapper
-    (streaming/producer.py) via fractional filtering."""
-    base = (
+    (streaming/producer.py) via fractional filtering. `num_partitions`
+    sizes the rate source's task count — co-size it with the stream's
+    state partitions rather than inheriting defaultParallelism: 32
+    near-empty generator tasks per micro-batch are pure scheduling
+    overhead on a small-state stream (measured 109k -> 133k rows/s
+    median at 8, tools/stream_profile.py)."""
+    reader = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
-        .load()
     )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    base = reader.load()
     cols = [
         avro_field_value(f, F.col("value"), seed + i).alias(f["name"])
         for i, f in enumerate(fields)
