@@ -558,7 +558,13 @@ def _duckdb_baseline(sf_dir: str, per_query_timeout: float = 40.0) -> dict:
         "documents embeddings".split()
     ):
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # engine-written tables (derived sf1 corpus) are DIRECTORIES
+            # of part files — DuckDB needs the glob form
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = oracle_queries()
     t0 = time.perf_counter()

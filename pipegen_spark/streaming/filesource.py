@@ -53,9 +53,20 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stream_dir = os.path.join("/tmp", f"pipegen_stream_events_{digest}")
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if os.path.isdir(path):
+        # Engine-written tables (e.g. the derived sf1 corpus) are
+        # DIRECTORIES of part files; the file-stream source does not
+        # descend into a non-partition subdirectory, so link each part
+        # file flat into the stream dir.
+        for part in sorted(os.listdir(path)):
+            if part.endswith(".parquet"):
+                link = os.path.join(stream_dir, part)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(path, part), link)
+    else:
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     dt = dict(stream.dtypes).get("ts")

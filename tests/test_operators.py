@@ -1531,3 +1531,34 @@ def test_bitext_margin_reference(spark):
         if cur is None or (margin, -t) > (cur[2], -cur[0]):
             expect[s] = (t, cm, margin)
     assert got == expect
+
+
+def test_dedup_semantic_auto_k_equals_fixed_k_at_test_scale(spark):
+    """Round-9 re-point: the gated `dedup_semantic` derives k from the
+    corpus size; at test scale the derived k equals KMEANS_K, so its
+    results must be identical to the retained [test-scale] fixed-k
+    surface (`ref_dedup_semantic_fixedk`) — proving the re-point
+    changed the scaling law, not the semantics."""
+    from tests.conftest import SF_SMOKE
+
+    from pipegen_spark.queries.training_data import (
+        KMEANS_K,
+        SEMDEDUP_TARGET_CLUSTER,
+        dedup_semantic,
+        knn_plane_count,
+        ref_dedup_semantic_fixedk,
+        table,
+    )
+
+    n = table(spark, SF_SMOKE, "embeddings").count()
+    assert (n + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER <= KMEANS_K
+    auto = dedup_semantic(spark, SF_SMOKE).collect()
+    fixed = ref_dedup_semantic_fixedk(spark, SF_SMOKE).collect()
+    assert auto == fixed
+    # plane-count sizing: base size -> historical 4 planes; doublings
+    # add one plane each; the clamp holds.
+    assert knn_plane_count(500) == 4
+    assert knn_plane_count(1000) == 5
+    assert knn_plane_count(2000) == 6
+    assert knn_plane_count(500 * 256) == 12
+    assert knn_plane_count(10**9) == 12

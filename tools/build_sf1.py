@@ -1,0 +1,160 @@
+"""Derive a FULL-corpus sf1 directory (10x sf0.1) for bench.py.
+
+Round-9 (VERDICT r8 task 8): `tools/scale_bench.py` measures the top
+training operators at 10x; this builds ALL ten tables so the whole
+200-query corpus can run at sf1 (`SPARK_GRAFT_SF_DIR=$(pwd)/.benchmarks/
+sf1_full python bench.py`), measuring how the per-query driver floor
+amortizes as data grows.
+
+Derivation follows TPC-H scaling semantics:
+- region / nation are FIXED dimensions (25 nations at every SF) —
+  copied unchanged; per-copy fact rows keep their original nationkeys,
+  so dimension joins and group-by-name cardinalities stay realistic.
+- customer / supplier / part / orders / lineitem / events replicate
+  10x with every PRIMARY and FOREIGN key offset by copy * 1e8, so each
+  copy is a self-consistent join subgraph (an order joins its own
+  copy's customer, a lineitem its own copy's order/part/supplier).
+- events keep their timestamps (same period, 10x traffic — windows
+  carry 10x rows, which is the scaling a busier deployment produces).
+- documents / embeddings use scale_bench's derivation (per-copy letter
+  rotation keeps duplication rates constant; embedding coordinate
+  rotation keeps similarity structure without exact clones).
+
+Copy 0 is bit-identical to sf0.1, so fixed-id corpus conventions
+(query vectors vec_id<5, plane block 100.., centroid block 200..)
+resolve to the same bounded sets at sf1 — query/codebook sizes stay
+fixed while the corpus grows, exactly like production.
+
+Usage: python tools/build_sf1.py   (idempotent; ~1 min)
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_COPIES = 10
+ID_OFFSET = 100_000_000
+SRC_DIR = "/root/testdata/sf0.1"
+OUT_DIR = os.path.join(REPO, ".benchmarks", "sf1_full")
+
+#: table -> columns to offset per copy (PKs + FKs; everything else is
+#: carried through unchanged).
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+FIXED_DIMS = ("region", "nation")
+
+
+def build(spark) -> str:
+    from pyspark.sql import functions as F
+
+    done = os.path.join(OUT_DIR, "_BUILT")
+    if os.path.exists(done):
+        return OUT_DIR
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    for t in FIXED_DIMS:
+        df = spark.read.parquet(os.path.join(SRC_DIR, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(OUT_DIR, f"{t}.parquet")
+        )
+
+    for t, keys in OFFSET_KEYS.items():
+        df = spark.read.parquet(os.path.join(SRC_DIR, f"{t}.parquet"))
+        copies = []
+        for k in range(N_COPIES):
+            c = df
+            for col in keys:
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(k * ID_OFFSET)).cast("long")
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(OUT_DIR, f"{t}.parquet")
+        )
+
+    # documents / embeddings: scale_bench's exact derivation.
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+
+    def _rot(s: str, k: int) -> str:
+        return s[k:] + s[:k]
+
+    docs = spark.read.parquet(os.path.join(SRC_DIR, "documents.parquet"))
+    copies = []
+    for k in range(N_COPIES):
+        alpha = lower + upper
+        rotated = _rot(lower, k % 26) + _rot(upper, k % 26)
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * ID_OFFSET)).alias("doc_id"),
+                F.translate("text", alpha, rotated).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SRC_DIR, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    ecopies = []
+    for k in range(N_COPIES):
+        r = (k * 7) % dim
+        rot = (
+            F.col("embedding")
+            if r == 0
+            else F.expr(
+                f"concat(slice(embedding, {r + 1}, {dim - r}),"
+                f" slice(embedding, 1, {r}))"
+            )
+        )
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "embeddings.parquet")
+    )
+
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return OUT_DIR
+
+
+def main() -> None:
+    from pipegen_spark.session import get_spark
+
+    spark = get_spark("pipegen-build-sf1")
+    path = build(spark)
+    for t in [*FIXED_DIMS, *OFFSET_KEYS, "documents", "embeddings"]:
+        n = spark.read.parquet(os.path.join(path, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows")
+    print(f"built: {path}")
+
+
+if __name__ == "__main__":
+    main()
