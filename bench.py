@@ -266,7 +266,19 @@ def main() -> None:
     streaming = None
     try:
         load_before = round(os.getloadavg()[0], 2)
-        streaming = _stream_throughput(spark, target_rps=50_000, seconds=8)
+        # Unmeasured warm-up: the FIRST streaming query in a session
+        # pays state-store/codegen/sink bootstrap and its early batches
+        # run 30-50% slow (measured back-to-back 16 s probes: 86k cold
+        # -> 132k warm median). The batch corpus gets a warm-up; the
+        # streaming probe deserves the same.
+        _stream_throughput(spark, target_rps=50_000, seconds=5)
+        # 16 s window (was 8): the first post-corpus batches run slow
+        # while the JVM drains (r9 run caught only 3 batches in 8 s and
+        # the median sat on 2 samples); a longer window gives the
+        # steady-state batches the majority.
+        streaming = _stream_throughput(
+            spark, target_rps=50_000, seconds=16
+        )
         streaming["loadavg_1min_before"] = load_before
         streaming["settle_gate"] = stream_settle
     except Exception as e:

@@ -852,3 +852,29 @@ def test_avi_error_paths():
     _s.pack_into("<I", broken, pos + 4, 1 << 30)
     with _pt.raises(ValueError):
         avi_mjpeg_decode(bytes(broken))
+
+
+def test_jpeg_marker_hygiene_round9():
+    """Round-9 advice closure pins: fill bytes before a marker are
+    skipped (T.81 B.1.1.2), standalone markers between segments and a
+    missing EOI raise ValueError."""
+    import pytest as _pt
+
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    px = bytes(range(192))
+    data = jpeg_encode(8, 8, px, 3)
+    assert data[-2:] == b"\xff\xd9"
+    # fill bytes before EOI: decode unchanged
+    padded = data[:-2] + b"\xff\xff" + data[-2:]
+    assert jpeg_decode(padded) == jpeg_decode(data)
+    # truncated after the last scan (no EOI): loud failure
+    with _pt.raises(ValueError, match="EOI"):
+        jpeg_decode(data[:-2])
+    # standalone TEM marker between segments: loud failure
+    pos = data.find(b"\xff\xdb")  # before the first DQT
+    with _pt.raises(ValueError, match="standalone"):
+        jpeg_decode(data[:pos] + b"\xff\x01" + data[pos:])
+    # stray RSTn between segments: loud failure
+    with _pt.raises(ValueError, match="standalone"):
+        jpeg_decode(data[:pos] + b"\xff\xd3" + data[pos:])
