@@ -303,3 +303,81 @@ def triangle_counts(
         )
         .orderBy("node")
     )
+
+
+def label_propagation_fixed(
+    pairs: DataFrame,
+    rounds: int = 4,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over an undirected pair graph, unrolled a FIXED number of rounds
+    with deterministic tie-breaks. Returns (id, lbl) for every node
+    that touches an edge.
+
+    Community detection next to connected components: CC merges
+    everything reachable, so one false-positive near-dup edge welds two
+    unrelated duplicate families into one cluster; LPA labels converge
+    to DENSE neighborhoods (each node adopts its neighbors' majority
+    label), so a single bridge edge leaves the two families as distinct
+    communities — the diagnostic used to spot transitive-chain
+    contamination in a dedup graph (tests pin exactly this
+    two-cliques-one-bridge separation).
+
+    Determinism (the oracle requirement): updates are SYNCHRONOUS
+    (round t reads only round t-1 labels — the paper's asynchronous
+    sweep is order-dependent), the winning label is (count DESC, label
+    ASC) — a pure MIN over (-count, label) structs — and the round
+    count is fixed rather than run-to-convergence, exactly like
+    `pagerank_fixed`. Labels start as the node ids.
+
+    Shape (100 TB): per round ONE aggregate keyed on (dst, lbl) and one
+    on dst — both map-side partial; the label frame is one row per
+    edge-node and is localCheckpoint-ed per round so the unrolled plan
+    does not re-execute the upstream LSH pipeline (same discipline as
+    pagerank_fixed; at cluster scale use durable checkpoint()).
+    Shuffle volume is O(|E|) label messages per round, never documents.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(rounds):
+        msgs = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            msgs.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("negc"),
+                        F.col("lbl").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("id"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -27,6 +27,7 @@ MINHASH_K = 2  # bigram shingles: unigram sets over the 31-word test vocab
 #                are near-identical corpus-wide, which floods every LSH
 #                bucket; bigrams leave only true near-dups above threshold
 MINHASH_THRESHOLD = 0.8
+LPA_ROUNDS = 4  # fixed synchronous label-propagation rounds (dedup_lpa)
 CONTAINMENT_THRESHOLD = 0.9
 HYBRID_QUERY_VEC = 0
 RRF_K = 60
@@ -233,6 +234,33 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
     )
     return dd.dup_clusters_star(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+def dedup_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup pair graph via synchronous
+    label propagation (4 fixed rounds, deterministic tie-breaks —
+    operators/graph.label_propagation_fixed). The diagnostic sibling of
+    dedup_clusters/dedup_cc_star: CC welds everything reachable, so one
+    false-positive edge merges two duplicate families; LPA converges to
+    dense neighborhoods and keeps bridged families apart. Same pair
+    chain as dedup_minhash_lsh; docs off the pair graph label
+    themselves (community of one)."""
+    from pipegen_spark.operators import graph as gr
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=MINHASH_K, threshold=MINHASH_THRESHOLD
+    )
+    labels = gr.label_propagation_fixed(pairs, rounds=LPA_ROUNDS)
+    return (
+        dd._finish_clusters(docs, labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("community"),
+            F.col("cluster_size").alias("community_size"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -252,6 +252,58 @@ def _clusters_sql() -> str:
     """
 
 
+def _lpa_sql() -> str:
+    """Mirror of dedup_lpa: the shared thresholded pair chain, then
+    LPA_ROUNDS synchronous label-propagation rounds unrolled as CTEs —
+    each round is (count per (dst, label)) -> (per-dst winner by count
+    DESC, label ASC), the exact MIN-struct the Spark side aggregates.
+    Docs off the pair graph label themselves via the final LEFT JOIN."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, td.LPA_ROUNDS + 1):
+        rounds.append(f"""m{r} AS (
+        SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+        FROM edges e JOIN {prev} l ON e.src = l.id
+        GROUP BY e.dst, l.lbl
+    ),
+    l{r} AS (
+        SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY c DESC, lbl
+                   ) AS rn
+            FROM m{r}
+        ) t WHERE rn = 1
+    )""")
+        prev = f"l{r}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    dup AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION
+        SELECT doc_b, doc_a FROM dup
+    ),
+    l0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS lbl
+           FROM edges),
+    {body},
+    lab AS (
+        SELECT d.doc_id,
+               COALESCE(l.lbl, CAST(d.doc_id AS BIGINT)) AS community
+        FROM documents d LEFT JOIN {prev} l ON d.doc_id = l.id
+    )
+    SELECT lab.doc_id, lab.community, s.community_size
+    FROM lab JOIN (
+        SELECT community, CAST(COUNT(*) AS BIGINT) AS community_size
+        FROM lab GROUP BY community
+    ) s USING (community)
+    ORDER BY lab.doc_id
+    """
+
+
 def _keep_best_sql() -> str:
     """Clusters CTE chain (see _clusters_sql, edge-seeded recursion) +
     quality score + one window: keep = rank 1 by (quality DESC, doc_id)
@@ -3758,6 +3810,7 @@ TRAINING_ORACLE: dict[str, str] = {
     # two distributed algorithms for the SAME function (component-min
     # labels); a single oracle checks they agree bit-for-bit.
     "dedup_cc_star": _clusters_sql(),
+    "dedup_lpa": _lpa_sql(),
     "dedup_keep_best": _keep_best_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),

@@ -174,3 +174,37 @@ def test_triangle_counts_planted(spark):
     out2 = {r["node"]: r["n_triangles"]
             for r in triangle_counts(pairs2).collect()}
     assert out2 == {1: 1, 2: 2, 3: 2, 8: 1}
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """The reason LPA exists next to CC: two 4-cliques joined by ONE
+    bridge edge are a single connected component, but synchronous
+    majority-label propagation keeps them as two communities (the
+    bridge minority never outvotes the clique majority)."""
+    from pipegen_spark.operators.graph import label_propagation_fixed
+
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [
+        (a, b) for a in range(10, 14) for b in range(10, 14) if a < b
+    ]
+    bridge = [(3, 10)]
+    pairs = spark.createDataFrame(
+        clique_a + clique_b + bridge, "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["lbl"]
+        for r in label_propagation_fixed(pairs, rounds=4).collect()
+    }
+    comm_a = {got[i] for i in range(4)}
+    comm_b = {got[i] for i in range(10, 14)}
+    assert comm_a == {0}, got
+    assert comm_b == {10}, got
+
+
+def test_label_propagation_rounds_validation():
+    import pytest as _pt
+
+    from pipegen_spark.operators.graph import label_propagation_fixed
+
+    with _pt.raises(ValueError):
+        label_propagation_fixed(None, rounds=0)
