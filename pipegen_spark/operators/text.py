@@ -1656,3 +1656,179 @@ def textrank_keywords(
         .select(F.col("id").alias("word"), "rank_micro", "rnk")
         .orderBy("rnk")
     )
+
+
+# --- fixed-point log2 / perplexity filter (round 9) --------------------------
+
+LOG2_FRAC_BITS = 16  # log2 emitted in units of 2^-16
+_LOG2_Z_BITS = 30  # mantissa scale inside the shift-and-square rounds
+
+
+def log2_fp_py(x: int) -> int:
+    """Reference implementation of the engine-side fixed-point log2:
+    floor-ish log2(x) in 2^-LOG2_FRAC_BITS units by shift-and-square
+    (the classic binary-logarithm algorithm): e = floor(log2 x), then
+    LOG2_FRAC_BITS rounds of mantissa squaring, emitting one result bit
+    per round. Pure integer shifts/multiplies/compares — the SAME
+    operation sequence runs as unrolled columns in Spark and as chained
+    CTEs in DuckDB, so the value is bit-exact across engines (each
+    >> truncation loses value deterministically; |result - exact| <
+    ~2 units, i.e. ~3e-5 bits — a measurement-grade log for filtering,
+    not IEEE libm). Used to pin the L(1e6) constant and by the unit
+    tests."""
+    if x < 1:
+        raise ValueError(f"log2 of non-positive {x}")
+    e = x.bit_length() - 1
+    z = (x << _LOG2_Z_BITS) >> e
+    lg = e
+    for _ in range(LOG2_FRAC_BITS):
+        z = (z * z) >> _LOG2_Z_BITS
+        bit = 1 if z >= (1 << (_LOG2_Z_BITS + 1)) else 0
+        z >>= bit
+        lg = lg * 2 + bit
+    return lg
+
+
+#: log2(1e6) in 2^-16 units under the algorithm above — the constant
+#: that turns a micro-unit probability p_micro into
+#: -log2(p) = L2_ONE_MICRO_FP - log2_fp(p_micro).
+L2_ONE_MICRO_FP = log2_fp_py(1_000_000)
+
+
+def _with_log2_fp(df: DataFrame, x_col: str, out_col: str) -> DataFrame:
+    """Append `out_col` = fixed-point log2 of BIGINT column `x_col`
+    (values must be >= 1 — callers clamp). The exponent is a 20-branch
+    CASE ladder (inputs are micro-unit probabilities <= 1e6 < 2^20);
+    each of the LOG2_FRAC_BITS squaring rounds lands in its OWN
+    projection — inlining would double the expression tree per round.
+    All codegen integer arithmetic; z*z < 2^62 keeps BIGINT exact."""
+    e = "CASE " + " ".join(
+        f"WHEN {x_col} >= {1 << b} THEN {b}"
+        for b in range(19, 0, -1)
+    ) + " ELSE 0 END"
+    df = df.withColumn("_e", F.expr(e).cast("long"))
+    df = df.withColumn(
+        "_z",
+        F.expr(
+            dl.shr(dl.shl(x_col, _LOG2_Z_BITS, dl.SPARK), "_e", dl.SPARK)
+        ).cast("long"),
+    ).withColumn("_lg", F.col("_e"))
+    two = 1 << (_LOG2_Z_BITS + 1)
+    for _ in range(LOG2_FRAC_BITS):
+        df = df.withColumn(
+            "_zz", F.expr(dl.shr("_z * _z", str(_LOG2_Z_BITS), dl.SPARK))
+        )
+        df = df.withColumn(
+            "_z",
+            F.when(F.col("_zz") >= two, F.expr(dl.shr("_zz", "1", dl.SPARK)))
+            .otherwise(F.col("_zz")),
+        ).withColumn(
+            "_lg",
+            F.col("_lg") * 2
+            + F.when(F.col("_zz") >= two, F.lit(1)).otherwise(F.lit(0)),
+        )
+    return df.withColumn(out_col, F.col("_lg").cast("long")).drop(
+        "_e", "_z", "_zz", "_lg"
+    )
+
+
+def perplexity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_milli: int = 4000,
+    tail_milli: int = 6000,
+) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020): score each
+    document by the MEAN BITS PER BIGRAM, -log2 p(w2|w1), under the
+    corpus's own bigram LM, and bucket head/middle/tail by fixed
+    thresholds — the classic LM-quality gate, here with a TRUE log
+    (fixed-point shift-and-square, see `log2_fp_py`) instead of the
+    log-free proxy `lm_bigram_scores` keeps for raw probabilities.
+
+    Engine-exactness: p(w2|w1) is the micro-unit integer conditional
+    (c_xy·1e6 DIV c_x, clamped to >= 1 — at 100 TB a unigram can exceed
+    1e6 occurrences and floor the ratio to zero), and
+    -log2 p = L2_ONE_MICRO_FP - log2_fp(p_micro) in 2^-16 units — every
+    step integer, both engines identical. The envelope: per-bigram bits
+    <= ~20, 2^-16 units <= 1.31e6, so a BIGINT sum holds ~7e12 bigrams
+    per document.
+
+    Shape (100 TB): unigram + bigram count tables (partial-agg
+    shuffles), the log2 chain runs once per DISTINCT bigram (vocab-
+    bounded, never per occurrence), occurrences meet the scored pair
+    table through a hash equi-join, then one per-doc aggregate. The
+    zero-bigram docs re-enter via left join with n_bigrams = 0 and land
+    in 'tail' (an unscoreable doc is not evidence of quality).
+
+    Output: (doc_id, n_bigrams, mean_bits_milli, min_p_micro, bucket)
+    — mean bits per bigram in milli-bits, the doc's worst transition,
+    and the CCNet bucket ('head' < head_milli <= 'middle' < tail_milli
+    <= 'tail')."""
+    occ = _bigram_occurrences(df, text_col, id_col)
+    uni = (
+        df.select(
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c_x"))
+    )
+    big = occ.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c_xy")
+    )
+    cond = dl.idiv(
+        f"c_xy * CAST({PMI_SCALE} AS BIGINT)", "c_x", dl.SPARK
+    )
+    pairs = (
+        big.join(uni.select(F.col("t").alias("w1"), "c_x"), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.greatest(F.expr(cond).cast("long"), F.lit(1)).alias(
+                "p_micro"
+            ),
+        )
+    )
+    scored = _with_log2_fp(pairs, "p_micro", "lg").select(
+        "w1",
+        "w2",
+        "p_micro",
+        (F.lit(L2_ONE_MICRO_FP).cast("long") - F.col("lg")).alias("nl"),
+    )
+    per = (
+        occ.join(scored, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nl").cast("long").alias("sum_nl"),
+            F.min("p_micro").cast("long").alias("min_p_micro"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            F.expr(
+                dl.idiv(
+                    "sum_nl * CAST(1000 AS BIGINT)",
+                    f"n_bigrams * CAST({1 << LOG2_FRAC_BITS} AS BIGINT)",
+                    dl.SPARK,
+                )
+            ).cast("long").alias("mean_bits_milli"),
+            "min_p_micro",
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", z).alias("n_bigrams"),
+            F.coalesce("mean_bits_milli", z).alias("mean_bits_milli"),
+            F.coalesce("min_p_micro", z).alias("min_p_micro"),
+            F.when(F.col("n_bigrams") == 0, F.lit("tail"))
+            .when(F.col("mean_bits_milli") < head_milli, F.lit("head"))
+            .when(F.col("mean_bits_milli") < tail_milli, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

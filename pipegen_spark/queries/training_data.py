@@ -1970,6 +1970,27 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CCNet bucket thresholds in milli-bits-per-bigram, set INSIDE the
+#: synthetic corpus's observed spread (sf0.01 mean_bits_milli spans
+#: 4727-5287) so the head/middle/tail split is exercised — on a real
+#: corpus these are the knobs the Wenzek et al. pipeline fits per
+#: language from Wikipedia percentiles.
+CCNET_HEAD_MILLI = 4890
+CCNET_TAIL_MILLI = 4940
+
+
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: mean -log2 p(w2|w1) per document
+    under the corpus bigram LM, computed with a TRUE fixed-point log2
+    (integer shift-and-square, bit-exact across engines — see
+    operators/text.log2_fp_py) and bucketed head/middle/tail. The
+    log-domain sibling of text_lm_bigram's raw-probability proxy."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.perplexity_scores(
+        docs, head_milli=CCNET_HEAD_MILLI, tail_milli=CCNET_TAIL_MILLI
+    ).orderBy("doc_id")
+
+
 def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of token occurrences with corpus frequency <=
     RARITY_MAX_FREQ — the corpus-relative gibberish/boilerplate signal

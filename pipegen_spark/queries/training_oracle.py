@@ -2586,6 +2586,76 @@ def _lm_bigram_sql() -> str:
     """
 
 
+def _perplexity_sql() -> str:
+    """Mirror of text.perplexity_scores: the shared bigram CTEs, the
+    clamped micro-unit conditional per DISTINCT pair, then the
+    fixed-point log2 as LOG2_FRAC_BITS chained squaring CTEs (the exact
+    shift/compare sequence the Spark side unrolls as columns), one
+    occurrence join + per-doc aggregate, and the CCNet bucket CASE."""
+    zb = tx._LOG2_Z_BITS
+    two = 1 << (zb + 1)
+    ladder = " ".join(
+        f"WHEN p_micro >= {1 << b} THEN {b}" for b in range(19, 0, -1)
+    )
+    cond = dl.idiv(f"b.c_xy * CAST({tx.PMI_SCALE} AS BIGINT)", "u.c", D)
+    rounds = []
+    prev = "s0"
+    for r in range(1, tx.LOG2_FRAC_BITS + 1):
+        rounds.append(f"""s{r} AS (
+        SELECT w1, w2, p_micro,
+               CASE WHEN zz >= {two} THEN zz >> 1 ELSE zz END AS z,
+               lg * 2 + CASE WHEN zz >= {two} THEN 1 ELSE 0 END AS lg
+        FROM (SELECT w1, w2, p_micro, (z * z) >> {zb} AS zz, lg
+              FROM {prev}) t
+    )""")
+        prev = f"s{r}"
+    body = ",\n    ".join(rounds)
+    mean = dl.idiv(
+        "sum_nl * CAST(1000 AS BIGINT)",
+        f"n_bigrams * CAST({1 << tx.LOG2_FRAC_BITS} AS BIGINT)",
+        D,
+    )
+    return f"""
+    WITH {_BIGRAM_CTES},
+    p AS (
+        SELECT b.w1, b.w2,
+               GREATEST(CAST({cond} AS BIGINT), CAST(1 AS BIGINT))
+                   AS p_micro
+        FROM big b JOIN uni u ON b.w1 = u.t
+    ),
+    s0 AS (
+        SELECT w1, w2, p_micro,
+               (p_micro << {zb}) >> e AS z,
+               CAST(e AS BIGINT) AS lg
+        FROM (SELECT *, CASE {ladder} ELSE 0 END AS e FROM p) t
+    ),
+    {body},
+    scored AS (
+        SELECT w1, w2, p_micro,
+               {tx.L2_ONE_MICRO_FP} - lg AS nl
+        FROM {prev}
+    ),
+    agg AS (
+        SELECT o.id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(s.nl) AS BIGINT) AS sum_nl,
+               CAST(MIN(s.p_micro) AS BIGINT) AS min_p_micro
+        FROM occ o JOIN scored s ON o.w1 = s.w1 AND o.w2 = s.w2
+        GROUP BY o.id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           CAST(COALESCE({mean}, 0) AS BIGINT) AS mean_bits_milli,
+           COALESCE(min_p_micro, 0) AS min_p_micro,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 'tail'
+                WHEN {mean} < {td.CCNET_HEAD_MILLI} THEN 'head'
+                WHEN {mean} < {td.CCNET_TAIL_MILLI} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.id
+    ORDER BY d.doc_id
+    """
+
+
 def _multimodal_features_sql() -> str:
     """Mirror of multimodal.fake_decode: 8 features = consecutive 4-hex-char
     fields of sha256(payload), feat_norm = sum of their squares. Each field
@@ -3772,6 +3842,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_pmi": _pmi_sql(),
     "text_textrank": _textrank_sql(),
     "text_lm_bigram": _lm_bigram_sql(),
+    "text_perplexity": _perplexity_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(auto_k=True),

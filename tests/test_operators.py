@@ -1562,3 +1562,57 @@ def test_dedup_semantic_auto_k_equals_fixed_k_at_test_scale(spark):
     assert knn_plane_count(2000) == 6
     assert knn_plane_count(500 * 256) == 12
     assert knn_plane_count(10**9) == 12
+
+
+def test_log2_fp_accuracy_and_envelope():
+    """The fixed-point log2 must track math.log2 within ~2 output units
+    (3e-5 bits) across the micro-probability domain, hit powers of two
+    exactly, and reject non-positive input."""
+    import math
+
+    import pytest as _pt
+
+    from pipegen_spark.operators.text import (
+        L2_ONE_MICRO_FP,
+        LOG2_FRAC_BITS,
+        log2_fp_py,
+    )
+
+    scale = 1 << LOG2_FRAC_BITS
+    for x in (1, 2, 3, 7, 10, 999, 1000, 65536, 524287, 999_999, 10**6):
+        err = abs(log2_fp_py(x) / scale - math.log2(x))
+        assert err < 4 / scale, (x, err)
+    for p in range(20):
+        assert log2_fp_py(1 << p) == p * scale  # powers of two exact
+    assert L2_ONE_MICRO_FP == log2_fp_py(1_000_000)
+    with _pt.raises(ValueError):
+        log2_fp_py(0)
+
+
+def test_perplexity_scores_crafted(spark):
+    """Hand-checkable LM: in 'a b a b a c', p(b|a)=2/3, p(a|b)=1,
+    p(c|a)=1/3 — the all-'a b' doc must score LOWER mean bits than the
+    doc carrying the rare a->c transition, and a one-token doc has no
+    bigrams and lands in 'tail'."""
+    from pipegen_spark.operators.text import (
+        L2_ONE_MICRO_FP,
+        log2_fp_py,
+        perplexity_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in perplexity_scores(docs, head_milli=1, tail_milli=10**9)
+        .collect()
+    }
+    assert got[3]["n_bigrams"] == 0 and got[3]["bucket"] == "tail"
+    assert got[1]["mean_bits_milli"] < got[2]["mean_bits_milli"]
+    # doc 2 is exactly one a->c transition: p = 1/3 of a-occurrences;
+    # c(a)=3, c_xy=1 -> p_micro = 333333
+    exp = (L2_ONE_MICRO_FP - log2_fp_py(333_333)) * 1000 // (1 << 16)
+    assert got[2]["mean_bits_milli"] == exp
+    assert got[2]["min_p_micro"] == 333_333
