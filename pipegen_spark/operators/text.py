@@ -1695,16 +1695,20 @@ def log2_fp_py(x: int) -> int:
 L2_ONE_MICRO_FP = log2_fp_py(1_000_000)
 
 
-def _with_log2_fp(df: DataFrame, x_col: str, out_col: str) -> DataFrame:
+def _with_log2_fp(
+    df: DataFrame, x_col: str, out_col: str, max_bits: int = 20
+) -> DataFrame:
     """Append `out_col` = fixed-point log2 of BIGINT column `x_col`
-    (values must be >= 1 — callers clamp). The exponent is a 20-branch
-    CASE ladder (inputs are micro-unit probabilities <= 1e6 < 2^20);
-    each of the LOG2_FRAC_BITS squaring rounds lands in its OWN
-    projection — inlining would double the expression tree per round.
-    All codegen integer arithmetic; z*z < 2^62 keeps BIGINT exact."""
+    (values must be in [1, 2^max_bits) — callers clamp; max_bits <= 33
+    keeps the `x << 30` mantissa inside BIGINT). The exponent is a
+    CASE ladder; each of the LOG2_FRAC_BITS squaring rounds lands in
+    its OWN projection — inlining would double the expression tree per
+    round. All codegen integer arithmetic; z*z < 2^62 stays exact."""
+    if max_bits > 33:
+        raise ValueError(f"max_bits {max_bits} > 33 overflows x << 30")
     e = "CASE " + " ".join(
         f"WHEN {x_col} >= {1 << b} THEN {b}"
-        for b in range(19, 0, -1)
+        for b in range(max_bits - 1, 0, -1)
     ) + " ELSE 0 END"
     df = df.withColumn("_e", F.expr(e).cast("long"))
     df = df.withColumn(
@@ -1830,5 +1834,101 @@ def perplexity_scores(
             .when(F.col("mean_bits_milli") < tail_milli, F.lit("middle"))
             .otherwise(F.lit("tail"))
             .alias("bucket"),
+        )
+    )
+
+
+def entropy_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in TRUE
+    bits (fixed-point log2 — the information-theoretic repetitiveness
+    signal next to the log-free Simpson index `chardiv` keeps):
+    H = log2(n) - (1/n)·Σ_t c_t·log2(c_t) for per-doc token counts c_t
+    summing to n, plus the normalized form H / log2(n_types) (1.0 =
+    uniform usage, -> 0 = one token dominates).
+
+    Engine-exactness: both log2 applications run over the DISTINCT
+    integer values of c_t and n (never per occurrence or per type), so
+    the LOG2_FRAC_BITS chain executes on a frame bounded by the number
+    of distinct counts — tiny — and joins back. Everything else is
+    integer multiply/sum/DIV. Envelope: per-doc n < 2^33 by the
+    max_bits guard (a single document with > 8e9 tokens is not a
+    document), c·L(c) < 2^33·2^21 = 2^54, type-sum bounded by n·L(n).
+
+    Output: (doc_id, n_tokens, n_types, entropy_milli_bits,
+    norm_entropy_ppm); tokenless docs -> all zeros, single-type docs
+    -> entropy 0 with norm 0 (log2(1) = 0 denominator guarded)."""
+    scale = 1 << LOG2_FRAC_BITS
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+    )
+    cnt = tok.groupBy("id", "t").agg(F.count("*").cast("long").alias("c"))
+    per = cnt.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    vals = (
+        cnt.select(F.col("c").alias("v"))
+        .unionByName(per.select(F.col("n").alias("v")))
+        .unionByName(per.select(F.col("n_types").alias("v")))
+        .distinct()
+    )
+    lg = _with_log2_fp(vals, "v", "lg", max_bits=33).select("v", "lg")
+    csum = (
+        cnt.join(lg.select(F.col("v").alias("c"), "lg"), "c")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("lg")).cast("long").alias("clg"))
+    )
+    h = (
+        per.join(csum, "id")
+        .join(lg.select(F.col("v").alias("n"), F.col("lg").alias("ln")), "n")
+        .join(
+            lg.select(
+                F.col("v").alias("n_types"), F.col("lg").alias("lt")
+            ),
+            "n_types",
+        )
+        .select(
+            "id",
+            "n",
+            "n_types",
+            (
+                F.col("ln")
+                - F.expr(dl.idiv("clg", "n", dl.SPARK)).cast("long")
+            ).alias("h_fp"),
+            "lt",
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(h, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n", z).alias("n_tokens"),
+            F.coalesce("n_types", z).alias("n_types"),
+            F.coalesce(
+                F.expr(
+                    dl.idiv(
+                        f"h_fp * CAST(1000 AS BIGINT)", str(scale), dl.SPARK
+                    )
+                ).cast("long"),
+                z,
+            ).alias("entropy_milli_bits"),
+            F.coalesce(
+                F.when(
+                    F.col("lt") > 0,
+                    F.expr(
+                        dl.idiv(
+                            "h_fp * CAST(1000000 AS BIGINT)", "lt", dl.SPARK
+                        )
+                    ).cast("long"),
+                ).otherwise(z),
+                z,
+            ).alias("norm_entropy_ppm"),
         )
     )

@@ -1991,6 +1991,16 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution in TRUE bits
+    (fixed-point log2) + the normalized form — the information-
+    theoretic repetitiveness signal (low entropy = templated/looping
+    text; Gopher-family quality input). See operators/text.
+    entropy_scores for the distinct-value log-table shape."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.entropy_scores(docs).orderBy("doc_id")
+
+
 def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of token occurrences with corpus frequency <=
     RARITY_MAX_FREQ — the corpus-relative gibberish/boilerplate signal

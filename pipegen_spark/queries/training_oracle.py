@@ -2656,6 +2656,85 @@ def _perplexity_sql() -> str:
     """
 
 
+def _log2_chain_ctes(src: str, out: str, max_bits: int) -> str:
+    """Generic fixed-point-log2 CTE chain: `src` must expose a BIGINT
+    column v >= 1; emits CTEs ending in `{out}(v, lg)` with lg =
+    log2_fp(v) in 2^-LOG2_FRAC_BITS units — the same shift-and-square
+    sequence as text._with_log2_fp / log2_fp_py."""
+    zb = tx._LOG2_Z_BITS
+    two = 1 << (zb + 1)
+    ladder = " ".join(
+        f"WHEN v >= {1 << b} THEN {b}" for b in range(max_bits - 1, 0, -1)
+    )
+    parts = [f"""{out}_s0 AS (
+        SELECT v, (v << {zb}) >> e AS z, CAST(e AS BIGINT) AS lg
+        FROM (SELECT v, CASE {ladder} ELSE 0 END AS e FROM {src}) t
+    )"""]
+    prev = f"{out}_s0"
+    for r in range(1, tx.LOG2_FRAC_BITS + 1):
+        parts.append(f"""{out}_s{r} AS (
+        SELECT v, CASE WHEN zz >= {two} THEN zz >> 1 ELSE zz END AS z,
+               lg * 2 + CASE WHEN zz >= {two} THEN 1 ELSE 0 END AS lg
+        FROM (SELECT v, (z * z) >> {zb} AS zz, lg FROM {prev}) t
+    )""")
+        prev = f"{out}_s{r}"
+    parts.append(f"{out} AS (SELECT v, lg FROM {prev})")
+    return ",\n    ".join(parts)
+
+
+def _entropy_sql() -> str:
+    """Mirror of text.entropy_scores: per-(doc, token) counts, the
+    distinct-value log2 chain (counts ∪ doc lengths ∪ type counts),
+    H_fp = L(n) - (Σ c·L(c)) DIV n, milli-bits + ppm-normalized."""
+    scale = 1 << tx.LOG2_FRAC_BITS
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest({dl.words("text", D)}) AS t
+        FROM documents
+    ),
+    cnt AS (
+        SELECT id, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY id, t
+    ),
+    per AS (
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM cnt GROUP BY id
+    ),
+    vals AS (
+        SELECT DISTINCT v FROM (
+            SELECT c AS v FROM cnt
+            UNION ALL SELECT n FROM per
+            UNION ALL SELECT n_types FROM per
+        ) u
+    ),
+    {_log2_chain_ctes("vals", "lg", 33)},
+    csum AS (
+        SELECT cnt.id, CAST(SUM(cnt.c * lg.lg) AS BIGINT) AS clg
+        FROM cnt JOIN lg ON cnt.c = lg.v
+        GROUP BY cnt.id
+    ),
+    h AS (
+        SELECT per.id, per.n, per.n_types,
+               ln.lg - (csum.clg // per.n) AS h_fp,
+               lt.lg AS lt
+        FROM per
+        JOIN csum ON per.id = csum.id
+        JOIN lg ln ON per.n = ln.v
+        JOIN lg lt ON per.n_types = lt.v
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n, 0) AS n_tokens,
+           COALESCE(h.n_types, 0) AS n_types,
+           COALESCE((h.h_fp * 1000) // {scale}, 0) AS entropy_milli_bits,
+           COALESCE(CASE WHEN h.lt > 0
+                         THEN (h.h_fp * 1000000) // h.lt
+                         ELSE 0 END, 0) AS norm_entropy_ppm
+    FROM documents d LEFT JOIN h ON d.doc_id = h.id
+    ORDER BY d.doc_id
+    """
+
+
 def _multimodal_features_sql() -> str:
     """Mirror of multimodal.fake_decode: 8 features = consecutive 4-hex-char
     fields of sha256(payload), feat_norm = sum of their squares. Each field
@@ -3843,6 +3922,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_textrank": _textrank_sql(),
     "text_lm_bigram": _lm_bigram_sql(),
     "text_perplexity": _perplexity_sql(),
+    "text_entropy": _entropy_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(auto_k=True),

@@ -1616,3 +1616,23 @@ def test_perplexity_scores_crafted(spark):
     exp = (L2_ONE_MICRO_FP - log2_fp_py(333_333)) * 1000 // (1 << 16)
     assert got[2]["mean_bits_milli"] == exp
     assert got[2]["min_p_micro"] == 333_333
+
+
+def test_entropy_scores_crafted(spark):
+    """Hand-checkable entropies: 'a a a a' has H=0 (one type); 'a b c d'
+    is uniform over 4 types -> H=2 bits exactly (powers of two are
+    exact in the fixed-point log2) and norm = 1.0; a tokenless doc is
+    all zeros."""
+    from pipegen_spark.operators.text import entropy_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in entropy_scores(docs).collect()}
+    assert got[1]["entropy_milli_bits"] == 0
+    assert got[1]["norm_entropy_ppm"] == 0  # log2(1 type) = 0 guard
+    assert got[2]["entropy_milli_bits"] == 2000  # exactly 2 bits
+    assert got[2]["norm_entropy_ppm"] == 1_000_000
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["entropy_milli_bits"] == 0
