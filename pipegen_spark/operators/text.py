@@ -1932,3 +1932,101 @@ def entropy_scores(
             ).alias("norm_entropy_ppm"),
         )
     )
+
+
+def kl_drift_scores(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence from the CORPUS token distribution in
+    TRUE bits (fixed-point log2) — the principled "did this domain
+    drift?" number next to `curation.corpus_drift`'s total-variation
+    grid: KL(source ‖ corpus) = Σ_t p_s(t)·log2(p_s(t)/p(t)), computed
+    exactly as kl_fp = (Σ_t c_st·[L(c_st)+L(n)-L(n_s)-L(c_t)]) DIV n_s.
+
+    Finiteness is structural: every source token occurs in the corpus
+    (c_t >= c_st >= 1), so support(p_s) ⊆ support(p) and no smoothing
+    is needed. Engine-exactness as in `entropy_scores`: the log2 chain
+    runs over the DISTINCT integer values of {c_st} ∪ {c_t} ∪ {n_s} ∪
+    {n} — a frame bounded by distinct counts — and every remaining step
+    is integer multiply/sum/DIV. Envelope: per-term |c_st·(...)| <
+    c_st·4·33·2^16 ≈ c_st·8.7e6, and Σ c_st = n_s < 2^33 keeps the
+    per-source sum < 7.5e16 — BIGINT-safe. The fixed-point truncations
+    can leave a tiny NEGATIVE result on an identical-to-corpus source
+    (exact KL would be 0); that is measurement noise, not a bug, and
+    callers threshold in milli-bits.
+
+    Shape (100 TB): two count tables — (source, token) and (token) —
+    both partial-agg shuffles; the (token)-keyed join carries counts,
+    not text; one per-source aggregate ends the plan (k rows).
+
+    Output: (source, n_tokens, n_types, kl_milli_bits), sorted."""
+    scale = 1 << LOG2_FRAC_BITS
+    tok = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
+    )
+    st = tok.groupBy("src", "t").agg(
+        F.count("*").cast("long").alias("c_st")
+    )
+    ct = st.groupBy("t").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = st.groupBy("src").agg(
+        F.sum("c_st").cast("long").alias("n_s"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    n1 = ns.agg(F.sum("n_s").cast("long").alias("n"))
+    vals = (
+        st.select(F.col("c_st").alias("v"))
+        .unionByName(ct.select(F.col("c_t").alias("v")))
+        .unionByName(ns.select(F.col("n_s").alias("v")))
+        .unionByName(n1.select(F.col("n").alias("v")))
+        .distinct()
+    )
+    lg = _with_log2_fp(vals, "v", "lg", max_bits=33).select("v", "lg")
+    terms = (
+        st.join(lg.select(F.col("v").alias("c_st"), "lg"), "c_st")
+        .join(
+            ct.join(
+                lg.select(
+                    F.col("v").alias("c_t"), F.col("lg").alias("lg_ct")
+                ),
+                "c_t",
+            ).select("t", "lg_ct"),
+            "t",
+        )
+        .select(
+            "src",
+            (F.col("c_st") * (F.col("lg") - F.col("lg_ct"))).alias("term"),
+        )
+        .groupBy("src")
+        .agg(F.sum("term").cast("long").alias("tsum"))
+    )
+    return (
+        terms.join(ns, "src")
+        .join(
+            F.broadcast(
+                n1.join(
+                    lg.select(F.col("v").alias("n"), F.col("lg").alias("ln")),
+                    "n",
+                )
+            )
+        )
+        .join(
+            lg.select(F.col("v").alias("n_s"), F.col("lg").alias("lns")),
+            "n_s",
+        )
+        .select(
+            F.col("src").alias(source_col),
+            F.col("n_s").alias("n_tokens"),
+            "n_types",
+            F.expr(
+                dl.idiv(
+                    "(tsum + n_s * (ln - lns)) * CAST(1000 AS BIGINT)",
+                    f"n_s * CAST({scale} AS BIGINT)",
+                    dl.SPARK,
+                )
+            ).cast("long").alias("kl_milli_bits"),
+        )
+        .orderBy(source_col)
+    )

@@ -67,9 +67,10 @@ rounds; long-stable canaries stay in every window):
   window was cut (dedup_lpa — synchronous label-propagation
   communities over the near-dup graph — text_perplexity — the CCNet
   head/middle/tail perplexity filter on the fixed-point
-  shift-and-square log2 — and text_entropy — true-bits Shannon
-  entropy on the same primitive — all oracle-green on the local
-  mirror at sf0.01 AND sf0.1) + the r6 tranche head, keeping the canaries.
+  shift-and-square log2 — text_entropy — true-bits Shannon
+  entropy — and curate_kl_drift — per-source KL from the corpus
+  distribution in bits, both on the same primitive — all oracle-green
+  on the local mirror at sf0.01 AND sf0.1) + the r6 tranche head, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -89,7 +90,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 203
+CORPUS_SIZE = 204
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

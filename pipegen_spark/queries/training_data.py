@@ -2306,6 +2306,16 @@ def curate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.corpus_drift(docs, F.col("lang") == "en", "text")
 
 
+def curate_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution in
+    TRUE bits (fixed-point log2) — the principled domain-drift number
+    next to curate_drift's total-variation grid; see
+    operators/text.kl_drift_scores for the distinct-value log-table
+    shape and the BIGINT envelope."""
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    return tx.kl_drift_scores(docs)
+
+
 def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n diversity profile per language (n = 1..3): the
     repetitiveness/boilerplate signal — low distinct-2/3 flags template

@@ -2735,6 +2735,59 @@ def _entropy_sql() -> str:
     """
 
 
+def _kl_drift_sql() -> str:
+    """Mirror of text.kl_drift_scores: (source, token) + (token) count
+    tables, the distinct-value log2 chain, then per source
+    kl_milli = ((Σ c_st·(L(c_st)-L(c_t)) + n_s·(L(n)-L(n_s)))·1000)
+    DIV (n_s·2^16). Both engines truncate integer division toward
+    zero, so the occasional truncation-noise negative is identical."""
+    scale = 1 << tx.LOG2_FRAC_BITS
+    return f"""
+    WITH tok AS (
+        SELECT source AS src, unnest({dl.words("text", D)}) AS t
+        FROM documents
+    ),
+    st AS (
+        SELECT src, t, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM tok GROUP BY src, t
+    ),
+    ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+    ns AS (
+        SELECT src, CAST(SUM(c_st) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM st GROUP BY src
+    ),
+    n1 AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+    vals AS (
+        SELECT DISTINCT v FROM (
+            SELECT c_st AS v FROM st
+            UNION ALL SELECT c_t FROM ct
+            UNION ALL SELECT n_s FROM ns
+            UNION ALL SELECT n FROM n1
+        ) u
+    ),
+    {_log2_chain_ctes("vals", "lg", 33)},
+    terms AS (
+        SELECT st.src,
+               CAST(SUM(st.c_st * (a.lg - b.lg)) AS BIGINT) AS tsum
+        FROM st
+        JOIN lg a ON st.c_st = a.v
+        JOIN ct ON st.t = ct.t
+        JOIN lg b ON ct.c_t = b.v
+        GROUP BY st.src
+    )
+    SELECT ns.src AS source, ns.n_s AS n_tokens, ns.n_types,
+           CAST(((terms.tsum + ns.n_s * (ln.lg - ls.lg)) * 1000)
+                // (ns.n_s * {scale}) AS BIGINT) AS kl_milli_bits
+    FROM terms
+    JOIN ns ON terms.src = ns.src
+    JOIN lg ls ON ns.n_s = ls.v
+    CROSS JOIN n1
+    JOIN lg ln ON n1.n = ln.v
+    ORDER BY source
+    """
+
+
 def _multimodal_features_sql() -> str:
     """Mirror of multimodal.fake_decode: 8 features = consecutive 4-hex-char
     fields of sha256(payload), feat_norm = sum of their squares. Each field
@@ -3923,6 +3976,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_lm_bigram": _lm_bigram_sql(),
     "text_perplexity": _perplexity_sql(),
     "text_entropy": _entropy_sql(),
+    "curate_kl_drift": _kl_drift_sql(),
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(auto_k=True),

@@ -1636,3 +1636,27 @@ def test_entropy_scores_crafted(spark):
     assert got[2]["norm_entropy_ppm"] == 1_000_000
     assert got[3]["n_tokens"] == 0
     assert got[3]["entropy_milli_bits"] == 0
+
+
+def test_kl_drift_crafted(spark):
+    """Hand-checkable KL: a source identical in distribution to the
+    corpus has KL ~= 0 (within fixed-point truncation noise); a source
+    concentrated on one token diverges by whole bits."""
+    from pipegen_spark.operators.text import kl_drift_scores
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a b"), ("s1", "a b"),
+            ("s2", "a b"), ("s2", "a b"),
+            ("s3", "a a"), ("s3", "a a"),
+        ],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in kl_drift_scores(docs).collect()}
+    # corpus: a=8, b=4, n=12. s1/s2 = {a:2, b:2}: KL = .5*log2(.5/(8/12))
+    # + .5*log2(.5/(4/12)) = .5*log2(3/4) + .5*log2(3/2) ~= 0.085 bits
+    assert abs(got["s1"]["kl_milli_bits"] - 85) <= 2
+    assert got["s1"]["kl_milli_bits"] == got["s2"]["kl_milli_bits"]
+    # s3 = all 'a': KL = log2(1/(8/12)) = log2(1.5) ~= 0.585 bits
+    assert abs(got["s3"]["kl_milli_bits"] - 585) <= 2
+    assert got["s3"]["n_tokens"] == 4 and got["s3"]["n_types"] == 1
