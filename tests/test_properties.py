@@ -305,3 +305,33 @@ def test_bpe_wrapped_replace_overlap_pins():
     w = w.replace(" a  a ", " aa ")
     assert w == _wrap(["aa", "a"])
     assert w.replace(" aa  a ", " aaa ") == _wrap(["aaa"])
+
+
+@given(hst.integers(min_value=1, max_value=(1 << 33) - 1))
+@settings(max_examples=300)
+def test_log2_fp_tracks_math_log2(x):
+    """The fixed-point log2 stays within 4 output units (6e-5 bits) of
+    math.log2 across the whole supported domain and never exceeds the
+    exact value (truncations only lose)."""
+    import math
+
+    from pipegen_spark.operators.text import LOG2_FRAC_BITS, log2_fp_py
+
+    scale = 1 << LOG2_FRAC_BITS
+    fp = log2_fp_py(x)
+    exact = math.log2(x)
+    assert fp <= exact * scale + 1e-6
+    assert abs(fp / scale - exact) < 4 / scale
+
+
+@given(
+    hst.integers(min_value=1, max_value=(1 << 20) - 2),
+    hst.integers(min_value=1, max_value=1 << 10),
+)
+@settings(max_examples=200)
+def test_log2_fp_monotone(x, step):
+    """Non-strict monotonicity: a larger input never yields a smaller
+    fixed-point log2 (the filter-threshold property callers rely on)."""
+    from pipegen_spark.operators.text import log2_fp_py
+
+    assert log2_fp_py(x + step) >= log2_fp_py(x)
