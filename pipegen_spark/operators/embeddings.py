@@ -272,6 +272,133 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_ivf(
+    base: DataFrame,
+    coarse_pred,
+    fine_pred,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup with IVF TWO-LEVEL centroid assignment — the documented
+    next rung of `semantic_dedup`'s scaling ladder: when the derived
+    cluster count k itself gets large (k = n/target, so ~4e8 clusters
+    at 1e11 vectors), the flat broadcast assignment's O(n·k) distance
+    work dominates. Here every vector pays O(c) coarse distances plus
+    the distances to the fine centroids INSIDE its coarse cell
+    (expected k/c) — O(n·(c + k/c)), minimized at c = Θ(√k); FAISS's
+    IndexIVF quantizer structure applied to the dedup clustering
+    (Jegou et al. 2011 §IV; probe-1: a vector whose true nearest fine
+    centroid lives in a neighboring coarse cell is assigned within its
+    own cell — the standard IVF approximation, fine for dedup
+    bucketing where any consistent partition of similar vectors
+    works).
+
+    Fine "centroids" are the `fine_pred` sample rows used directly
+    (IVF builds lists on a trained quantizer; training is
+    `kmeans_fixed`'s job and can be fed in by materializing its
+    output). Determinism: both argmins are total-ordered (d2, cid)
+    MIN-structs; the within-cluster pair pass is byte-for-byte
+    `semantic_dedup`'s.
+
+    Shape (100 TB): coarse centroids (c rows) and the
+    fine-centroid→cell map (k rows) broadcast; the in-cell fine
+    assignment is a broadcast hash join on cell_id expanding each
+    vector to its cell's fine candidates (expected k/c per vector,
+    map-side bounded) followed by a map-side-partial MIN-struct
+    aggregate keyed by id; the pair join shuffles once on the fine
+    cluster id. No all-pairs anywhere.
+
+    Output per vector: (id_col, cluster_id, n_sem_dups,
+    is_semantic_dup) — same contract as `semantic_dedup`."""
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    coarse = base.filter(coarse_pred).select(
+        F.col(id_col).alias("ccid"), F.col(vec_col).alias("ccv")
+    )
+    fine = base.filter(fine_pred).select(
+        F.col(id_col).alias("fid"), F.col(vec_col).alias("fv")
+    )
+    dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
+
+    def nearest_coarse(df: DataFrame, vcol: str, keep: list) -> DataFrame:
+        d2 = F.expr(
+            dl.dist2_double(vcol, "ccv", dim_e, dl.SPARK)
+        ).alias("d2")
+        return (
+            df.crossJoin(F.broadcast(coarse))
+            .select(*keep, "ccid", d2)
+            .groupBy(*keep)
+            .agg(
+                F.min(F.struct(F.col("d2"), F.col("ccid"))).alias("m")
+            )
+            .select(*keep, F.col("m.ccid").alias("cell"))
+        )
+    # fine centroid -> coarse cell (k rows, broadcastable)
+    fine_cells = nearest_coarse(
+        fine.select(F.col("fid").alias("id"), F.col("fv").alias("v")),
+        "v",
+        ["id"],
+    ).select(F.col("id").alias("fid"), "cell")
+    fine_in_cell = F.broadcast(
+        fine.join(fine_cells, "fid").select("fid", "fv", "cell")
+    )
+    vec_cells = nearest_coarse(vecs, "v", ["id"]).join(vecs, "id")
+    d2f = F.expr(dl.dist2_double("v", "fv", dim_e, dl.SPARK)).alias("d2")
+    matched = (
+        vec_cells.join(fine_in_cell, "cell")
+        .select("id", "fid", d2f)
+        .groupBy("id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("fid"))).alias("m"))
+        .select("id", F.col("m.fid").alias("fine_id"))
+    )
+    # A coarse cell can hold zero fine centroids (tiny samples);
+    # vectors there keep -(cell+1) as their cluster label — negative,
+    # so it can never collide with a fine centroid's vec_id even when
+    # the two sample predicates overlap at large derived k.
+    assigned = (
+        vec_cells.select("id", "cell")
+        .join(matched, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "fine_id", -(F.col("cell") + F.lit(1))
+            ).cast("long").alias("cluster_id"),
+        )
+    )
+    # Within-cluster keep-first pruning — semantic_dedup's pair pass.
+    nrm = f"sqrt({dl.norm2_double('v', dim_e, dl.SPARK)})"
+    a = vecs.join(assigned, "id").withColumn("nrm", F.expr(nrm)).persist()
+    left = a.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster_id",
+    )
+    right = a.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster_id",
+    )
+    pair_dim = dim if dim is not None else dl.size("va", dl.SPARK)
+    cos = f"({dl.dot_double('va', 'vb', pair_dim, dl.SPARK)}) / (na * nb)"
+    dups = (
+        left.join(right, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"({cos}) >= {threshold}"))
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.count("*").alias("n_sem_dups"))
+    )
+    n = F.coalesce(F.col("n_sem_dups"), F.lit(0)).cast("long")
+    return a.join(dups, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        n.alias("n_sem_dups"),
+        (n > 0).alias("is_semantic_dup"),
+    )
+
+
 def pq_subdist_expr(
     a: str, b: str, sub: int, sub_dim: int, scale_bits: int, d: str
 ) -> str:

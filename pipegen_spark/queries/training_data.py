@@ -1899,6 +1899,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup via IVF TWO-LEVEL assignment — the implemented next
+    rung of dedup_semantic's documented scaling ladder (see
+    operators/embeddings.semantic_dedup_ivf): coarse cells from the
+    CENTROID sample block, fine centroids from the size-derived-k
+    sample (same k rule as dedup_semantic), within-cell fine argmin,
+    then the identical within-cluster keep-first pruning. At this
+    test scale c (16) exceeds k, which deliberately exercises the
+    empty-cell fallback path; at production scale k >> c and the
+    assignment cost drops from O(n·k) to O(n·(c + k/c))."""
+    vecs = table(spark, sf_dir, "embeddings")
+    n = vecs.count()  # bounded collect: ONE scalar (auto-k precedent)
+    k = max(
+        KMEANS_K,
+        (n + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER,
+    )
+    return em.semantic_dedup_ivf(
+        vecs,
+        F.col("vec_id").between(CENTROID_LO, CENTROID_HI),
+        F.col("vec_id") < k,
+        threshold=EMB_DUP_THRESHOLD,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=EMB_DIM,
+    ).orderBy("vec_id")
+
+
 def ref_dedup_semantic_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[test-scale] The fixed-k SemDeDup form `dedup_semantic` carried
     through round 8 — kept OUT of the corpus (the `ref_` prefix is not

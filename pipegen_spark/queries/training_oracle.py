@@ -1655,6 +1655,80 @@ def _semdedup_sql(auto_k: bool = False) -> str:
     )
 
 
+def _semdedup_ivf_sql() -> str:
+    """Mirror of embeddings.semantic_dedup_ivf: the auto-k fine sample,
+    the fixed coarse CENTROID block, both (d2, id)-total-ordered
+    argmins (vector→cell, fine→cell, then vector→fine WITHIN its
+    cell), the -(cell+1) empty-cell fallback label, and the identical
+    within-cluster keep-first pair pass."""
+    d2vc = dl.dist2_double("v.embedding", "c.ccv", td.EMB_DIM, D)
+    d2fc = dl.dist2_double("f.fv", "c.ccv", td.EMB_DIM, D)
+    d2vf = dl.dist2_double("vc.v", "fc.fv", td.EMB_DIM, D)
+    cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    return f"""
+    WITH kdef AS (SELECT GREATEST(CAST({td.KMEANS_K} AS BIGINT),
+        CAST((COUNT(*) + {td.SEMDEDUP_TARGET_CLUSTER} - 1)
+         // {td.SEMDEDUP_TARGET_CLUSTER} AS BIGINT)) AS k
+        FROM embeddings),
+    coarse AS (
+        SELECT vec_id AS ccid, embedding AS ccv FROM embeddings
+        WHERE vec_id BETWEEN {td.CENTROID_LO} AND {td.CENTROID_HI}
+    ),
+    fine AS (
+        SELECT vec_id AS fid, embedding AS fv FROM embeddings
+        WHERE vec_id < (SELECT k FROM kdef)
+    ),
+    vc AS MATERIALIZED (
+        SELECT id, v, cell FROM (
+            SELECT v.vec_id AS id, v.embedding AS v, c.ccid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {d2vc}, c.ccid
+                   ) AS rn
+            FROM embeddings v CROSS JOIN coarse c
+        ) t WHERE rn = 1
+    ),
+    fc AS MATERIALIZED (
+        SELECT fid, fv, cell FROM (
+            SELECT f.fid, f.fv, c.ccid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.fid
+                       ORDER BY {d2fc}, c.ccid
+                   ) AS rn
+            FROM fine f CROSS JOIN coarse c
+        ) t WHERE rn = 1
+    ),
+    matched AS (
+        SELECT id, fine_id FROM (
+            SELECT vc.id, fc.fid AS fine_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vc.id
+                       ORDER BY {d2vf}, fc.fid
+                   ) AS rn
+            FROM vc JOIN fc ON vc.cell = fc.cell
+        ) t WHERE rn = 1
+    ),
+    lab AS MATERIALIZED (
+        SELECT vc.id, vc.v,
+               CAST(COALESCE(m.fine_id, -(vc.cell + 1)) AS BIGINT)
+                   AS cluster_id
+        FROM vc LEFT JOIN matched m ON vc.id = m.id
+    ),
+    pairs AS (
+        SELECT b.id AS id, COUNT(*) AS n
+        FROM lab a JOIN lab b
+          ON a.cluster_id = b.cluster_id AND a.id < b.id
+        WHERE ({cos}) >= {td.EMB_DUP_THRESHOLD}
+        GROUP BY b.id
+    )
+    SELECT t.id AS vec_id, t.cluster_id,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_sem_dups,
+           (COALESCE(p.n, 0) > 0) AS is_semantic_dup
+    FROM lab t LEFT JOIN pairs p ON t.id = p.id
+    ORDER BY vec_id
+    """
+
+
 def _bm25_chain() -> str:
     """Shared CTE chain ending at `joined` (per-doc tf/df/dlen + corpus
     stats, score-ready): consumed by _bm25_sql and _hybrid_sql."""
@@ -3980,6 +4054,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_gopher": _gopher_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(auto_k=True),
+    "dedup_semantic_ivf": _semdedup_ivf_sql(),
     "curate_split": (
         "SELECT doc_id, lang, source, "
         + cu.split_expr("doc_id", D)

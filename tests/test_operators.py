@@ -1660,3 +1660,44 @@ def test_kl_drift_crafted(spark):
     # s3 = all 'a': KL = log2(1/(8/12)) = log2(1.5) ~= 0.585 bits
     assert abs(got["s3"]["kl_milli_bits"] - 585) <= 2
     assert got["s3"]["n_tokens"] == 4 and got["s3"]["n_types"] == 1
+
+
+def test_semantic_dedup_ivf_structure(spark):
+    """IVF two-level assignment invariants on crafted vectors: a vector
+    lands on a fine centroid inside its own coarse cell (probe-1), and
+    a coarse cell with no fine centroid yields the negative fallback
+    label -(cell+1)."""
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.operators.embeddings import semantic_dedup_ivf
+
+    # 2-d layout: coarse cells at x=0 (id 100) and x=10 (id 101);
+    # one fine centroid near x=0 only (id 200). Vectors 1,2 near x=0
+    # (cell 100 -> fine 200); vector 3 near x=10 (cell 101, EMPTY ->
+    # label -(101+1) = -102).
+    rows = [
+        (100, [0.0, 1.0]),
+        (101, [10.0, 1.0]),
+        (200, [0.5, 1.0]),
+        (1, [0.1, 1.0]),
+        (2, [0.2, 1.0]),
+        (3, [9.9, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup_ivf(
+            df,
+            F.col("vec_id").isin(100, 101),
+            F.col("vec_id") == 200,
+            threshold=0.99,
+            dim=2,
+        ).collect()
+    }
+    assert got[1]["cluster_id"] == 200
+    assert got[2]["cluster_id"] == 200
+    assert got[3]["cluster_id"] == -102
+    # 1 and 2 are near-parallel (cos > 0.99): keep-first flags 2, not 1
+    assert got[1]["is_semantic_dup"] is False
+    assert got[2]["is_semantic_dup"] is True
+    assert got[3]["is_semantic_dup"] is False
