@@ -535,3 +535,44 @@ WHERE s.s_suppkey IN (
 )
 ORDER BY s_name
 """
+
+from pipegen_spark.queries.relational6 import Q81_LIMIT, Q81_MIN_SUPPORT
+
+_Q81_CONF = dl.idiv(
+    "pair_support * CAST(1000000 AS BIGINT)", "support_a", dl.DUCK
+)
+_Q81_LIFT = dl.idiv(f"({_Q81_CONF}) * n_orders", "support_b", dl.DUCK)
+
+RELATIONAL6_ORACLE["q81_basket_pairs"] = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n1 AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM items
+),
+ps AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp
+    FROM items GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {Q81_MIN_SUPPORT}
+)
+SELECT part_a, part_b, pair_support,
+       sa.supp AS support_a, sb.supp AS support_b,
+       CAST({_Q81_CONF.replace("support_a", "sa.supp")} AS BIGINT)
+           AS confidence_ppm,
+       CAST({_Q81_LIFT.replace("support_a", "sa.supp").replace("support_b", "sb.supp")}
+            AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN ps sa ON pairs.part_a = sa.l_partkey
+JOIN ps sb ON pairs.part_b = sb.l_partkey
+CROSS JOIN n1
+ORDER BY pair_support DESC, part_a, part_b
+LIMIT {Q81_LIMIT}
+"""

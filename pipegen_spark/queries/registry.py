@@ -71,8 +71,9 @@ rounds; long-stable canaries stay in every window):
   entropy — curate_kl_drift — per-source KL from the corpus
   distribution in bits, both on the same primitive — and
   dedup_semantic_ivf — the IVF two-level-assignment rung of the
-  SemDeDup ladder — all oracle-green on the local mirror at sf0.01
-  AND sf0.1) + the r6 tranche head, keeping the canaries.
+  SemDeDup ladder — and q81_basket_pairs — market-basket
+  support/confidence/lift pair mining — all oracle-green on the
+  local mirror at sf0.01 AND sf0.1) + the r6 tranche head, keeping the canaries.
 """
 
 from __future__ import annotations
@@ -92,7 +93,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 205
+CORPUS_SIZE = 206
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the

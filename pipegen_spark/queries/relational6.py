@@ -940,3 +940,87 @@ def q80_tpch_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+Q81_MIN_SUPPORT = 2  # pairs must co-occur in >= 2 orders
+Q81_LIMIT = 500
+
+
+def q81_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over orders: for every pair of parts
+    co-occurring in >= Q81_MIN_SUPPORT orders, the support /
+    confidence / lift triple — the classic association-rule workload
+    (Agrawal & Srikant 1994's frequent 2-itemsets) on the TPC-H
+    schema.
+
+    Shape (100 TB): baskets are distinct (orderkey, partkey) rows; the
+    pair join is a SELF-EQUI-JOIN ON ORDERKEY with part_a < part_b, so
+    pair volume is Σ basket_size² — bounded by the max lines per order
+    (~single digits in order data), i.e. linear in lineitem, never
+    all-pairs over the catalog. Per-part supports and the order count
+    are partial-agg shuffles; the order count re-enters as a broadcast
+    1-row aggregate. Integer surfaces: confidence and lift in ppm via
+    the two-step idiv (same associativity on both engines; the
+    two-step keeps every intermediate under BIGINT at any corpus
+    size — the single-expression lift overflows at ~1e9 orders)."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    part_supp = items.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("supp")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= Q81_MIN_SUPPORT)
+    )
+    conf = dl.idiv(
+        "pair_support * CAST(1000000 AS BIGINT)", "support_a", dl.SPARK
+    )
+    lift_t = dl.idiv(
+        "pair_support * CAST(1000000 AS BIGINT)", "support_a", dl.SPARK
+    )
+    lift = dl.idiv(f"({lift_t}) * n_orders", "support_b", dl.SPARK)
+    return (
+        pairs.join(
+            part_supp.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("supp").alias("support_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            part_supp.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("supp").alias("support_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            F.expr(conf).cast("long").alias("confidence_ppm"),
+            F.expr(lift).cast("long").alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("pair_support").desc(), "part_a", "part_b"
+        )
+        .limit(Q81_LIMIT)
+    )
