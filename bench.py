@@ -160,7 +160,12 @@ def main() -> None:
     def _drain_gc() -> None:
         # Let ContextCleaner reclaim dead broadcasts/shuffles between
         # passes (see periodicGC note above). Driver-side JVM gc; cheap
-        # relative to a corpus pass.
+        # relative to a corpus pass. clearCache() first: the SemDeDup
+        # operators persist their assignment frames for the query's
+        # lifetime (operators/embeddings.py — CacheManager entries are
+        # NOT GC-reclaimed), so a long-lived session must drop them at
+        # a pass boundary or they accumulate across the corpus.
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
     qs = all_queries()

@@ -226,6 +226,13 @@ def semantic_dedup(
     # once instead of three times. The cached rows are (id, cluster_id,
     # vec, nrm) — the corpus once, not a pair expansion.
     #
+    # Cache LIFETIME (r9 verdict): the operator returns a lazy frame, so
+    # there is no action here to unpersist after — the CacheManager entry
+    # lives until the session drops it (it is not GC-reclaimed like RDD
+    # persists). Per-query that is correct; a long-lived session (the
+    # FAIR-pooled bench, a notebook) reclaims at its natural boundary via
+    # spark.catalog.clearCache() — bench.py does this between passes.
+    #
     # The L2 norm is hoisted HERE, per vector, not computed per pair:
     # (a) O(n) norm chains instead of O(pairs), and (b) the full cosine —
     # dot + two norms, 3*dim unrolled element_at terms — overflows Janino's
@@ -367,6 +374,9 @@ def semantic_dedup_ivf(
         )
     )
     # Within-cluster keep-first pruning — semantic_dedup's pair pass.
+    # Cache lifetime: session-scoped, same contract as semantic_dedup's
+    # persist above (no action inside the operator to unpersist after;
+    # long-lived sessions reclaim via spark.catalog.clearCache()).
     nrm = f"sqrt({dl.norm2_double('v', dim_e, dl.SPARK)})"
     a = vecs.join(assigned, "id").withColumn("nrm", F.expr(nrm)).persist()
     left = a.select(

@@ -79,7 +79,7 @@ def run_probe(
             finally:
                 spark.sparkContext.setLogLevel("ERROR")
     rates = [
-        1000.0 * int(p["numInputRows"]) / float(p["batchDuration"])
+        1000.0 * int(p["numInputRows"]) / max(float(p["batchDuration"]), 1.0)
         for p in progress[1:]
         if int(p["numInputRows"]) > 0
     ]
