@@ -1675,11 +1675,23 @@ def log2_fp_py(x: int) -> int:
     >> truncation loses value deterministically; |result - exact| <
     ~2 units, i.e. ~3e-5 bits — a measurement-grade log for filtering,
     not IEEE libm). Used to pin the L(1e6) constant and by the unit
-    tests."""
+    tests.
+
+    Wide inputs (r9 ADVICE): x with e = floor(log2 x) > 32 would make
+    the engines' `x << 30` mantissa overflow BIGINT, so the mantissa is
+    PRE-REDUCED to 33 bits first — r = e - 32 low bits are truncated
+    before the shift (deterministically, identically in all three
+    implementations). The truncation perturbs log2 by at most
+    log2(1 + 2^-32) ≈ 3.4e-10 bits, three orders below the 2^-16
+    output quantum, so the reduced branch is exactly as accurate as
+    the narrow one; for e <= 32 the reduction is a no-op and values
+    are bit-identical to the pre-r10 chain. This extends the valid
+    domain to all of BIGINT: x in [1, 2^63)."""
     if x < 1:
         raise ValueError(f"log2 of non-positive {x}")
     e = x.bit_length() - 1
-    z = (x << _LOG2_Z_BITS) >> e
+    r = e - 32 if e > 32 else 0
+    z = ((x >> r) << _LOG2_Z_BITS) >> (e - r)
     lg = e
     for _ in range(LOG2_FRAC_BITS):
         z = (z * z) >> _LOG2_Z_BITS
@@ -1698,23 +1710,59 @@ L2_ONE_MICRO_FP = log2_fp_py(1_000_000)
 def _with_log2_fp(
     df: DataFrame, x_col: str, out_col: str, max_bits: int = 20
 ) -> DataFrame:
-    """Append `out_col` = fixed-point log2 of BIGINT column `x_col`
-    (values must be in [1, 2^max_bits) — callers clamp; max_bits <= 33
-    keeps the `x << 30` mantissa inside BIGINT). The exponent is a
-    CASE ladder; each of the LOG2_FRAC_BITS squaring rounds lands in
-    its OWN projection — inlining would double the expression tree per
-    round. All codegen integer arithmetic; z*z < 2^62 stays exact."""
-    if max_bits > 33:
-        raise ValueError(f"max_bits {max_bits} > 33 overflows x << 30")
+    """Append `out_col` = fixed-point log2 of BIGINT column `x_col`,
+    valid over [1, 2^max_bits) with max_bits <= 63 — i.e. up to the
+    whole positive BIGINT range. Inputs whose exponent e exceeds 32 are
+    mantissa-pre-reduced (x >> (e-32)) before the `<< 30` so the shift
+    never leaves BIGINT (see log2_fp_py for the precision argument:
+    the reduction costs < 2^-31 bits, far under the 2^-16 output
+    quantum; e <= 32 inputs are bit-identical to the unreduced chain).
+
+    Loud-failure guard (r9 ADVICE): a CASE + raise_error wraps the
+    input, so x < 1 (or x >= 2^max_bits when max_bits < 63) FAILS the
+    job instead of silently wrapping through Spark's modulo-64
+    shiftleft — the guard never fires on valid data, so it cannot
+    perturb oracle parity, and it runs only on the (distinct-value-
+    bounded) log2 frame, never per corpus row.
+
+    The exponent is a CASE ladder; each of the LOG2_FRAC_BITS squaring
+    rounds lands in its OWN projection — inlining would double the
+    expression tree per round. All codegen integer arithmetic; z stays
+    < 2^31 so z*z < 2^62 is exact."""
+    if max_bits > 63:
+        raise ValueError(f"max_bits {max_bits} > 63 exceeds BIGINT")
+    guard = f"{x_col} < 1" + (
+        f" OR {x_col} >= {1 << max_bits}" if max_bits < 63 else ""
+    )
+    df = df.withColumn(
+        "_xg",
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST(raise_error("
+            f"'log2_fp: input outside [1, 2^{max_bits})') AS BIGINT) "
+            f"ELSE {x_col} END"
+        ),
+    )
     e = "CASE " + " ".join(
-        f"WHEN {x_col} >= {1 << b} THEN {b}"
+        f"WHEN _xg >= {1 << b} THEN {b}"
         for b in range(max_bits - 1, 0, -1)
     ) + " ELSE 0 END"
     df = df.withColumn("_e", F.expr(e).cast("long"))
     df = df.withColumn(
+        "_r",
+        F.expr("CASE WHEN _e > 32 THEN _e - 32 ELSE 0 END").cast("long"),
+    )
+    df = df.withColumn(
         "_z",
         F.expr(
-            dl.shr(dl.shl(x_col, _LOG2_Z_BITS, dl.SPARK), "_e", dl.SPARK)
+            dl.shr(
+                dl.shl(
+                    "(" + dl.shr("_xg", "_r", dl.SPARK) + ")",
+                    _LOG2_Z_BITS,
+                    dl.SPARK,
+                ),
+                "(_e - _r)",
+                dl.SPARK,
+            )
         ).cast("long"),
     ).withColumn("_lg", F.col("_e"))
     two = 1 << (_LOG2_Z_BITS + 1)
@@ -1732,7 +1780,7 @@ def _with_log2_fp(
             + F.when(F.col("_zz") >= two, F.lit(1)).otherwise(F.lit(0)),
         )
     return df.withColumn(out_col, F.col("_lg").cast("long")).drop(
-        "_e", "_z", "_zz", "_lg"
+        "_xg", "_e", "_r", "_z", "_zz", "_lg"
     )
 
 
@@ -1854,9 +1902,12 @@ def entropy_scores(
     integer values of c_t and n (never per occurrence or per type), so
     the LOG2_FRAC_BITS chain executes on a frame bounded by the number
     of distinct counts — tiny — and joins back. Everything else is
-    integer multiply/sum/DIV. Envelope: per-doc n < 2^33 by the
-    max_bits guard (a single document with > 8e9 tokens is not a
-    document), c·L(c) < 2^33·2^21 = 2^54, type-sum bounded by n·L(n).
+    integer multiply/sum/DIV. Envelope (r10): the log2 chain covers all
+    of BIGINT (mantissa pre-reduction, see _with_log2_fp), so n itself
+    is unconstrained to 2^63 and out-of-domain inputs raise instead of
+    wrapping; the binding bound is the Σ c·L(c) accumulation — each
+    L < 63·2^16 ≈ 4.13e6, so per-doc n up to ~2^41 (2e12 tokens in ONE
+    document) keeps the sum BIGINT-exact.
 
     Output: (doc_id, n_tokens, n_types, entropy_milli_bits,
     norm_entropy_ppm); tokenless docs -> all zeros, single-type docs
@@ -1877,7 +1928,7 @@ def entropy_scores(
         .unionByName(per.select(F.col("n_types").alias("v")))
         .distinct()
     )
-    lg = _with_log2_fp(vals, "v", "lg", max_bits=33).select("v", "lg")
+    lg = _with_log2_fp(vals, "v", "lg", max_bits=63).select("v", "lg")
     csum = (
         cnt.join(lg.select(F.col("v").alias("c"), "lg"), "c")
         .groupBy("id")
@@ -1950,12 +2001,22 @@ def kl_drift_scores(
     is needed. Engine-exactness as in `entropy_scores`: the log2 chain
     runs over the DISTINCT integer values of {c_st} ∪ {c_t} ∪ {n_s} ∪
     {n} — a frame bounded by distinct counts — and every remaining step
-    is integer multiply/sum/DIV. Envelope: per-term |c_st·(...)| <
-    c_st·4·33·2^16 ≈ c_st·8.7e6, and Σ c_st = n_s < 2^33 keeps the
-    per-source sum < 7.5e16 — BIGINT-safe. The fixed-point truncations
-    can leave a tiny NEGATIVE result on an identical-to-corpus source
-    (exact KL would be 0); that is measurement noise, not a bug, and
-    callers threshold in milli-bits.
+    is integer multiply/sum/DIV.
+
+    Envelope (r10, ADVICE medium): the corpus total n and the common-
+    token counts c_t cross 2^33 long before 100 TB (n ~ 1e13 tokens),
+    so the log2 chain now covers ALL of BIGINT via mantissa
+    pre-reduction (see _with_log2_fp) and raises loudly out of domain
+    instead of wrapping. The remaining binding bounds: (a) the
+    per-source term sum — each |L(c_st)-L(c_t)| < 63·2^16 ≈ 4.13e6 and
+    Σ c_st = n_s, so n_s up to ~2^41 (2.2e12 tokens in ONE source)
+    stays BIGINT-exact; (b) the final milli-bit scaling, which is
+    SPLIT (quotient/remainder before the ×1000 — an exact trunc-
+    division identity, bit-identical to the single-expression form) so
+    it never multiplies the full term sum by 1000. The fixed-point
+    truncations can leave a tiny NEGATIVE result on an identical-to-
+    corpus source (exact KL would be 0); that is measurement noise,
+    not a bug, and callers threshold in milli-bits.
 
     Shape (100 TB): two count tables — (source, token) and (token) —
     both partial-agg shuffles; the (token)-keyed join carries counts,
@@ -1983,7 +2044,7 @@ def kl_drift_scores(
         .unionByName(n1.select(F.col("n").alias("v")))
         .distinct()
     )
-    lg = _with_log2_fp(vals, "v", "lg", max_bits=33).select("v", "lg")
+    lg = _with_log2_fp(vals, "v", "lg", max_bits=63).select("v", "lg")
     terms = (
         st.join(lg.select(F.col("v").alias("c_st"), "lg"), "c_st")
         .join(
@@ -2021,12 +2082,31 @@ def kl_drift_scores(
             F.col("n_s").alias("n_tokens"),
             "n_types",
             F.expr(
-                dl.idiv(
-                    "(tsum + n_s * (ln - lns)) * CAST(1000 AS BIGINT)",
-                    f"n_s * CAST({scale} AS BIGINT)",
-                    dl.SPARK,
-                )
+                kl_milli_expr("tsum", "n_s", "ln", "lns", dl.SPARK)
             ).cast("long").alias("kl_milli_bits"),
         )
         .orderBy(source_col)
+    )
+
+
+def kl_milli_expr(tsum: str, n_s: str, ln: str, lns: str, d: str) -> str:
+    """Milli-bit KL from the summed terms WITHOUT the overflow-prone
+    `x * 1000` over the full term sum: with x = tsum + n_s·(L(n)-L(n_s))
+    and q = x DIV n_s, r = x - q·n_s,
+
+        (x·1000) DIV (n_s·2^16)  ==  (q·1000 + (r·1000 DIV n_s)) DIV 2^16
+
+    — exact for truncation-toward-zero division (q·n_s·1000 divides out;
+    nested trunc-div with positive divisors composes), so results are
+    bit-identical to the single-expression form while |r·1000| < n_s·1000
+    and |q|·1000 < 8.3e9 keep every intermediate in BIGINT for n_s up to
+    ~2^41. Shared dual-dialect text so both engines run the same ops."""
+    scale = 1 << LOG2_FRAC_BITS
+    x = f"({tsum} + {n_s} * ({ln} - {lns}))"
+    q = f"({dl.idiv(x, n_s, d)})"
+    r = f"({x} - {q} * {n_s})"
+    return dl.idiv(
+        f"({q} * 1000 + {dl.idiv(f'{r} * 1000', n_s, d)})",
+        str(scale),
+        d,
     )

@@ -2734,15 +2734,19 @@ def _log2_chain_ctes(src: str, out: str, max_bits: int) -> str:
     """Generic fixed-point-log2 CTE chain: `src` must expose a BIGINT
     column v >= 1; emits CTEs ending in `{out}(v, lg)` with lg =
     log2_fp(v) in 2^-LOG2_FRAC_BITS units — the same shift-and-square
-    sequence as text._with_log2_fp / log2_fp_py."""
+    sequence as text._with_log2_fp / log2_fp_py, including the r10
+    mantissa pre-reduction (v >> (e-32) when e > 32) that extends the
+    valid domain to all of BIGINT without the `<< 30` overflowing."""
     zb = tx._LOG2_Z_BITS
     two = 1 << (zb + 1)
     ladder = " ".join(
         f"WHEN v >= {1 << b} THEN {b}" for b in range(max_bits - 1, 0, -1)
     )
     parts = [f"""{out}_s0 AS (
-        SELECT v, (v << {zb}) >> e AS z, CAST(e AS BIGINT) AS lg
-        FROM (SELECT v, CASE {ladder} ELSE 0 END AS e FROM {src}) t
+        SELECT v, ((v >> r) << {zb}) >> (e - r) AS z, CAST(e AS BIGINT) AS lg
+        FROM (SELECT v, e, CASE WHEN e > 32 THEN e - 32 ELSE 0 END AS r
+              FROM (SELECT v, CASE {ladder} ELSE 0 END AS e FROM {src}) t0
+        ) t
     )"""]
     prev = f"{out}_s0"
     for r in range(1, tx.LOG2_FRAC_BITS + 1):
@@ -2782,7 +2786,7 @@ def _entropy_sql() -> str:
             UNION ALL SELECT n_types FROM per
         ) u
     ),
-    {_log2_chain_ctes("vals", "lg", 33)},
+    {_log2_chain_ctes("vals", "lg", 63)},
     csum AS (
         SELECT cnt.id, CAST(SUM(cnt.c * lg.lg) AS BIGINT) AS clg
         FROM cnt JOIN lg ON cnt.c = lg.v
@@ -2811,11 +2815,12 @@ def _entropy_sql() -> str:
 
 def _kl_drift_sql() -> str:
     """Mirror of text.kl_drift_scores: (source, token) + (token) count
-    tables, the distinct-value log2 chain, then per source
-    kl_milli = ((Σ c_st·(L(c_st)-L(c_t)) + n_s·(L(n)-L(n_s)))·1000)
-    DIV (n_s·2^16). Both engines truncate integer division toward
-    zero, so the occasional truncation-noise negative is identical."""
-    scale = 1 << tx.LOG2_FRAC_BITS
+    tables, the distinct-value log2 chain, then per source the SPLIT
+    milli-bit scaling (text.kl_milli_expr — the exact trunc-division
+    identity that avoids ×1000 over the full term sum). Both engines
+    truncate integer division toward zero, so the occasional
+    truncation-noise negative is identical."""
+    kl = tx.kl_milli_expr("terms.tsum", "ns.n_s", "ln.lg", "ls.lg", D)
     return f"""
     WITH tok AS (
         SELECT source AS src, unnest({dl.words("text", D)}) AS t
@@ -2840,7 +2845,7 @@ def _kl_drift_sql() -> str:
             UNION ALL SELECT n FROM n1
         ) u
     ),
-    {_log2_chain_ctes("vals", "lg", 33)},
+    {_log2_chain_ctes("vals", "lg", 63)},
     terms AS (
         SELECT st.src,
                CAST(SUM(st.c_st * (a.lg - b.lg)) AS BIGINT) AS tsum
@@ -2851,8 +2856,7 @@ def _kl_drift_sql() -> str:
         GROUP BY st.src
     )
     SELECT ns.src AS source, ns.n_s AS n_tokens, ns.n_types,
-           CAST(((terms.tsum + ns.n_s * (ln.lg - ls.lg)) * 1000)
-                // (ns.n_s * {scale}) AS BIGINT) AS kl_milli_bits
+           CAST({kl} AS BIGINT) AS kl_milli_bits
     FROM terms
     JOIN ns ON terms.src = ns.src
     JOIN lg ls ON ns.n_s = ls.v

@@ -1589,6 +1589,64 @@ def test_log2_fp_accuracy_and_envelope():
         log2_fp_py(0)
 
 
+def test_log2_fp_wide_domain_three_way(spark):
+    """r10 envelope extension (ADVICE medium): the mantissa-pre-reduced
+    chain must agree BIT-EXACTLY across Python, Spark and DuckDB over
+    values spanning the e=32 reduction boundary up to 2^63-1 — the
+    counts a 100 TB corpus actually produces (n ~ 1e13 >> 2^33) — and
+    stay within tolerance of math.log2 throughout."""
+    import math
+
+    import duckdb
+
+    import pipegen_spark.queries.training_oracle as to
+    from pipegen_spark.operators.text import (
+        LOG2_FRAC_BITS,
+        _with_log2_fp,
+        log2_fp_py,
+    )
+
+    vals = [
+        1, 2, 3, 999_999, (1 << 32) - 1, 1 << 32, (1 << 33) - 1,
+        1 << 33, (1 << 33) + 1, 10**10, 10**13, 2 * 10**13,
+        (1 << 41) + 12345, 10**18, (1 << 62) + 7, (1 << 63) - 1,
+    ]
+    scale = 1 << LOG2_FRAC_BITS
+    py = {v: log2_fp_py(v) for v in vals}
+    for v, fp in py.items():
+        assert abs(fp / scale - math.log2(v)) < 4 / scale, v
+    sdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_s = {
+        r["v"]: r["lg"]
+        for r in _with_log2_fp(sdf, "v", "lg", max_bits=63).collect()
+    }
+    assert got_s == py
+    values = " UNION ALL ".join(f"SELECT CAST({v} AS BIGINT) AS v" for v in vals)
+    sql = (
+        f"WITH src AS ({values}),\n    "
+        + to._log2_chain_ctes("src", "lg", 63)
+        + "\n    SELECT v, lg FROM lg"
+    )
+    got_d = {v: lg for v, lg in duckdb.sql(sql).fetchall()}
+    assert got_d == py
+
+
+def test_log2_fp_spark_guard_raises(spark):
+    """The r10 runtime guard: out-of-domain input must FAIL the job
+    loudly (raise_error) instead of silently wrapping through Spark's
+    modulo-64 shiftleft."""
+    import pytest as _pt
+
+    from pipegen_spark.operators.text import _with_log2_fp
+
+    bad_zero = spark.createDataFrame([(0,)], "v long")
+    with _pt.raises(Exception, match="log2_fp"):
+        _with_log2_fp(bad_zero, "v", "lg", max_bits=63).collect()
+    bad_high = spark.createDataFrame([(1 << 21,)], "v long")
+    with _pt.raises(Exception, match="log2_fp"):
+        _with_log2_fp(bad_high, "v", "lg", max_bits=20).collect()
+
+
 def test_perplexity_scores_crafted(spark):
     """Hand-checkable LM: in 'a b a b a c', p(b|a)=2/3, p(a|b)=1,
     p(c|a)=1/3 — the all-'a b' doc must score LOWER mean bits than the

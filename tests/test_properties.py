@@ -307,12 +307,13 @@ def test_bpe_wrapped_replace_overlap_pins():
     assert w.replace(" aa  a ", " aaa ") == _wrap(["aaa"])
 
 
-@given(hst.integers(min_value=1, max_value=(1 << 33) - 1))
+@given(hst.integers(min_value=1, max_value=(1 << 63) - 1))
 @settings(max_examples=300)
 def test_log2_fp_tracks_math_log2(x):
     """The fixed-point log2 stays within 4 output units (6e-5 bits) of
-    math.log2 across the whole supported domain and never exceeds the
-    exact value (truncations only lose)."""
+    math.log2 across the whole BIGINT domain (r10: the mantissa
+    pre-reduction extends it past 2^33) and never exceeds the exact
+    value (truncations only lose)."""
     import math
 
     from pipegen_spark.operators.text import LOG2_FRAC_BITS, log2_fp_py
@@ -322,6 +323,20 @@ def test_log2_fp_tracks_math_log2(x):
     exact = math.log2(x)
     assert fp <= exact * scale + 1e-6
     assert abs(fp / scale - exact) < 4 / scale
+
+
+@given(
+    hst.integers(min_value=(1 << 32) - (1 << 12), max_value=(1 << 34)),
+    hst.integers(min_value=1, max_value=1 << 10),
+)
+@settings(max_examples=200)
+def test_log2_fp_monotone_across_reduction_boundary(x, step):
+    """Monotonicity must survive the e=32 -> e=33 hand-off where the
+    mantissa pre-reduction first engages (a truncated mantissa on the
+    wide side must never dip below the exact narrow-side value)."""
+    from pipegen_spark.operators.text import log2_fp_py
+
+    assert log2_fp_py(x + step) >= log2_fp_py(x)
 
 
 @given(
