@@ -1051,15 +1051,16 @@ def quality_percentile_gate(
     keep NOTHING, use `quality_threshold_gate` (k = floor(n·frac) docs,
     k=0 keeps none).
 
-    Scale CAVEAT: the exact rank is a per-group window sort —
-    `row_number().over(partitionBy(source))` sends every row of a
-    source to ONE task, and AQE cannot split a window partition. Group
-    COUNT is bounded, group SIZE is not: a mega-source (a Common Crawl
-    dump is ~90% of a real corpus) makes this a single-task sort at
-    100 TB. This form is kept as the deterministic per-doc-rank ORACLE
-    surface at test scale; the production-scale form is
-    `quality_threshold_gate` below (bounded histogram + broadcast
-    cutoff, no per-group sort of the full relation).
+    Scale CAVEAT [test-scale]: the exact rank is a per-group window
+    sort — `row_number().over(partitionBy(source))` sends every row of
+    a source to ONE task, and AQE cannot split a window partition.
+    Group COUNT is bounded, group SIZE is not: a mega-source (a Common
+    Crawl dump is ~90% of a real corpus) makes this a single-task sort
+    at 100 TB. Since r10 NO gated key runs this form — the corpus
+    surface is `quality_threshold_gate` below (bounded histogram +
+    broadcast cutoff, no per-group sort of the full relation); this
+    form survives as the `ref_quality_percentile_rank` test surface,
+    keep-equivalence-pinned at test scale in tests/test_curation.py.
     """
     from pipegen_spark.operators import text as tx
 

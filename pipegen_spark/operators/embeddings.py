@@ -163,32 +163,66 @@ def kmeans_fixed(
     )
     assigned = _assign(vecs, cents, dim)
     for _ in range(iters - 1):
-        sums = (
-            assigned.select(
-                "cluster_id", F.posexplode("v").alias("pos", "x")
-            )
-            .groupBy("cluster_id", "pos")
-            .agg(
-                F.sum(F.expr(scaled_long_expr("x"))).alias("s"),
-                F.count("*").alias("n"),
-            )
-        )
-        cents = (
-            sums.select(
-                F.col("cluster_id").alias("cid"),
-                "pos",
-                F.expr(mean_expr("s", "n")).alias("m"),
-            )
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))),"
-                    " p -> p.m)"
-                ).alias("cv")
-            )
-        )
+        cents = _lloyd_update(assigned)
         assigned = _assign(vecs, cents, dim)
     return assigned.select(F.col("id").alias(id_col), "cluster_id", "d2")
+
+
+def _lloyd_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd centroid recompute over an assignment frame: per-
+    dimension means via posexplode → sum-of-scaled-longs → rebuild array
+    ordered by dimension (the partition-order-independent exact mean the
+    module docstring describes). Returns (cid, cv)."""
+    sums = (
+        assigned.select(
+            "cluster_id", F.posexplode("v").alias("pos", "x")
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.sum(F.expr(scaled_long_expr("x"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        sums.select(
+            F.col("cluster_id").alias("cid"),
+            "pos",
+            F.expr(mean_expr("s", "n")).alias("m"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " p -> p.m)"
+            ).alias("cv")
+        )
+    )
+
+
+def kmeans_centroids(
+    base: DataFrame,
+    init_pred,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """The TRAINED centroid frame (cid, cv) that `kmeans_fixed`'s final
+    assignment runs against — the seed rows Lloyd-updated `iters - 1`
+    times with the same integer-scaled exact means (bit-identical to
+    the unrolled DuckDB CTE chain's last c{i} frame). This is the
+    quantizer-training output FAISS materializes before building an
+    IndexIVF (Jegou et al. 2011 §IV): feed it to `semantic_dedup_ivf`
+    as `fine_centroids` for the trained-quantizer composition, where
+    Lloyd-balanced centroids equalize inverted-list sizes and so pin
+    the per-list pair volume the dedup pass pays."""
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = base.filter(init_pred).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    for _ in range(iters - 1):
+        cents = _lloyd_update(_assign(vecs, cents, dim))
+    return cents
 
 
 def semantic_dedup(
@@ -287,6 +321,7 @@ def semantic_dedup_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    fine_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup with IVF TWO-LEVEL centroid assignment — the documented
     next rung of `semantic_dedup`'s scaling ladder: when the derived
@@ -302,10 +337,12 @@ def semantic_dedup_ivf(
     bucketing where any consistent partition of similar vectors
     works).
 
-    Fine "centroids" are the `fine_pred` sample rows used directly
-    (IVF builds lists on a trained quantizer; training is
-    `kmeans_fixed`'s job and can be fed in by materializing its
-    output). Determinism: both argmins are total-ordered (d2, cid)
+    Fine "centroids" are the `fine_pred` sample rows used directly,
+    OR — the trained-quantizer composition — pass `fine_centroids`
+    (columns fid, fv; `kmeans_centroids` produces exactly this) and
+    `fine_pred` is ignored: IVF on a Lloyd-trained quantizer, FAISS's
+    actual IndexIVF structure, whose balanced lists pin per-list pair
+    volume. Determinism: both argmins are total-ordered (d2, cid)
     MIN-structs; the within-cluster pair pass is byte-for-byte
     `semantic_dedup`'s.
 
@@ -323,9 +360,12 @@ def semantic_dedup_ivf(
     coarse = base.filter(coarse_pred).select(
         F.col(id_col).alias("ccid"), F.col(vec_col).alias("ccv")
     )
-    fine = base.filter(fine_pred).select(
-        F.col(id_col).alias("fid"), F.col(vec_col).alias("fv")
-    )
+    if fine_centroids is not None:
+        fine = fine_centroids.select("fid", "fv")
+    else:
+        fine = base.filter(fine_pred).select(
+            F.col(id_col).alias("fid"), F.col(vec_col).alias("fv")
+        )
     dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
 
     def nearest_coarse(df: DataFrame, vcol: str, keep: list) -> DataFrame:

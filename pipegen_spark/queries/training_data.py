@@ -401,16 +401,30 @@ def simsearch_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curate_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[test-scale] Per-source quality-percentile gate (keep the top 60%
-    of each source by the shared quality score) via exact per-doc window
-    rank. DO NOT deploy on a mega-source: ranking every row of one
-    source is a single-partition sort at 100 TB (the r6-verdict
-    scale-killer shape). The production form is
-    `curate_quality_threshold` (bounded histogram + broadcast cutoff —
-    identical keep decisions on this micro-quantized score), which is
-    what `curate_ensemble_threshold` composes; this exact-rank surface
-    is retained as the deterministic oracle baseline the threshold gate
-    is proven against."""
+    """Per-source quality-percentile gate (keep the top 60% of each
+    source by the shared quality score) — gated on the PRODUCTION plan
+    (round-10 re-point, r9 VERDICT What's-wrong #1, same move as the r9
+    `dedup_semantic` re-point): `quality_threshold_gate`, the bounded
+    (source, score_micro) histogram + broadcast cutoff. No per-source
+    window sort of the full relation anywhere, so a mega-source (one CC
+    dump ~90% of a real corpus) costs nothing at 100 TB; the skewed
+    docs-per-source dimension only ever appears pre-aggregated. The
+    exact per-doc-rank form this key carried through r9 survives as
+    `ref_quality_percentile_rank` ([test-scale], equivalence-pinned in
+    tests/test_curation.py); the former `curate_quality_threshold` key
+    is retired as redundant — it was this exact query."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.quality_threshold_gate(docs)
+
+
+def ref_quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[test-scale] The exact per-doc window-rank percentile gate —
+    kept OUT of the corpus (the `ref_` prefix is not collected) as a
+    labeled test surface: `row_number().over(partitionBy(source))`
+    sends every row of one source to ONE task, the r6-verdict
+    scale-killer shape. tests/test_curation.py pins its keep decisions
+    equal to `curate_quality_percentile`'s production plan at test
+    scale (identical on this micro-quantized score)."""
     docs = table(spark, sf_dir, "documents")
     return cu.quality_percentile_gate(docs)
 
@@ -462,16 +476,9 @@ def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.boilerplate_stats(docs)
 
 
-def curate_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe per-source quality gate (round-7, VERDICT What's-wrong
-    #1 fix): same keep-top-60%-per-source intent as
-    curate_quality_percentile, but via a per-source score CUTOFF derived
-    from a bounded (source, score_micro) histogram + broadcast join —
-    no per-source window sort of the full relation, so a mega-source
-    costs nothing at 100 TB. Exact and engine-identical (the score is
-    micro-quantized, so the histogram is the full distribution)."""
-    docs = table(spark, sf_dir, "documents")
-    return cu.quality_threshold_gate(docs)
+# (curate_quality_threshold retired in r10: curate_quality_percentile is
+# now gated on the identical quality_threshold_gate plan — one key per
+# query, the dedup_semantic/dedup_semantic_auto retirement precedent.)
 
 
 def embed_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,6 +1933,47 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def dedup_semantic_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup IVF with a TRAINED fine quantizer (r9 VERDICT next #4 —
+    the production-balance path `semantic_dedup_ivf`'s docstring names):
+    the fine centroids are `kmeans_centroids`' Lloyd-updated means
+    (KMEANS_ITERS iterations over the size-derived-k seed sample — the
+    exact frame dedup_semantic's own assignment runs against) instead
+    of the raw sample rows. This is FAISS's actual IndexIVF recipe:
+    train the quantizer, then build lists on it — trained centroids
+    equalize list sizes, which pins the per-list pair volume the dedup
+    pass pays (a raw-sample quantizer inherits the sample's local
+    density as list skew). Deterministic end to end: the Lloyd means
+    are integer-scaled exact sums, so the oracle unrolls the identical
+    rounds as CTEs and the assignment argmins stay total-ordered."""
+    vecs = table(spark, sf_dir, "embeddings")
+    n = vecs.count()  # bounded collect: ONE scalar (auto-k precedent)
+    k = max(
+        KMEANS_K,
+        (n + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER,
+    )
+    cents = em.kmeans_centroids(
+        vecs,
+        F.col("vec_id") < k,
+        iters=KMEANS_ITERS,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=EMB_DIM,
+    )
+    return em.semantic_dedup_ivf(
+        vecs,
+        F.col("vec_id").between(CENTROID_LO, CENTROID_HI),
+        None,
+        threshold=EMB_DUP_THRESHOLD,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=EMB_DIM,
+        fine_centroids=cents.select(
+            F.col("cid").alias("fid"), F.col("cv").alias("fv")
+        ),
+    ).orderBy("vec_id")
+
+
 def ref_dedup_semantic_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[test-scale] The fixed-k SemDeDup form `dedup_semantic` carried
     through round 8 — kept OUT of the corpus (the `ref_` prefix is not
@@ -2067,11 +2115,14 @@ def curate_ensemble(
     id and the only shuffle beyond the signals' own is the join key.
 
     `percentile_gate` accepts either per-source calibration form
-    (default: the exact-rank `quality_percentile_gate`, the oracle
-    surface; pass `cu.quality_threshold_gate` for the histogram-cutoff
-    form, the 100 TB swap-in — both emit the same (doc_id, ..., keep)
-    contract)."""
-    gate_fn = percentile_gate or cu.quality_percentile_gate
+    (default since r10: the histogram-cutoff `quality_threshold_gate`,
+    the production plan — the composition a 100 TB pipeline actually
+    runs, no per-source rank sort anywhere; pass
+    `cu.quality_percentile_gate` for the exact-rank [test-scale] form —
+    both emit the same (doc_id, ..., keep) contract). The former
+    `curate_ensemble_threshold` key is retired as redundant: it was
+    exactly this composition."""
+    gate_fn = percentile_gate or cu.quality_threshold_gate
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     g = cu.with_gopher(docs, "text", **GOPHER_TUNE).select(
         "doc_id", "gopher_keep"
@@ -2098,17 +2149,9 @@ def curate_ensemble(
     )
 
 
-def curate_ensemble_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME three-signal ensemble as `curate_ensemble`, composed
-    with the histogram-cutoff `quality_threshold_gate` as the
-    percentile signal — i.e. the composition a 100 TB pipeline would
-    actually run (no per-source rank sort anywhere in the plan; the
-    skewed docs-per-source dimension only ever appears pre-aggregated).
-    Gated separately so the scale-shape composition carries its own
-    hard DuckDB oracle, not just the exact-rank test-scale form."""
-    return curate_ensemble(
-        spark, sf_dir, percentile_gate=cu.quality_threshold_gate
-    )
+# (curate_ensemble_threshold retired in r10: curate_ensemble now
+# composes quality_threshold_gate by default — the two keys had become
+# the same query.)
 
 
 def curate_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

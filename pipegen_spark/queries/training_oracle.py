@@ -854,39 +854,10 @@ def _bitext_sql() -> str:
     """
 
 
-def _quality_percentile_sql() -> str:
-    """Mirror of curation.quality_percentile_gate (per-source percentile
-    rank over the shared quality score, integer ppm). Boundary semantics
-    mirrored from the operator: pct_ppm is inclusive at 1e6, so each
-    group's best doc always passes — keep_frac 0 still keeps one doc per
-    group ("keep the maximum"); the keep-0-means-0 form is
-    _quality_threshold_sql."""
-    q = tx.quality_exprs("text", D)
-    score_micro = (
-        f"CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5) AS BIGINT)"
-    )
-    pct = (
-        f"CASE WHEN den = 0 THEN {cu.PCT_PPM} ELSE "
-        f"{dl.idiv(f'rn0 * {cu.PCT_PPM}', 'den', D)} END"
-    )
-    return f"""
-    WITH scored AS (
-        SELECT doc_id, source, {score_micro} AS score_micro FROM documents
-    ),
-    ranked AS (
-        SELECT doc_id, source, score_micro,
-               CAST(ROW_NUMBER() OVER (PARTITION BY source
-                    ORDER BY score_micro, doc_id) - 1 AS BIGINT) AS rn0,
-               CAST(COUNT(*) OVER (PARTITION BY source) - 1 AS BIGINT)
-                   AS den
-        FROM scored
-    )
-    SELECT doc_id, source, score_micro,
-           CAST({pct} AS BIGINT) AS pct_ppm,
-           (({pct}) >= {cu.PCT_PPM - cu.QP_KEEP_FRAC_PPM}) AS keep
-    FROM ranked
-    ORDER BY doc_id
-    """
+# (_quality_percentile_sql removed in r10: the exact-rank form is no
+# longer any gated key's oracle — it survives Spark-side as the
+# ref_quality_percentile_rank test surface, equivalence-pinned against
+# the threshold gate in tests/test_curation.py.)
 
 
 def _length_stats_sql() -> str:
@@ -1154,28 +1125,10 @@ def _quality_threshold_sql() -> str:
 def _ensemble_sql() -> str:
     """Mirror of queries.training_data.curate_ensemble — the three
     standalone filter oracles embedded verbatim as CTE subqueries and
-    joined on doc_id, so the ensemble is composition on BOTH engines."""
-    return f"""
-    WITH g AS ({_gopher_sql()}),
-    c AS ({_classifier_sql()}),
-    p AS ({_quality_percentile_sql()})
-    SELECT g.doc_id,
-           g.gopher_keep,
-           c.keep AS clf_keep,
-           p.keep AS pct_keep,
-           (g.gopher_keep AND c.keep AND p.keep) AS keep
-    FROM g JOIN c ON g.doc_id = c.doc_id
-           JOIN p ON g.doc_id = p.doc_id
-    ORDER BY g.doc_id
-    """
-
-
-
-def _ensemble_threshold_sql() -> str:
-    """Mirror of queries.training_data.curate_ensemble_threshold — same
-    three-CTE composition as _ensemble_sql but with the histogram-cutoff
-    threshold-gate oracle as the percentile signal (the 100 TB-shape
-    composition, oracle-checked in its own right)."""
+    joined on doc_id, so the ensemble is composition on BOTH engines.
+    Since the r10 re-point the percentile signal is the histogram-
+    cutoff threshold-gate oracle (the production plan; the former
+    separate curate_ensemble_threshold key is retired)."""
     return f"""
     WITH g AS ({_gopher_sql()}),
     c AS ({_classifier_sql()}),
@@ -1655,16 +1608,32 @@ def _semdedup_sql(auto_k: bool = False) -> str:
     )
 
 
-def _semdedup_ivf_sql() -> str:
+def _semdedup_ivf_sql(trained: bool = False) -> str:
     """Mirror of embeddings.semantic_dedup_ivf: the auto-k fine sample,
     the fixed coarse CENTROID block, both (d2, id)-total-ordered
     argmins (vector→cell, fine→cell, then vector→fine WITHIN its
     cell), the -(cell+1) empty-cell fallback label, and the identical
-    within-cluster keep-first pair pass."""
+    within-cluster keep-first pair pass. With `trained`, the fine
+    centroids are the shared unrolled-Lloyd chain's final c{{i}} frame
+    (kmeans_centroids' output) instead of the raw sample rows — the
+    trained-quantizer composition dedup_semantic_ivf_trained gates."""
     d2vc = dl.dist2_double("v.embedding", "c.ccv", td.EMB_DIM, D)
     d2fc = dl.dist2_double("f.fv", "c.ccv", td.EMB_DIM, D)
     d2vf = dl.dist2_double("vc.v", "fc.fv", td.EMB_DIM, D)
     cos = dl.cosine_double("a.v", "b.v", td.EMB_DIM, D)
+    if trained:
+        kctes, _ = _kmeans_chain("vec_id < (SELECT k FROM kdef)")
+        kctes = kctes[:-1]  # final assignment CTE unused for training
+        lloyd = ",\n    ".join(kctes)
+        fine = f"""{lloyd},
+    fine AS (
+        SELECT cid AS fid, cv AS fv FROM c{td.KMEANS_ITERS - 1}
+    )"""
+    else:
+        fine = f"""fine AS (
+        SELECT vec_id AS fid, embedding AS fv FROM embeddings
+        WHERE vec_id < (SELECT k FROM kdef)
+    )"""
     return f"""
     WITH kdef AS (SELECT GREATEST(CAST({td.KMEANS_K} AS BIGINT),
         CAST((COUNT(*) + {td.SEMDEDUP_TARGET_CLUSTER} - 1)
@@ -1674,10 +1643,7 @@ def _semdedup_ivf_sql() -> str:
         SELECT vec_id AS ccid, embedding AS ccv FROM embeddings
         WHERE vec_id BETWEEN {td.CENTROID_LO} AND {td.CENTROID_HI}
     ),
-    fine AS (
-        SELECT vec_id AS fid, embedding AS fv FROM embeddings
-        WHERE vec_id < (SELECT k FROM kdef)
-    ),
+    {fine},
     vc AS MATERIALIZED (
         SELECT id, v, cell FROM (
             SELECT v.vec_id AS id, v.embedding AS v, c.ccid AS cell,
@@ -4059,6 +4025,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_incremental": _incremental_sql(),
     "dedup_semantic": _semdedup_sql(auto_k=True),
     "dedup_semantic_ivf": _semdedup_ivf_sql(),
+    "dedup_semantic_ivf_trained": _semdedup_ivf_sql(trained=True),
     "curate_split": (
         "SELECT doc_id, lang, source, "
         + cu.split_expr("doc_id", D)
@@ -4116,10 +4083,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "curate_split_leakage": _split_leakage_sql(),
     "text_rake": _rake_sql(),
     "text_vocab_growth": _vocab_growth_sql(),
-    "curate_quality_percentile": _quality_percentile_sql(),
-    "curate_quality_threshold": _quality_threshold_sql(),
+    "curate_quality_percentile": _quality_threshold_sql(),
     "curate_ensemble": _ensemble_sql(),
-    "curate_ensemble_threshold": _ensemble_threshold_sql(),
     "curate_near_dup_rate": _near_dup_rate_sql(),
     "embed_outliers": _outliers_sql(),
     "embed_dim_stats": _dim_stats_sql(),

@@ -724,27 +724,48 @@ def test_quality_threshold_gate_semantics(spark):
         cu.quality_threshold_gate(docs, keep_frac_ppm=1_000_001)
 
 
-def test_ensemble_accepts_threshold_gate(spark):
-    """curate_ensemble with the 100 TB-safe gate swapped in: same output
-    contract, and on the smoke corpus the verdicts agree with the
-    exact-rank composition wherever the two gates agree on pct_keep."""
+def test_ensemble_accepts_rank_gate(spark):
+    """curate_ensemble's default is the 100 TB-safe threshold gate
+    (r10 re-point); swapping the exact-rank [test-scale] form back in
+    must preserve the output contract, and on the smoke corpus the
+    verdicts agree wherever the two gates agree on pct_keep."""
     from pipegen_spark.operators import curation as cu
     from pipegen_spark.queries.training_data import curate_ensemble
     from tests.conftest import SF_SMOKE
 
-    exact = {r["doc_id"]: r for r in
-             curate_ensemble(spark, SF_SMOKE).collect()}
     thresh = {r["doc_id"]: r for r in
-              curate_ensemble(
-                  spark, SF_SMOKE,
-                  percentile_gate=cu.quality_threshold_gate,
-              ).collect()}
+              curate_ensemble(spark, SF_SMOKE).collect()}
+    exact = {r["doc_id"]: r for r in
+             curate_ensemble(
+                 spark, SF_SMOKE,
+                 percentile_gate=cu.quality_percentile_gate,
+             ).collect()}
     assert set(exact) == set(thresh)
     for d in exact:
         assert exact[d]["gopher_keep"] == thresh[d]["gopher_keep"]
         assert exact[d]["clf_keep"] == thresh[d]["clf_keep"]
         if exact[d]["pct_keep"] == thresh[d]["pct_keep"]:
             assert exact[d]["keep"] == thresh[d]["keep"]
+
+
+def test_rank_and_threshold_gates_keep_equivalence(spark):
+    """The r10 re-point's safety net: on the micro-quantized score at
+    test scale the production threshold plan and the retired exact-rank
+    plan make IDENTICAL keep decisions (verified at sf0.001 and sf0.01
+    before the re-point; pinned here at smoke scale so a future scoring
+    change that breaks the equivalence fails loudly instead of silently
+    shifting the gated surface's semantics)."""
+    from pipegen_spark.queries.training_data import (
+        curate_quality_percentile,
+        ref_quality_percentile_rank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prod = {r["doc_id"]: r["keep"] for r in
+            curate_quality_percentile(spark, SF_SMOKE).collect()}
+    rank = {r["doc_id"]: r["keep"] for r in
+            ref_quality_percentile_rank(spark, SF_SMOKE).collect()}
+    assert prod == rank and len(prod) > 0
 
 
 def test_split_leakage_planted(spark):

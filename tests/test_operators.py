@@ -1759,3 +1759,85 @@ def test_semantic_dedup_ivf_structure(spark):
     assert got[1]["is_semantic_dup"] is False
     assert got[2]["is_semantic_dup"] is True
     assert got[3]["is_semantic_dup"] is False
+
+
+def test_kmeans_centroids_trained_means(spark):
+    """kmeans_centroids must return the Lloyd-updated means the final
+    kmeans_fixed assignment runs against — hand-checkable: seeds at the
+    two cluster cores, one update step lands each centroid on its
+    members' exact per-dimension mean."""
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.operators.embeddings import kmeans_centroids
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [11.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cid"]: r["cv"]
+        for r in kmeans_centroids(
+            df, F.col("vec_id") < 2, iters=2, dim=2
+        ).collect()
+    }
+    # cluster 0 members: {0, 2, 3} -> mean (1/3, 1/3); cluster 1
+    # members: {1, 4} -> mean (10.5, 10.0)
+    assert set(got) == {0, 1}
+    assert [round(x, 9) for x in got[0]] == [
+        round(1 / 3, 9), round(1 / 3, 9)
+    ]
+    assert got[1] == [10.5, 10.0]
+
+
+def test_semantic_dedup_ivf_trained_uses_trained_quantizer(spark):
+    """The trained-quantizer composition: with fine_centroids supplied,
+    fine_pred is ignored, vectors label by the TRAINED centroid ids
+    (Lloyd-moved means, not the raw seed rows), and the keep-first dup
+    pass runs within the trained lists."""
+    from pyspark.sql import functions as F
+
+    from pipegen_spark.operators.embeddings import (
+        kmeans_centroids,
+        semantic_dedup_ivf,
+    )
+
+    rows = [
+        (100, [5.0, 1.0]),  # the single coarse cell (also a base vector)
+        (0, [0.0, 1.0]),
+        (1, [10.0, 1.0]),
+        (2, [0.2, 1.0]),
+        (3, [9.8, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, F.col("vec_id") < 2, iters=2, dim=2)
+    # trained means: c0 = mean{[0,1],[0.2,1],[5,1]} (vec 100 ties to c0
+    # by the cid tie-break), c1 = mean{[10,1],[9.8,1]} = [9.9, 1]
+    cv = {r["cid"]: r["cv"] for r in cents.collect()}
+    assert cv[1] == [9.9, 1.0]
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup_ivf(
+            df,
+            F.col("vec_id") == 100,
+            None,
+            threshold=0.97,
+            dim=2,
+            fine_centroids=cents.select(
+                F.col("cid").alias("fid"), F.col("cv").alias("fv")
+            ),
+        ).collect()
+    }
+    assert got[0]["cluster_id"] == 0 and got[2]["cluster_id"] == 0
+    assert got[100]["cluster_id"] == 0
+    assert got[1]["cluster_id"] == 1 and got[3]["cluster_id"] == 1
+    # keep-first within each trained list: cos(0,2)=0.98, cos(1,3)~1.0,
+    # vec 100 is far from both in angle
+    assert got[0]["is_semantic_dup"] is False
+    assert got[2]["is_semantic_dup"] is True
+    assert got[1]["is_semantic_dup"] is False
+    assert got[3]["is_semantic_dup"] is True
+    assert got[100]["is_semantic_dup"] is False

@@ -309,14 +309,15 @@ def test_funnel_and_retention_plan_shapes(plans):
 
 
 def test_quality_threshold_gate_has_no_per_group_full_sort(plans):
-    """The scale-safe percentile gate (round-7): its plan must contain NO
-    per-group rank over the full relation — the only window sort allowed
-    is over the bounded (source, score_micro) HISTOGRAM aggregate, and
-    the per-source cutoffs must come back as a broadcast join. This is
-    the mechanical form of the 100 TB mega-source skew guarantee (the
-    exact-rank sibling keeps its window sort by design as the oracle
-    surface)."""
-    p = plans["curate_quality_threshold"]
+    """The gated percentile key (r10: curate_quality_percentile now RUNS
+    the threshold plan): its plan must contain NO per-group rank over
+    the full relation — the only window sort allowed is over the
+    bounded (source, score_micro) HISTOGRAM aggregate, and the
+    per-source cutoffs must come back as a broadcast join. This is the
+    mechanical form of the 100 TB mega-source skew guarantee (the
+    exact-rank sibling survives only as the ref_quality_percentile_rank
+    test surface)."""
+    p = plans["curate_quality_percentile"]
     assert "row_number" not in p, p
     assert "BroadcastHashJoin" in p, p
     lines = p.splitlines()
@@ -334,12 +335,13 @@ def test_quality_threshold_gate_has_no_per_group_full_sort(plans):
 
 
 def test_ensemble_threshold_composition_keeps_the_scale_shape(plans):
-    """The gated 100 TB-shape ensemble (round-8): composing the three
-    signals must not reintroduce a per-doc rank anywhere — the only
-    window machinery allowed is the threshold gate's bounded-histogram
-    cutoff (same assertion as the standalone gate), and the exact-rank
-    sibling's row_number must be absent."""
-    p = plans["curate_ensemble_threshold"]
+    """The gated ensemble (r10: curate_ensemble composes the threshold
+    gate by default): composing the three signals must not reintroduce
+    a per-doc rank anywhere — the only window machinery allowed is the
+    threshold gate's bounded-histogram cutoff (same assertion as the
+    standalone gate), and the exact-rank sibling's row_number must be
+    absent."""
+    p = plans["curate_ensemble"]
     assert "row_number" not in p, p
     assert "BroadcastHashJoin" in p, p
     lines = p.splitlines()

@@ -60,8 +60,8 @@ TOP = (
     "dedup_minhash_lsh",
     "simsearch_knn_graph",
     "embed_kmeans",
-    "curate_ensemble_threshold",
-    "curate_quality_threshold",
+    "curate_ensemble",
+    "curate_quality_percentile",
     "multimodal_jpeg_roundtrip",
     "text_bm25",
 )
