@@ -2155,3 +2155,156 @@ def with_blocklist(
         total.cast("long").alias("n_block_hits"),
         (total == 0).alias("keep"),
     )
+
+
+# --- domain-level curation (r10; RefinedWeb/C4 practice) ----------------------
+
+#: Synthetic-domain cardinality. The testdata schema carries no URL
+#: column, so the domain is a DETERMINISTIC hash-derived label (the same
+#: move as the existing synthetic `source` field): least-of-two 60-bit
+#: hashes mod N gives a triangular (Zipf-ish) distribution — P(d_k) =
+#: (2(N-k)-1)/N², so d0 holds ~6% of the corpus and the tail thins out —
+#: deliberately skewed so the mega-domain code path is exercised the way
+#: a real crawl (one CDN/wiki farm dominating) would exercise it.
+N_DOMAIN_BUCKETS = 32
+#: Blocklist gate thresholds (see domain_blocklist_gate).
+DOM_MIN_MEAN_QUALITY_MICRO = 520_000
+DOM_MAX_TOKEN_SHARE_PPM = 55_000
+
+
+def domain_expr(id_col: str, d: str) -> str:
+    """Deterministic synthetic domain label ('d0'...'dN-1'), skewed via
+    least-of-two-hashes; shared dual-dialect text."""
+    ha = dl.hash60(f"(CAST({id_col} AS STRING) || ':dom-a')", d)
+    hb = dl.hash60(f"(CAST({id_col} AS STRING) || ':dom-b')", d)
+    return (
+        f"('d' || CAST(LEAST(({ha}) % {N_DOMAIN_BUCKETS},"
+        f" ({hb}) % {N_DOMAIN_BUCKETS}) AS STRING))"
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus-health table — the statistic RefinedWeb/C4-
+    style pipelines key curation on (real CC-scale filtering operates
+    per URL domain, not per document): doc/token counts, corpus shares,
+    mean quality, and the alpha=1/2 temperature mixing weight over the
+    domain's token mass (domain-weighted mixing — w_d ∝ sqrt(tokens_d),
+    the same mT5 discipline `temperature_weights` applies per source).
+
+    Shape (100 TB): one map stage (domain label + token count + quality
+    score per doc) feeding ONE map-side-combinable groupBy(domain) whose
+    output is bounded by domain cardinality; totals come back as a
+    broadcast 1-row aggregate; the sqrt-sum uses the collect-sort-fold
+    pinned-order discipline (bounded frame) so the IEEE total is
+    partition-independent. No window over the full relation anywhere.
+
+    Output: (domain, n_docs, total_tokens, mean_quality_micro,
+    doc_share_ppm, token_share_ppm, mix_weight_ppm), ordered by domain.
+    """
+    from pipegen_spark.operators import text as tx
+
+    dom = domain_expr(id_col, dl.SPARK)
+    n_tok = dl.size(dl.words(text_col, dl.SPARK), dl.SPARK)
+    scored = tx.with_quality(
+        df.select(id_col, text_col), text_col
+    ).select(
+        F.expr(dom).alias("domain"),
+        F.expr(f"CAST({n_tok} AS BIGINT)").alias("n_tok"),
+        F.expr(
+            "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    per = scored.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("score_micro").cast("long").alias("_score_sum"),
+    )
+    sq_fold = dl.fold(
+        dl.arr_sort(
+            "collect_list(sqrt(CAST(total_tokens AS DOUBLE)))", dl.SPARK
+        ),
+        "CAST(0.0 AS DOUBLE)",
+        "(acc, x) -> acc + x",
+        dl.SPARK,
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("_all_docs"),
+        F.sum("total_tokens").cast("long").alias("_all_tokens"),
+        F.expr(sq_fold).alias("_sq_total"),
+    )
+    micro = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "total_tokens",
+            F.expr(dl.idiv("_score_sum", "n_docs", dl.SPARK))
+            .cast("long")
+            .alias("mean_quality_micro"),
+            F.expr(dl.idiv("1000000 * n_docs", "_all_docs", dl.SPARK))
+            .cast("long")
+            .alias("doc_share_ppm"),
+            F.expr(
+                dl.idiv("1000000 * total_tokens", "_all_tokens", dl.SPARK)
+            )
+            .cast("long")
+            .alias("token_share_ppm"),
+            F.expr(
+                micro.format(
+                    x="sqrt(CAST(total_tokens AS DOUBLE)) / _sq_total"
+                )
+            ).alias("mix_weight_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
+def domain_blocklist_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_quality_micro: int = DOM_MIN_MEAN_QUALITY_MICRO,
+    max_token_share_ppm: int = DOM_MAX_TOKEN_SHARE_PPM,
+) -> DataFrame:
+    """Auto-derived domain blocklist — the two production ban rules
+    composed from `domain_stats` itself: (a) LOW-QUALITY domain — mean
+    quality below `min_mean_quality_micro` (the data-driven analogue of
+    a UT1-style curated ban list); (b) MEGA-DOMAIN cap — token share
+    above `max_token_share_ppm` (RefinedWeb-style per-domain cap: one
+    CDN/wiki farm must not dominate the mixture). A static curated list
+    would swap rule (a) for a broadcast semi-join on domain — identical
+    plan shape.
+
+    Shape (100 TB): domain_stats' bounded aggregate, a |domains|-row
+    verdict frame broadcast back onto the map-only (doc, domain) scan.
+    The skewed docs-per-domain dimension never appears in a sort or a
+    single-task window.
+
+    Output: (doc_id, domain, domain_keep, reason) with reason in
+    {'ok', 'low_quality', 'mega_domain'} (low_quality wins ties)."""
+    stats = domain_stats(df, text_col, id_col)
+    verdicts = stats.select(
+        "domain",
+        (F.col("mean_quality_micro") < min_mean_quality_micro).alias(
+            "_lowq"
+        ),
+        (F.col("token_share_ppm") > max_token_share_ppm).alias("_mega"),
+    )
+    dom = domain_expr(id_col, dl.SPARK)
+    return (
+        df.select(F.col(id_col), F.expr(dom).alias("domain"))
+        .join(F.broadcast(verdicts), "domain")
+        .select(
+            id_col,
+            "domain",
+            (~F.col("_lowq") & ~F.col("_mega")).alias("domain_keep"),
+            F.when(F.col("_lowq"), F.lit("low_quality"))
+            .when(F.col("_mega"), F.lit("mega_domain"))
+            .otherwise(F.lit("ok"))
+            .alias("reason"),
+        )
+        .orderBy(id_col)
+    )

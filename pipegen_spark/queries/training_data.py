@@ -2616,6 +2616,28 @@ def curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.temperature_weights(docs, "source", "doc_id")
 
 
+def curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation statistics (r10; RefinedWeb/C4 practice keys
+    CC-scale filtering on the URL domain): doc/token counts, corpus
+    shares, mean quality and the alpha=1/2 domain-weighted mixing
+    weight over token mass. The schema has no URL column, so the domain
+    is the deterministic hash-derived label `curation.domain_expr`
+    (least-of-two-hashes — Zipf-ish skew so the mega-domain path is
+    real). One bounded groupBy(domain) + broadcast totals; see
+    operators/curation.domain_stats."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.domain_stats(docs)
+
+
+def curate_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-derived domain blocklist gate (r10): per-doc keep verdict
+    from the two production domain bans — low mean quality (UT1-style
+    list, data-derived) and the RefinedWeb mega-domain token-share cap
+    — broadcast back onto the map-only (doc, domain) scan."""
+    docs = table(spark, sf_dir, "documents")
+    return cu.domain_blocklist_gate(docs)
+
+
 def curate_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain reweighting: multiplicative-weights rounds
     over per-source excess loss (classifier-score deficit proxy),

@@ -4368,6 +4368,89 @@ def _temperature_sql() -> str:
 TRAINING_ORACLE["curate_temperature"] = _temperature_sql()
 
 
+def _domain_stats_chain() -> str:
+    """Shared CTE chain for the domain family, ending at per(domain,
+    n_docs, total_tokens, _score_sum) × tot(_all_docs, _all_tokens,
+    _sq_total) — the exact Spark aggregate mirrored (same quality
+    fragment, same pinned-order sqrt fold)."""
+    q = tx.quality_exprs("text", D)
+    dom = cu.domain_expr("doc_id", D)
+    n_tok = dl.size(dl.words("text", D), D)
+    fold = dl.fold(
+        dl.arr_sort("list(sqrt(CAST(total_tokens AS DOUBLE)))", D),
+        "CAST(0.0 AS DOUBLE)",
+        "(acc, x) -> acc + x",
+        D,
+    )
+    return f"""scored AS (
+        SELECT {dom} AS domain,
+               CAST({n_tok} AS BIGINT) AS n_tok,
+               CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5)
+                    AS BIGINT) AS score_micro
+        FROM documents
+    ),
+    per AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(score_micro) AS BIGINT) AS score_sum
+        FROM scored GROUP BY domain
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+               CAST(SUM(total_tokens) AS BIGINT) AS all_tokens,
+               {fold} AS sq_total
+        FROM per
+    ),
+    dstats AS (
+        SELECT domain, n_docs, total_tokens,
+               score_sum // n_docs AS mean_quality_micro,
+               (1000000 * n_docs) // all_docs AS doc_share_ppm,
+               (1000000 * total_tokens) // all_tokens AS token_share_ppm,
+               CAST(floor((sqrt(CAST(total_tokens AS DOUBLE)) / sq_total)
+                    * 1000000.0 + 0.5) AS BIGINT) AS mix_weight_ppm
+        FROM per CROSS JOIN tot
+    )"""
+
+
+def _domain_stats_sql() -> str:
+    """Mirror of curation.domain_stats."""
+    return f"""
+    WITH {_domain_stats_chain()}
+    SELECT domain, n_docs, total_tokens, mean_quality_micro,
+           doc_share_ppm, token_share_ppm, mix_weight_ppm
+    FROM dstats ORDER BY domain
+    """
+
+
+def _domain_blocklist_sql() -> str:
+    """Mirror of curation.domain_blocklist_gate: the stats chain, the
+    |domains|-row verdict frame, and the per-doc join (low_quality wins
+    the reason tie, as in the Spark CASE order)."""
+    dom = cu.domain_expr("doc_id", D)
+    return f"""
+    WITH {_domain_stats_chain()},
+    verdicts AS (
+        SELECT domain,
+               mean_quality_micro < {cu.DOM_MIN_MEAN_QUALITY_MICRO}
+                   AS lowq,
+               token_share_ppm > {cu.DOM_MAX_TOKEN_SHARE_PPM} AS mega
+        FROM dstats
+    )
+    SELECT d.doc_id, v.domain,
+           (NOT v.lowq AND NOT v.mega) AS domain_keep,
+           CASE WHEN v.lowq THEN 'low_quality'
+                WHEN v.mega THEN 'mega_domain'
+                ELSE 'ok' END AS reason
+    FROM (SELECT doc_id, {dom} AS domain FROM documents) d
+    JOIN verdicts v ON d.domain = v.domain
+    ORDER BY d.doc_id
+    """
+
+
+TRAINING_ORACLE["curate_domain_stats"] = _domain_stats_sql()
+TRAINING_ORACLE["curate_domain_blocklist"] = _domain_blocklist_sql()
+
+
 def _burstiness_sql() -> str:
     """Mirror of text.term_burstiness."""
     return f"""

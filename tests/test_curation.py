@@ -926,3 +926,46 @@ def test_blocklist_word_boundary_phrase_counts(spark):
         "doc_id": 5, "n_tokens": 0, "hits_slow": 0, "hits_big_table": 0,
         "hits_merge_batch": 0, "n_block_hits": 0, "keep": True,
     }
+
+
+def test_domain_stats_and_blocklist_semantics(spark):
+    """Domain family invariants on the smoke corpus: the hash-derived
+    label is deterministic and within [d0, dN), shares sum to ~1e6
+    (floor residue < |domains|), the mixing weight follows sqrt token
+    mass (larger domain -> larger weight, sub-linear boost), and the
+    blocklist verdict matches the stats it derives from."""
+    from pipegen_spark.operators import curation as cu
+    from tests.conftest import SF_SMOKE
+    from pipegen_spark.queries.training_data import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    stats = cu.domain_stats(docs).collect()
+    assert 0 < len(stats) <= cu.N_DOMAIN_BUCKETS
+    for r in stats:
+        assert r["domain"].startswith("d")
+        assert 0 <= int(r["domain"][1:]) < cu.N_DOMAIN_BUCKETS
+    for col, tol in (("doc_share_ppm", len(stats)),
+                     ("token_share_ppm", len(stats)),
+                     ("mix_weight_ppm", len(stats))):
+        s = sum(r[col] for r in stats)
+        assert 1_000_000 - tol <= s <= 1_000_000 + tol, (col, s)
+    # sqrt temperature: weight rank == token rank, but boost sub-linear
+    # (the biggest domain's weight share < its token share)
+    big = max(stats, key=lambda r: r["total_tokens"])
+    small = min(stats, key=lambda r: r["total_tokens"])
+    assert big["mix_weight_ppm"] >= small["mix_weight_ppm"]
+    assert big["mix_weight_ppm"] < big["token_share_ppm"] or (
+        big["token_share_ppm"] == small["token_share_ppm"]
+    )
+    sm = {r["domain"]: r for r in stats}
+    gate = cu.domain_blocklist_gate(docs).collect()
+    assert {r["doc_id"] for r in gate} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    for r in gate:
+        st = sm[r["domain"]]
+        lowq = st["mean_quality_micro"] < cu.DOM_MIN_MEAN_QUALITY_MICRO
+        mega = st["token_share_ppm"] > cu.DOM_MAX_TOKEN_SHARE_PPM
+        assert r["domain_keep"] == (not lowq and not mega)
+        exp = "low_quality" if lowq else ("mega_domain" if mega else "ok")
+        assert r["reason"] == exp
