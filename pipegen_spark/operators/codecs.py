@@ -8,12 +8,14 @@ decode boundary REAL — `png_decode` parses genuine PNG bytes into pixels,
 `resize_media` as actual codecs — while `fake_decode` remains for
 payloads that are not media at all (the synthetic `documents` blobs).
 
-Supported PNG subset (decode): 8-bit depth, color types 0 (grayscale),
-2 (RGB), 3 (palette, expanded to RGB via PLTE), 6 (RGBA),
-non-interlaced — the overwhelming majority of real-world PNGs. Anything
-else raises `ValueError` loudly (16-bit, gray+alpha, interlace): an
-explicit, honest boundary rather than a wrong answer. Encode always
-writes 8-bit non-interlaced with filter 0.
+Supported PNG subset (decode): 8-bit AND 16-bit depth (r10; 16-bit
+down-converts to 8 at the boundary via the high byte), all five color
+types — 0 (grayscale), 2 (RGB), 3 (palette, expanded to RGB via PLTE),
+4 (gray+alpha, r10), 6 (RGBA) — both non-interlaced and Adam7-
+interlaced streams (r10; the gaps real scraped corpora hit first, per
+the r9 verdict). Still out of subset and raising `ValueError` loudly:
+sub-byte depths 1/2/4 — an explicit, honest boundary rather than a
+wrong answer. Encode always writes 8-bit non-interlaced with filter 0.
 
 Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0)
 and PROGRESSIVE (SOF2) — 8-bit, sampling factors Hi, Vi in {1, 2}
@@ -93,16 +95,68 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, off: int, stride: int, height: int, bpp: int
+              ) -> bytearray:
+    """Five-filter scanline reconstruction (spec §9) over `height` rows
+    of `stride` bytes starting at `raw[off]` (each row prefixed by its
+    filter byte). Returns the reconstructed rows, concatenated."""
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        base = off + y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return out
+
+
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Parse PNG bytes -> (width, height, channels, raw pixels).
 
     Implements the full five-filter reconstruction (spec §9): each
     scanline carries a filter byte; Sub/Up/Average/Paeth reconstruct from
-    the left/up/up-left neighbors at `bpp` (bytes per pixel) offset."""
+    the left/up/up-left neighbors at `bpp` (bytes per pixel) offset.
+    Adam7-interlaced streams (r10) reconstruct each of the seven passes
+    as its own filtered sub-image and scatter into the output grid
+    (spec §8.2); 16-bit-depth streams (r10) unfilter at 2 bytes/sample
+    and down-convert to 8-bit at the decode boundary by taking each
+    sample's high byte (the standard 16->8 conversion; callers always
+    receive 8-bit samples)."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = len(PNG_SIGNATURE)
     width = height = channels = color_type = None
+    depth, interlace = 8, 0
     palette = None
     idat = bytearray()
     while pos + 8 <= len(data):
@@ -119,12 +173,14 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if color_type not in (0, 2, 3, 6):
+            if color_type not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if depth not in (8, 16) or (depth == 16 and color_type == 3):
+                # Palette depth is 1/2/4/8 by spec; sub-byte depths stay
+                # out of the subset (raise loudly, never guess).
+                raise ValueError(f"unsupported bit depth {depth}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
             # Palette images carry 1 index byte/pixel through the filter
@@ -150,34 +206,42 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         # can only come from a buggy encoder, but it should still fail
         # as "invalid PNG", not leak zlib internals).
         raise ValueError(f"corrupt IDAT stream: {e}") from e
-    bpp = channels
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("IDAT length does not match geometry")
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                upleft = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
+    bps = 2 if depth == 16 else 1  # bytes per sample
+    bpp = channels * bps
+    stride = width * bpp
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("IDAT length does not match geometry")
+        out = _unfilter(raw, 0, stride, height, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # into the full grid at (x0 + i*dx, y0 + j*dy). Empty passes
+        # (sub-image with zero width or height) contribute no bytes.
+        out = bytearray(height * stride)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            if off + need > len(raw):
+                raise ValueError("IDAT length does not match geometry")
+            sub = _unfilter(raw, off, pstride, ph, bpp)
+            off += need
+            for j in range(ph):
+                row = (y0 + j * dy) * stride
+                for i in range(pw):
+                    dst = row + (x0 + i * dx) * bpp
+                    src = j * pstride + i * bpp
+                    out[dst : dst + bpp] = sub[src : src + bpp]
+        if off != len(raw):
+            raise ValueError("IDAT length does not match geometry")
+    if bps == 2:
+        # 16 -> 8 bit at the decode boundary: high byte of each
+        # big-endian sample (PIL's I;16 -> L convention).
+        out = out[0::2]
     if color_type == 3:
         # Expand palette indices to RGB so callers always get real
         # samples (spec §11.2.3: PLTE is required for color type 3).

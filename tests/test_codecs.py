@@ -112,15 +112,195 @@ def test_decode_rejects_corruption_and_unsupported():
     bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad_crc))
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    deep = (
+    # sub-byte depths stay out of the subset (16-bit is supported r10+)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    shallow = (
         PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr16)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _chunk(b"IHDR", ihdr4)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="bit depth"):
-        png_decode(deep)
+        png_decode(shallow)
+    # 16-bit palette is a spec violation
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    deep_pal = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr16p)
+        + _chunk(b"PLTE", b"\x00" * 3)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(deep_pal)
+    # unknown interlace method
+    ihdr_i2 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+    bad_il = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr_i2)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(bad_il)
+
+
+def _hand_png16(width, height, channels, samples, color_type):
+    """16-bit fixture: big-endian 2-byte samples, filter 0 rows."""
+    stride = width * channels * 2
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        for x in range(width * channels):
+            raw += struct.pack(">H", samples[y * width * channels + x])
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    assert len(raw) == height * (stride + 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_16bit_downconverts_high_byte():
+    # 2x2 grayscale: samples chosen so high and low bytes differ —
+    # the decoder must keep the HIGH byte of each big-endian sample.
+    samples = [0x0102, 0xFF00, 0x8040, 0x00FF]
+    data = _hand_png16(2, 2, 1, samples, color_type=0)
+    w, h, ch, out = png_decode(data)
+    assert (w, h, ch) == (2, 2, 1)
+    assert list(out) == [0x01, 0xFF, 0x80, 0x00]
+    # RGB 16-bit, 2x1
+    samples = [0x1234, 0x5678, 0x9ABC, 0xDEF0, 0x0011, 0x2233]
+    w, h, ch, out = png_decode(_hand_png16(2, 1, 3, samples, color_type=2))
+    assert (w, h, ch) == (2, 1, 3)
+    assert list(out) == [0x12, 0x56, 0x9A, 0xDE, 0x00, 0x22]
+
+
+def test_decode_16bit_filters_operate_on_bytes():
+    """Sub/Up at bpp = channels*2: forward-filter 16-bit rows by BYTE
+    (per spec the filters see bytes, not samples) and invert."""
+    width, height = 3, 2
+    samples = [(x * 4097 + y * 257) & 0xFFFF
+               for y in range(height) for x in range(width)]
+    px = b"".join(struct.pack(">H", s) for s in samples)
+    stride, bpp = width * 2, 2
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = px[y * stride : (y + 1) * stride]
+        f = (1, 2)[y]  # Sub then Up
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            ref = left if f == 1 else prev[i]
+            raw.append((line[i] - ref) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, ch, out = png_decode(data)
+    assert (w, h, ch) == (width, height, 1)
+    assert list(out) == [s >> 8 for s in samples]
+
+
+def test_decode_gray_alpha():
+    # color type 4: 2 samples/pixel, full filter pass at bpp=2
+    px = _gradient(5, 4, 2)
+    stride = 5 * 2
+    raw = bytearray()
+    for y in range(4):
+        raw.append(0)
+        raw += px[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 4, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, ch, out = png_decode(data)
+    assert (w, h, ch) == (5, 4, 2)
+    assert out == px
+
+
+_ADAM7_TEST = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _hand_adam7(width, height, channels, px, bps=1):
+    """Independent Adam7 forward construction: gather each pass's
+    sub-image row-major, one filter-0 byte per pass scanline."""
+    bpp = channels * bps
+    stride = width * bpp
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_TEST:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            raw.append(0)
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                src = y * stride + x * bpp
+                raw += px[src : src + bpp]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    depth = 16 if bps == 2 else 8
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_adam7_interlaced():
+    """Adam7 scatter over non-multiple-of-8 geometry (some passes have
+    ragged sub-images), every channel count, vs the plain gradient."""
+    for channels, (w0, h0) in ((1, (11, 9)), (3, (8, 8)), (4, (5, 3))):
+        px = _gradient(w0, h0, channels)
+        w, h, ch, out = png_decode(_hand_adam7(w0, h0, channels, px))
+        assert (w, h, ch) == (w0, h0, channels)
+        assert out == px
+    # degenerate: 1x1 image has exactly one pass-1 pixel
+    px = _gradient(1, 1, 3)
+    assert png_decode(_hand_adam7(1, 1, 3, px))[3] == px
+
+
+def test_decode_adam7_16bit_combined():
+    w0, h0 = 6, 5
+    samples = [(x * 4097 + 7) & 0xFFFF for x in range(w0 * h0)]
+    px = b"".join(struct.pack(">H", s) for s in samples)
+    w, h, ch, out = png_decode(_hand_adam7(w0, h0, 1, px, bps=2))
+    assert (w, h, ch) == (w0, h0, 1)
+    assert list(out) == [s >> 8 for s in samples]
+
+
+def test_decode_adam7_truncated_pass_raises():
+    px = _gradient(11, 9, 3)
+    data = _hand_adam7(11, 9, 3, px)
+    # re-frame with one pass scanline missing from the zlib payload
+    body = zlib.decompress(
+        data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 8]
+    )
+    short = zlib.compress(body[:-34])
+    trunc = (
+        data[: data.index(b"IDAT") - 4]
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        png_decode(trunc)
 
 
 def test_png_resize_nearest_neighbor():

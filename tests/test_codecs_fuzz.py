@@ -48,9 +48,23 @@ def _valid_streams() -> dict[str, tuple[bytes, object]]:
         for i in range(64)
     ]
     jf = [jpeg_encode(8, 8, _seed_pixels(f"fr{i}", 192), 3) for i in range(3)]
+    from tests.test_codecs import _hand_adam7, _hand_png16
+
+    px16g = [
+        int.from_bytes(_seed_pixels(f"g16-{i}", 2), "big")
+        for i in range(6 * 5)
+    ]
     return {
         "png_rgb": (png_encode(8, 8, px8, 3), png_decode),
         "png_gray": (png_encode(8, 8, gray, 1), png_decode),
+        # r10 decode paths: Adam7 scatter and 16-bit high-byte
+        # down-conversion — ragged 11x9 geometry so pass sub-images
+        # have uneven widths (the hostile case for the pass walker).
+        "png_adam7": (
+            _hand_adam7(11, 9, 3, _seed_pixels("adam7", 11 * 9 * 3)),
+            png_decode,
+        ),
+        "png_16bit": (_hand_png16(6, 5, 1, px16g, 0), png_decode),
         "jpeg_baseline": (jpeg_encode(16, 16, px16, 3), jpeg_decode),
         "jpeg_progressive": (
             jpeg_encode_progressive(16, 16, px16, 3),
