@@ -1,0 +1,175 @@
+"""Brokerless produce/consume NETWORK-path smoke (round-10, r9 VERDICT
+task 8): the docker-gated e2e (`test_kafka_e2e.py`) skips in this
+sandbox, so these tests execute the Kafka wire protocol over a REAL
+localhost TCP socket against the in-process v0 broker — request
+framing, MessageSet v0 encode/decode with CRC validation, produce
+offset assignment, fetch replay, metadata, and the Confluent-wire Avro
+payload bytes the Spark operators move (A1/A2's value format) surviving
+the socket roundtrip byte-for-byte.
+
+The golden-bytes test pins the MessageSet layout to a hex literal
+hand-assembled from the published protocol guide (offset:int64,
+size:int32, crc:int32 over magic..value, magic=0, attributes=0,
+key/value as int32-length bytes), so client and broker sharing the
+module's encoders cannot make the roundtrip circular.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pipegen_spark.sources.kafka_wire import (
+    ERR_NONE,
+    ERR_UNKNOWN_TOPIC_OR_PARTITION,
+    FakeKafkaBroker,
+    KafkaWireClient,
+    decode_message_set,
+    encode_message_set,
+)
+
+# MessageSet v0 for [(b"k", b"v")] at offset 0, assembled by hand from
+# the protocol guide (crc32 of 00 00 | 00000001 6b | 00000001 76).
+GOLDEN_KV = bytes.fromhex(
+    "0000000000000000000000101fecd70a0000000000016b0000000176"
+)
+
+
+def test_message_set_golden_bytes():
+    assert encode_message_set([(b"k", b"v")]) == GOLDEN_KV
+    assert decode_message_set(GOLDEN_KV) == [(0, b"k", b"v")]
+
+
+def test_message_set_null_key_and_crc_check():
+    mset = encode_message_set([(None, b"payload")])
+    assert decode_message_set(mset) == [(0, None, b"payload")]
+    # corrupt one value byte -> CRC must catch it loudly
+    bad = bytearray(mset)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_message_set(bytes(bad))
+    # a partial trailing message (legal in fetch responses) is dropped
+    two = encode_message_set([(b"a", b"1"), (b"b", b"2")])
+    assert len(decode_message_set(two[:-3])) == 1
+
+
+def test_produce_fetch_roundtrip_over_socket():
+    """The executed network path: produce two batches, fetch from 0 and
+    from a mid-offset, verify assigned offsets and bytes."""
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            err, base = c.produce(
+                "events", 0, [(b"k0", b"v0"), (None, b"v1")]
+            )
+            assert (err, base) == (ERR_NONE, 0)
+            err, base = c.produce("events", 0, [(b"k2", b"v2")])
+            assert (err, base) == (ERR_NONE, 2)
+
+            err, hw, recs = c.fetch("events", 0, 0)
+            assert err == ERR_NONE and hw == 3
+            assert recs == [
+                (0, b"k0", b"v0"),
+                (1, None, b"v1"),
+                (2, b"k2", b"v2"),
+            ]
+            err, hw, recs = c.fetch("events", 0, 2)
+            assert recs == [(2, b"k2", b"v2")]
+
+            meta = c.metadata(["events"])
+            assert meta["brokers"][0][2] == port
+            t = meta["topics"]["events"]
+            assert t["error"] == ERR_NONE
+            assert t["partitions"][0]["partition"] == 0
+        finally:
+            c.close()
+
+
+def test_fetch_unknown_topic_reports_error_code():
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            err, hw, recs = c.fetch("nope", 0, 0)
+            assert err == ERR_UNKNOWN_TOPIC_OR_PARTITION
+            assert recs == []
+            meta = c.metadata(["nope"])
+            assert (
+                meta["topics"]["nope"]["error"]
+                == ERR_UNKNOWN_TOPIC_OR_PARTITION
+            )
+        finally:
+            c.close()
+
+
+def test_confluent_avro_payload_survives_the_wire():
+    """A1/A2's actual value bytes: 0x00 magic + schema id header + Avro
+    body (schema/avro_codec) produced through the socket and fetched
+    back byte-for-byte, then decoded through the same codec."""
+    from pipegen_spark.schema.avro_codec import AvroCodec
+    from pipegen_spark.streaming.wire import wire_header
+
+    schema = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "kind", "type": "string"},
+        ],
+    }
+    codec = AvroCodec(schema)
+    rows = [{"id": 7, "kind": "click"}, {"id": 8, "kind": "view"}]
+    payloads = [wire_header(42) + codec.encode(r) for r in rows]
+
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            err, base = c.produce(
+                "wire", 3, [(None, p) for p in payloads]
+            )
+            assert (err, base) == (ERR_NONE, 0)
+            err, hw, recs = c.fetch("wire", 3, 0)
+        finally:
+            c.close()
+    assert [v for _, _, v in recs] == payloads
+    for (_, _, v), row in zip(recs, rows):
+        assert v[0] == 0x00
+        assert struct.unpack(">I", v[1:5])[0] == 42
+        assert codec.decode(v[5:]) == row
+
+
+def test_concurrent_producers_assign_disjoint_offsets():
+    """Offset assignment under concurrency: the broker's log lock must
+    hand out disjoint contiguous ranges."""
+    import threading
+
+    with FakeKafkaBroker() as (host, port):
+        bases = []
+        lock = threading.Lock()
+
+        def work(i: int) -> None:
+            c = KafkaWireClient(host, port, client_id=f"p{i}")
+            try:
+                _, base = c.produce(
+                    "t", 0, [(None, f"m{i}-{j}".encode()) for j in range(5)]
+                )
+                with lock:
+                    bases.append(base)
+            finally:
+                c.close()
+
+        threads = [
+            threading.Thread(target=work, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(bases) == [i * 5 for i in range(8)]
+        c = KafkaWireClient(host, port)
+        try:
+            _, hw, recs = c.fetch("t", 0, 0)
+        finally:
+            c.close()
+        assert hw == 40 and len(recs) == 40
+        assert [o for o, _, _ in recs] == list(range(40))
