@@ -59,21 +59,25 @@ rounds; long-stable canaries stay in every window):
   dedup_setjoin, dedup_substring, embed_gram, embed_matryoshka,
   embed_pq), and the 6 canaries. After this window EVERY query in the
   corpus has at least one driver row.
-- r10 plan: the remaining 22 r5-green ops (multimodal_features,
-  multimodal_phash, q48/q53/q54/q57/q75, simsearch_hybrid/mmr/pq/
-  pq_recall, text_bpe_pairs/burstiness/cms_topk/diversity/
-  good_turing/kneser_ney/lm_bigram/pmi/rarity/readability/
-  typo_pairs) + the round-9 late additions that landed after the r9
-  window was cut (dedup_lpa — synchronous label-propagation
-  communities over the near-dup graph — text_perplexity — the CCNet
-  head/middle/tail perplexity filter on the fixed-point
-  shift-and-square log2 — text_entropy — true-bits Shannon
-  entropy — curate_kl_drift — per-source KL from the corpus
-  distribution in bits, both on the same primitive — and
-  dedup_semantic_ivf — the IVF two-level-assignment rung of the
-  SemDeDup ladder — and q81_basket_pairs — market-basket
-  support/confidence/lift pair mining — all oracle-green on the
-  local mirror at sf0.01 AND sf0.1) + the r6 tranche head, keeping the canaries.
+- r10 window (current): the 6 round-9 late additions that landed
+  after the r9 window was cut and have never had a driver row
+  (dedup_lpa, text_perplexity, text_entropy, curate_kl_drift,
+  dedup_semantic_ivf, q81_basket_pairs — the whole of the r9
+  hard-signal debt), the 5 changed/new surfaces
+  (curate_quality_percentile + curate_ensemble re-pointed at the
+  bounded-histogram threshold-gate production plan, retiring the
+  redundant *_threshold keys; the brand-new
+  dedup_semantic_ivf_trained — SemDeDup IVF on a Lloyd-trained
+  quantizer — and curate_domain_stats / curate_domain_blocklist,
+  the domain-level curation family), the 22 r5-green rolling
+  re-gates (multimodal_features, multimodal_phash, q48/q53/q54/
+  q57/q75, simsearch_hybrid/mmr/pq/pq_recall, text_bpe_pairs/
+  burstiness/cms_topk/diversity/good_turing/kneser_ney/lm_bigram/
+  pmi/rarity/readability/typo_pairs), the 11 alphabetically-first
+  r6-green ops (curate_chunk ... dedup_clusters), and the 6
+  canaries = 50. Queries landing after this round's final suite
+  run go in GATE_PENDING (mechanical snapshot rule, r9 VERDICT #1)
+  and must ride the front of the r11 window.
 """
 
 from __future__ import annotations
@@ -108,77 +112,85 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 9: queries whose gated SURFACE is new or changed this round —
-#: dedup_semantic re-pointed at the scale-safe size-derived-k SemDeDup
-#: plan (the r8-gated dedup_semantic_auto algorithm; that redundant key
-#: is retired), the three LSH consumers whose plane count now derives
-#: from the corpus size (knn_plane_count, mirrored by the oracle's
-#: CASE-ladder CTE), the two embed surfaces whose gate output went to
-#: per-vector md5 folds after the r8 window was cut, and the brand-new
-#: multimodal_mjpeg_frames (real MJPEG/AVI container decode over the
-#: from-scratch JPEG codec).
+#: Round 10: queries whose gated SURFACE is new or changed this round —
+#: the quality/ensemble re-points at the bounded-histogram production
+#: plan (r9 VERDICT What's-wrong #1; the redundant *_threshold keys are
+#: retired), the brand-new trained-quantizer SemDeDup IVF (r9 VERDICT
+#: next #4), and the domain-level curation family (r9 VERDICT next #9).
 GATE_CHANGED = (
-    "dedup_semantic",
-    "simsearch_knn_graph",
-    "embed_hard_negatives",
-    "simsearch_bitext",
-    "embed_normalize",
-    "embed_quantize",
-    "multimodal_mjpeg_frames",
+    "curate_quality_percentile",
+    "curate_ensemble",
+    "dedup_semantic_ivf_trained",
+    "curate_domain_stats",
+    "curate_domain_blocklist",
 )
 
-#: Never-gated retirement (round-9 priority, VERDICT r8 top_next): the
-#: 31 queries that landed after the r8 window was cut and have no
-#: driver CORRECTNESS row anywhere (embed_hard_negatives and
-#: simsearch_bitext, also never gated, ride GATE_CHANGED above). After
-#: this window every query in the corpus has at least one hard row.
+#: Never-gated retirement (round-10 priority, VERDICT r9 top_next): the
+#: 6 round-9 late additions with no driver CORRECTNESS row anywhere.
+#: After this window every query in the corpus again has at least one
+#: hard row. (text_entropy / text_perplexity / curate_kl_drift also
+#: changed internals this round — the BIGINT-wide log2 envelope — but
+#: their gated values are bit-identical at test scale, re-verified
+#: against the oracles before the window was cut.)
 GATE_NEVER = (
-    "q76_gap_fill",
-    "q77_mad_anomaly",
-    "q78_streaks",
-    "q79_tpch_min_cost_supp",
-    "q80_tpch_dominant_supplier",
-    "curate_blocklist",
-    "curate_boilerplate",
-    "curate_calibration",
-    "curate_doremi",
-    "curate_length_stats",
-    "curate_preference_pairs",
-    "curate_split_leakage",
-    "dedup_tfidf_cosine",
-    "dedup_threshold_sweep",
-    "dedup_triangles",
-    "embed_cluster_sample",
-    "embed_jl_project",
-    "embed_top_direction",
-    "multimodal_audio_fp",
-    "multimodal_jpeg_420",
-    "multimodal_patches",
-    "multimodal_resample",
-    "multimodal_vad_segments",
-    "multimodal_wav_energy",
-    "simsearch_ivfpq",
-    "text_bpe_encode",
-    "text_bpe_train",
-    "text_chardiv",
-    "text_rake",
-    "text_textrank",
-    "text_vocab_growth",
+    "dedup_lpa",
+    "text_perplexity",
+    "text_entropy",
+    "curate_kl_drift",
+    "dedup_semantic_ivf",
+    "q81_basket_pairs",
 )
 
-#: Rolling re-gates: the 6 alphabetically-first of the ops whose newest
-#: driver rows date from round 5 (the remaining 22 rotate in r10).
+#: Queries that land AFTER this round's final full-suite run (the
+#: mechanical snapshot rule, r9 VERDICT next #1): anything here has no
+#: driver row yet by construction and MUST ride the front of the next
+#: round's window. tests/test_registry_order.py enforces that every
+#: corpus query either has a historical CORRECTNESS row, sits in the
+#: current GATE_WINDOW, or is declared here — so the never-gated count
+#: is mechanical, not remembered.
+GATE_PENDING: tuple[str, ...] = ()
+
+#: Rolling re-gates: the 22 remaining ops whose newest driver rows date
+#: from round 5, then the 11 alphabetically-first of the r6 tranche
+#: (their rows are now the corpus's oldest; the rest rotate in r11).
 GATE_ROLLING = (
-    "dedup_incremental",
-    "dedup_setjoin",
-    "dedup_substring",
-    "embed_gram",
-    "embed_matryoshka",
-    "embed_pq",
+    "multimodal_features",
+    "multimodal_phash",
+    "q48_grouping_sets",
+    "q53_tpch_promo_ratio",
+    "q54_tpch_big_orders",
+    "q57_tpch_idle_rich",
+    "q75_asof_forward",
+    "simsearch_hybrid",
+    "simsearch_mmr",
+    "simsearch_pq",
+    "simsearch_pq_recall",
+    "text_bpe_pairs",
+    "text_burstiness",
+    "text_cms_topk",
+    "text_diversity",
+    "text_good_turing",
+    "text_kneser_ney",
+    "text_lm_bigram",
+    "text_pmi",
+    "text_rarity",
+    "text_readability",
+    "text_typo_pairs",
+    "curate_chunk",
+    "curate_classifier",
+    "curate_contamination",
+    "curate_mix",
+    "curate_near_dup_rate",
+    "curate_pack",
+    "curate_redact",
+    "curate_rep_ngram",
+    "curate_repetition",
+    "curate_sample",
+    "dedup_clusters",
 )
 
-#: The full round-9 gate window, in enumeration order: 7 changed/new
-#: surfaces + 31 never-gated retirements + 6 rolling re-gates + 6
+#: The full round-10 gate window, in enumeration order: 5 changed/new
+#: surfaces + 6 never-gated retirements + 33 rolling re-gates + 6
 #: canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 

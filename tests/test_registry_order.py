@@ -98,3 +98,33 @@ def test_no_nonscalar_gate_surfaces(spark):
             ):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"non-scalar / DECIMAL gate surfaces: {bad}"
+
+
+def test_every_query_has_a_gate_path():
+    """The mechanical snapshot rule (r10; r9 VERDICT next #1): every
+    corpus query must either carry a historical driver CORRECTNESS row,
+    sit in the current 50-row GATE_WINDOW, or be declared in
+    GATE_PENDING (landed after the round's final suite run). A query
+    satisfying none of these is hard-signal debt nobody wrote down —
+    the class of drift that cost r8/r9 their never-gated backlogs."""
+    import glob
+    import json
+    import os
+
+    from pipegen_spark.queries.registry import (
+        GATE_PENDING,
+        GATE_WINDOW,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    qs = set(all_queries())
+    assert len(GATE_WINDOW) == 50
+    assert len(set(GATE_WINDOW)) == 50, "duplicate key in GATE_WINDOW"
+    assert set(GATE_WINDOW) <= qs
+    assert set(GATE_PENDING) <= qs
+    uncovered = qs - seen - set(GATE_WINDOW) - set(GATE_PENDING)
+    assert not uncovered, sorted(uncovered)
