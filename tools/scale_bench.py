@@ -43,7 +43,12 @@ sys.path.insert(0, REPO)
 N_COPIES = 10
 ID_OFFSET = 100_000_000  # far above any sf0.1 id
 SRC_DIR = "/root/testdata/sf0.1"
-OUT_DIR = os.path.join(REPO, ".benchmarks", "sf1x10")
+# r10: the measurement corpus is the FULL build_sf1 derivation (all ten
+# tables; documents/embeddings use the identical rotation derivation this
+# tool originally wrote to sf1x10), so relational-table queries like
+# q81_basket_pairs can be measured too — previously the derived dir held
+# only documents/embeddings and any TPC-H-table query crashed the run.
+OUT_DIR = os.path.join(REPO, ".benchmarks", "sf1_full")
 
 #: Default measurement set: the most expensive training ops from the
 #: latest bench detail, covering every family whose scaling argument is
@@ -72,64 +77,12 @@ def _rot(s: str, k: int) -> str:
 
 
 def build_corpus(spark) -> None:
-    """Write the 10x documents/embeddings derivation (idempotent)."""
-    from pyspark.sql import functions as F
+    """Delegate to tools/build_sf1.build — the full ten-table 10x
+    derivation (idempotent; documents/embeddings identical to the old
+    two-table derivation this tool carried through r9)."""
+    from tools.build_sf1 import build
 
-    done = os.path.join(OUT_DIR, "_BUILT")
-    if os.path.exists(done):
-        return
-    os.makedirs(OUT_DIR, exist_ok=True)
-
-    lower, upper = string.ascii_lowercase, string.ascii_uppercase
-    docs = spark.read.parquet(os.path.join(SRC_DIR, "documents.parquet"))
-    copies = []
-    for k in range(N_COPIES):
-        alpha = lower + upper
-        rotated = _rot(lower, k % 26) + _rot(upper, k % 26)
-        copies.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(k * ID_OFFSET)).alias("doc_id"),
-                F.translate("text", alpha, rotated).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(
-        os.path.join(OUT_DIR, "documents.parquet")
-    )
-
-    emb = spark.read.parquet(os.path.join(SRC_DIR, "embeddings.parquet"))
-    dim = len(emb.select("embedding").first()[0])
-    ecopies = []
-    for k in range(N_COPIES):
-        r = (k * 7) % dim
-        rot = (
-            F.col("embedding")
-            if r == 0
-            else F.expr(
-                f"concat(slice(embedding, {r + 1}, {dim - r}),"
-                f" slice(embedding, 1, {r}))"
-            )
-        )
-        ecopies.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
-                rot.alias("embedding"),
-                "label",
-            )
-        )
-    eout = ecopies[0]
-    for c in ecopies[1:]:
-        eout = eout.unionByName(c)
-    eout.write.mode("overwrite").parquet(
-        os.path.join(OUT_DIR, "embeddings.parquet")
-    )
-    with open(done, "w") as fh:
-        fh.write("ok\n")
+    build(spark)
 
 
 def main() -> None:
