@@ -17,16 +17,17 @@ the r9 verdict). Still out of subset and raising `ValueError` loudly:
 sub-byte depths 1/2/4 — an explicit, honest boundary rather than a
 wrong answer. Encode always writes 8-bit non-interlaced with filter 0.
 
-Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0)
-and PROGRESSIVE (SOF2) — 8-bit, sampling factors Hi, Vi in {1, 2}
+Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0),
+EXTENDED sequential at 8-bit (SOF1, r10 — bit-identical decode path to
+baseline) and PROGRESSIVE (SOF2) — 8-bit, sampling factors Hi, Vi in {1, 2}
 (4:4:4, 4:2:0, 4:2:2 and transposes; chroma upsampled by sample
 replication), 1 or 3 components, restart intervals, and for SOF2 the
 full scan toolbox: interleaved and single-component DC scans,
 spectral-selection AC band scans with EOB-run coding, and
 successive-approximation refinement (DC raw bits, AC correction bits,
 §G.2). Both encoders write 4:4:4 or 4:2:0 (`subsampling="420"`).
-Extended (SOF1/SOF3+), lossless, arithmetic-coded, Hi/Vi > 2, and
-16-bit-DQT streams raise `ValueError` loudly (`jpeg_decode` names the
+Lossless/hierarchical (SOF3+), arithmetic-coded, 12-bit-precision,
+Hi/Vi > 2 and 16-bit-DQT streams raise `ValueError` loudly (`jpeg_decode` names the
 marker): the same honest-boundary policy. A production deployment swaps the PIL/libvips
 callable in at the documented call sites below; the WAV codec is full
 PCM (no subset caveat).
@@ -1331,7 +1332,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     or single-component DC scans, spectral-selection AC band scans
     with EOB-run coding, and successive-approximation refinement
     (raw-bit DC, correction-bit AC). Everything else raises ValueError
-    (extended/lossless/arithmetic SOFs, Hi/Vi > 2, 16-bit DQT).
+    (lossless/arithmetic SOFs, 12-bit precision, Hi/Vi > 2, 16-bit
+    DQT); SOF1 extended sequential decodes via the baseline path (r10).
     Decoding is coefficient-domain: scans accumulate into per-block
     zigzag coefficient stores; dequantize + IDCT happen once at
     EOI."""
@@ -1396,7 +1398,14 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = body[b + 17 : b + 17 + n]
                 htabs[(tc, th)] = _huff_tree(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive. SOF1 at 8-bit precision decodes IDENTICALLY
+            # to baseline (T.81 Table B.2 — extended only adds 12-bit
+            # precision and more Huffman table slots, both orthogonal
+            # to the decode path; 12-bit still rejects below), so
+            # accepting the marker closes the subset gap scraped
+            # corpora hit after interlaced PNG (r10).
             progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
@@ -1434,7 +1443,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 ubw, ubh = (cw + 7) // 8, (ch_ + 7) // 8
                 geom["comps"].append((h, v, cbw, ubw, ubh))
                 coefs.append([[0] * 64 for _ in range(cbw * cbh)])
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} "

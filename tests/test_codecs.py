@@ -1058,3 +1058,20 @@ def test_jpeg_marker_hygiene_round9():
     # stray RSTn between segments: loud failure
     with _pt.raises(ValueError, match="standalone"):
         jpeg_decode(data[:pos] + b"\xff\xd3" + data[pos:])
+
+
+def test_jpeg_sof1_decodes_as_baseline():
+    """SOF1 (extended sequential, 8-bit Huffman) is bit-identical to
+    baseline on the decode path (r10): re-marking a baseline stream's
+    SOF0 as SOF1 must decode to the same pixels."""
+    from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    px = _gradient(16, 16, 3)
+    data = jpeg_encode(16, 16, px, 3)
+    idx = data.index(b"\xff\xc0")
+    sof1 = data[:idx] + b"\xff\xc1" + data[idx + 2 :]
+    assert jpeg_decode(sof1) == jpeg_decode(data)
+    # lossless SOF3 remains a loud boundary
+    sof3 = data[:idx] + b"\xff\xc3" + data[idx + 2 :]
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_decode(sof3)
