@@ -1707,6 +1707,28 @@ def log2_fp_py(x: int) -> int:
 L2_ONE_MICRO_FP = log2_fp_py(1_000_000)
 
 
+def log2_exp_case(col: str, max_bits: int) -> str:
+    """Exponent e = floor(log2(col)) for col in [1, 2^max_bits) as a
+    BALANCED binary CASE tree (depth ceil(log2(max_bits)), so ~6
+    comparisons per row at max_bits=63) instead of a linear high-to-low
+    ladder (which walks ~max_bits comparisons for the SMALL counts that
+    dominate real frequency tables — the r10 widening to 63 bits made
+    that linear walk a measured ~1.5x regression on entropy/KL before
+    this tree replaced it). Pure integer compares; value-identical to
+    the linear ladder on both engines, so gated hashes are unchanged."""
+
+    def rng(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            f"CASE WHEN {col} >= {1 << mid} THEN {rng(mid, hi)}"
+            f" ELSE {rng(lo, mid - 1)} END"
+        )
+
+    return rng(0, max_bits - 1)
+
+
 def _with_log2_fp(
     df: DataFrame, x_col: str, out_col: str, max_bits: int = 20
 ) -> DataFrame:
@@ -1718,51 +1740,53 @@ def _with_log2_fp(
     the reduction costs < 2^-31 bits, far under the 2^-16 output
     quantum; e <= 32 inputs are bit-identical to the unreduced chain).
 
-    Loud-failure guard (r9 ADVICE): a CASE + raise_error wraps the
-    input, so x < 1 (or x >= 2^max_bits when max_bits < 63) FAILS the
-    job instead of silently wrapping through Spark's modulo-64
-    shiftleft — the guard never fires on valid data, so it cannot
-    perturb oracle parity, and it runs only on the (distinct-value-
-    bounded) log2 frame, never per corpus row.
+    Loud-failure guard (r9 ADVICE): a CASE + raise_error, so x < 1 (or
+    x >= 2^max_bits when max_bits < 63) FAILS the job instead of
+    silently wrapping through Spark's modulo-64 shiftleft — the guard
+    never fires on valid data, so it cannot perturb oracle parity, and
+    it runs only on the (distinct-value-bounded) log2 frame, never per
+    corpus row. Placement matters: the guard lives in the SINGLE
+    `_z` mantissa expression, NOT in a guarded copy of x — Spark's
+    CollapseProject inlines projected expressions into every
+    downstream reference, and the exponent tree references its input
+    ~2·log2(max_bits) times, so a guarded-x column gets its
+    CASE+raise_error duplicated into each of them (measured ~1.5x wall
+    on entropy/KL before this was moved). Any out-of-domain row still
+    raises: every row's _z is computed in the same projection, so the
+    poisoned branch fires before any result column can surface.
 
-    The exponent is a CASE ladder; each of the LOG2_FRAC_BITS squaring
-    rounds lands in its OWN projection — inlining would double the
-    expression tree per round. All codegen integer arithmetic; z stays
-    < 2^31 so z*z < 2^62 is exact."""
+    The exponent is a balanced binary CASE tree (log2_exp_case — ~6
+    compares/row at 63 bits, not a linear ladder); each of the
+    LOG2_FRAC_BITS squaring rounds lands in its OWN projection —
+    inlining would double the expression tree per round. All codegen
+    integer arithmetic; z stays < 2^31 so z*z < 2^62 is exact."""
     if max_bits > 63:
         raise ValueError(f"max_bits {max_bits} > 63 exceeds BIGINT")
     guard = f"{x_col} < 1" + (
         f" OR {x_col} >= {1 << max_bits}" if max_bits < 63 else ""
     )
     df = df.withColumn(
-        "_xg",
-        F.expr(
-            f"CASE WHEN {guard} THEN CAST(raise_error("
-            f"'log2_fp: input outside [1, 2^{max_bits})') AS BIGINT) "
-            f"ELSE {x_col} END"
-        ),
+        "_e", F.expr(log2_exp_case(x_col, max_bits)).cast("long")
     )
-    e = "CASE " + " ".join(
-        f"WHEN _xg >= {1 << b} THEN {b}"
-        for b in range(max_bits - 1, 0, -1)
-    ) + " ELSE 0 END"
-    df = df.withColumn("_e", F.expr(e).cast("long"))
     df = df.withColumn(
         "_r",
         F.expr("CASE WHEN _e > 32 THEN _e - 32 ELSE 0 END").cast("long"),
     )
+    z = dl.shr(
+        dl.shl(
+            "(" + dl.shr(x_col, "_r", dl.SPARK) + ")",
+            _LOG2_Z_BITS,
+            dl.SPARK,
+        ),
+        "(_e - _r)",
+        dl.SPARK,
+    )
     df = df.withColumn(
         "_z",
         F.expr(
-            dl.shr(
-                dl.shl(
-                    "(" + dl.shr("_xg", "_r", dl.SPARK) + ")",
-                    _LOG2_Z_BITS,
-                    dl.SPARK,
-                ),
-                "(_e - _r)",
-                dl.SPARK,
-            )
+            f"CASE WHEN {guard} THEN CAST(raise_error("
+            f"'log2_fp: input outside [1, 2^{max_bits})') AS BIGINT) "
+            f"ELSE {z} END"
         ).cast("long"),
     ).withColumn("_lg", F.col("_e"))
     two = 1 << (_LOG2_Z_BITS + 1)
@@ -1780,7 +1804,7 @@ def _with_log2_fp(
             + F.when(F.col("_zz") >= two, F.lit(1)).otherwise(F.lit(0)),
         )
     return df.withColumn(out_col, F.col("_lg").cast("long")).drop(
-        "_xg", "_e", "_r", "_z", "_zz", "_lg"
+        "_e", "_r", "_z", "_zz", "_lg"
     )
 
 

@@ -2634,9 +2634,7 @@ def _perplexity_sql() -> str:
     occurrence join + per-doc aggregate, and the CCNet bucket CASE."""
     zb = tx._LOG2_Z_BITS
     two = 1 << (zb + 1)
-    ladder = " ".join(
-        f"WHEN p_micro >= {1 << b} THEN {b}" for b in range(19, 0, -1)
-    )
+    exp = tx.log2_exp_case("p_micro", 20)
     cond = dl.idiv(f"b.c_xy * CAST({tx.PMI_SCALE} AS BIGINT)", "u.c", D)
     rounds = []
     prev = "s0"
@@ -2667,7 +2665,7 @@ def _perplexity_sql() -> str:
         SELECT w1, w2, p_micro,
                (p_micro << {zb}) >> e AS z,
                CAST(e AS BIGINT) AS lg
-        FROM (SELECT *, CASE {ladder} ELSE 0 END AS e FROM p) t
+        FROM (SELECT *, {exp} AS e FROM p) t
     ),
     {body},
     scored AS (
@@ -2705,13 +2703,11 @@ def _log2_chain_ctes(src: str, out: str, max_bits: int) -> str:
     valid domain to all of BIGINT without the `<< 30` overflowing."""
     zb = tx._LOG2_Z_BITS
     two = 1 << (zb + 1)
-    ladder = " ".join(
-        f"WHEN v >= {1 << b} THEN {b}" for b in range(max_bits - 1, 0, -1)
-    )
+    exp = tx.log2_exp_case("v", max_bits)
     parts = [f"""{out}_s0 AS (
         SELECT v, ((v >> r) << {zb}) >> (e - r) AS z, CAST(e AS BIGINT) AS lg
         FROM (SELECT v, e, CASE WHEN e > 32 THEN e - 32 ELSE 0 END AS r
-              FROM (SELECT v, CASE {ladder} ELSE 0 END AS e FROM {src}) t0
+              FROM (SELECT v, {exp} AS e FROM {src}) t0
         ) t
     )"""]
     prev = f"{out}_s0"
