@@ -608,9 +608,10 @@ def test_jpeg_error_paths():
     good = jpeg_encode(8, 8, bytes(192), 3)
     with pytest.raises(ValueError, match="bad SOI"):
         jpeg_decode(b"\x89PNG" + good)
-    # extended sequential (SOF1) rejected loudly
-    ext = good.replace(b"\xff\xc0", b"\xff\xc1")
-    with pytest.raises(ValueError, match="unsupported SOF marker 0xFFC1"):
+    # lossless (SOF3) rejected loudly (SOF1 decodes via the baseline
+    # path since r10 — pinned in test_jpeg_sof1_decodes_as_baseline)
+    ext = good.replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(ValueError, match="unsupported SOF marker 0xFFC3"):
         jpeg_decode(ext)
     # SOF2 frame with a baseline-style mixed DC+AC scan is illegal:
     # progressive DC must be coded alone (Ss=0 requires Se=0)
@@ -1075,3 +1076,73 @@ def test_jpeg_sof1_decodes_as_baseline():
     sof3 = data[:idx] + b"\xff\xc3" + data[idx + 2 :]
     with pytest.raises(ValueError, match="SOF"):
         jpeg_decode(sof3)
+
+
+def test_numpy_batch_paths_bit_exact_with_scalar():
+    """The r10 numpy batch DCT/IDCT/color paths must be BIT-identical
+    to the scalar reference implementations (they replay the same IEEE
+    op order; this test is the proof the gated hashes rest on):
+    (a) _dct_2d_batch == _dct_2d both directions on adversarial
+    blocks, (b) _quant_blocks batch == scalar, (c) full
+    encode+decode roundtrips byte-equal with numpy disabled."""
+    import random
+
+    from pipegen_spark.operators import codecs as cx
+
+    if cx._np is None:
+        pytest.skip("numpy not available")
+    rng = random.Random(20261016)
+    blocks = [
+        [float(rng.randint(-2048, 2048)) for _ in range(64)]
+        for _ in range(37)
+    ]
+    arr = cx._np.asarray(blocks)
+    for inv in (False, True):
+        batch = cx._dct_2d_batch(arr, inverse=inv)
+        for bi, blk in enumerate(blocks):
+            scalar = cx._dct_2d(blk, inverse=inv)
+            assert batch[bi].tolist() == scalar, (inv, bi)
+
+    # (b) plane-level FDCT+quant store (batch path FORCED via the gate
+    # constant — the default gate keeps thumbnails on the scalar path)
+    pw, ph = 24, 16
+    plane = [rng.randint(0, 255) for _ in range(pw * ph)]
+    saved_blocks = cx._BATCH_MIN_BLOCKS
+    saved_pixels = cx._BATCH_MIN_PIXELS
+    try:
+        cx._BATCH_MIN_BLOCKS = 0
+        for quant in (1, 7, 255):
+            batch_store = cx._quant_blocks(plane, pw, ph, quant)
+            cx._BATCH_MIN_BLOCKS = 10**9
+            scalar_store = cx._quant_blocks(plane, pw, ph, quant)
+            cx._BATCH_MIN_BLOCKS = 0
+            assert batch_store == scalar_store, quant
+
+        # (c) whole-codec byte equality, batch paths forced ON then OFF
+        px = _gradient(19, 13, 3)  # ragged vs the 8/16 grids
+        gray = _gradient(19, 13, 1)
+        cx._BATCH_MIN_BLOCKS = 0
+        cx._BATCH_MIN_PIXELS = 0
+
+        def enc():
+            return {
+                "444": cx.jpeg_encode(19, 13, px, 3, quant=3),
+                "420": cx.jpeg_encode(
+                    19, 13, px, 3, quant=3, subsampling="420"
+                ),
+                "gray": cx.jpeg_encode(19, 13, gray, 1, quant=2),
+                "prog": cx.jpeg_encode_progressive(19, 13, px, 3, quant=3),
+            }
+
+        streams = enc()
+        decoded_np = {k: cx.jpeg_decode(v) for k, v in streams.items()}
+        cx._BATCH_MIN_BLOCKS = 10**9
+        cx._BATCH_MIN_PIXELS = 10**9
+        assert enc() == streams
+        decoded_scalar = {
+            k: cx.jpeg_decode(v) for k, v in streams.items()
+        }
+        assert decoded_scalar == decoded_np
+    finally:
+        cx._BATCH_MIN_BLOCKS = saved_blocks
+        cx._BATCH_MIN_PIXELS = saved_pixels
