@@ -173,3 +173,60 @@ def test_concurrent_producers_assign_disjoint_offsets():
             c.close()
         assert hw == 40 and len(recs) == 40
         assert [o for o, _, _ in recs] == list(range(40))
+
+
+# --- property tests (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_record = hst.tuples(
+    hst.one_of(hst.none(), hst.binary(max_size=40)),
+    hst.one_of(hst.none(), hst.binary(max_size=200)),
+)
+
+
+@given(hst.lists(_record, max_size=20), hst.integers(0, 1 << 40))
+@settings(max_examples=150)
+def test_message_set_roundtrip_property(recs, base):
+    """decode(encode(recs, base)) reproduces every record with
+    contiguous offsets from base."""
+    out = decode_message_set(encode_message_set(recs, base_offset=base))
+    assert out == [(base + i, k, v) for i, (k, v) in enumerate(recs)]
+
+
+@given(hst.lists(_record, min_size=1, max_size=8), hst.data())
+@settings(max_examples=150)
+def test_message_set_prefix_property(recs, data):
+    """Any PREFIX of a valid MessageSet decodes to a prefix of the
+    records (Kafka brokers legally return partial trailing messages in
+    Fetch responses — consumers must handle every cut point)."""
+    full = encode_message_set(recs)
+    cut = data.draw(hst.integers(0, len(full)))
+    out = decode_message_set(full[:cut])
+    assert out == [(i, k, v) for i, (k, v) in enumerate(recs)][: len(out)]
+
+
+@given(
+    hst.lists(_record, min_size=1, max_size=6),
+    hst.data(),
+)
+@settings(max_examples=200)
+def test_message_set_corruption_is_loud_or_typed(recs, data):
+    """Single-byte corruption anywhere in a MessageSet either raises
+    ValueError (CRC/magic) or returns a well-formed (offset, key,
+    value) list — never any other exception type (the same contract
+    the codec fuzz suite enforces)."""
+    full = bytearray(encode_message_set(recs))
+    pos = data.draw(hst.integers(0, len(full) - 1))
+    val = data.draw(hst.integers(0, 255))
+    full[pos] = val
+    try:
+        out = decode_message_set(bytes(full))
+    except ValueError:
+        return
+    assert isinstance(out, list)
+    for off, k, v in out:
+        assert isinstance(off, int)
+        assert k is None or isinstance(k, bytes)
+        assert v is None or isinstance(v, bytes)
