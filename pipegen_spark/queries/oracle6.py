@@ -576,3 +576,34 @@ CROSS JOIN n1
 ORDER BY pair_support DESC, part_a, part_b
 LIMIT {Q81_LIMIT}
 """
+
+# q82: the batch LEFT OUTER interval join restricted to the flushed
+# region p_ts <= min(max_p, max_c) - 61 min (see the query docstring —
+# the watermark-frontier-safe cut both engines compute identically).
+RELATIONAL6_ORACLE["q82_stream_outer_join"] = """
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT LEAST(
+                   (SELECT CAST(epoch_ns(max(p_ts)) // 1000 AS BIGINT)
+                    FROM p),
+                   (SELECT CAST(epoch_ns(max(c_ts)) // 1000 AS BIGINT)
+                    FROM c)
+               ) - 3660000000 AS cut_us
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_ns(p.p_ts) // 1000 AS BIGINT) AS p_ts_us,
+           c.click_id,
+           CAST(epoch_ns(c.c_ts) // 1000 AS BIGINT) AS c_ts_us,
+           (c.click_id IS NOT NULL) AS matched
+    FROM p
+    LEFT JOIN c
+      ON p.user_id = c.c_user
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+     AND c.c_ts < p.p_ts
+    CROSS JOIN wm
+    WHERE CAST(epoch_ns(p.p_ts) // 1000 AS BIGINT) <= wm.cut_us
+    ORDER BY p.event_id, c.click_id
+"""

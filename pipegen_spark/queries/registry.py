@@ -97,7 +97,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 207
+CORPUS_SIZE = 208
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -141,14 +141,20 @@ GATE_NEVER = (
     "q81_basket_pairs",
 )
 
-#: Queries that land AFTER this round's final full-suite run (the
-#: mechanical snapshot rule, r9 VERDICT next #1): anything here has no
-#: driver row yet by construction and MUST ride the front of the next
-#: round's window. tests/test_registry_order.py enforces that every
-#: corpus query either has a historical CORRECTNESS row, sits in the
-#: current GATE_WINDOW, or is declared here — so the never-gated count
-#: is mechanical, not remembered.
-GATE_PENDING: tuple[str, ...] = ()
+#: Queries that land AFTER this round's window was cut (the mechanical
+#: snapshot rule, r9 VERDICT next #1): anything here has no driver row
+#: yet by construction and MUST ride the front of the next round's
+#: window. tests/test_registry_order.py enforces that every corpus
+#: query either has a historical CORRECTNESS row, sits in the current
+#: GATE_WINDOW, or is declared here — so the never-gated count is
+#: mechanical, not remembered.
+#:
+#: r10 pending: q82_stream_outer_join — the watermarked stream-stream
+#: LEFT OUTER interval join (outer NULL emission via the final
+#: watermark flush; parity oracle on the frontier-safe region), landed
+#: after the 50-slot r10 window was already full. Oracle-green on the
+#: local mirror at sf0.01 and sf0.1.
+GATE_PENDING: tuple[str, ...] = ("q82_stream_outer_join",)
 
 #: Rolling re-gates: the 22 remaining ops whose newest driver rows date
 #: from round 5, then the 11 alphabetically-first of the r6 tranche

@@ -1024,3 +1024,98 @@ def q81_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(Q81_LIMIT)
     )
+
+
+def q82_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (r10 — completes the
+    streaming-join family next to q41's inner form, the FlinkSQL outer
+    interval join the reference's SQL surface reaches through Flink):
+    every purchase, joined to the clicks of the same user in the hour
+    before it, with NULL click columns for purchases that never
+    matched. Both sides watermarked — the outer side's NULL emission is
+    exactly what the watermark exists for: a purchase can only be
+    declared unmatched once the click watermark has passed its window.
+
+    Determinism on finite input (the parity contract): Structured
+    Streaming emits an outer NULL row only when the global watermark
+    (min over both sides, max event time - 1h) passes the purchase's
+    window, and rows AT the final watermark frontier stay in state
+    forever on a finished stream. The gated surface therefore keeps
+    only purchases with p_ts <= cut = min(max_p, max_c) - 1h - 1min —
+    strictly inside the flushed region, one minute clear of the
+    boundary so neither engine's <=/< convention at the frontier can
+    flip a row — computed from the batch events table as a broadcast
+    1-row aggregate and applied as a post-stream batch filter. On that
+    region the appended stream result equals the batch LEFT OUTER
+    interval join the oracle runs.
+
+    Shape (100 TB): the join state is watermark-bounded on both sides
+    (each side retains ~1 h of rows), keyed by user — the standard
+    production outer-join deployment; the no-data micro-batch after
+    input exhaustion performs the final state flush."""
+    from pipegen_spark.streaming.filesource import (
+        events_file_stream,
+        run_to_file_sink,
+        state_partitions,
+    )
+
+    purchases = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(p_ts)").alias("p_ts_us"),
+        "click_id",
+        F.expr("unix_micros(c_ts)").alias("c_ts_us"),
+    )
+    with state_partitions(spark):
+        out = run_to_file_sink(spark, joined, "pipegen_q82_")
+
+    ev = table(spark, sf_dir, "events")
+    cut = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.expr("unix_micros(max(ts))").alias("max_p"))
+        .crossJoin(
+            ev.filter(F.col("event_type") == "click").agg(
+                F.expr("unix_micros(max(ts))").alias("max_c")
+            )
+        )
+        .select(
+            F.expr(
+                "least(max_p, max_c) - 3660000000"
+            ).alias("cut_us")  # 1 hour + 1 minute in micros
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(cut))
+        .filter(F.col("p_ts_us") <= F.col("cut_us"))
+        .select(
+            "event_id",
+            "user_id",
+            "p_ts_us",
+            "click_id",
+            "c_ts_us",
+            F.col("click_id").isNotNull().alias("matched"),
+        )
+        .orderBy("event_id", "click_id")
+    )
