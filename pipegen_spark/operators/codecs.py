@@ -29,8 +29,11 @@ successive-approximation refinement (DC raw bits, AC correction bits,
 Lossless/hierarchical (SOF3+), arithmetic-coded, 12-bit-precision,
 Hi/Vi > 2 and 16-bit-DQT streams raise `ValueError` loudly (`jpeg_decode` names the
 marker): the same honest-boundary policy. A production deployment swaps the PIL/libvips
-callable in at the documented call sites below; the WAV codec is full
-PCM (no subset caveat).
+callable in at the documented call sites below; the WAV codec accepts
+integer PCM at 8/16/24/32 bits AND IEEE-float 32/64 (r10 — the DAW-
+export format scraped audio actually contains), normalizing everything
+to signed 16-bit at the decode boundary; A-law/mu-law/extensible tags
+raise loudly.
 
 Scale notes: these run inside Arrow-batched `mapInPandas` workers —
 decoding is map-only, linear in executors, and payload bytes cross the
@@ -334,21 +337,16 @@ def wav_encode(
 
 
 def wav_features(payload: bytes) -> dict:
-    """Real-decoder drop-in for audio payloads: decodes 16-bit PCM WAV
-    (stdlib `wave`) and derives the 8 features from the SAMPLES — an
-    8-bin histogram over amplitude magnitude octaves (|s| bucketed by
-    bit length / 2) — same output schema as `fake_decode`/`png_features`.
-    Raises on non-PCM-16 payloads (explicit boundary, like the PNG
-    subset)."""
-    import io
-    import wave
-
+    """Real-decoder drop-in for audio payloads: decodes a RIFF/WAVE
+    payload and derives the 8 features from the SAMPLES — an 8-bin
+    histogram over amplitude magnitude octaves (|s| bucketed by bit
+    length / 2) — same output schema as `fake_decode`/`png_features`.
+    Accepts the widened r10 subset (see `wav_samples`); anything else
+    raises (explicit boundary, like the PNG subset)."""
     if payload is None:
         payload = b""
-    frames = _wav_frames(payload)
-    n = len(frames) // 2
     feats = [0] * 8
-    for (s,) in struct.iter_unpack("<h", frames[: n * 2]):
+    for s in wav_samples(payload):
         feats[min(abs(s).bit_length() >> 1, 7)] += 1
     return {
         "n_bytes": len(payload),
@@ -359,39 +357,112 @@ def wav_features(payload: bytes) -> dict:
 
 
 def wav_samples(payload: bytes) -> list[int]:
-    """Decoded 16-bit PCM samples (signed, little-endian) of a
-    RIFF/WAVE payload — the raw-sample sibling of `wav_features` for
-    consumers that do their own frame arithmetic (windowed energy,
-    resampling). Same 16-bit-only boundary."""
+    """Decoded samples of a RIFF/WAVE payload as signed 16-bit ints
+    (all channels interleaved) — the raw-sample entry every audio
+    operator (windowed energy, VAD, resample, fingerprint) consumes.
+
+    r10 widened subset (was: stdlib `wave`, 16-bit PCM only — but
+    real scraped audio is full of float WAVs from DAW exports and
+    8/24/32-bit PCM): a from-scratch RIFF walk now accepts
+    - format 1 (PCM) at 8/16/24/32 bits — 16-bit passes through
+      bit-identical to the old path; 8-bit unsigned maps via
+      (s - 128) << 8; 24/32-bit keep their top 16 bits (arithmetic
+      shift of the signed value — the standard width-reduction);
+    - format 3 (IEEE float) at 32/64 bits — clamped to [-1, 1] and
+      quantized s16 = round-half-even(x * 32767); NaN maps to 0
+      (deterministic: every conversion is the same exact float op
+      sequence everywhere).
+    Unknown format tags (A-law, mu-law, extensible), inconsistent
+    bit widths, and malformed/truncated chunk structure raise
+    ValueError loudly (tests/test_codecs_fuzz.py pins the contract)."""
     if payload is None:
         payload = b""
-    frames = _wav_frames(payload)
-    n = len(frames) // 2
-    return [s for (s,) in struct.iter_unpack("<h", frames[: n * 2])]
-
-
-def _wav_frames(payload: bytes) -> bytes:
-    """Shared RIFF/WAVE parse -> raw PCM frame bytes. stdlib `wave`
-    signals malformed streams with wave.Error / EOFError / struct
-    errors; convert them ALL to ValueError so hostile scraped bytes
-    fail the same loud way as the PNG/JPEG/AVI boundaries
-    (tests/test_codecs_fuzz.py pins this contract)."""
-    import io
-    import wave
-
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise ValueError(
-                    f"unsupported sample width {w.getsampwidth()}"
-                    " (16-bit only)"
+    fmt, bits, data = _wav_parse(payload)
+    if fmt == 1:  # integer PCM
+        if bits == 16:
+            n = len(data) // 2
+            return [
+                s for (s,) in struct.iter_unpack("<h", data[: n * 2])
+            ]
+        if bits == 8:
+            return [(b - 128) << 8 for b in data]
+        if bits == 24:
+            n = len(data) // 3
+            out = []
+            for i in range(n):
+                v = int.from_bytes(
+                    data[i * 3 : i * 3 + 3], "little", signed=True
                 )
-            return w.readframes(w.getnframes())
-    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
-        # stdlib wave/chunk surface malformed streams as wave.Error,
-        # EOFError, struct.error AND bare RuntimeError (seen on
-        # corrupted fmt headers) — all mean the same thing here.
-        raise ValueError(f"malformed WAV: {exc}") from exc
+                out.append(v >> 8)
+            return out
+        if bits == 32:
+            n = len(data) // 4
+            return [
+                s >> 16
+                for (s,) in struct.iter_unpack("<i", data[: n * 4])
+            ]
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    # fmt == 3: IEEE float (validated by _wav_parse)
+    code = "<f" if bits == 32 else "<d"
+    width = bits // 8
+    n = len(data) // width
+    out = []
+    for (x,) in struct.iter_unpack(code, data[: n * width]):
+        if x != x:  # NaN
+            out.append(0)
+            continue
+        x = -1.0 if x < -1.0 else (1.0 if x > 1.0 else x)
+        out.append(int(round(x * 32767.0)))
+    return out
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """From-scratch RIFF/WAVE chunk walk -> (format_tag, bits_per_
+    sample, data bytes). Bounds-checked throughout; skips unknown
+    chunks with the spec's even-byte padding; ValueError on anything
+    malformed (truncated header, data chunk longer than the payload,
+    fmt/data missing, format/width combinations outside the subset)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("malformed WAV: not a RIFF/WAVE stream")
+    pos = 12
+    fmt = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_at = pos + 8
+        if size > len(payload) - body_at:
+            raise ValueError(f"malformed WAV: truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed WAV: short fmt chunk")
+            fmt, _nch, _rate = struct.unpack_from(
+                "<HHI", payload, body_at
+            )
+            (bits,) = struct.unpack_from("<H", payload, body_at + 14)
+            if fmt == 1:
+                if bits not in (8, 16, 24, 32):
+                    raise ValueError(
+                        f"unsupported PCM bit depth {bits}"
+                    )
+            elif fmt == 3:
+                if bits not in (32, 64):
+                    raise ValueError(
+                        f"unsupported float bit depth {bits}"
+                    )
+            else:
+                raise ValueError(
+                    f"unsupported WAV format tag {fmt}"
+                    " (PCM and IEEE-float only)"
+                )
+        elif tag == b"data" and data is None:
+            data = payload[body_at : body_at + size]
+        pos = body_at + size + (size & 1)  # even-byte chunk padding
+    if fmt is None:
+        raise ValueError("malformed WAV: no fmt chunk")
+    if data is None:
+        raise ValueError("malformed WAV: no data chunk")
+    return fmt, bits, data
 
 
 # --- JPEG (ITU-T T.81 baseline sequential) -----------------------------------

@@ -1146,3 +1146,89 @@ def test_numpy_batch_paths_bit_exact_with_scalar():
     finally:
         cx._BATCH_MIN_BLOCKS = saved_blocks
         cx._BATCH_MIN_PIXELS = saved_pixels
+
+
+def _hand_wav(fmt, bits, data, nch=1, rate=8000):
+    """Independent RIFF construction (not via wave/wav_encode)."""
+    block = nch * bits // 8
+    fmtc = struct.pack("<HHIIHH", fmt, nch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_widened_subset_decodes():
+    """r10 WAV widening: float32/float64 and 8/24/32-bit PCM all
+    normalize to the documented signed-16-bit domain; 16-bit PCM stays
+    bit-identical to the wav_encode roundtrip."""
+    from pipegen_spark.operators.codecs import wav_encode, wav_samples
+
+    # 16-bit passthrough (also exercises the from-scratch parser on
+    # stdlib-wave-written bytes)
+    ref = [0, 1, -1, 32767, -32768, 1234, -4321]
+    assert wav_samples(wav_encode(ref)) == ref
+
+    # 8-bit unsigned: (s - 128) << 8
+    w8 = _hand_wav(1, 8, bytes([0, 128, 255, 64]))
+    assert wav_samples(w8) == [-32768, 0, 32512, -16384]
+
+    # 24-bit: top 16 bits of the signed value
+    v24 = [0x7FFFFF, -0x800000, 0x000100, -0x000100]
+    d24 = b"".join(v.to_bytes(3, "little", signed=True) for v in v24)
+    assert wav_samples(_hand_wav(1, 24, d24)) == [
+        0x7FFF, -0x8000, 1, -1
+    ]
+
+    # 32-bit int: top 16 bits
+    d32 = struct.pack("<4i", 0x7FFFFFFF, -0x80000000, 1 << 16, -(1 << 16))
+    assert wav_samples(_hand_wav(1, 32, d32)) == [
+        0x7FFF, -0x8000, 1, -1
+    ]
+
+    # float32: clamp + round-half-even quantization; NaN -> 0
+    f32 = struct.pack(
+        "<6f", 0.0, 1.0, -1.0, 2.5, 0.5, float("nan")
+    )
+    assert wav_samples(_hand_wav(3, 32, f32)) == [
+        0, 32767, -32767, 32767, round(0.5 * 32767.0), 0
+    ]
+
+    # float64
+    f64 = struct.pack("<3d", 0.25, -2.0, 1.0)
+    assert wav_samples(_hand_wav(3, 64, f64)) == [
+        round(0.25 * 32767.0), -32767, 32767
+    ]
+
+    # unknown chunks before fmt/data are skipped (LIST etc.)
+    inner = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    base = _hand_wav(1, 16, struct.pack("<2h", 5, -5))
+    padded = base[:12] + inner + base[12:]
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert wav_samples(padded) == [5, -5]
+
+
+def test_wav_widened_boundaries_raise():
+    from pipegen_spark.operators.codecs import wav_samples
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_samples(b"OggS" + b"\x00" * 40)
+    # mu-law tag
+    with pytest.raises(ValueError, match="format tag"):
+        wav_samples(_hand_wav(7, 8, b"\x00\x00"))
+    # float16 is not a thing in WAV
+    with pytest.raises(ValueError, match="float bit depth"):
+        wav_samples(_hand_wav(3, 16, b"\x00\x00"))
+    # data chunk claiming more bytes than the payload holds
+    good = _hand_wav(1, 16, struct.pack("<2h", 1, 2))
+    trunc = bytearray(good)
+    at = good.index(b"data") + 4
+    trunc[at:at + 4] = struct.pack("<I", 4096)
+    with pytest.raises(ValueError, match="truncated"):
+        wav_samples(bytes(trunc))
+    # no data chunk at all
+    nod = good[: good.index(b"data")]
+    nod = nod[:4] + struct.pack("<I", len(nod) - 8) + nod[8:]
+    with pytest.raises(ValueError, match="no data"):
+        wav_samples(nod)

@@ -76,6 +76,22 @@ def _valid_streams() -> dict[str, tuple[bytes, object]]:
         ),
         "jpeg_gray": (jpeg_encode(8, 8, gray, 1), jpeg_decode),
         "wav": (wav_encode(samples, sample_rate=8000), wav_samples),
+        # r10 widened WAV subset: hand-framed float32 stream
+        "wav_f32": (
+            b"RRP".replace(b"RRP", b"RIFF")
+            + __import__("struct").pack("<I", 4 + 24 + 8 + 64)
+            + b"WAVE"
+            + b"fmt "
+            + __import__("struct").pack(
+                "<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32
+            )
+            + b"data"
+            + __import__("struct").pack("<I", 64)
+            + __import__("struct").pack(
+                "<16f", *[(i - 8) / 9.0 for i in range(16)]
+            ),
+            wav_samples,
+        ),
         "avi_mjpeg": (avi_mjpeg_encode(jf, 8, 8, fps=4), avi_mjpeg_decode),
     }
 
