@@ -356,3 +356,20 @@ def test_ensemble_threshold_composition_keeps_the_scale_shape(plans):
             "HashAggregate(keys=[source" in below
             and "score_micro" in below
         ), "window sort not over the bounded histogram:\n" + p
+
+
+def test_domain_family_plan_shapes(plans):
+    """The r10 domain family's scale claims, mechanically: no per-doc
+    rank anywhere (the bounded groupBy(domain) IS the aggregation), the
+    corpus totals return as a broadcast 1-row aggregate, and the
+    blocklist's k-row verdict frame joins back as a broadcast hash join
+    on domain — the skewed docs-per-domain dimension never appears in a
+    sort or a single-task window."""
+    p = plans["curate_domain_stats"]
+    assert "row_number" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row totals cross join
+    assert "CartesianProduct" not in p, p
+    p = plans["curate_domain_blocklist"]
+    assert "row_number" not in p, p
+    assert "BroadcastHashJoin" in p, p  # verdicts broadcast on domain
+    assert "CartesianProduct" not in p, p
