@@ -8,14 +8,14 @@ decode boundary REAL — `png_decode` parses genuine PNG bytes into pixels,
 `resize_media` as actual codecs — while `fake_decode` remains for
 payloads that are not media at all (the synthetic `documents` blobs).
 
-Supported PNG subset (decode): 8-bit AND 16-bit depth (r10; 16-bit
-down-converts to 8 at the boundary via the high byte), all five color
-types — 0 (grayscale), 2 (RGB), 3 (palette, expanded to RGB via PLTE),
-4 (gray+alpha, r10), 6 (RGBA) — both non-interlaced and Adam7-
-interlaced streams (r10; the gaps real scraped corpora hit first, per
-the r9 verdict). Still out of subset and raising `ValueError` loudly:
-sub-byte depths 1/2/4 — an explicit, honest boundary rather than a
-wrong answer. Encode always writes 8-bit non-interlaced with filter 0.
+Supported PNG subset (decode): COMPLETE per spec 11.2.2 as of r10 —
+every legal depth/color combination: 1/2/4/8/16-bit grayscale (sub-byte
+unpacked MSB-first and bit-replicated to 8-bit), 1/2/4/8-bit palette
+(expanded to RGB via PLTE), 8/16-bit RGB / gray+alpha / RGBA, both
+non-interlaced and Adam7-interlaced; 16-bit down-converts to 8 at the
+boundary via the high byte. Spec-ILLEGAL combinations (16-bit palette,
+sub-byte RGB) and structural corruption raise `ValueError` loudly.
+Encode always writes 8-bit non-interlaced with filter 0.
 
 Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0),
 EXTENDED sequential at 8-bit (SOF1, r10 — bit-identical decode path to
@@ -200,9 +200,16 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             )
             if color_type not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported color type {color_type}")
-            if depth not in (8, 16) or (depth == 16 and color_type == 3):
-                # Palette depth is 1/2/4/8 by spec; sub-byte depths stay
-                # out of the subset (raise loudly, never guess).
+            # Spec-legal depth/color combinations (11.2.2): gray takes
+            # 1/2/4/8/16, palette 1/2/4/8, the multi-channel types 8/16.
+            legal = {
+                0: (1, 2, 4, 8, 16),
+                3: (1, 2, 4, 8),
+                2: (8, 16),
+                4: (8, 16),
+                6: (8, 16),
+            }
+            if depth not in legal[color_type]:
                 raise ValueError(f"unsupported bit depth {depth}")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
@@ -231,38 +238,96 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         # can only come from a buggy encoder, but it should still fail
         # as "invalid PNG", not leak zlib internals).
         raise ValueError(f"corrupt IDAT stream: {e}") from e
-    bps = 2 if depth == 16 else 1  # bytes per sample
-    bpp = channels * bps
-    stride = width * bpp
-    if interlace == 0:
-        if len(raw) != height * (stride + 1):
-            raise ValueError("IDAT length does not match geometry")
-        out = _unfilter(raw, 0, stride, height, bpp)
-    else:
-        # Adam7: seven independently-filtered sub-images, scattered
-        # into the full grid at (x0 + i*dx, y0 + j*dy). Empty passes
-        # (sub-image with zero width or height) contribute no bytes.
-        out = bytearray(height * stride)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (width - x0 + dx - 1) // dx
-            ph = (height - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
-            pstride = pw * bpp
-            need = ph * (pstride + 1)
-            if off + need > len(raw):
-                raise ValueError("IDAT length does not match geometry")
-            sub = _unfilter(raw, off, pstride, ph, bpp)
-            off += need
-            for j in range(ph):
-                row = (y0 + j * dy) * stride
+    if depth < 8:
+        # Sub-byte depths (r10: 1/2/4-bit gray and palette — favicon/
+        # icon territory in scraped corpora): the filter pass operates
+        # on the PACKED scanline bytes at bpp=1 (spec 9.2: filters see
+        # bytes; for depth < 8 the "prior pixel" is the prior byte),
+        # then each row unpacks MSB-first into one sample per pixel.
+        # Gray samples scale to 8-bit by bit replication (the exact
+        # factor 255/(2^d - 1): 1-bit x255, 2-bit x85, 4-bit x17);
+        # palette indices stay indices for the PLTE expansion below.
+        def rows_sub_byte(src_rows, pw: int, rb: int):
+            mask = (1 << depth) - 1
+            per_byte = 8 // depth
+            for j in range(len(src_rows) // rb):
+                row = src_rows[j * rb : (j + 1) * rb]
+                samples = []
                 for i in range(pw):
-                    dst = row + (x0 + i * dx) * bpp
-                    src = j * pstride + i * bpp
-                    out[dst : dst + bpp] = sub[src : src + bpp]
-        if off != len(raw):
-            raise ValueError("IDAT length does not match geometry")
+                    b = row[i // per_byte]
+                    shift = 8 - depth * (i % per_byte + 1)
+                    samples.append((b >> shift) & mask)
+                yield j, samples
+
+        scale = 255 // ((1 << depth) - 1) if color_type == 0 else 1
+        out = bytearray(width * height)
+        if interlace == 0:
+            rb = (width * depth + 7) // 8
+            if len(raw) != height * (rb + 1):
+                raise ValueError("IDAT length does not match geometry")
+            rows = _unfilter(raw, 0, rb, height, 1)
+            for j, samples in rows_sub_byte(rows, width, rb):
+                base = j * width
+                for i, v in enumerate(samples):
+                    out[base + i] = v * scale
+        else:
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                rb = (pw * depth + 7) // 8
+                need = ph * (rb + 1)
+                if off + need > len(raw):
+                    raise ValueError(
+                        "IDAT length does not match geometry"
+                    )
+                sub = _unfilter(raw, off, rb, ph, 1)
+                off += need
+                for j, samples in rows_sub_byte(sub, pw, rb):
+                    row = (y0 + j * dy) * width
+                    for i, v in enumerate(samples):
+                        out[row + (x0 + i * dx)] = v * scale
+            if off != len(raw):
+                raise ValueError("IDAT length does not match geometry")
+        bps = 1
+    else:
+        bps = 2 if depth == 16 else 1  # bytes per sample
+        bpp = channels * bps
+        stride = width * bpp
+        if interlace == 0:
+            if len(raw) != height * (stride + 1):
+                raise ValueError("IDAT length does not match geometry")
+            out = _unfilter(raw, 0, stride, height, bpp)
+        else:
+            # Adam7: seven independently-filtered sub-images, scattered
+            # into the full grid at (x0 + i*dx, y0 + j*dy). Empty
+            # passes (sub-image with zero width or height) contribute
+            # no bytes.
+            out = bytearray(height * stride)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = pw * bpp
+                need = ph * (pstride + 1)
+                if off + need > len(raw):
+                    raise ValueError(
+                        "IDAT length does not match geometry"
+                    )
+                sub = _unfilter(raw, off, pstride, ph, bpp)
+                off += need
+                for j in range(ph):
+                    row = (y0 + j * dy) * stride
+                    for i in range(pw):
+                        dst = row + (x0 + i * dx) * bpp
+                        src = j * pstride + i * bpp
+                        out[dst : dst + bpp] = sub[src : src + bpp]
+            if off != len(raw):
+                raise ValueError("IDAT length does not match geometry")
     if bps == 2:
         # 16 -> 8 bit at the decode boundary: high byte of each
         # big-endian sample (PIL's I;16 -> L convention).

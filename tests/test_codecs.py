@@ -112,12 +112,12 @@ def test_decode_rejects_corruption_and_unsupported():
     bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad_crc))
-    # sub-byte depths stay out of the subset (16-bit is supported r10+)
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    # spec-illegal combination: sub-byte RGB (legal depths are 8/16)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     shallow = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr4)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="bit depth"):
@@ -1232,3 +1232,93 @@ def test_wav_widened_boundaries_raise():
     nod = nod[:4] + struct.pack("<I", len(nod) - 8) + nod[8:]
     with pytest.raises(ValueError, match="no data"):
         wav_samples(nod)
+
+
+def _hand_png_subbyte(width, height, depth, color_type, samples,
+                      interlace=0, palette=None):
+    """Sub-byte fixture: pack samples MSB-first per scanline (or per
+    Adam7 pass scanline), filter-0 rows."""
+    def pack_rows(vals_rows, pw):
+        rb = (pw * depth + 7) // 8
+        raw = bytearray()
+        for vals in vals_rows:
+            raw.append(0)
+            rowb = bytearray(rb)
+            for i, v in enumerate(vals):
+                shift = 8 - depth * (i % (8 // depth) + 1)
+                rowb[i * depth // 8] |= v << shift
+            raw += rowb
+        return raw
+
+    if interlace == 0:
+        rows = [samples[y * width : (y + 1) * width]
+                for y in range(height)]
+        raw = pack_rows(rows, width)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_TEST:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = [
+                [samples[(y0 + j * dy) * width + (x0 + i * dx)]
+                 for i in range(pw)]
+                for j in range(ph)
+            ]
+            raw += pack_rows(rows, pw)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace
+    )
+    chunks = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _chunk(b"PLTE", palette)
+    return (
+        chunks
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_sub_byte_gray():
+    """1/2/4-bit grayscale: MSB-first unpack + exact bit replication
+    (x255 / x85 / x17), including a ragged width (partial last byte)."""
+    # 2-bit, 5x2 (5 px = 1.25 bytes/row -> padded)
+    vals = [0, 1, 2, 3, 0, 3, 2, 1, 0, 3]
+    w, h, ch, out = png_decode(_hand_png_subbyte(5, 2, 2, 0, vals))
+    assert (w, h, ch) == (5, 2, 1)
+    assert list(out) == [v * 85 for v in vals]
+    # 1-bit, 9x1
+    vals = [1, 0, 1, 1, 0, 0, 1, 0, 1]
+    assert list(png_decode(_hand_png_subbyte(9, 1, 1, 0, vals))[3]) == [
+        v * 255 for v in vals
+    ]
+    # 4-bit, 3x3
+    vals = [0, 7, 15, 8, 1, 2, 3, 4, 5]
+    assert list(png_decode(_hand_png_subbyte(3, 3, 4, 0, vals))[3]) == [
+        v * 17 for v in vals
+    ]
+
+
+def test_decode_sub_byte_palette_and_adam7():
+    """2-bit palette expands through PLTE; 4-bit gray survives the
+    Adam7 scatter; out-of-range palette index still raises."""
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])  # 3 entries
+    vals = [0, 1, 2, 2, 1, 0]
+    w, h, ch, out = png_decode(
+        _hand_png_subbyte(3, 2, 2, 3, vals, palette=pal)
+    )
+    assert (w, h, ch) == (3, 2, 3)
+    exp = b"".join(pal[v * 3 : v * 3 + 3] for v in vals)
+    assert out == exp
+    # index 3 has no PLTE entry
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(_hand_png_subbyte(3, 2, 2, 3, [0, 1, 2, 3, 1, 0],
+                                     palette=pal))
+    # Adam7 + 4-bit gray on ragged 11x5 geometry
+    vals = [(x * 3 + y * 5) % 16 for y in range(5) for x in range(11)]
+    w, h, ch, out = png_decode(
+        _hand_png_subbyte(11, 5, 4, 0, vals, interlace=1)
+    )
+    assert (w, h, ch) == (11, 5, 1)
+    assert list(out) == [v * 17 for v in vals]

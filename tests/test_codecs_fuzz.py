@@ -65,6 +65,16 @@ def _valid_streams() -> dict[str, tuple[bytes, object]]:
             png_decode,
         ),
         "png_16bit": (_hand_png16(6, 5, 1, px16g, 0), png_decode),
+        "png_2bit_pal_adam7": (
+            __import__("tests.test_codecs", fromlist=["x"])
+            ._hand_png_subbyte(
+                9, 7, 2, 3,
+                [(i * 5) % 4 for i in range(63)],
+                interlace=1,
+                palette=bytes(range(12)),
+            ),
+            png_decode,
+        ),
         "jpeg_baseline": (jpeg_encode(16, 16, px16, 3), jpeg_decode),
         "jpeg_progressive": (
             jpeg_encode_progressive(16, 16, px16, 3),
