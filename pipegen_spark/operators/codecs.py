@@ -19,15 +19,16 @@ Encode always writes 8-bit non-interlaced with filter 0.
 
 Supported JPEG subset (decode): ITU-T T.81 BASELINE sequential (SOF0),
 EXTENDED sequential at 8-bit (SOF1, r10 — bit-identical decode path to
-baseline) and PROGRESSIVE (SOF2) — 8-bit, sampling factors Hi, Vi in {1, 2}
-(4:4:4, 4:2:0, 4:2:2 and transposes; chroma upsampled by sample
-replication), 1 or 3 components, restart intervals, and for SOF2 the
+baseline) and PROGRESSIVE (SOF2) — 8-bit, the full legal sampling-factor
+range Hi, Vi in [1, 4] (4:4:4, 4:2:0, 4:2:2, 4:1:1, 4:1:0 and
+transposes — r10; chroma upsampled by sample replication), 1 or 3
+components, restart intervals, and for SOF2 the
 full scan toolbox: interleaved and single-component DC scans,
 spectral-selection AC band scans with EOB-run coding, and
 successive-approximation refinement (DC raw bits, AC correction bits,
 §G.2). Both encoders write 4:4:4 or 4:2:0 (`subsampling="420"`).
-Lossless/hierarchical (SOF3+), arithmetic-coded, 12-bit-precision,
-Hi/Vi > 2 and 16-bit-DQT streams raise `ValueError` loudly (`jpeg_decode` names the
+Lossless/hierarchical (SOF3+), arithmetic-coded, 12-bit-precision
+and 16-bit-DQT streams raise `ValueError` loudly (`jpeg_decode` names the
 marker): the same honest-boundary policy. A production deployment swaps the PIL/libvips
 callable in at the documented call sites below; the WAV codec accepts
 integer PCM at 8/16/24/32 bits AND IEEE-float 32/64 (r10 — the DAW-
@@ -1561,15 +1562,16 @@ def _jpeg_decode_scan(
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Parse JPEG bytes -> (width, height, channels, raw pixels).
     Supports BASELINE sequential (SOF0) and PROGRESSIVE (SOF2): 8-bit,
-    sampling factors Hi, Vi in {1, 2} (4:4:4, 4:2:0, 4:2:2 and
-    transposes — chroma upsampled by sample replication), 1 or 3
+    sampling factors Hi, Vi across the full legal [1, 4] (4:4:4, 4:2:0,
+    4:2:2, 4:1:1 and transposes — chroma upsampled by replication), 1 or 3
     components, multiple DQT/DHT segments, APPn/COM skip, restart
     intervals, and for SOF2 the full multi-scan toolbox — interleaved
     or single-component DC scans, spectral-selection AC band scans
     with EOB-run coding, and successive-approximation refinement
     (raw-bit DC, correction-bit AC). Everything else raises ValueError
-    (lossless/arithmetic SOFs, 12-bit precision, Hi/Vi > 2, 16-bit
-    DQT); SOF1 extended sequential decodes via the baseline path (r10).
+    (lossless/arithmetic SOFs, 12-bit precision, Hi/Vi outside [1, 4],
+    16-bit DQT); SOF1 extended sequential decodes via the baseline
+    path (r10).
     Decoding is coefficient-domain: scans accumulate into per-block
     zigzag coefficient stores; dequantize + IDCT happen once at
     EOI."""
@@ -1659,10 +1661,15 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 h, v = hv >> 4, hv & 0x0F
-                if h not in (1, 2) or v not in (1, 2):
+                # T.81 B.2.2: Hi, Vi in [1, 4]. The MCU walk, the
+                # coefficient grids and the replication upsampler are
+                # all generic in (h, v), so the full legal range
+                # decodes (r10 — covers 4:1:1/4:1:0 DV-family streams;
+                # 0 and >4 are spec violations and stay loud).
+                if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise ValueError(
                         f"unsupported sampling factors {h}x{v} "
-                        "(Hi, Vi must be 1 or 2)"
+                        "(Hi, Vi must be in [1, 4])"
                     )
                 comps.append((cid, tq, h, v))
             hmax = max(c[2] for c in comps)

@@ -618,11 +618,11 @@ def test_jpeg_error_paths():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(prog)
-    # sampling factors beyond 2 rejected: set Y component HV to 3x3
-    # (1 and 2 are now decodable — 4:4:4 / 4:2:0 / 4:2:2 / transposes)
+    # sampling factors beyond the legal [1, 4] rejected: set Y
+    # component HV to 5x1 (1..4 are decodable since r10)
     sof_at = good.find(b"\xff\xc0")
     sub = bytearray(good)
-    sub[sof_at + 11] = 0x33  # comp 1 HV byte
+    sub[sof_at + 11] = 0x51  # comp 1 HV byte
     with pytest.raises(ValueError, match="unsupported sampling factors"):
         jpeg_decode(bytes(sub))
     # 16-bit DQT rejected
@@ -1322,3 +1322,110 @@ def test_decode_sub_byte_palette_and_adam7():
     )
     assert (w, h, ch) == (11, 5, 1)
     assert list(out) == [v * 17 for v in vals]
+
+
+def _hand_jpeg_sampled(comp_hv, width, height, yp, cbp, crp, cw, ch_):
+    """Raw stream construction for arbitrary sampling factors using the
+    library's own segment/entropy primitives (the geometry under test
+    is the DECODER's MCU walk and replication upsampler)."""
+    from pipegen_spark.operators import codecs as cx
+
+    w = cx._BitWriter()
+    ystore = cx._quant_blocks(yp, width, height, 1)
+    cbstore = cx._quant_blocks(cbp, cw, ch_, 1)
+    crstore = cx._quant_blocks(crp, cw, ch_, 1)
+    hy, vy = comp_hv[0] >> 4, comp_hv[0] & 0x0F
+    ynbx = width // 8
+    mcux = max(1, width // (8 * hy))
+    mcuy = max(1, height // (8 * vy))
+    dc_prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vy):
+                for bx in range(hy):
+                    yb = (my * vy + by) * ynbx + (mx * hy + bx)
+                    cx._encode_block_seq(w, ystore[yb], dc_prev, 0)
+            ci = my * (cw // 8) + mx
+            cx._encode_block_seq(w, cbstore[ci], dc_prev, 1)
+            cx._encode_block_seq(w, crstore[ci], dc_prev, 2)
+    scan = w.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"".join(
+            struct.pack(">BBB", i + 1, comp_hv[i], 0) for i in range(3)
+        ),
+    )
+    dht = seg(
+        0xFFC4, b"\x00" + bytes(cx._DC_BITS) + bytes(cx._DC_VALS)
+    ) + seg(0xFFC4, b"\x10" + bytes(cx._AC_BITS) + bytes(cx._AC_VALS))
+    sos = seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(3))
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def test_jpeg_411_sampling_decodes():
+    """4:1:1 (Hi=4 — the DV-family layout, r10): one 32x8 MCU, chroma
+    split into two flat halves so the 4x horizontal replication mapping
+    is verified positionally (output columns 0-15 must carry half A,
+    16-31 half B, each within DCT-rounding of the exact color)."""
+    from pipegen_spark.operators.codecs import jpeg_decode
+
+    yv, cbA, crA, cbB, crB = 100, 90, 160, 120, 60
+    yp = [yv] * (32 * 8)
+    cbp = [cbA if x < 4 else cbB for _ in range(8) for x in range(8)]
+    crp = [crA if x < 4 else crB for _ in range(8) for x in range(8)]
+    data = _hand_jpeg_sampled([0x41, 0x11, 0x11], 32, 8, yp, cbp, crp, 8, 8)
+    w, h, ch, px = jpeg_decode(data)
+    assert (w, h, ch) == (32, 8, 3)
+
+    def expected(cb, cr):
+        r = round(yv + 1.402 * (cr - 128))
+        g = round(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        b = round(yv + 1.772 * (cb - 128))
+        return [max(0, min(255, v)) for v in (r, g, b)]
+
+    ea, eb = expected(cbA, crA), expected(cbB, crB)
+    for y in range(8):
+        for x in range(32):
+            got = px[(y * 32 + x) * 3 : (y * 32 + x) * 3 + 3]
+            exp = ea if x < 16 else eb
+            for c in range(3):
+                assert abs(got[c] - exp[c]) <= 3, (x, y, c, got, exp)
+
+
+def test_jpeg_140_vertical_sampling_decodes():
+    """The 1x4 transpose: one 8x32 MCU, chroma split into top/bottom
+    halves — verifies the vertical replication axis independently."""
+    from pipegen_spark.operators.codecs import jpeg_decode
+
+    yv, cbA, crA, cbB, crB = 80, 110, 150, 70, 180
+    yp = [yv] * (8 * 32)
+    cbp = [cbA if y < 4 else cbB for y in range(8) for _ in range(8)]
+    crp = [crA if y < 4 else crB for y in range(8) for _ in range(8)]
+    data = _hand_jpeg_sampled([0x14, 0x11, 0x11], 8, 32, yp, cbp, crp, 8, 8)
+    w, h, ch, px = jpeg_decode(data)
+    assert (w, h, ch) == (8, 32, 3)
+
+    def expected(cb, cr):
+        r = round(yv + 1.402 * (cr - 128))
+        g = round(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        b = round(yv + 1.772 * (cb - 128))
+        return [max(0, min(255, v)) for v in (r, g, b)]
+
+    ea, eb = expected(cbA, crA), expected(cbB, crB)
+    for y in range(32):
+        for x in range(8):
+            got = px[(y * 8 + x) * 3 : (y * 8 + x) * 3 + 3]
+            exp = ea if y < 16 else eb
+            for c in range(3):
+                assert abs(got[c] - exp[c]) <= 3, (x, y, c, got, exp)
