@@ -41,6 +41,13 @@ baseline flatters the ratio; its watchdog is 40 s/query so the
 heavy dedup oracles (16-19 s idle) don't convert contention into
 `timed_out` coverage gaps.
 
+Round-11 addition: the idle gate re-checks BEFORE EVERY TIMED PASS
+(warm, pooled1, pooled2 — `pass_gates`), not just at run start: the r10
+artifact passed the start gate at loadavg 1.66 and then took its warm
+pass at 5.72 / pooled2 at 15.05, inflating warm numbers ~1.9x uniformly
+(DuckDB included). Each pass waits up to PASS_MAX_WAIT for the box to
+quiet down and records the gate outcome either way.
+
 Output contract (round-5 fix): the driver captures only the LAST 2000
 chars of stdout, and rounds 1-4 each emitted a single JSON line with 149
 per-query times + sha256 hashes — far past the window, so the driver
@@ -77,9 +84,17 @@ TOP_QUERIES = 20  # stdout line carries only the slowest N (size budget)
 
 IDLE_LOADAVG = 3.0  # publishable-artifact gate: 1-min loadavg below this
 IDLE_MAX_WAIT = 600.0  # give up waiting after this many seconds
+#: Round-11 (r10 VERDICT what's-wrong #1): the r10 warm pass ran at
+#: loadavg 5.72 and pooled run 2 at 15.05 — the start-only gate had
+#: passed at 1.66, so the artifact recorded ~1.9x uniformly-inflated
+#: warm numbers (DuckDB included) that cost a round of attribution.
+#: Every timed pass now re-checks the gate, with a shorter per-pass
+#: budget so a persistently-loaded box still completes the run (the
+#: outcome is recorded either way; a contended pass is self-labeling).
+PASS_MAX_WAIT = 180.0
 
 
-def _await_idle_box() -> dict:
+def _await_idle_box(max_wait: float = IDLE_MAX_WAIT) -> dict:
     """Block until the box is quiet (1-min loadavg < IDLE_LOADAVG) or
     IDLE_MAX_WAIT elapses. Round-7 finding: the final artifact was
     captured at loadavg 10 and recorded warm times ABOVE cold on
@@ -94,7 +109,7 @@ def _await_idle_box() -> dict:
         return {"enabled": False, "loadavg_at_start": round(os.getloadavg()[0], 2)}
     t0 = time.perf_counter()
     load = os.getloadavg()[0]
-    while load >= IDLE_LOADAVG and time.perf_counter() - t0 < IDLE_MAX_WAIT:
+    while load >= IDLE_LOADAVG and time.perf_counter() - t0 < max_wait:
         time.sleep(15.0)
         load = os.getloadavg()[0]
     return {
@@ -182,8 +197,15 @@ def main() -> None:
     # recorded loadavg — a +52% pooled regression could not be separated
     # from box contention).
     loadavg: dict[str, float] = {}
+    # Per-pass idle gate (round-11): each timed pass re-checks the idle
+    # criterion with a bounded wait before its loadavg is stamped, so a
+    # mid-run load spike shows up as an unsatisfied gate on exactly the
+    # pass it contaminated instead of poisoning the artifact silently.
+    pass_gates: dict[str, dict] = {}
 
-    def _load(tag: str) -> None:
+    def _load(tag: str, gate: bool = False) -> None:
+        if gate:
+            pass_gates[tag] = _await_idle_box(max_wait=PASS_MAX_WAIT)
         loadavg[tag] = round(os.getloadavg()[0], 2)
 
     # Fixed per-query driver floor, measured on the warmed session just
@@ -205,7 +227,7 @@ def main() -> None:
     # the warm pass is the steady-state engine cost — what a long-lived
     # cluster session actually pays per query. The headline metric stays
     # the cold total for round-over-round comparability.
-    _load("warm_before")
+    _load("warm_before", gate=True)
     warm: dict[str, float] = {}
     hashes: dict[str, str] = {}
     for name in sorted(qs):
@@ -230,7 +252,7 @@ def main() -> None:
     sequential = [n for n in qs if n.startswith(SEQUENTIAL_ONLY)]
     pooled_runs: list[float] = []
     for run_no in (1, 2):
-        _load(f"pooled{run_no}_before")
+        _load(f"pooled{run_no}_before", gate=True)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=POOL_THREADS) as pool:
             list(pool.map(_run, pooled))
@@ -289,6 +311,37 @@ def main() -> None:
     except Exception as e:
         print(f"streaming probe failed: {e!r}", file=sys.stderr)
 
+    # Traffic-pattern probe (round-11, r10 VERDICT task 6): the DSL +
+    # rate-controlled producer measured END-TO-END — a spiking schedule
+    # ("2s-6s:300%" over a 20k base) driven through the producer, with
+    # per-level achieved-rate medians and a tracked/not verdict. This is
+    # the reference's headline demo (traffic_pattern.go:120-130) as a
+    # measured artifact rather than a unit test.
+    traffic = None
+    try:
+        import shutil
+        import tempfile
+
+        from pipegen_spark.streaming.producer import measure_rate_tracking
+
+        ckpt = tempfile.mkdtemp(prefix="bench-traffic-")
+        try:
+            traffic = measure_rate_tracking(
+                spark,
+                base_rps=20_000,
+                pattern="2s-6s:300%",
+                seconds=9.0,
+                checkpoint_dir=ckpt,
+                trigger_seconds=0.5,
+            )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        traffic["settle_gate"] = {
+            "loadavg_1min_before": round(os.getloadavg()[0], 2)
+        }
+    except Exception as e:
+        print(f"traffic probe failed: {e!r}", file=sys.stderr)
+
     _load("after")
 
     # Round-over-round drift vs the newest archived detail (round-6
@@ -318,6 +371,7 @@ def main() -> None:
         "pooled_runs": pooled_runs,
         "loadavg_1min": loadavg,
         "idle_gate": idle_gate,
+        "pass_gates": pass_gates,
         "spark_floor_sec": spark_floor,
         "sf": sf,
         "n_queries": len(times),
@@ -327,6 +381,8 @@ def main() -> None:
         detail["duckdb_baseline"] = baseline
     if streaming is not None:
         detail["streaming"] = streaming
+    if traffic is not None:
+        detail["traffic_tracking"] = traffic
     if drift is not None:
         detail["drift"] = drift
     with open(detail_path, "w") as fh:
@@ -367,6 +423,16 @@ def main() -> None:
         "pooled_runs": pooled_runs,
         "loadavg_1min": loadavg,
         "idle_gate": idle_gate,
+        # Compact per-pass gate outcomes for the driver-captured tail
+        # (full records in the detail file): ok = loadavg was below the
+        # threshold when the pass started timing.
+        "pass_gates": {
+            tag: {
+                "ok": g.get("satisfied", True),
+                "wait": g.get("waited_sec", 0.0),
+            }
+            for tag, g in pass_gates.items()
+        },
         "spark_floor_sec": spark_floor,
         "sf": sf,
         "n_queries": len(times),
@@ -390,9 +456,18 @@ def main() -> None:
         }
     if streaming is not None:
         out["streaming"] = streaming
+    if traffic is not None:
+        out["traffic_tracking"] = {
+            "ok": traffic["ok"],
+            "worst_level_err_pct": traffic["worst_level_err_pct"],
+            "levels": {
+                k: v["median_rps"] for k, v in traffic["levels"].items()
+            },
+        }
     line = json.dumps(out)
     if len(line) > 1900:  # hard guarantee: the driver tail-captures 2000
-        for k in ("queries", "drift", "streaming", "duckdb_baseline"):
+        for k in ("queries", "drift", "pass_gates", "traffic_tracking",
+                  "streaming", "duckdb_baseline"):
             out.pop(k, None)
             line = json.dumps(out)
             if len(line) <= 1900:

@@ -59,7 +59,7 @@ rounds; long-stable canaries stay in every window):
   dedup_setjoin, dedup_substring, embed_gram, embed_matryoshka,
   embed_pq), and the 6 canaries. After this window EVERY query in the
   corpus has at least one driver row.
-- r10 window (current): the 6 round-9 late additions that landed
+- r10 window: the 6 round-9 late additions that landed
   after the r9 window was cut and have never had a driver row
   (dedup_lpa, text_perplexity, text_entropy, curate_kl_drift,
   dedup_semantic_ivf, q81_basket_pairs — the whole of the r9
@@ -75,9 +75,19 @@ rounds; long-stable canaries stay in every window):
   burstiness/cms_topk/diversity/good_turing/kneser_ney/lm_bigram/
   pmi/rarity/readability/typo_pairs), the 11 alphabetically-first
   r6-green ops (curate_chunk ... dedup_clusters), and the 6
-  canaries = 50. Queries landing after this round's final suite
-  run go in GATE_PENDING (mechanical snapshot rule, r9 VERDICT #1)
-  and must ride the front of the r11 window.
+  canaries = 50. Came back 50/50 hash-green.
+- r11 window (current): q82_stream_outer_join at the front — the
+  sole GATE_PENDING entry, the only corpus query with no driver
+  row anywhere (r10 VERDICT next #1) — then the rolling rotation:
+  the 28 remaining r6-green ops, now the corpus's oldest rows
+  (dedup_exact/prefix/minhash_lsh/simhash/ngram_jaccard/
+  embedding_cosine/keep_best/span_stats, embed_dim_stats/outliers,
+  q58-q74 ex-q60-gap, simsearch_range), the 15 alphabetically-first
+  r7-green ops (embed_kmeans ... q10_except), and the 6 canaries
+  = 50. After this window every query in the corpus has a driver
+  row and no row predates r7. Queries landing after this round's
+  final suite run go in GATE_PENDING (mechanical snapshot rule)
+  and must ride the front of the r12 window.
 """
 
 from __future__ import annotations
@@ -112,34 +122,20 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 10: queries whose gated SURFACE is new or changed this round —
-#: the quality/ensemble re-points at the bounded-histogram production
-#: plan (r9 VERDICT What's-wrong #1; the redundant *_threshold keys are
-#: retired), the brand-new trained-quantizer SemDeDup IVF (r9 VERDICT
-#: next #4), and the domain-level curation family (r9 VERDICT next #9).
-GATE_CHANGED = (
-    "curate_quality_percentile",
-    "curate_ensemble",
-    "dedup_semantic_ivf_trained",
-    "curate_domain_stats",
-    "curate_domain_blocklist",
-)
+#: Round 11: no query's gated surface changed this round (yet) — the
+#: slot exists so late-landing surface changes have a named front
+#: position if any land before the final suite run.
+GATE_CHANGED: tuple[str, ...] = ()
 
-#: Never-gated retirement (round-10 priority, VERDICT r9 top_next): the
-#: 6 round-9 late additions with no driver CORRECTNESS row anywhere.
-#: After this window every query in the corpus again has at least one
-#: hard row. (text_entropy / text_perplexity / curate_kl_drift also
-#: changed internals this round — the BIGINT-wide log2 envelope — but
-#: their gated values are bit-identical at test scale, re-verified
-#: against the oracles before the window was cut.)
-GATE_NEVER = (
-    "dedup_lpa",
-    "text_perplexity",
-    "text_entropy",
-    "curate_kl_drift",
-    "dedup_semantic_ivf",
-    "q81_basket_pairs",
-)
+#: Never-gated retirement (round-11 priority, r10 VERDICT next #1):
+#: q82_stream_outer_join — the watermarked stream-stream LEFT OUTER
+#: interval join (outer NULL emission via the final watermark flush;
+#: parity oracle on the frontier-safe region) — landed after the
+#: 50-slot r10 window was already full and is the only corpus query
+#: with no driver CORRECTNESS row anywhere (GATE_STATUS.json
+#: never_gated). Oracle-green on the local mirror at sf0.01 and sf0.1
+#: in both the builder's and the judge's runs.
+GATE_NEVER = ("q82_stream_outer_join",)
 
 #: Queries that land AFTER this round's window was cut (the mechanical
 #: snapshot rule, r9 VERDICT next #1): anything here has no driver row
@@ -147,57 +143,63 @@ GATE_NEVER = (
 #: window. tests/test_registry_order.py enforces that every corpus
 #: query either has a historical CORRECTNESS row, sits in the current
 #: GATE_WINDOW, or is declared here — so the never-gated count is
-#: mechanical, not remembered.
-#:
-#: r10 pending: q82_stream_outer_join — the watermarked stream-stream
-#: LEFT OUTER interval join (outer NULL emission via the final
-#: watermark flush; parity oracle on the frontier-safe region), landed
-#: after the 50-slot r10 window was already full. Oracle-green on the
-#: local mirror at sf0.01 and sf0.1.
-GATE_PENDING: tuple[str, ...] = ("q82_stream_outer_join",)
+#: mechanical, not remembered. tools/gate_status.py renders the same
+#: aggregation as the GATE_STATUS.json artifact.
+GATE_PENDING: tuple[str, ...] = ()
 
-#: Rolling re-gates: the 22 remaining ops whose newest driver rows date
-#: from round 5, then the 11 alphabetically-first of the r6 tranche
-#: (their rows are now the corpus's oldest; the rest rotate in r11).
+#: Rolling re-gates: the 28 remaining ops whose newest driver rows date
+#: from round 6 (the corpus's oldest after the r10 window), then the 15
+#: alphabetically-first of the r7 tranche (the rest rotate in r12).
 GATE_ROLLING = (
-    "multimodal_features",
-    "multimodal_phash",
-    "q48_grouping_sets",
-    "q53_tpch_promo_ratio",
-    "q54_tpch_big_orders",
-    "q57_tpch_idle_rich",
-    "q75_asof_forward",
-    "simsearch_hybrid",
-    "simsearch_mmr",
-    "simsearch_pq",
-    "simsearch_pq_recall",
-    "text_bpe_pairs",
-    "text_burstiness",
-    "text_cms_topk",
-    "text_diversity",
-    "text_good_turing",
-    "text_kneser_ney",
-    "text_lm_bigram",
-    "text_pmi",
-    "text_rarity",
-    "text_readability",
-    "text_typo_pairs",
-    "curate_chunk",
-    "curate_classifier",
-    "curate_contamination",
-    "curate_mix",
-    "curate_near_dup_rate",
-    "curate_pack",
-    "curate_redact",
-    "curate_rep_ngram",
-    "curate_repetition",
-    "curate_sample",
-    "dedup_clusters",
+    # --- the 28 r6-green rows (newest row: round 6) ---
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix",
+    "dedup_simhash",
+    "dedup_span_stats",
+    "embed_dim_stats",
+    "embed_outliers",
+    "q58_zorder_layout",
+    "q59_table_profile",
+    "q60_stream_enrich",
+    "q61_pagerank",
+    "q62_tpch_volume_shipping",
+    "q63_tpch_market_share",
+    "q64_tpch_profit",
+    "q65_tpch_priority_mix",
+    "q66_tpch_cust_distribution",
+    "q67_tpch_small_qty",
+    "q68_tpch_top_supplier",
+    "q69_tpch_important_parts",
+    "q70_tpch_sole_problem",
+    "q71_funnel",
+    "q72_retention",
+    "q73_kmv_overlap",
+    "q74_anomaly",
+    "simsearch_range",
+    # --- the 15 alphabetically-first r7-green rows ---
+    "embed_kmeans",
+    "multimodal_binary_stats",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_png_features",
+    "multimodal_wav_features",
+    "q01_scan_project",
+    "q02_filter_expr",
+    "q04_join_broadcast",
+    "q05_multi_join",
+    "q06_anti_join",
+    "q06_semi_join",
+    "q07_case_agg",
+    "q08_window_rownum",
+    "q09_rank_topk",
+    "q10_except",
 )
 
-#: The full round-10 gate window, in enumeration order: 5 changed/new
-#: surfaces + 6 never-gated retirements + 33 rolling re-gates + 6
-#: canaries = 50.
+#: The full round-11 gate window, in enumeration order: 1 never-gated
+#: retirement + 43 rolling re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

@@ -1,4 +1,4 @@
-"""Pure-Python Kafka wire protocol (v0 APIs) + an in-process broker.
+"""Pure-Python Kafka wire protocol (v0 + modern v2 batches) + broker.
 
 Round-10 (r9 VERDICT task 8): the real-broker e2e
 (`tests/test_kafka_e2e.py`) skips wherever no docker daemon exists, so
@@ -25,6 +25,18 @@ Reference parity: the reference drives produce/consume through
 `kafka-console-producer/consumer` inside its compose stack
 (internal/pipeline/runner.go); the protocol layer here substitutes for
 that stack where no container runtime exists.
+
+Round-11 (r10 VERDICT task 4): the v0 MessageSet is the 2013-era
+format — modern brokers (including the compose KRaft stack the e2e
+targets) speak magic-2 RecordBatches: zigzag-varint record fields,
+batch-level CRC32C (Castagnoli, not the v0 CRC32/IEEE), record
+headers, producer id/epoch. This module now also implements that
+format (`encode_record_batch` / `decode_record_batches`, golden bytes
+pinned in tests), plus the Produce v3 / Fetch v4 request pair that
+carries it, on both the client and the in-process broker — so the
+brokerless smoke exercises the same record wire format a real 2020s
+broker would accept, and the docker-gated e2e can reuse the codec
+verbatim when a daemon exists.
 """
 
 from __future__ import annotations
@@ -147,6 +159,208 @@ def decode_message_set(
     return out
 
 
+# --- RecordBatch v2 (magic 2) -------------------------------------------------
+#
+# Layout per the public Kafka protocol guide ("Record Batch", messages
+# with magic >= 2, Kafka 0.11+):
+#
+#   baseOffset:int64 batchLength:int32 partitionLeaderEpoch:int32
+#   magic:int8(=2) crc:uint32(CRC32C over attributes..end)
+#   attributes:int16 lastOffsetDelta:int32 baseTimestamp:int64
+#   maxTimestamp:int64 producerId:int64 producerEpoch:int16
+#   baseSequence:int32 recordCount:int32 records...
+#
+# Each record (all varints signed-zigzag):
+#   length:varint attributes:int8 timestampDelta:varlong
+#   offsetDelta:varint keyLen:varint key valueLen:varint value
+#   headerCount:varint [headerKeyLen:varint headerKey
+#                       headerValLen:varint headerVal]*
+
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — the v2 batch CRC.
+# zlib.crc32 is CRC32/IEEE and CANNOT be substituted; a real broker
+# rejects batches checksummed with the wrong polynomial. Table-driven
+# pure Python: this is the brokerless smoke path, not the Spark data
+# path (A1/A2 move bulk data through the JVM connector).
+_CRC32C_TABLE = []
+for _i in range(256):
+    _crc = _i
+    for _ in range(8):
+        _crc = (_crc >> 1) ^ 0x82F63B78 if _crc & 1 else _crc >> 1
+    _CRC32C_TABLE.append(_crc)
+del _i, _crc
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _enc_varint(n: int) -> bytes:
+    """Signed zigzag varint (Kafka's VARINT/VARLONG encoding)."""
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _dec_varint(r: _Reader) -> int:
+    u = 0
+    for shift in range(0, 70, 7):
+        b = r.take(1)[0]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u)
+    raise ValueError("varint longer than 10 bytes")
+
+
+def _enc_varbytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _enc_varint(-1)
+    return _enc_varint(len(b)) + b
+
+
+def _dec_varbytes(r: _Reader) -> bytes | None:
+    n = _dec_varint(r)
+    if n < 0:
+        return None
+    return r.take(n)
+
+
+def encode_record(
+    offset_delta: int,
+    timestamp_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: tuple[tuple[str, bytes | None], ...] = (),
+) -> bytes:
+    body = (
+        b"\x00"  # record attributes: unused, always 0
+        + _enc_varint(timestamp_delta)
+        + _enc_varint(offset_delta)
+        + _enc_varbytes(key)
+        + _enc_varbytes(value)
+        + _enc_varint(len(headers))
+    )
+    for hk, hv in headers:
+        body += _enc_varbytes(hk.encode()) + _enc_varbytes(hv)
+    return _enc_varint(len(body)) + body
+
+
+def encode_record_batch(
+    records: list[tuple],
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
+) -> bytes:
+    """One magic-2 RecordBatch. `records` entries are (key, value),
+    (key, value, timestamp) or (key, value, timestamp, headers); a
+    missing timestamp means base_timestamp. Compression attributes are
+    always 0 (none) — codec negotiation belongs to the JVM data path."""
+    if not records:
+        raise ValueError("a RecordBatch must contain at least one record")
+    recs = bytearray()
+    max_ts = base_timestamp
+    for i, rec in enumerate(records):
+        key, value = rec[0], rec[1]
+        ts = rec[2] if len(rec) > 2 else base_timestamp
+        headers = tuple(rec[3]) if len(rec) > 3 else ()
+        max_ts = max(max_ts, ts)
+        recs += encode_record(i, ts - base_timestamp, key, value, headers)
+    after_crc = (
+        struct.pack(">hi", 0, len(records) - 1)  # attributes, lastOffsetDelta
+        + struct.pack(">qq", base_timestamp, max_ts)
+        + struct.pack(">qhi", producer_id, producer_epoch, base_sequence)
+        + struct.pack(">i", len(records))
+        + recs
+    )
+    crc = crc32c(after_crc)
+    # batchLength counts every byte after its own field:
+    # partitionLeaderEpoch(4) + magic(1) + crc(4) + after_crc
+    inner = struct.pack(">ibI", -1, 2, crc) + after_crc
+    return struct.pack(">qi", base_offset, len(inner)) + inner
+
+
+def decode_record_batches(
+    data: bytes,
+) -> list[tuple[int, int, bytes | None, bytes | None, tuple]]:
+    """-> [(offset, timestamp, key, value, headers)] across every
+    COMPLETE batch in a record set; a trailing partial batch (legal in
+    Fetch responses) is dropped. Validates magic and the batch CRC32C
+    loudly — corruption inside a complete batch raises ValueError."""
+    out: list[tuple[int, int, bytes | None, bytes | None, tuple]] = []
+    r = _Reader(data)
+    while len(data) - r.pos >= 12:
+        base_offset = r.i64()
+        batch_len = r.i32()
+        if batch_len < 9 or r.pos + batch_len > len(data):
+            break  # partial trailing batch
+        batch = _Reader(r.take(batch_len))
+        batch.i32()  # partitionLeaderEpoch
+        magic = batch.i8()
+        if magic != 2:
+            raise ValueError(f"unsupported batch magic {magic}")
+        crc = struct.unpack(">I", batch.take(4))[0]
+        after_crc = batch.data[batch.pos :]
+        if crc32c(after_crc) != crc:
+            raise ValueError(
+                f"bad batch CRC32C at base offset {base_offset}"
+            )
+        batch.i16()  # attributes (0 = uncompressed)
+        batch.i32()  # lastOffsetDelta
+        base_ts = batch.i64()
+        batch.i64()  # maxTimestamp
+        batch.i64()  # producerId
+        batch.i16()  # producerEpoch
+        batch.i32()  # baseSequence
+        count = batch.i32()
+        if count < 0:
+            raise ValueError(f"negative record count {count}")
+        for _ in range(count):
+            rec = _Reader(batch.take(_dec_varint(batch)))
+            rec.i8()  # record attributes
+            ts_delta = _dec_varint(rec)
+            off_delta = _dec_varint(rec)
+            key = _dec_varbytes(rec)
+            value = _dec_varbytes(rec)
+            n_headers = _dec_varint(rec)
+            if n_headers < 0:
+                raise ValueError("negative header count")
+            headers = []
+            for _ in range(n_headers):
+                hk = _dec_varbytes(rec)
+                if hk is None:
+                    raise ValueError("null header key")
+                headers.append((hk.decode(), _dec_varbytes(rec)))
+            out.append(
+                (
+                    base_offset + off_delta,
+                    base_ts + ts_delta,
+                    key,
+                    value,
+                    tuple(headers),
+                )
+            )
+    return out
+
+
 # --- request framing ------------------------------------------------------------
 
 
@@ -201,10 +415,14 @@ class KafkaWireClient:
     def close(self) -> None:
         self.sock.close()
 
-    def _call(self, api_key: int, body: bytes) -> _Reader:
+    def _call(
+        self, api_key: int, body: bytes, api_version: int = 0
+    ) -> _Reader:
         self._corr += 1
         self.sock.sendall(
-            frame_request(api_key, 0, self._corr, self.client_id, body)
+            frame_request(
+                api_key, api_version, self._corr, self.client_id, body
+            )
         )
         r = _Reader(_read_frame(self.sock))
         corr = r.i32()
@@ -300,19 +518,100 @@ class KafkaWireClient:
         mset = r.take(r.i32())
         return err, hw, decode_message_set(mset)
 
+    # -- modern (magic-2) record batches: Produce v3 / Fetch v4 --
+
+    def produce_v2(
+        self,
+        topic: str,
+        partition: int,
+        records: list[tuple],
+        base_timestamp: int = 0,
+        acks: int = 1,
+    ) -> tuple[int, int]:
+        """Produce v3 carrying one magic-2 RecordBatch; `records` as in
+        encode_record_batch. -> (error_code, base_offset)."""
+        batch = encode_record_batch(
+            records, base_offset=0, base_timestamp=base_timestamp
+        )
+        body = (
+            _enc_str(None)  # transactional_id
+            + struct.pack(">hi", acks, 10_000)
+            + struct.pack(">i", 1)
+            + _enc_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">i", partition)
+            + struct.pack(">i", len(batch))
+            + batch
+        )
+        r = self._call(API_PRODUCE, body, api_version=3)
+        n_topics = r.i32()
+        if n_topics != 1:
+            raise ValueError(f"expected 1 topic in response, got {n_topics}")
+        r.string()
+        n_parts = r.i32()
+        if n_parts != 1:
+            raise ValueError(f"expected 1 partition, got {n_parts}")
+        r.i32()  # partition id
+        err = r.i16()
+        base = r.i64()
+        r.i64()  # log_append_time
+        r.i32()  # throttle_time_ms
+        return err, base
+
+    def fetch_v2(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 1 << 20,
+    ) -> tuple[
+        int, int, list[tuple[int, int, bytes | None, bytes | None, tuple]]
+    ]:
+        """Fetch v4 returning magic-2 batches.
+        -> (error_code, high_watermark,
+            [(offset, timestamp, key, value, headers)])."""
+        body = (
+            struct.pack(">iii", -1, 100, 0)  # replica, max_wait, min_bytes
+            + struct.pack(">ib", max_bytes, 0)  # max_bytes, isolation=0
+            + struct.pack(">i", 1)
+            + _enc_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, offset, max_bytes)
+        )
+        r = self._call(API_FETCH, body, api_version=4)
+        r.i32()  # throttle_time_ms
+        n_topics = r.i32()
+        if n_topics != 1:
+            raise ValueError(f"expected 1 topic in response, got {n_topics}")
+        r.string()
+        n_parts = r.i32()
+        if n_parts != 1:
+            raise ValueError(f"expected 1 partition, got {n_parts}")
+        r.i32()  # partition id
+        err = r.i16()
+        hw = r.i64()
+        r.i64()  # last_stable_offset
+        n_aborted = r.i32()
+        for _ in range(max(n_aborted, 0)):
+            r.i64(), r.i64()  # producer_id, first_offset
+        batches = r.take(r.i32())
+        return err, hw, decode_record_batches(batches)
+
 
 # --- in-process broker ------------------------------------------------------------
 
 
 @dataclass
 class _Log:
-    """One topic-partition: the appended messages, re-framed with their
-    assigned log offsets exactly as a broker's on-disk segment is."""
+    """One topic-partition: appended records as (key, value, timestamp,
+    headers) tuples, re-framed with their assigned log offsets exactly
+    as a broker's on-disk segment is — as a v0 MessageSet for old
+    fetches, as a magic-2 RecordBatch for Fetch v4."""
 
-    records: list[tuple[bytes | None, bytes | None]]
+    records: list[tuple[bytes | None, bytes | None, int, tuple]]
 
     def append(
-        self, recs: list[tuple[bytes | None, bytes | None]]
+        self, recs: list[tuple[bytes | None, bytes | None, int, tuple]]
     ) -> int:
         base = len(self.records)
         self.records.extend(recs)
@@ -322,7 +621,21 @@ class _Log:
         if offset < 0 or offset > len(self.records):
             raise IndexError
         return encode_message_set(
-            self.records[offset:], base_offset=offset
+            [(k, v) for k, v, _, _ in self.records[offset:]],
+            base_offset=offset,
+        )
+
+    def read_v2(self, offset: int) -> bytes:
+        if offset < 0 or offset > len(self.records):
+            raise IndexError
+        tail = self.records[offset:]
+        if not tail:
+            return b""
+        base_ts = tail[0][2]
+        return encode_record_batch(
+            [(k, v, ts, hs) for k, v, ts, hs in tail],
+            base_offset=offset,
+            base_timestamp=base_ts,
         )
 
 
@@ -377,16 +690,20 @@ class FakeKafkaBroker:
         api_version = r.i16()
         corr = r.i32()
         r.string()  # client_id
-        if api_version != 0:
-            raise ValueError(f"only v0 supported, got v{api_version}")
-        if api_key == API_PRODUCE:
+        if api_key == API_PRODUCE and api_version == 0:
             body = self._produce(r)
-        elif api_key == API_FETCH:
+        elif api_key == API_PRODUCE and api_version == 3:
+            body = self._produce_v3(r)
+        elif api_key == API_FETCH and api_version == 0:
             body = self._fetch(r)
-        elif api_key == API_METADATA:
+        elif api_key == API_FETCH and api_version == 4:
+            body = self._fetch_v4(r)
+        elif api_key == API_METADATA and api_version == 0:
             body = self._metadata(r)
         else:
-            raise ValueError(f"unsupported api key {api_key}")
+            raise ValueError(
+                f"unsupported api key {api_key} v{api_version}"
+            )
         return struct.pack(">i", corr) + body
 
     def _produce(self, r: _Reader) -> bytes:
@@ -404,7 +721,8 @@ class FakeKafkaBroker:
                 pid = r.i32()
                 mset = r.take(r.i32())
                 recs = [
-                    (k, v) for _, k, v in decode_message_set(mset)
+                    (k, v, -1, ())
+                    for _, k, v in decode_message_set(mset)
                 ]
                 with self._lock:
                     log = self._logs.setdefault(
@@ -412,6 +730,35 @@ class FakeKafkaBroker:
                     )
                     base = log.append(recs)
                 out += struct.pack(">ihq", pid, ERR_NONE, base)
+        return bytes(out)
+
+    def _produce_v3(self, r: _Reader) -> bytes:
+        r.string()  # transactional_id
+        r.i16()  # acks
+        r.i32()  # timeout
+        out = bytearray()
+        n_topics = r.i32()
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = r.string()
+            out += _enc_str(topic)
+            n_parts = r.i32()
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                pid = r.i32()
+                batches = r.take(r.i32())
+                recs = [
+                    (k, v, ts, hs)
+                    for _, ts, k, v, hs in decode_record_batches(batches)
+                ]
+                with self._lock:
+                    log = self._logs.setdefault(
+                        (topic, pid), _Log(records=[])
+                    )
+                    base = log.append(recs)
+                # partition, error, base_offset, log_append_time(-1)
+                out += struct.pack(">ihqq", pid, ERR_NONE, base, -1)
+        out += struct.pack(">i", 0)  # throttle_time_ms
         return bytes(out)
 
     def _fetch(self, r: _Reader) -> bytes:
@@ -447,6 +794,49 @@ class FakeKafkaBroker:
                     hw = len(log.records)
                 out += struct.pack(">ihq", pid, ERR_NONE, hw)
                 out += struct.pack(">i", len(mset)) + mset
+        return bytes(out)
+
+    def _fetch_v4(self, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        r.i32()  # max_wait
+        r.i32()  # min_bytes
+        r.i32()  # max_bytes (response-level; per-partition cap applies)
+        r.i8()  # isolation_level
+        out = bytearray()
+        out += struct.pack(">i", 0)  # throttle_time_ms
+        n_topics = r.i32()
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = r.string()
+            out += _enc_str(topic)
+            n_parts = r.i32()
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                pid = r.i32()
+                offset = r.i64()
+                max_bytes = r.i32()
+                with self._lock:
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        out += struct.pack(
+                            ">ihqq",
+                            pid,
+                            ERR_UNKNOWN_TOPIC_OR_PARTITION,
+                            -1,
+                            -1,
+                        )
+                        out += struct.pack(">ii", 0, 0)  # aborted, bytes
+                        continue
+                    try:
+                        batch = log.read_v2(offset)[:max_bytes]
+                    except IndexError:
+                        batch = b""
+                    hw = len(log.records)
+                # partition, error, high_watermark, last_stable_offset,
+                # aborted_transactions (empty), record set
+                out += struct.pack(">ihqq", pid, ERR_NONE, hw, hw)
+                out += struct.pack(">i", 0)
+                out += struct.pack(">i", len(batch)) + batch
         return bytes(out)
 
     def _metadata(self, r: _Reader) -> bytes:

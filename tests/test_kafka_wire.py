@@ -25,8 +25,11 @@ from pipegen_spark.sources.kafka_wire import (
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
     FakeKafkaBroker,
     KafkaWireClient,
+    crc32c,
     decode_message_set,
+    decode_record_batches,
     encode_message_set,
+    encode_record_batch,
 )
 
 # MessageSet v0 for [(b"k", b"v")] at offset 0, assembled by hand from
@@ -52,6 +55,136 @@ def test_message_set_null_key_and_crc_check():
     # a partial trailing message (legal in fetch responses) is dropped
     two = encode_message_set([(b"a", b"1"), (b"b", b"2")])
     assert len(decode_message_set(two[:-3])) == 1
+
+
+# --- RecordBatch v2 (magic 2) -------------------------------------------------
+
+# One-record batch [(b"k", b"v")], base offset/timestamp 0, producer
+# id/epoch/sequence -1, partitionLeaderEpoch -1: hand-assembled from the
+# public protocol guide's "Record Batch" layout with an INDEPENDENT
+# bit-serial CRC32C (checked against the published Castagnoli test
+# vector crc32c("123456789") == 0xE3069283) — so the module's
+# table-driven CRC and varint encoders are pinned, not self-certified.
+GOLDEN_BATCH_KV = bytes.fromhex(
+    "0000000000000000"  # baseOffset=0
+    "0000003a"  # batchLength=58 (bytes after this field)
+    "ffffffff"  # partitionLeaderEpoch=-1
+    "02"  # magic=2
+    "fe917cab"  # crc32c over attributes..end
+    "0000"  # attributes=0 (no compression)
+    "00000000"  # lastOffsetDelta=0
+    "0000000000000000"  # baseTimestamp=0
+    "0000000000000000"  # maxTimestamp=0
+    "ffffffffffffffff"  # producerId=-1
+    "ffff"  # producerEpoch=-1
+    "ffffffff"  # baseSequence=-1
+    "00000001"  # recordCount=1
+    "10"  # record length varint zigzag(8)
+    "00"  # record attributes
+    "00"  # timestampDelta varint(0)
+    "00"  # offsetDelta varint(0)
+    "026b"  # keyLen varint zigzag(1), b"k"
+    "0276"  # valueLen varint zigzag(1), b"v"
+    "00"  # headerCount varint(0)
+)
+
+
+def test_crc32c_published_vector():
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_record_batch_golden_bytes():
+    assert encode_record_batch([(b"k", b"v")]) == GOLDEN_BATCH_KV
+    assert decode_record_batches(GOLDEN_BATCH_KV) == [
+        (0, 0, b"k", b"v", ())
+    ]
+
+
+def test_record_batch_timestamps_headers_nulls():
+    recs = [
+        (b"k0", b"v0", 1_700_000_000_000, (("trace", b"abc"),)),
+        (None, b"v1", 1_700_000_000_123, ()),
+        (b"k2", None, 1_700_000_000_456, (("h1", None), ("h2", b""))),
+    ]
+    enc = encode_record_batch(
+        recs, base_offset=40, base_timestamp=1_700_000_000_000
+    )
+    out = decode_record_batches(enc)
+    assert out == [
+        (40 + i, ts, k, v, hs) for i, (k, v, ts, hs) in enumerate(recs)
+    ]
+    # corrupt one payload byte -> batch CRC32C must catch it loudly
+    bad = bytearray(enc)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32C"):
+        decode_record_batches(bytes(bad))
+    # empty batches are a protocol violation, not a silent no-op
+    with pytest.raises(ValueError, match="at least one"):
+        encode_record_batch([])
+
+
+def test_record_batch_partial_tail_dropped():
+    """A trailing partial batch (legal in Fetch v4 responses) is
+    dropped; complete leading batches still decode."""
+    b1 = encode_record_batch([(b"a", b"1")], base_offset=0)
+    b2 = encode_record_batch([(b"b", b"2")], base_offset=1)
+    assert decode_record_batches(b1 + b2[:-5]) == [(0, 0, b"a", b"1", ())]
+    assert decode_record_batches(b1[:11]) == []
+
+
+def test_produce_fetch_v2_roundtrip_over_socket():
+    """The modern network path: Produce v3 + Fetch v4 moving magic-2
+    batches with timestamps and headers over a real socket, plus
+    cross-format interop — v0-produced records are served to a v2
+    fetch (the broker re-frames its log in the requested format,
+    exactly what a real broker's down/up-conversion does)."""
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            err, base = c.produce_v2(
+                "modern",
+                0,
+                [
+                    (b"k0", b"v0", 100, (("src", b"unit"),)),
+                    (None, b"v1", 250),
+                ],
+                base_timestamp=100,
+            )
+            assert (err, base) == (ERR_NONE, 0)
+            err, base = c.produce_v2(
+                "modern", 0, [(b"k2", b"v2", 999)], base_timestamp=999
+            )
+            assert (err, base) == (ERR_NONE, 2)
+
+            err, hw, recs = c.fetch_v2("modern", 0, 0)
+            assert err == ERR_NONE and hw == 3
+            assert recs == [
+                (0, 100, b"k0", b"v0", (("src", b"unit"),)),
+                (1, 250, None, b"v1", ()),
+                (2, 999, b"k2", b"v2", ()),
+            ]
+            err, hw, recs = c.fetch_v2("modern", 0, 2)
+            assert recs == [(2, 999, b"k2", b"v2", ())]
+
+            # interop: v0 produce -> v2 fetch (ts -1, no headers)
+            err, base = c.produce("legacy", 0, [(b"a", b"1")])
+            assert err == ERR_NONE
+            err, hw, recs = c.fetch_v2("legacy", 0, 0)
+            assert recs == [(0, -1, b"a", b"1", ())]
+            # and v2 produce -> v0 fetch (timestamps dropped by format)
+            err, hw, old = c.fetch("modern", 0, 0)
+            assert [(o, k, v) for o, k, v in old] == [
+                (0, b"k0", b"v0"),
+                (1, None, b"v1"),
+                (2, b"k2", b"v2"),
+            ]
+
+            err, hw, recs = c.fetch_v2("nope", 0, 0)
+            assert err == ERR_UNKNOWN_TOPIC_OR_PARTITION
+            assert recs == []
+        finally:
+            c.close()
 
 
 def test_produce_fetch_roundtrip_over_socket():
@@ -205,6 +338,79 @@ def test_message_set_prefix_property(recs, data):
     cut = data.draw(hst.integers(0, len(full)))
     out = decode_message_set(full[:cut])
     assert out == [(i, k, v) for i, (k, v) in enumerate(recs)][: len(out)]
+
+
+_header = hst.tuples(
+    hst.text(max_size=10),
+    hst.one_of(hst.none(), hst.binary(max_size=20)),
+)
+_record_v2 = hst.tuples(
+    hst.one_of(hst.none(), hst.binary(max_size=40)),
+    hst.one_of(hst.none(), hst.binary(max_size=200)),
+    hst.integers(-(1 << 40), 1 << 48),
+    hst.lists(_header, max_size=3).map(tuple),
+)
+
+
+@given(
+    hst.lists(_record_v2, min_size=1, max_size=20),
+    hst.integers(0, 1 << 40),
+    hst.integers(-(1 << 40), 1 << 48),
+)
+@settings(max_examples=150)
+def test_record_batch_roundtrip_property(recs, base, base_ts):
+    """decode(encode(recs)) reproduces every record — offsets contiguous
+    from base, timestamps/keys/values/headers bit-exact (timestamp
+    deltas are signed varlongs, so out-of-order timestamps must survive
+    too)."""
+    out = decode_record_batches(
+        encode_record_batch(recs, base_offset=base, base_timestamp=base_ts)
+    )
+    assert out == [
+        (base + i, ts, k, v, hs) for i, (k, v, ts, hs) in enumerate(recs)
+    ]
+
+
+@given(hst.lists(_record_v2, min_size=1, max_size=4), hst.data())
+@settings(max_examples=150)
+def test_record_batch_prefix_property(recs, data):
+    """Any PREFIX of a record set decodes to a prefix of the records at
+    batch granularity (Fetch v4 legally truncates the trailing batch;
+    v2 batches are all-or-nothing, unlike v0 messages)."""
+    batches = [
+        encode_record_batch([r], base_offset=i, base_timestamp=r[2])
+        for i, r in enumerate(recs)
+    ]
+    full = b"".join(batches)
+    cut = data.draw(hst.integers(0, len(full)))
+    out = decode_record_batches(full[:cut])
+    expect = [
+        (i, ts, k, v, hs) for i, (k, v, ts, hs) in enumerate(recs)
+    ]
+    assert out == expect[: len(out)]
+
+
+@given(hst.lists(_record_v2, min_size=1, max_size=4), hst.data())
+@settings(max_examples=200)
+def test_record_batch_corruption_is_loud_or_typed(recs, data):
+    """Single-byte corruption anywhere in a RecordBatch either raises
+    ValueError (CRC32C/magic/varint bounds) or returns a well-formed
+    record list — never any other exception type."""
+    full = bytearray(
+        encode_record_batch(recs, base_offset=3, base_timestamp=recs[0][2])
+    )
+    pos = data.draw(hst.integers(0, len(full) - 1))
+    full[pos] = data.draw(hst.integers(0, 255))
+    try:
+        out = decode_record_batches(bytes(full))
+    except ValueError:
+        return
+    assert isinstance(out, list)
+    for off, ts, k, v, hs in out:
+        assert isinstance(off, int) and isinstance(ts, int)
+        assert k is None or isinstance(k, bytes)
+        assert v is None or isinstance(v, bytes)
+        assert isinstance(hs, tuple)
 
 
 @given(

@@ -128,3 +128,36 @@ def test_every_query_has_a_gate_path():
     assert set(GATE_PENDING) <= qs
     uncovered = qs - seen - set(GATE_WINDOW) - set(GATE_PENDING)
     assert not uncovered, sorted(uncovered)
+
+
+def test_gate_status_artifact_fresh():
+    """r10 VERDICT next #7: the suite regenerates GATE_STATUS.json so
+    gate-coverage auditing is one file read instead of aggregating all
+    CORRECTNESS_r*.json by hand — and so the artifact cannot go stale
+    relative to the registry or the correctness history."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gate_status import build_status
+
+    status = build_status(repo)
+    out = os.path.join(repo, "GATE_STATUS.json")
+    with open(out, "w") as fh:
+        json.dump(status, fh, indent=1)
+        fh.write("\n")
+
+    assert status["corpus_size"] == len(all_queries())
+    # Every never-gated query must be accounted for: either in the
+    # current window (gets its row this round) or declared pending.
+    from pipegen_spark.queries.registry import GATE_PENDING
+
+    unaccounted = (
+        set(status["never_gated"]) - set(GATE_WINDOW) - set(GATE_PENDING)
+    )
+    assert not unaccounted, sorted(unaccounted)
+    # No query's newest driver row may be red without a re-gate slot.
+    red_unslotted = set(status["latest_red"]) - set(GATE_WINDOW)
+    assert not red_unslotted, sorted(red_unslotted)
