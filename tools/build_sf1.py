@@ -145,6 +145,137 @@ def build(spark) -> str:
     return OUT_DIR
 
 
+def build_scaled(spark, n_copies: int, out_dir: str) -> str:
+    """Generalized N-copy derivation for the deeper scale rungs
+    (round-11, r10 VERDICT task 5: a ~sf10 datapoint = 100 copies).
+
+    Same key-offset scheme as build(), but the cross-copy decorrelation
+    transforms generalize past the rotation scheme's 26-copy limit:
+
+    - documents: per-copy SUBSTITUTION CIPHER (seeded deterministic
+      permutation of the lowercase alphabet, mirrored on uppercase so
+      case-folding pipelines still see one consistent mapping). A
+      Caesar rotation has only 26 distinct values — at 100 copies,
+      copies k and k+26 would be exact cross-copy near-dup groups and
+      the measured corpus would be ~4x MORE duplicated than real,
+      inflating LSH pair volume. A seeded permutation is distinct per
+      copy (collision odds ~1e-25) and preserves exactly what the
+      rotation preserved: token lengths, word boundaries, within-copy
+      duplicate structure, per-source size distributions.
+    - embeddings: coordinate rotation composed with a per-copy seeded
+      SIGN-FLIP pattern. Rotation alone collides every `dim` copies
+      (dim=64 < 100 copies -> copy 64 would clone copy 0's vectors);
+      signs x permutation is still an orthogonal transform, so norms
+      and within-copy geometry are untouched while cross-copy cosines
+      decorrelate for any copy count.
+
+    Copy 0 stays bit-identical to sf0.1 (fixed-id conventions resolve
+    to the same bounded sets). Idempotent per out_dir."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    done = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    for t in FIXED_DIMS:
+        df = spark.read.parquet(os.path.join(SRC_DIR, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+    for t, keys in OFFSET_KEYS.items():
+        df = spark.read.parquet(os.path.join(SRC_DIR, f"{t}.parquet"))
+        copies = []
+        for k in range(n_copies):
+            c = df
+            for col in keys:
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(k * ID_OFFSET)).cast("long")
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+
+    def _perm(k: int) -> str:
+        if k == 0:
+            return lower
+        rng = random.Random(0xC0FFEE + k)
+        p = list(lower)
+        rng.shuffle(p)
+        return "".join(p)
+
+    docs = spark.read.parquet(os.path.join(SRC_DIR, "documents.parquet"))
+    copies = []
+    for k in range(n_copies):
+        mapped = _perm(k)
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * ID_OFFSET)).alias("doc_id"),
+                F.translate(
+                    "text", lower + upper, mapped + mapped.upper()
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SRC_DIR, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    ecopies = []
+    for k in range(n_copies):
+        r = (k * 7) % dim
+        rot_sql = (
+            "embedding"
+            if r == 0
+            else f"concat(slice(embedding, {r + 1}, {dim - r}),"
+            f" slice(embedding, 1, {r}))"
+        )
+        if k == 0:
+            vec = F.col("embedding")
+        else:
+            rng = random.Random(0xFACADE + k)
+            signs = ",".join(
+                "1.0F" if rng.random() < 0.5 else "-1.0F"
+                for _ in range(dim)
+            )
+            vec = F.expr(
+                f"zip_with({rot_sql}, array({signs}), (x, s) -> x * s)"
+            )
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
 def main() -> None:
     from pipegen_spark.session import get_spark
 
