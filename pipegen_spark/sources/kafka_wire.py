@@ -262,6 +262,12 @@ def encode_record(
     return _enc_varint(len(body)) + body
 
 
+#: attributes bits 0-2: the batch compression codec (protocol guide).
+COMPRESSION_NONE = 0
+COMPRESSION_GZIP = 1
+_COMPRESSION_NAMES = {2: "snappy", 3: "lz4", 4: "zstd"}
+
+
 def encode_record_batch(
     records: list[tuple],
     base_offset: int = 0,
@@ -269,13 +275,21 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    compression: int = COMPRESSION_NONE,
 ) -> bytes:
     """One magic-2 RecordBatch. `records` entries are (key, value),
     (key, value, timestamp) or (key, value, timestamp, headers); a
-    missing timestamp means base_timestamp. Compression attributes are
-    always 0 (none) — codec negotiation belongs to the JVM data path."""
+    missing timestamp means base_timestamp. `compression` 0 (none) or
+    1 (gzip — the records section deflated per the spec; headers and
+    recordCount stay uncompressed). snappy/lz4/zstd are out of the
+    pure-stdlib scope and raise — the JVM data path negotiates those."""
     if not records:
         raise ValueError("a RecordBatch must contain at least one record")
+    if compression not in (COMPRESSION_NONE, COMPRESSION_GZIP):
+        raise ValueError(
+            "unsupported compression codec "
+            f"{_COMPRESSION_NAMES.get(compression, compression)}"
+        )
     recs = bytearray()
     max_ts = base_timestamp
     for i, rec in enumerate(records):
@@ -284,12 +298,17 @@ def encode_record_batch(
         headers = tuple(rec[3]) if len(rec) > 3 else ()
         max_ts = max(max_ts, ts)
         recs += encode_record(i, ts - base_timestamp, key, value, headers)
+    body = bytes(recs)
+    if compression == COMPRESSION_GZIP:
+        gz = zlib.compressobj(wbits=31)  # RFC-1952 gzip framing
+        body = gz.compress(body) + gz.flush()
     after_crc = (
-        struct.pack(">hi", 0, len(records) - 1)  # attributes, lastOffsetDelta
+        # attributes bits 0-2 carry the codec; lastOffsetDelta
+        struct.pack(">hi", compression, len(records) - 1)
         + struct.pack(">qq", base_timestamp, max_ts)
         + struct.pack(">qhi", producer_id, producer_epoch, base_sequence)
         + struct.pack(">i", len(records))
-        + recs
+        + body
     )
     crc = crc32c(after_crc)
     # batchLength counts every byte after its own field:
@@ -323,7 +342,7 @@ def decode_record_batches(
             raise ValueError(
                 f"bad batch CRC32C at base offset {base_offset}"
             )
-        batch.i16()  # attributes (0 = uncompressed)
+        attributes = batch.i16()
         batch.i32()  # lastOffsetDelta
         base_ts = batch.i64()
         batch.i64()  # maxTimestamp
@@ -333,6 +352,22 @@ def decode_record_batches(
         count = batch.i32()
         if count < 0:
             raise ValueError(f"negative record count {count}")
+        codec = attributes & 0x07
+        if codec == COMPRESSION_GZIP:
+            try:
+                inflated = zlib.decompress(
+                    batch.data[batch.pos :], wbits=47
+                )
+            except zlib.error as e:
+                raise ValueError(f"bad gzip records section: {e}") from e
+            batch = _Reader(inflated)
+        elif codec != COMPRESSION_NONE:
+            # A silent mis-parse of a compressed batch would hand the
+            # varint reader deflate bytes — fail with the codec name.
+            raise ValueError(
+                "unsupported compression codec "
+                f"{_COMPRESSION_NAMES.get(codec, codec)}"
+            )
         for _ in range(count):
             rec = _Reader(batch.take(_dec_varint(batch)))
             rec.i8()  # record attributes
@@ -527,11 +562,15 @@ class KafkaWireClient:
         records: list[tuple],
         base_timestamp: int = 0,
         acks: int = 1,
+        compression: int = 0,
     ) -> tuple[int, int]:
         """Produce v3 carrying one magic-2 RecordBatch; `records` as in
         encode_record_batch. -> (error_code, base_offset)."""
         batch = encode_record_batch(
-            records, base_offset=0, base_timestamp=base_timestamp
+            records,
+            base_offset=0,
+            base_timestamp=base_timestamp,
+            compression=compression,
         )
         body = (
             _enc_str(None)  # transactional_id

@@ -124,6 +124,68 @@ def test_record_batch_timestamps_headers_nulls():
         encode_record_batch([])
 
 
+def test_record_batch_gzip_compression():
+    """Real brokers usually serve COMPRESSED batches (attributes bits
+    0-2). gzip (codec 1) roundtrips through the pure-stdlib path;
+    snappy/lz4/zstd raise with the codec NAME instead of handing the
+    varint reader deflate bytes."""
+    from pipegen_spark.sources.kafka_wire import COMPRESSION_GZIP
+
+    recs = [
+        (b"k0", b"a" * 500, 10, (("h", b"x"),)),
+        (None, b"b" * 500, 20, ()),
+    ]
+    gz = encode_record_batch(
+        recs, base_offset=5, base_timestamp=10, compression=COMPRESSION_GZIP
+    )
+    plain = encode_record_batch(recs, base_offset=5, base_timestamp=10)
+    assert len(gz) < len(plain)  # repetitive payload actually shrank
+    assert decode_record_batches(gz) == decode_record_batches(plain)
+    # corruption inside the compressed section: still loud ValueError
+    bad = bytearray(gz)
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_record_batches(bytes(bad))
+    # unsupported codecs are named, both encode- and decode-side
+    with pytest.raises(ValueError, match="zstd"):
+        encode_record_batch(recs, compression=4)
+    forged = bytearray(plain)
+    # attributes int16 sits right after pLE(4)+magic(1)+crc(4) in the
+    # batchLength-covered section -> absolute offset 8+4+4+1+4 = 21
+    forged[22] = 3  # lz4
+    import struct as _s
+
+    crc_payload = bytes(forged[21:])
+    forged[17:21] = _s.pack(
+        ">I",
+        __import__(
+            "pipegen_spark.sources.kafka_wire", fromlist=["crc32c"]
+        ).crc32c(crc_payload),
+    )
+    with pytest.raises(ValueError, match="lz4"):
+        decode_record_batches(bytes(forged))
+
+
+def test_produce_fetch_v2_gzip_over_socket():
+    from pipegen_spark.sources.kafka_wire import COMPRESSION_GZIP
+
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            err, base = c.produce_v2(
+                "gz",
+                0,
+                [(b"k", b"v" * 300, 7)],
+                base_timestamp=7,
+                compression=COMPRESSION_GZIP,
+            )
+            assert (err, base) == (ERR_NONE, 0)
+            err, hw, recs = c.fetch_v2("gz", 0, 0)
+            assert recs == [(0, 7, b"k", b"v" * 300, ())]
+        finally:
+            c.close()
+
+
 def test_record_batch_partial_tail_dropped():
     """A trailing partial batch (legal in Fetch v4 responses) is
     dropped; complete leading batches still decode."""
@@ -356,15 +418,19 @@ _record_v2 = hst.tuples(
     hst.lists(_record_v2, min_size=1, max_size=20),
     hst.integers(0, 1 << 40),
     hst.integers(-(1 << 40), 1 << 48),
+    hst.sampled_from([0, 1]),  # none / gzip
 )
 @settings(max_examples=150)
-def test_record_batch_roundtrip_property(recs, base, base_ts):
+def test_record_batch_roundtrip_property(recs, base, base_ts, codec):
     """decode(encode(recs)) reproduces every record — offsets contiguous
     from base, timestamps/keys/values/headers bit-exact (timestamp
     deltas are signed varlongs, so out-of-order timestamps must survive
-    too)."""
+    too), under both supported compression codecs."""
     out = decode_record_batches(
-        encode_record_batch(recs, base_offset=base, base_timestamp=base_ts)
+        encode_record_batch(
+            recs, base_offset=base, base_timestamp=base_ts,
+            compression=codec,
+        )
     )
     assert out == [
         (base + i, ts, k, v, hs) for i, (k, v, ts, hs) in enumerate(recs)
