@@ -26,8 +26,42 @@ operators; this extends it per the north star (SURVEY.md §2B-B29 [EXT]).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Spill directories created by _spill_to_parquet, reaped at
+#: interpreter exit (a bench session re-runs the query many times; each
+#: spill is edge-set-sized — ~20 MB at sf0.1 — so the steady-state disk
+#: footprint is bounded by runs-per-session, not corpus size).
+_SPILL_DIRS: list[str] = []
+
+
+def _reap_spills() -> None:
+    for d in _SPILL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_spills)
+
+
+def _spill_to_parquet(df: DataFrame) -> DataFrame:
+    """Write `df` to a temp parquet file and re-read it: truncates the
+    lineage (like localCheckpoint) WITHOUT pinning the rows in JVM
+    memory (unlike localCheckpoint, whose deserialized blocks OOMed
+    the x100 scale rung — see pagerank_fixed). This is the durable
+    checkpoint() shape on local disk; on a cluster point the spill at
+    the checkpoint dir."""
+    d = tempfile.mkdtemp(prefix="pipegen-graph-spill-")
+    _SPILL_DIRS.append(d)
+    path = os.path.join(d, f"edges-{time.time_ns()}")
+    df.write.parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 from pipegen_spark.functions import dialect as dl
 
@@ -52,12 +86,25 @@ def pagerank_fixed(
     # Materialize the edge set ONCE (same discipline as dup_clusters):
     # `edges` is often the tail of an expensive pipeline (here a distinct
     # over the fact scan), and it feeds nodes, out-degrees AND every
-    # iteration's contribution join — without truncating the lineage each
-    # unrolled round re-executes that whole upstream plan (measured:
-    # 5.4 s -> 4.1 s warm at sf0.1 on the supply graph — the remaining
-    # cost is the fixed per-stage floor of the unrolled rounds). At
-    # cluster scale use durable checkpoint() instead.
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    # iteration's contribution join — without a cut each unrolled round
+    # re-executes that whole upstream plan (measured: 5.4 s -> 4.1 s
+    # warm at sf0.1 on the supply graph — the remaining cost is the
+    # fixed per-stage floor of the unrolled rounds).
+    #
+    # Round-11: the cut is a PARQUET SPILL (write once, scan per
+    # round), not localCheckpoint. Unlike every other graph operator
+    # here, THIS edge frame is O(fact table), not O(near-dup pairs) —
+    # and localCheckpoint pins the rows in the JVM as deserialized
+    # block objects that clearCache() never reclaims, which OOMed an
+    # 8 GiB heap at the x100 scale rung (~110 M symmetric edges:
+    # GCLocker thrash, then heap death — the r11 scale-ladder
+    # attempt). A columnar spill file keeps the truncated lineage and
+    # the scan-per-round reuse at IDENTICAL wall cost (A/B measured
+    # 3.1-4.1 s vs 3.4-4.3 s on the sf0.1 supply graph) with ZERO heap
+    # footprint at any scale — and it is literally the durable
+    # checkpoint() shape a real cluster deployment uses, just on
+    # local disk.
+    edges = _spill_to_parquet(edges.select(src, dst))
     nodes = (
         edges.select(src.alias("id"))
         .unionByName(edges.select(dst.alias("id")))

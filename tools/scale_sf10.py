@@ -57,19 +57,31 @@ TOP10 = (
 )
 
 
-def main() -> None:
-    os.environ.setdefault("PYTHONWARNINGS", "ignore")
-    from pipegen_spark.queries.registry import all_queries
+def _fresh_session(cpus: str):
     from pipegen_spark.session import get_spark
-    from tools.build_sf1 import build, build_scaled
 
-    names = sys.argv[1:] or list(TOP10)
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    spark = get_spark(
+    return get_spark(
         "pipegen-scale-sf10",
         cpus=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+
+
+def main() -> None:
+    os.environ.setdefault("PYTHONWARNINGS", "ignore")
+    # A 100x corpus on one box needs a real heap: the default 8g OOMed
+    # on the r11 first attempt at the pagerank edge materialization
+    # (~110 M symmetric edges as deserialized localCheckpoint rows —
+    # since re-planned to spillable columnar persist, graph.py). The
+    # box has 125 GiB; 48g leaves room for the page cache the parquet
+    # scans lean on.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from pipegen_spark.queries.registry import all_queries
+    from tools.build_sf1 import build, build_scaled
+
+    names = sys.argv[1:] or list(TOP10)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = _fresh_session(cpus)
     qs = all_queries()
     build(spark)  # x10 rung (idempotent)
     t_build = time.perf_counter()
@@ -88,13 +100,31 @@ def main() -> None:
             continue
         fn = qs[name]
         row: dict = {}
-        for tag, d in (("sf0.1", SRC_DIR), ("x10", SF1_DIR),
-                       ("x100", SF10_DIR)):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = len(fn(spark, d).collect())
-            row[tag] = round(time.perf_counter() - t0, 3)
-            row[f"{tag}_rows"] = n
+        # Fault isolation (r11 first attempt: one OOM killed the whole
+        # run and lost the artifact): a failing rung records the error
+        # and the run continues; a dead SparkContext is resurrected.
+        try:
+            for tag, d in (("sf0.1", SRC_DIR), ("x10", SF1_DIR),
+                           ("x100", SF10_DIR)):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = len(fn(spark, d).collect())
+                row[tag] = round(time.perf_counter() - t0, 3)
+                row[f"{tag}_rows"] = n
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {e}"[:400]
+            results[name] = row
+            print(f"{name:28s} FAILED: {row['error'][:120]}", flush=True)
+            try:
+                alive = not spark.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                alive = False
+            if not alive:
+                print("SparkContext died — starting a fresh session",
+                      flush=True)
+                spark = _fresh_session(cpus)
+                qs["text_tokens"](spark, SRC_DIR).collect()
+            continue
         row["ratio_x10"] = round(row["x10"] / max(row["sf0.1"], 1e-9), 2)
         row["ratio_x100"] = round(row["x100"] / max(row["sf0.1"], 1e-9), 2)
         # Per-decade exponents: how the SECOND decade bends is the
