@@ -422,6 +422,38 @@ def wav_features(payload: bytes) -> dict:
     }
 
 
+# G.711 companded telephony formats (WAV format tags 6 = A-law,
+# 7 = mu-law) — the encoding real scraped call-center/VoIP audio
+# arrives in. Expansion tables precomputed from the published G.711
+# segment formulas (the classic CCITT reference expansion; pinned in
+# tests against the published table values: mu-law 0x00 -> -32124,
+# 0xFF -> 0, A-law 0x55 -> -8, 0xD5 -> +8).
+
+
+def _ulaw_expand(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_expand(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_TABLE = [_ulaw_expand(i) for i in range(256)]
+_ALAW_TABLE = [_alaw_expand(i) for i in range(256)]
+
+
 def wav_samples(payload: bytes) -> list[int]:
     """Decoded samples of a RIFF/WAVE payload as signed 16-bit ints
     (all channels interleaved) — the raw-sample entry every audio
@@ -437,13 +469,20 @@ def wav_samples(payload: bytes) -> list[int]:
     - format 3 (IEEE float) at 32/64 bits — clamped to [-1, 1] and
       quantized s16 = round-half-even(x * 32767); NaN maps to 0
       (deterministic: every conversion is the same exact float op
-      sequence everywhere).
-    Unknown format tags (A-law, mu-law, extensible), inconsistent
-    bit widths, and malformed/truncated chunk structure raise
-    ValueError loudly (tests/test_codecs_fuzz.py pins the contract)."""
+      sequence everywhere);
+    - r11: formats 6 (A-law) and 7 (mu-law) at 8 bits — G.711
+      companded telephony audio, expanded through the published
+      segment tables (13/14-bit magnitudes in s16 range).
+    Unknown format tags (ADPCM, extensible), inconsistent bit widths,
+    and malformed/truncated chunk structure raise ValueError loudly
+    (tests/test_codecs_fuzz.py pins the contract)."""
     if payload is None:
         payload = b""
     fmt, bits, data = _wav_parse(payload)
+    if fmt == 6:
+        return [_ALAW_TABLE[b] for b in data]
+    if fmt == 7:
+        return [_ULAW_TABLE[b] for b in data]
     if fmt == 1:  # integer PCM
         if bits == 16:
             n = len(data) // 2
@@ -516,10 +555,15 @@ def _wav_parse(payload: bytes) -> tuple[int, int, bytes]:
                     raise ValueError(
                         f"unsupported float bit depth {bits}"
                     )
+            elif fmt in (6, 7):  # G.711 A-law / mu-law
+                if bits != 8:
+                    raise ValueError(
+                        f"unsupported G.711 bit depth {bits}"
+                    )
             else:
                 raise ValueError(
                     f"unsupported WAV format tag {fmt}"
-                    " (PCM and IEEE-float only)"
+                    " (PCM, IEEE-float and G.711 only)"
                 )
         elif tag == b"data" and data is None:
             data = payload[body_at : body_at + size]

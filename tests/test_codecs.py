@@ -1209,14 +1209,37 @@ def test_wav_widened_subset_decodes():
     assert wav_samples(padded) == [5, -5]
 
 
+def test_wav_g711_expansion_matches_published_tables():
+    """G.711 mu-law/A-law (r11, WAV format tags 7/6): the expansion
+    must match the PUBLISHED table values, not just roundtrip our own
+    encoder (there isn't one — decode-only, like the codec policy for
+    formats we ingest but never emit)."""
+    from pipegen_spark.operators.codecs import wav_samples
+
+    # mu-law: 0x00 -> -32124 (max negative), 0xFF -> +0, 0x7F -> -0
+    # (mu-law has two zero codes), 0x80 -> +32124.
+    mu = _hand_wav(7, 8, bytes([0x00, 0xFF, 0x7F, 0x80]))
+    assert wav_samples(mu) == [-32124, 0, 0, 32124]
+    # A-law: 0x55 -> -8 (min magnitude), 0xD5 -> +8,
+    # 0x2A -> -32256 (max), 0xAA -> +32256.
+    al = _hand_wav(6, 8, bytes([0x55, 0xD5, 0x2A, 0xAA]))
+    assert wav_samples(al) == [-8, 8, -32256, 32256]
+    # segment boundaries: each mu-law chord step doubles the slope
+    chord = _hand_wav(7, 8, bytes([0xFE, 0xF0, 0xEF, 0xE0]))
+    assert wav_samples(chord) == [8, 120, 132, 372]
+
+
 def test_wav_widened_boundaries_raise():
     from pipegen_spark.operators.codecs import wav_samples
 
     with pytest.raises(ValueError, match="RIFF"):
         wav_samples(b"OggS" + b"\x00" * 40)
-    # mu-law tag
+    # ADPCM tag (mu-law/A-law decode since r11; ADPCM still out)
     with pytest.raises(ValueError, match="format tag"):
-        wav_samples(_hand_wav(7, 8, b"\x00\x00"))
+        wav_samples(_hand_wav(2, 4, b"\x00\x00"))
+    # G.711 is 8-bit by definition
+    with pytest.raises(ValueError, match="G.711 bit depth"):
+        wav_samples(_hand_wav(7, 16, b"\x00\x00"))
     # float16 is not a thing in WAV
     with pytest.raises(ValueError, match="float bit depth"):
         wav_samples(_hand_wav(3, 16, b"\x00\x00"))

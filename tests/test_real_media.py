@@ -68,6 +68,10 @@ JPEG_CASES = [
 WAV_CASES = [
     ("cpython_pcm24.wav", 6614, "04adcb0a533760e9"),
     ("ipython_pcm16.wav", 22050, "479ec9a7380dae1e"),
+    # Real G.711 mu-law telephony samples (CPython's pluck-ulaw.au
+    # payload, re-containered as a fmt-7 RIFF/WAVE — the .au and WAV
+    # byte streams for mu-law are identical, only the header differs).
+    ("cpython_ulaw8.wav", 6614, "df98f623fe43a9ee"),
 ]
 
 # auto_decode's gated feature surface per fixture (feat_norm is the
@@ -82,6 +86,7 @@ AUTO_FEAT_NORM = {
     "web_progressive.jpg": 5556808840,
     "cpython_pcm24.wav": 12891268,
     "ipython_pcm16.wav": 349970988,
+    "cpython_ulaw8.wav": 12865212,
 }
 
 
