@@ -402,17 +402,12 @@ def wav_encode(
     return buf.getvalue()
 
 
-def wav_features(payload: bytes) -> dict:
-    """Real-decoder drop-in for audio payloads: decodes a RIFF/WAVE
-    payload and derives the 8 features from the SAMPLES — an 8-bin
-    histogram over amplitude magnitude octaves (|s| bucketed by bit
-    length / 2) — same output schema as `fake_decode`/`png_features`.
-    Accepts the widened r10 subset (see `wav_samples`); anything else
-    raises (explicit boundary, like the PNG subset)."""
-    if payload is None:
-        payload = b""
+def _sample_features(payload: bytes, samples: list[int]) -> dict:
+    """Shared audio feature surface: an 8-bin histogram over amplitude
+    magnitude octaves (|s| bucketed by bit length / 2) — same output
+    schema as `fake_decode`/`png_features`, regardless of container."""
     feats = [0] * 8
-    for s in wav_samples(payload):
+    for s in samples:
         feats[min(abs(s).bit_length() >> 1, 7)] += 1
     return {
         "n_bytes": len(payload),
@@ -420,6 +415,30 @@ def wav_features(payload: bytes) -> dict:
         "feat_dim": 8,
         "feat_norm": sum(f * f for f in feats),
     }
+
+
+def wav_features(payload: bytes) -> dict:
+    """Real-decoder drop-in for audio payloads: decodes a RIFF/WAVE
+    payload and derives the 8 features from the SAMPLES. Accepts the
+    widened r10/r11 subset (see `wav_samples`); anything else raises
+    (explicit boundary, like the PNG subset)."""
+    if payload is None:
+        payload = b""
+    return _sample_features(payload, wav_samples(payload))
+
+
+def aiff_features(payload: bytes) -> dict:
+    """`wav_features` for the AIFF/AIFF-C container (r11)."""
+    if payload is None:
+        payload = b""
+    return _sample_features(payload, aiff_samples(payload))
+
+
+def au_features(payload: bytes) -> dict:
+    """`wav_features` for the Sun/NeXT .au container (r11)."""
+    if payload is None:
+        payload = b""
+    return _sample_features(payload, au_samples(payload))
 
 
 # G.711 companded telephony formats (WAV format tags 6 = A-law,
@@ -519,6 +538,144 @@ def wav_samples(payload: bytes) -> list[int]:
         x = -1.0 if x < -1.0 else (1.0 if x > 1.0 else x)
         out.append(int(round(x * 32767.0)))
     return out
+
+
+def _pcm_convert_be(data: bytes, bits: int, signed8: bool) -> list[int]:
+    """Big-endian integer PCM -> s16 list, same width reductions as the
+    WAV path (top 16 bits kept; 8-bit shifts up). AIFF/.au 8-bit PCM is
+    SIGNED (unlike WAV's unsigned 8-bit)."""
+    if bits == 16:
+        n = len(data) // 2
+        return [s for (s,) in struct.iter_unpack(">h", data[: n * 2])]
+    if bits == 8:
+        if signed8:
+            return [
+                s << 8 for (s,) in struct.iter_unpack(">b", data)
+            ]
+        return [(b - 128) << 8 for b in data]
+    if bits == 24:
+        n = len(data) // 3
+        return [
+            int.from_bytes(data[i * 3 : i * 3 + 3], "big", signed=True)
+            >> 8
+            for i in range(n)
+        ]
+    if bits == 32:
+        n = len(data) // 4
+        return [
+            s >> 16 for (s,) in struct.iter_unpack(">i", data[: n * 4])
+        ]
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
+def _float_convert(data: bytes, code: str) -> list[int]:
+    """IEEE float -> s16, identical op sequence to the WAV float path
+    (clamp to [-1, 1], round-half-even * 32767, NaN -> 0)."""
+    width = struct.calcsize(code)
+    n = len(data) // width
+    out = []
+    for (x,) in struct.iter_unpack(code, data[: n * width]):
+        if x != x:
+            out.append(0)
+            continue
+        x = -1.0 if x < -1.0 else (1.0 if x > 1.0 else x)
+        out.append(int(round(x * 32767.0)))
+    return out
+
+
+def aiff_samples(payload: bytes) -> list[int]:
+    """Decoded samples of an AIFF / AIFF-C payload as signed 16-bit
+    ints (interleaved) — the second classic scraped-audio container
+    (r11; big-endian IFF chunks, per the published AIFF-1.3/AIFF-C
+    specs). Subset: uncompressed PCM 8/16/24/32 (AIFF, or AIFF-C type
+    'NONE'), 'sowt' (byte-swapped LE 16-bit, the classic Mac variant),
+    and G.711 'ulaw'/'alaw' AIFF-C. Other compression types (ima4,
+    fl32...) raise by name; malformed chunk structure raises."""
+    if payload is None:
+        payload = b""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"FORM"
+        or payload[8:12] not in (b"AIFF", b"AIFC")
+    ):
+        raise ValueError("malformed AIFF: not a FORM/AIFF stream")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    bits = None
+    comp = b"NONE"
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body_at = pos + 8
+        if size > len(payload) - body_at:
+            raise ValueError(f"malformed AIFF: truncated {tag!r} chunk")
+        if tag == b"COMM":
+            if size < 18 or (is_aifc and size < 22):
+                raise ValueError("malformed AIFF: short COMM chunk")
+            _nch, _nframes, bits = struct.unpack_from(
+                ">hIh", payload, body_at
+            )
+            # 10-byte 80-bit extended sample rate follows; then (AIFC
+            # only) the 4-byte compression type.
+            if is_aifc:
+                comp = payload[body_at + 18 : body_at + 22]
+        elif tag == b"SSND" and data is None:
+            if size < 8:
+                raise ValueError("malformed AIFF: short SSND chunk")
+            (offset,) = struct.unpack_from(">I", payload, body_at)
+            if offset > size - 8:
+                raise ValueError("malformed AIFF: SSND offset past chunk")
+            data = payload[body_at + 8 + offset : body_at + size]
+        pos = body_at + size + (size & 1)
+    if bits is None:
+        raise ValueError("malformed AIFF: no COMM chunk")
+    if data is None:
+        raise ValueError("malformed AIFF: no SSND chunk")
+    if comp == b"NONE":
+        return _pcm_convert_be(data, bits, signed8=True)
+    if comp == b"sowt":
+        if bits != 16:
+            raise ValueError(f"unsupported sowt bit depth {bits}")
+        n = len(data) // 2
+        return [s for (s,) in struct.iter_unpack("<h", data[: n * 2])]
+    if comp == b"ulaw":
+        return [_ULAW_TABLE[b] for b in data]
+    if comp == b"alaw":
+        return [_ALAW_TABLE[b] for b in data]
+    raise ValueError(
+        f"unsupported AIFF-C compression type {comp!r}"
+    )
+
+
+def au_samples(payload: bytes) -> list[int]:
+    """Decoded samples of a Sun/NeXT .au payload as signed 16-bit ints
+    (r11; the third classic audio container — all-big-endian header
+    per the published .snd spec). Encodings: 1 mu-law, 2/3/4/5 signed
+    PCM 8/16/24/32, 6/7 IEEE float 32/64, 27 A-law; anything else
+    raises by name."""
+    if payload is None:
+        payload = b""
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("malformed AU: missing .snd magic")
+    hdr, size, enc, _rate, _nch = struct.unpack_from(">IIIII", payload, 4)
+    if hdr < 24 or hdr > len(payload):
+        raise ValueError(f"malformed AU: bad header offset {hdr}")
+    end = len(payload) if size == 0xFFFFFFFF else min(
+        hdr + size, len(payload)
+    )
+    data = payload[hdr:end]
+    if enc == 1:
+        return [_ULAW_TABLE[b] for b in data]
+    if enc == 27:
+        return [_ALAW_TABLE[b] for b in data]
+    if enc in (2, 3, 4, 5):
+        return _pcm_convert_be(data, 8 * (enc - 1), signed8=True)
+    if enc == 6:
+        return _float_convert(data, ">f")
+    if enc == 7:
+        return _float_convert(data, ">d")
+    raise ValueError(f"unsupported AU encoding {enc}")
 
 
 def _wav_parse(payload: bytes) -> tuple[int, int, bytes]:
@@ -2102,4 +2259,12 @@ def auto_decode(payload: bytes) -> dict:
         and payload[8:12] == b"WAVE"
     ):
         return wav_features(payload)
+    if (
+        payload is not None
+        and payload[:4] == b"FORM"
+        and payload[8:12] in (b"AIFF", b"AIFC")
+    ):
+        return aiff_features(payload)
+    if payload is not None and payload[:4] == b".snd":
+        return au_features(payload)
     return fake_decode(payload)

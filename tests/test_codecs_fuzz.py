@@ -103,7 +103,42 @@ def _valid_streams() -> dict[str, tuple[bytes, object]]:
             wav_samples,
         ),
         "avi_mjpeg": (avi_mjpeg_encode(jf, 8, 8, fps=4), avi_mjpeg_decode),
+        # r11 audio containers/codecs, seeded from the REAL fixture
+        # files (tests/fixtures/real_media — produced by other
+        # encoders): G.711 mu-law WAV, AIFF PCM, AIFF-C mu-law, .au.
+        "wav_g711": (_real_media("cpython_ulaw8.wav"), wav_samples),
+        "aiff_pcm16": (
+            _real_media("cpython_pcm16.aiff"),
+            __import__(
+                "pipegen_spark.operators.codecs", fromlist=["x"]
+            ).aiff_samples,
+        ),
+        "aifc_ulaw": (
+            _real_media("cpython_ulaw.aifc"),
+            __import__(
+                "pipegen_spark.operators.codecs", fromlist=["x"]
+            ).aiff_samples,
+        ),
+        "au_ulaw": (
+            _real_media("cpython_ulaw.au"),
+            __import__(
+                "pipegen_spark.operators.codecs", fromlist=["x"]
+            ).au_samples,
+        ),
     }
+
+
+def _real_media(name: str) -> bytes:
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "real_media",
+        name,
+    )
+    with open(p, "rb") as fh:
+        return fh.read()
 
 
 def _must_fail_loudly(decoder, data: bytes, ctx: str) -> None:

@@ -87,6 +87,12 @@ AUTO_FEAT_NORM = {
     "cpython_pcm24.wav": 12891268,
     "ipython_pcm16.wav": 349970988,
     "cpython_ulaw8.wav": 12865212,
+    # AIFF / AIFF-C / .au route through their own real decoders
+    "cpython_pcm16.aiff": 12893842,
+    "cpython_ulaw.aifc": 12865050,
+    "cpython_alaw.aifc": 12892254,
+    "cpython_ulaw.au": 12865212,
+    "cpython_pcm16.au": 12886870,
 }
 
 
@@ -112,6 +118,73 @@ def test_real_wav_decodes(name, n, digest):
     assert len(samples) == n
     packed = b"".join(struct.pack("<q", s) for s in samples)
     assert hashlib.sha256(packed).hexdigest()[:16] == digest
+
+
+# (file, decoder, n_samples, sha256(int64-LE packed samples)[:16])
+AIFF_AU_CASES = [
+    ("cpython_pcm16.aiff", "aiff", 6614, "46497966e1a3f2a1"),
+    ("cpython_pcm24.aiff", "aiff", 6614, "04adcb0a533760e9"),
+    ("cpython_pcm8.aiff", "aiff", 6614, "af1935fdf23c627a"),
+    ("cpython_ulaw.aifc", "aiff", 6614, "91625fd82a7ff629"),
+    ("cpython_alaw.aifc", "aiff", 6614, "4c67d50497105d60"),
+    ("cpython_ulaw.au", "au", 6614, "df98f623fe43a9ee"),
+    ("cpython_pcm16.au", "au", 6614, "3bc57eae33822a29"),
+]
+
+
+@pytest.mark.parametrize("name,kind,n,digest", AIFF_AU_CASES)
+def test_real_aiff_au_decodes(name, kind, n, digest):
+    from pipegen_spark.operators.codecs import aiff_samples, au_samples
+
+    fn = aiff_samples if kind == "aiff" else au_samples
+    samples = fn(_load(name))
+    assert len(samples) == n
+    packed = b"".join(struct.pack("<q", s) for s in samples)
+    assert hashlib.sha256(packed).hexdigest()[:16] == digest
+
+
+def test_cross_container_sample_equality():
+    """The strongest independent check three containers can give each
+    other: where CPython's fixtures hold the SAME encoded audio, the
+    three decoders must agree bit-for-bit; where the fixtures were
+    generated through independent lossy chains (the pcm16/pcm8 twins
+    differ at source by a few quantization steps), the decoded streams
+    must still agree within that source tolerance — a sign, endian, or
+    companding bug would diverge by thousands, not ≤16."""
+    from pipegen_spark.operators.codecs import (
+        aiff_samples,
+        au_samples,
+        wav_samples,
+    )
+
+    # Bit-exact pairs (same source samples, different container):
+    assert wav_samples(_load("cpython_pcm24.wav")) == aiff_samples(
+        _load("cpython_pcm24.aiff")
+    )
+    assert wav_samples(_load("cpython_ulaw8.wav")) == au_samples(
+        _load("cpython_ulaw.au")
+    )
+    # Independently-generated twins: tight tolerance.
+    for a, b in [
+        (
+            wav_samples(_load("cpython_pcm16.wav")),
+            aiff_samples(_load("cpython_pcm16.aiff")),
+        ),
+        (
+            wav_samples(_load("cpython_pcm16.wav")),
+            au_samples(_load("cpython_pcm16.au")),
+        ),
+        (
+            wav_samples(_load("cpython_pcm8.wav")),
+            aiff_samples(_load("cpython_pcm8.aiff")),
+        ),
+        (
+            au_samples(_load("cpython_ulaw.au")),
+            aiff_samples(_load("cpython_ulaw.aifc")),
+        ),
+    ]:
+        assert len(a) == len(b)
+        assert max(abs(x - y) for x, y in zip(a, b)) <= 512  # ≤2 lsb @8bit
 
 
 def test_auto_decode_dispatches_real_files():
