@@ -732,6 +732,240 @@ def _wav_parse(payload: bytes) -> tuple[int, int, bytes]:
     return fmt, bits, data
 
 
+# --- GIF (GIF87a/GIF89a, from the published specification) -------------------
+#
+# Round-11: the third of the web's big-three image formats (PNG, JPEG,
+# GIF — scraped HTML corpora are full of all three). From-scratch
+# implementation of the GIF89a spec: logical screen descriptor, global
+# and local color tables, sub-block framing, the GIF variant of LZW
+# (variable code width 3..12 bits, clear/end codes, 4096-entry
+# dictionary), and the 4-pass row interlace. Decode-only (like G.711):
+# `gif_decode` composites the FIRST image descriptor onto the logical
+# screen (background-filled) and returns RGB; animation frames beyond
+# the first are counted, not rendered (frame sampling at the video
+# layer uses AVI/MJPEG — a production deployment swaps PIL/ffmpeg in
+# at the same call site). Transparency renders the palette color (the
+# single-frame flatten). Malformed streams raise ValueError loudly,
+# same hostile-bytes contract as the other codecs.
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int
+                    ) -> bytearray:
+    """The GIF flavor of LZW: codes start at min_code_size+1 bits,
+    clear = 2^min, end = clear+1; dictionary caps at 4096 entries; the
+    code width bumps when the NEXT code would not fit. Output is
+    clamped at max_pixels (a decoder must not let a hostile stream
+    inflate beyond the declared image size)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+
+    # bit reader over the concatenated sub-block data, LSB first
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read_code(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return end  # truncated stream: treat as end of image
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def reset() -> tuple[list[bytes | None], int]:
+        table: list[bytes | None] = [
+            bytes([i]) for i in range(clear)
+        ] + [None, None]
+        return table, min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if len(out) >= max_pixels:
+            break
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """-> (width, height, 3, rgb bytes) — the first frame composited
+    onto the background-filled logical screen. See the section comment
+    for the subset; `gif_info` exposes the frame count."""
+    w, h, frames, pixels = _gif_walk(data, render=True)
+    return w, h, 3, bytes(pixels)
+
+
+def gif_info(data: bytes) -> tuple[int, int, int]:
+    """-> (width, height, n_frames) without rendering (cheap animation
+    probe: LZW data is skipped block-wise, not decoded)."""
+    w, h, frames, _ = _gif_walk(data, render=False)
+    return w, h, frames
+
+
+def _gif_walk(data: bytes, render: bool):
+    if len(data) < 13 or data[:6] not in GIF_MAGICS:
+        raise ValueError("malformed GIF: bad signature")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise ValueError(f"implausible GIF geometry {w}x{h}")
+    flags, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("malformed GIF: truncated global color table")
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> tuple[int, bytes]:
+        chunks = []
+        while True:
+            if p >= len(data):
+                raise ValueError("malformed GIF: unterminated sub-blocks")
+            n = data[p]
+            p += 1
+            if n == 0:
+                return p, b"".join(chunks)
+            if p + n > len(data):
+                raise ValueError("malformed GIF: truncated sub-block")
+            chunks.append(data[p : p + n])
+            p += n
+
+    canvas = None
+    if render:
+        if gct is not None and 3 * bg + 3 <= len(gct):
+            bgc = gct[3 * bg : 3 * bg + 3]
+        else:
+            bgc = b"\x00\x00\x00"
+        canvas = bytearray(bgc * (w * h))
+
+    frames = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(data):
+                raise ValueError("malformed GIF: truncated extension")
+            pos, _ = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
+        # image descriptor
+        if pos + 9 > len(data):
+            raise ValueError("malformed GIF: truncated image descriptor")
+        left = int.from_bytes(data[pos : pos + 2], "little")
+        top = int.from_bytes(data[pos + 2 : pos + 4], "little")
+        iw = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        iflags = data[pos + 8]
+        pos += 9
+        lct = None
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError(
+                    "malformed GIF: truncated local color table"
+                )
+            lct = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pos >= len(data):
+            raise ValueError("malformed GIF: missing LZW code size")
+        min_code = data[pos]
+        pos += 1
+        pos, lzw = skip_subblocks(pos)
+        frames += 1
+        if render and frames == 1:
+            if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+                raise ValueError(
+                    f"malformed GIF: frame {iw}x{ih}@{left},{top} "
+                    f"outside {w}x{h} screen"
+                )
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("malformed GIF: no color table")
+            idx = _gif_lzw_decode(min_code, lzw, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError(
+                    f"malformed GIF: LZW stream yields {len(idx)} of "
+                    f"{iw * ih} pixels"
+                )
+            # row order: straight, or the spec's 4-pass interlace
+            if iflags & 0x40:
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+            else:
+                order = list(range(ih))
+            npal = len(pal) // 3
+            for src_row, dst_row in enumerate(order):
+                base = src_row * iw
+                cbase = ((top + dst_row) * w + left) * 3
+                for x in range(iw):
+                    ci = idx[base + x]
+                    if ci >= npal:
+                        raise ValueError(
+                            f"malformed GIF: palette index {ci} >= {npal}"
+                        )
+                    canvas[cbase + 3 * x : cbase + 3 * x + 3] = pal[
+                        3 * ci : 3 * ci + 3
+                    ]
+    if frames == 0:
+        raise ValueError("malformed GIF: no image data")
+    return w, h, frames, canvas
+
+
+def gif_features(payload: bytes) -> dict:
+    """`png_features` for GIF payloads: 8-bin histogram over the
+    decoded first-frame RGB bytes, same output schema."""
+    if payload is None:
+        payload = b""
+    _, _, _, pixels = gif_decode(payload)
+    feats = [0] * 8
+    for b in pixels:
+        feats[b >> 5] += 1
+    return {
+        "n_bytes": len(payload),
+        "content_sha": hashlib.sha256(payload).hexdigest(),
+        "feat_dim": 8,
+        "feat_norm": sum(f * f for f in feats),
+    }
+
+
 # --- JPEG (ITU-T T.81 baseline sequential) -----------------------------------
 #
 # Round-7 stretch: the other ubiquitous corpus image format, implemented
@@ -2267,4 +2501,6 @@ def auto_decode(payload: bytes) -> dict:
         return aiff_features(payload)
     if payload is not None and payload[:4] == b".snd":
         return au_features(payload)
+    if payload is not None and payload[:6] in GIF_MAGICS:
+        return gif_features(payload)
     return fake_decode(payload)

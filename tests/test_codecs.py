@@ -1452,3 +1452,186 @@ def test_jpeg_140_vertical_sampling_decodes():
             exp = ea if y < 16 else eb
             for c in range(3):
                 assert abs(got[c] - exp[c]) <= 3, (x, y, c, got, exp)
+
+
+# --- GIF (r11) ---------------------------------------------------------------
+#
+# The decoder is validated against an INDEPENDENT test-side encoder:
+# _hand_gif below implements GIF's LZW compressor (dictionary growth,
+# width bumps, clear-on-full) and container framing from the spec,
+# separately from the module's decompressor — a roundtrip equality is
+# therefore two implementations agreeing on the published format, not
+# one implementation talking to itself.
+
+
+def _lzw_compress(indices, min_code_size):
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for px in indices:
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: reset, like real encoders do
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([px])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _hand_gif(width, height, palette, indices, interlace=False,
+              min_code_size=None, animated_extra_frame=False):
+    """Minimal spec-conformant GIF89a writer (test-side only)."""
+    import struct as _s
+
+    n = len(palette) // 3
+    size_field = max(1, (n - 1).bit_length()) - 1  # 2<<f entries
+    while (2 << size_field) < n:
+        size_field += 1
+    gct = palette + b"\x00" * (3 * ((2 << size_field) - n))
+    if min_code_size is None:
+        min_code_size = max(2, (n - 1).bit_length())
+    out = bytearray()
+    out += b"GIF89a"
+    out += _s.pack("<HHBBB", width, height, 0x80 | size_field, 0, 0)
+    out += gct
+
+    def frame(idx, ilace):
+        f = bytearray()
+        f += b"\x2c" + _s.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if ilace else 0
+        )
+        f.append(min_code_size)
+        lzw = _lzw_compress(idx, min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            f.append(len(chunk))
+            f += chunk
+        f.append(0)
+        return f
+
+    if interlace:
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        rows = [indices[r * width : (r + 1) * width] for r in order]
+        idx = [px for row in rows for px in row]
+    else:
+        idx = list(indices)
+    out += frame(idx, interlace)
+    if animated_extra_frame:
+        # a second frame: gif_info must count it, gif_decode must not
+        # render it over the first
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE
+        out += frame([0] * (width * height), False)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_against_independent_encoder():
+    from pipegen_spark.operators.codecs import gif_decode, gif_info
+
+    import random
+
+    rng = random.Random(11)
+    pal = bytes(rng.randrange(256) for _ in range(3 * 16))
+    for w, h, npal, ilace in [
+        (7, 5, 16, False),
+        (13, 11, 16, True),
+        (4, 4, 4, False),
+        (1, 1, 2, False),
+        (33, 9, 16, True),
+    ]:
+        idx = [rng.randrange(npal) for _ in range(w * h)]
+        data = _hand_gif(w, h, pal[: 3 * npal], idx, interlace=ilace)
+        gw, gh, ch, pix = gif_decode(data)
+        assert (gw, gh, ch) == (w, h, 3)
+        expect = b"".join(
+            pal[3 * i : 3 * i + 3] for i in idx
+        )
+        assert pix == expect, (w, h, npal, ilace)
+
+
+def test_gif_dictionary_growth_and_reset():
+    """Long repetitive streams force dictionary growth past several
+    width bumps (and with a tiny palette, a mid-stream table reset) —
+    the LZW paths a trivial image never exercises."""
+    from pipegen_spark.operators.codecs import gif_decode
+
+    pal = bytes([0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60])
+    w, h = 101, 83
+    idx = [(i * i + (i >> 3)) % 4 for i in range(w * h)]
+    data = _hand_gif(w, h, pal, idx)
+    gw, gh, _, pix = gif_decode(data)
+    assert (gw, gh) == (w, h)
+    assert pix == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_gif_animation_counted_not_rendered():
+    from pipegen_spark.operators.codecs import gif_decode, gif_info
+
+    pal = bytes([200, 0, 0, 0, 200, 0])
+    idx = [1] * 12
+    data = _hand_gif(4, 3, pal, idx, animated_extra_frame=True)
+    assert gif_info(data)[2] == 2
+    _, _, _, pix = gif_decode(data)
+    assert pix == bytes([0, 200, 0]) * 12  # first frame, not the overlay
+
+
+def test_gif_malformed_raises():
+    from pipegen_spark.operators.codecs import gif_decode
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    good = _hand_gif(4, 4, pal, [1] * 16)
+    with pytest.raises(ValueError, match="signature"):
+        gif_decode(b"GIF90a" + good[6:])
+    with pytest.raises(ValueError, match="geometry"):
+        gif_decode(good[:6] + b"\x00\x00" + good[8:])
+    # frame bigger than the screen
+    bad = bytearray(good)
+    at = good.index(b"\x2c") + 5
+    bad[at:at + 2] = (300).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="outside|yields|sub-block|code"):
+        gif_decode(bytes(bad))
+    # truncations anywhere must raise ValueError or decode (no other
+    # exception types) — the fuzz suite runs the full contract; this
+    # pins the cheap prefix walk here too
+    for cut in range(0, len(good), 3):
+        try:
+            gif_decode(good[:cut])
+        except ValueError:
+            pass

@@ -125,6 +125,13 @@ def _valid_streams() -> dict[str, tuple[bytes, object]]:
                 "pipegen_spark.operators.codecs", fromlist=["x"]
             ).au_samples,
         ),
+        # r11 GIF: a real GIF89a icon seeds the LZW/sub-block walker
+        "gif_89a": (
+            _real_media("idle_32.gif"),
+            __import__(
+                "pipegen_spark.operators.codecs", fromlist=["x"]
+            ).gif_decode,
+        ),
     }
 
 

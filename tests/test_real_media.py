@@ -64,6 +64,15 @@ JPEG_CASES = [
     ("web_progressive.jpg", 493, 58, 3, "bea0896636899794"),
 ]
 
+# Real GIFs from OS packages: a GIF89a icon (IDLE), a large GIF87a
+# diagram (libxslt docs — exercises deferred-clear dictionary-full
+# streams), and a small GIF87a web logo.
+GIF_CASES = [
+    ("idle_32.gif", 32, 32, "b4c71eaa7ec9e9de"),
+    ("doc_diagram_87a.gif", 648, 521, "27b32f0d89acf643"),
+    ("web_logo_87a.gif", 90, 34, "e4397f1bc496056b"),
+]
+
 # (file, n_samples, sha256(int64-LE packed samples)[:16])
 WAV_CASES = [
     ("cpython_pcm24.wav", 6614, "04adcb0a533760e9"),
@@ -93,6 +102,8 @@ AUTO_FEAT_NORM = {
     "cpython_alaw.aifc": 12892254,
     "cpython_ulaw.au": 12865212,
     "cpython_pcm16.au": 12886870,
+    "idle_32.gif": 2818142,
+    "web_logo_87a.gif": 22344876,
 }
 
 
@@ -101,6 +112,16 @@ def test_real_png_decodes(name, w, h, ch, digest):
     got_w, got_h, got_ch, pixels = png_decode(_load(name))
     assert (got_w, got_h, got_ch) == (w, h, ch)
     assert len(pixels) == w * h * ch
+    assert hashlib.sha256(pixels).hexdigest()[:16] == digest
+
+
+@pytest.mark.parametrize("name,w,h,digest", GIF_CASES)
+def test_real_gif_decodes(name, w, h, digest):
+    from pipegen_spark.operators.codecs import gif_decode
+
+    got_w, got_h, ch, pixels = gif_decode(_load(name))
+    assert (got_w, got_h, ch) == (w, h, 3)
+    assert len(pixels) == w * h * 3
     assert hashlib.sha256(pixels).hexdigest()[:16] == digest
 
 
