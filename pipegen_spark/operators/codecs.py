@@ -815,6 +815,94 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int
     return out
 
 
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF LZW compressor (encoder mirror of `_gif_lzw_decode`):
+    dictionary-based with width bumps and clear-on-full, per the spec's
+    Appendix F. Emits an initial clear code as real encoders do."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for px in indices:
+        if px >= clear:
+            raise ValueError(
+                f"palette index {px} needs more than {min_code_size} bits"
+            )
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([px])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(
+    width: int, height: int, palette: bytes, indices: bytes | list[int]
+) -> bytes:
+    """Minimal spec-conformant GIF89a writer: global color table (padded
+    to the next power of two), one non-interlaced full-screen frame,
+    real LZW compression. Counterpart of `gif_decode` — any standard
+    viewer reads the output; compression ratio is not the point,
+    byte-real codec plumbing is (same policy as `jpeg_encode`)."""
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError(f"bad palette size {len(palette)}")
+    n = len(palette) // 3
+    if len(indices) != width * height:
+        raise ValueError(
+            f"need {width * height} indices, got {len(indices)}"
+        )
+    size_field = 0
+    while (2 << size_field) < n:
+        size_field += 1
+    gct = palette + b"\x00" * (3 * ((2 << size_field) - n))
+    min_code = max(2, size_field + 1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | size_field, 0, 0)
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(bytes(indices), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """-> (width, height, 3, rgb bytes) — the first frame composited
     onto the background-filled logical screen. See the section comment

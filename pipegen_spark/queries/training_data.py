@@ -863,6 +863,61 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF sibling of `multimodal_png_features` (round-11, same
+    hard-oracle construction): each document becomes a genuine GIF89a —
+    16x9 pixels over an 8-entry grayscale palette where entry i is
+    (32i+1, 32i+1, 32i+1), indices = the text's md5 digest bytes mod 8
+    tiled to 144 = exactly 9 digest copies — and `extract_features`
+    decodes it through `codecs.auto_decode`'s GIF magic dispatch →
+    `gif_decode` (logical screen, color table, sub-block framing, REAL
+    LZW decompression with dictionary growth, which the tiled-digest
+    repetition exercises hard). Palette entry i contributes its 3 RGB
+    bytes to histogram bin i exactly ((32i+1) >> 5 = i), so feat_norm
+    = Σ(27·d_b)² = 729 × Σ d_b² where d_b counts digest bytes ≡ b mod
+    8 — computable in DuckDB from `md5(text)` hex alone, no GIF code.
+    Any bug in the encoder's LZW emission or the decoder's dictionary
+    walk perturbs pixels and fails the value hash. Map-only, one Arrow
+    hop per stage, no shuffle."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    gw, gh = 16, 9
+    palette = bytes(
+        v for i in range(8) for v in (32 * i + 1,) * 3
+    )
+
+    def encode(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import gif_encode
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                idx = bytes(b % 8 for b in seed) * (gw * gh // 16)
+                payloads.append(gif_encode(gw, gh, palette, idx))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, "media_id long, content binary"
+    )
+    from pipegen_spark.operators.codecs import auto_decode
+
+    return (
+        mm.extract_features(media, decoder=auto_decode)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("feat_dim").cast("long").alias("feat_dim"),
+            F.col("feat_norm").cast("long").alias("feat_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 WAV_ENERGY_BLOCKS = 16  # md5 blocks per payload (8 int16 samples each)
 WAV_ENERGY_WIN = 16  # frame-energy window, in samples
 

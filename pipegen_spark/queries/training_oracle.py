@@ -2882,6 +2882,35 @@ def _multimodal_png_sql() -> str:
     """
 
 
+def _multimodal_gif_sql() -> str:
+    """Expected output of the REAL GIF encode → LZW → decode chain,
+    computed from `md5(text)` hex alone (round-11, sibling of
+    `_multimodal_png_sql`). Pixels are an 8-entry grayscale palette
+    indexed by digest bytes mod 8 tiled 9x over a 16x9 screen; palette
+    entry i lands all 3 RGB bytes in histogram bin i, so
+    feat_norm = 729 × Σ d_b² over the digest-byte mod-8 histogram.
+    Bounds: d_b ≤ 16 → feat_norm ≤ 729·2048, trivially BIGINT-exact."""
+    byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id, md5(COALESCE(text, '')) AS hx FROM documents
+    ),
+    b AS (
+        SELECT doc_id, {byte} % 8 AS bin
+        FROM h CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS i FROM range(0, 16) r
+        ) t
+    ),
+    hist AS (
+        SELECT doc_id, bin, COUNT(*) AS c FROM b GROUP BY doc_id, bin
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS feat_dim,
+           CAST(729 * SUM(c * c) AS BIGINT) AS feat_norm
+    FROM hist GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _multimodal_wav_sql() -> str:
     """Expected output of the REAL WAV decode chain from `md5(text)` hex
     (round-7 hard gate, sibling of `_multimodal_png_sql`). The encoded
@@ -3966,6 +3995,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_bpe_encode": _bpe_encode_sql(),
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
+    "multimodal_gif_features": _multimodal_gif_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
     "multimodal_wav_energy": _wav_energy_sql(),

@@ -1635,3 +1635,31 @@ def test_gif_malformed_raises():
             gif_decode(good[:cut])
         except ValueError:
             pass
+
+
+def test_gif_module_encoder_roundtrip():
+    """The module-side gif_encode (used by the gated
+    multimodal_gif_features query) roundtrips through gif_decode, and
+    its output also decodes identically to the independent test-side
+    writer's for the same image."""
+    import random
+
+    from pipegen_spark.operators.codecs import gif_decode, gif_encode
+
+    rng = random.Random(7)
+    pal = bytes(v for i in range(8) for v in (32 * i + 1,) * 3)
+    for w, h in [(16, 9), (1, 1), (7, 13), (255, 3)]:
+        idx = bytes(rng.randrange(8) for _ in range(w * h))
+        enc = gif_encode(w, h, pal, idx)
+        gw, gh, ch, pix = gif_decode(enc)
+        expect = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+        assert (gw, gh, ch) == (w, h, 3) and pix == expect
+        alt = _hand_gif(w, h, pal, list(idx))
+        assert gif_decode(alt)[3] == pix
+
+    with pytest.raises(ValueError, match="palette"):
+        gif_encode(2, 2, b"\x00" * 4, [0, 0, 0, 0])
+    with pytest.raises(ValueError, match="indices"):
+        gif_encode(2, 2, pal, [0] * 3)
+    with pytest.raises(ValueError, match="more than"):
+        gif_encode(2, 2, b"\x00" * 6, [0, 0, 0, 5])
