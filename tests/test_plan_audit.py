@@ -30,6 +30,7 @@ PANDAS_OK = {
     "multimodal_features",
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_progressive",
+    "multimodal_gif_features",  # r11: GIF encode + LZW decode stage
     "multimodal_png_features",
     "multimodal_wav_features",
     "multimodal_wav_energy",
