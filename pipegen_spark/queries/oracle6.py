@@ -607,3 +607,53 @@ RELATIONAL6_ORACLE["q82_stream_outer_join"] = """
     WHERE CAST(epoch_ns(p.p_ts) // 1000 AS BIGINT) <= wm.cut_us
     ORDER BY p.event_id, c.click_id
 """
+
+# q83: the batch FULL OUTER interval join restricted to the two-sided
+# flushed region — matched rows inside BOTH cuts, each NULL class
+# inside its own (purchase side: min - 61 min, q82's region; click
+# side: min - 121 min, one join-window deeper because an unmatched
+# click only flushes when the watermark passes c_ts + 1h). Mirrors the
+# query's post-stream CASE filter exactly.
+RELATIONAL6_ORACLE["q83_stream_full_outer_join"] = """
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT LEAST(
+                   (SELECT CAST(epoch_ns(max(p_ts)) // 1000 AS BIGINT)
+                    FROM p),
+                   (SELECT CAST(epoch_ns(max(c_ts)) // 1000 AS BIGINT)
+                    FROM c)
+               ) - 3660000000 AS cut_p_us,
+               LEAST(
+                   (SELECT CAST(epoch_ns(max(p_ts)) // 1000 AS BIGINT)
+                    FROM p),
+                   (SELECT CAST(epoch_ns(max(c_ts)) // 1000 AS BIGINT)
+                    FROM c)
+               ) - 7260000000 AS cut_c_us
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id,
+               CAST(epoch_ns(p.p_ts) // 1000 AS BIGINT) AS p_ts_us,
+               c.click_id, c.c_user,
+               CAST(epoch_ns(c.c_ts) // 1000 AS BIGINT) AS c_ts_us
+        FROM p
+        FULL JOIN c
+          ON p.user_id = c.c_user
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts < p.p_ts
+    )
+    SELECT event_id,
+           COALESCE(user_id, c_user) AS join_user,
+           p_ts_us, click_id, c_ts_us,
+           CASE WHEN event_id IS NULL THEN 'click_only'
+                WHEN click_id IS NULL THEN 'purchase_only'
+                ELSE 'matched' END AS side
+    FROM j CROSS JOIN wm
+    WHERE (event_id IS NOT NULL AND click_id IS NOT NULL
+           AND p_ts_us <= wm.cut_p_us AND c_ts_us <= wm.cut_c_us)
+       OR (click_id IS NULL AND p_ts_us <= wm.cut_p_us)
+       OR (event_id IS NULL AND c_ts_us <= wm.cut_c_us)
+    ORDER BY event_id, click_id
+"""

@@ -76,20 +76,21 @@ rounds; long-stable canaries stay in every window):
   pmi/rarity/readability/typo_pairs), the 11 alphabetically-first
   r6-green ops (curate_chunk ... dedup_clusters), and the 6
   canaries = 50. Came back 50/50 hash-green.
-- r11 window (current): the brand-new multimodal_gif_features (the
-  GIF hard-oracle codec query) and q82_stream_outer_join at the
-  front — the latter the sole GATE_PENDING entry, the only corpus
-  query with no driver row anywhere (r10 VERDICT next #1) — then
-  the rolling rotation: the 28 remaining r6-green ops, now the
-  corpus's oldest rows (dedup_exact/prefix/minhash_lsh/simhash/
-  ngram_jaccard/embedding_cosine/keep_best/span_stats,
-  embed_dim_stats/outliers, q58-q74 ex-q60-gap, simsearch_range),
-  the 14 alphabetically-first r7-green ops (embed_kmeans ...
-  q09_rank_topk), and the 6 canaries = 50. After this window every
-  query in the corpus has a driver row and no row predates r7.
-  Queries landing after this round's final suite run go in
-  GATE_PENDING (mechanical snapshot rule) and must ride the front
-  of the r12 window.
+- r11 window (current): the two brand-new surfaces
+  (multimodal_gif_features — the GIF hard-oracle codec query — and
+  q83_stream_full_outer_join — the FULL OUTER stream-stream join)
+  and q82_stream_outer_join at the front — the latter the sole
+  GATE_PENDING entry, the only corpus query with no driver row
+  anywhere (r10 VERDICT next #1) — then the rolling rotation: the
+  28 remaining r6-green ops, now the corpus's oldest rows
+  (dedup_exact/prefix/minhash_lsh/simhash/ngram_jaccard/
+  embedding_cosine/keep_best/span_stats, embed_dim_stats/outliers,
+  q58-q74 ex-q60-gap, simsearch_range), the 13 alphabetically-first
+  r7-green ops (embed_kmeans ... q08_window_rownum), and the 6
+  canaries = 50. After this window every query in the corpus has a
+  driver row and no row predates r7. Queries landing after this
+  round's final suite run go in GATE_PENDING (mechanical snapshot
+  rule) and must ride the front of the r12 window.
 """
 
 from __future__ import annotations
@@ -109,7 +110,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 209
+CORPUS_SIZE = 210
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -124,11 +125,17 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 11: brand-new surface — multimodal_gif_features, the GIF
+#: Round 11: brand-new surfaces — multimodal_gif_features, the GIF
 #: sibling of the PNG/WAV hard-oracle codec queries (from-scratch
 #: GIF89a encode + LZW + decode under the value gate; oracle computes
-#: the expected histogram from md5(text) alone).
-GATE_CHANGED: tuple[str, ...] = ("multimodal_gif_features",)
+#: the expected histogram from md5(text) alone), and
+#: q83_stream_full_outer_join, the FULL OUTER rung of the
+#: stream-stream join family (two-sided NULL emission, per-side
+#: watermark-frontier cuts).
+GATE_CHANGED: tuple[str, ...] = (
+    "multimodal_gif_features",
+    "q83_stream_full_outer_join",
+)
 
 #: Never-gated retirement (round-11 priority, r10 VERDICT next #1):
 #: q82_stream_outer_join — the watermarked stream-stream LEFT OUTER
@@ -197,13 +204,12 @@ GATE_ROLLING = (
     "q06_semi_join",
     "q07_case_agg",
     "q08_window_rownum",
-    "q09_rank_topk",
 )
 
-#: The full round-11 gate window, in enumeration order: 1 new surface
-#: + 1 never-gated retirement + 42 rolling re-gates + 6 canaries = 50.
-#: (q10_except dropped back to the r12 rotation to make room for the
-#: new GIF surface.)
+#: The full round-11 gate window, in enumeration order: 2 new surfaces
+#: + 1 never-gated retirement + 41 rolling re-gates + 6 canaries = 50.
+#: (q09_rank_topk and q10_except dropped back to the r12 rotation to
+#: make room for the new GIF and full-outer-join surfaces.)
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

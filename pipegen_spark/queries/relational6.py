@@ -1026,6 +1026,113 @@ def q81_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (r11 — completes the
+    streaming-join family: q41 INNER, q82 LEFT OUTER, this the full
+    outer form Spark supports with watermarks + time bounds since
+    3.1): purchases joined to same-user clicks in the preceding hour,
+    emitting NULL-click rows for never-matched purchases AND
+    NULL-purchase rows for never-matched clicks.
+
+    Determinism on finite input extends q82's frontier argument to
+    BOTH outer sides, with per-side cuts: an unmatched purchase
+    flushes once the global watermark passes p_ts (cut_p =
+    min(max_p, max_c) - 1h - 1min, exactly q82's region), but an
+    unmatched click only flushes once the watermark passes c_ts + 1h
+    (purchases in (c_ts, c_ts + 1h] could still have matched it), so
+    its safe region is one join-window deeper: cut_c =
+    min(max_p, max_c) - 2h - 1min. The gated surface keeps matched
+    rows inside BOTH cuts and each NULL class inside its own cut —
+    the identical CASE filter applied to the batch FULL OUTER join by
+    the oracle. Margins keep a minute clear of each frontier (rows AT
+    the final watermark stay in state forever on a finished stream).
+
+    Shape (100 TB): state is watermark-bounded on both sides (~1 h of
+    purchases, ~2 h of clicks — the click side must outlive its
+    forward join window), keyed by user; the no-data micro-batch
+    after input exhaustion performs the final two-sided flush."""
+    from pipegen_spark.streaming.filesource import (
+        events_file_stream,
+        run_to_file_sink,
+        state_partitions,
+    )
+
+    purchases = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(p_ts)").alias("p_ts_us"),
+        "click_id",
+        "c_user",
+        F.expr("unix_micros(c_ts)").alias("c_ts_us"),
+    )
+    with state_partitions(spark):
+        out = run_to_file_sink(spark, joined, "pipegen_q83_")
+
+    ev = table(spark, sf_dir, "events")
+    cuts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.expr("unix_micros(max(ts))").alias("max_p"))
+        .crossJoin(
+            ev.filter(F.col("event_type") == "click").agg(
+                F.expr("unix_micros(max(ts))").alias("max_c")
+            )
+        )
+        .select(
+            F.expr("least(max_p, max_c) - 3660000000").alias("cut_p_us"),
+            F.expr("least(max_p, max_c) - 7260000000").alias("cut_c_us"),
+        )
+    )
+    flushed = out.crossJoin(F.broadcast(cuts)).filter(
+        (
+            F.col("event_id").isNotNull()
+            & F.col("click_id").isNotNull()
+            & (F.col("p_ts_us") <= F.col("cut_p_us"))
+            & (F.col("c_ts_us") <= F.col("cut_c_us"))
+        )
+        | (
+            F.col("click_id").isNull()
+            & (F.col("p_ts_us") <= F.col("cut_p_us"))
+        )
+        | (
+            F.col("event_id").isNull()
+            & (F.col("c_ts_us") <= F.col("cut_c_us"))
+        )
+    )
+    return flushed.select(
+        "event_id",
+        F.coalesce("user_id", "c_user").alias("join_user"),
+        "p_ts_us",
+        "click_id",
+        "c_ts_us",
+        F.when(F.col("event_id").isNull(), F.lit("click_only"))
+        .when(F.col("click_id").isNull(), F.lit("purchase_only"))
+        .otherwise(F.lit("matched"))
+        .alias("side"),
+    ).orderBy("event_id", "click_id")
+
+
 def q82_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (r10 — completes the
     streaming-join family next to q41's inner form, the FlinkSQL outer
