@@ -37,6 +37,14 @@ carries it, on both the client and the in-process broker — so the
 brokerless smoke exercises the same record wire format a real 2020s
 broker would accept, and the docker-gated e2e can reuse the codec
 verbatim when a daemon exists.
+
+Round-12 (r11 VERDICT task 3): codec bits 3 (lz4 — the compression
+real producers default to) now encode/decode through the from-scratch
+LZ4 frame implementation in `sources/lz4.py` (cross-validated against
+pyarrow's independent lz4 codec in both directions); Fetch v4 responses
+shrink to WHOLE records under max_bytes instead of byte-slicing the
+re-framed batch (KIP-74 progress guarantee, r11 ADVICE #1). zstd stays
+a named boundary.
 """
 
 from __future__ import annotations
@@ -265,7 +273,9 @@ def encode_record(
 #: attributes bits 0-2: the batch compression codec (protocol guide).
 COMPRESSION_NONE = 0
 COMPRESSION_GZIP = 1
+COMPRESSION_LZ4 = 3
 _COMPRESSION_NAMES = {2: "snappy", 3: "lz4", 4: "zstd"}
+_SUPPORTED_CODECS = (COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_LZ4)
 
 
 def encode_record_batch(
@@ -279,13 +289,15 @@ def encode_record_batch(
 ) -> bytes:
     """One magic-2 RecordBatch. `records` entries are (key, value),
     (key, value, timestamp) or (key, value, timestamp, headers); a
-    missing timestamp means base_timestamp. `compression` 0 (none) or
+    missing timestamp means base_timestamp. `compression` 0 (none),
     1 (gzip — the records section deflated per the spec; headers and
-    recordCount stay uncompressed). snappy/lz4/zstd are out of the
-    pure-stdlib scope and raise — the JVM data path negotiates those."""
+    recordCount stay uncompressed) or 3 (lz4 — the records section as
+    one LZ4 frame per KIP-57, `sources/lz4.py`, the codec real
+    producers default to). snappy/zstd remain named boundaries — the
+    JVM data path negotiates those."""
     if not records:
         raise ValueError("a RecordBatch must contain at least one record")
-    if compression not in (COMPRESSION_NONE, COMPRESSION_GZIP):
+    if compression not in _SUPPORTED_CODECS:
         raise ValueError(
             "unsupported compression codec "
             f"{_COMPRESSION_NAMES.get(compression, compression)}"
@@ -302,6 +314,10 @@ def encode_record_batch(
     if compression == COMPRESSION_GZIP:
         gz = zlib.compressobj(wbits=31)  # RFC-1952 gzip framing
         body = gz.compress(body) + gz.flush()
+    elif compression == COMPRESSION_LZ4:
+        from pipegen_spark.sources.lz4 import lz4_frame_compress
+
+        body = lz4_frame_compress(body)
     after_crc = (
         # attributes bits 0-2 carry the codec; lastOffsetDelta
         struct.pack(">hi", compression, len(records) - 1)
@@ -361,6 +377,13 @@ def decode_record_batches(
             except zlib.error as e:
                 raise ValueError(f"bad gzip records section: {e}") from e
             batch = _Reader(inflated)
+        elif codec == COMPRESSION_LZ4:
+            from pipegen_spark.sources.lz4 import lz4_frame_decompress
+
+            try:
+                batch = _Reader(lz4_frame_decompress(batch.data[batch.pos :]))
+            except ValueError as e:
+                raise ValueError(f"bad lz4 records section: {e}") from e
         elif codec != COMPRESSION_NONE:
             # A silent mis-parse of a compressed batch would hand the
             # varint reader deflate bytes — fail with the codec name.
@@ -664,18 +687,40 @@ class _Log:
             base_offset=offset,
         )
 
-    def read_v2(self, offset: int) -> bytes:
+    def read_v2(self, offset: int, max_bytes: int | None = None) -> bytes:
+        """Re-frame the log tail from `offset` as one RecordBatch. When
+        `max_bytes` is given, encode only as many WHOLE records as fit —
+        but always at least one (KIP-74: a fetch must return the first
+        batch complete even when it exceeds max_bytes, else a client
+        with a small fetch size can never make progress). Byte-slicing
+        a single re-framed batch would hand the client a partial batch
+        that decode_record_batches silently drops (r11 ADVICE #1)."""
         if offset < 0 or offset > len(self.records):
             raise IndexError
         tail = self.records[offset:]
         if not tail:
             return b""
         base_ts = tail[0][2]
-        return encode_record_batch(
-            [(k, v, ts, hs) for k, v, ts, hs in tail],
-            base_offset=offset,
-            base_timestamp=base_ts,
-        )
+
+        def _encode(n: int) -> bytes:
+            return encode_record_batch(
+                [(k, v, ts, hs) for k, v, ts, hs in tail[:n]],
+                base_offset=offset,
+                base_timestamp=base_ts,
+            )
+
+        batch = _encode(len(tail))
+        if max_bytes is None or len(batch) <= max_bytes:
+            return batch
+        # Shrink the record count until the whole batch fits; floor 1.
+        n = len(tail)
+        while n > 1:
+            n = max(1, n * max_bytes // len(batch))
+            batch = _encode(n)
+            if len(batch) <= max_bytes:
+                return batch
+            n -= 1
+        return _encode(1)
 
 
 class FakeKafkaBroker:
@@ -867,7 +912,7 @@ class FakeKafkaBroker:
                         out += struct.pack(">ii", 0, 0)  # aborted, bytes
                         continue
                     try:
-                        batch = log.read_v2(offset)[:max_bytes]
+                        batch = log.read_v2(offset, max_bytes=max_bytes)
                     except IndexError:
                         batch = b""
                     hw = len(log.records)

@@ -418,14 +418,14 @@ _record_v2 = hst.tuples(
     hst.lists(_record_v2, min_size=1, max_size=20),
     hst.integers(0, 1 << 40),
     hst.integers(-(1 << 40), 1 << 48),
-    hst.sampled_from([0, 1]),  # none / gzip
+    hst.sampled_from([0, 1, 3]),  # none / gzip / lz4
 )
 @settings(max_examples=150)
 def test_record_batch_roundtrip_property(recs, base, base_ts, codec):
     """decode(encode(recs)) reproduces every record — offsets contiguous
     from base, timestamps/keys/values/headers bit-exact (timestamp
     deltas are signed varlongs, so out-of-order timestamps must survive
-    too), under both supported compression codecs."""
+    too), under all three supported compression codecs."""
     out = decode_record_batches(
         encode_record_batch(
             recs, base_offset=base, base_timestamp=base_ts,
