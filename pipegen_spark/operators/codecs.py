@@ -903,6 +903,66 @@ def gif_encode(
     return bytes(out)
 
 
+def gif_encode_animated(
+    width: int,
+    height: int,
+    palette: bytes,
+    frames: list[bytes | list[int]],
+    *,
+    rects: list[tuple[int, int, int, int]] | None = None,
+    transparent_idx: int | None = None,
+    disposals: list[int] | None = None,
+    delay_cs: int = 4,
+) -> bytes:
+    """Animated GIF89a writer (round-12): one Graphic Control Extension
+    per frame (disposal method, delay, optional transparent index),
+    per-frame sub-rect placement via `rects` (default full screen),
+    shared global color table, real LZW per frame. Counterpart of
+    `gif_frames`; the decoder is additionally validated against the
+    independent test-side encoder (tests/test_codecs.py pattern)."""
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError(f"bad palette size {len(palette)}")
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(palette) // 3
+    size_field = 0
+    while (2 << size_field) < n:
+        size_field += 1
+    gct = palette + b"\x00" * (3 * ((2 << size_field) - n))
+    min_code = max(2, size_field + 1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | size_field, 0, 0)
+    out += gct
+    for f, indices in enumerate(frames):
+        left, top, iw, ih = (
+            rects[f] if rects is not None else (0, 0, width, height)
+        )
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"frame {f}: need {iw * ih} indices, got {len(indices)}"
+            )
+        disposal = disposals[f] if disposals is not None else 1
+        gflags = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            gflags |= 0x01
+            tidx = transparent_idx
+        out += b"\x21\xf9\x04" + bytes(
+            [gflags, delay_cs & 0xFF, (delay_cs >> 8) & 0xFF, tidx]
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        out.append(min_code)
+        lzw = _gif_lzw_encode(bytes(indices), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """-> (width, height, 3, rgb bytes) — the first frame composited
     onto the background-filled logical screen. See the section comment
@@ -918,7 +978,34 @@ def gif_info(data: bytes) -> tuple[int, int, int]:
     return w, h, frames
 
 
-def _gif_walk(data: bytes, render: bool):
+def gif_frames(
+    data: bytes, max_frames: int = 256
+) -> tuple[int, int, list[bytes]]:
+    """-> (width, height, [rgb bytes per frame]) — the ANIMATION
+    surface (round-12): every frame composited per the GIF89a spec's
+    Graphic Control Extension semantics — transparent-index pixels
+    leave the canvas untouched, disposal 0/1 keeps the frame, 2
+    restores the frame's rect to the background color, 3 restores the
+    pre-frame canvas — with per-frame local color tables, sub-rect
+    placement, and interlacing, exactly as `gif_decode` handles frame
+    1. `max_frames` bounds total pixels (bomb guard, loud).
+
+    Note `gif_decode` keeps its historical first-frame surface (GCE
+    ignored, transparent index painted opaque) — the real-fixture
+    digests and the gated gif query pin that behavior; animation
+    consumers (frame sampling, scene cuts) use this API."""
+    w, h, _, frames = _gif_walk(
+        data, render=True, all_frames=True, max_frames=max_frames
+    )
+    return w, h, frames
+
+
+def _gif_walk(
+    data: bytes,
+    render: bool,
+    all_frames: bool = False,
+    max_frames: int = 256,
+):
     if len(data) < 13 or data[:6] not in GIF_MAGICS:
         raise ValueError("malformed GIF: bad signature")
     w = int.from_bytes(data[6:8], "little")
@@ -958,6 +1045,8 @@ def _gif_walk(data: bytes, render: bool):
         canvas = bytearray(bgc * (w * h))
 
     frames = 0
+    frames_out: list[bytes] = []
+    gce: bytes | None = None
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -966,7 +1055,14 @@ def _gif_walk(data: bytes, render: bool):
         if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(data):
                 raise ValueError("malformed GIF: truncated extension")
-            pos, _ = skip_subblocks(pos + 1)
+            label = data[pos]
+            pos, body = skip_subblocks(pos + 1)
+            if label == 0xF9:  # Graphic Control Extension
+                if len(body) < 4:
+                    raise ValueError(
+                        "malformed GIF: short graphic control extension"
+                    )
+                gce = body
             continue
         if block != 0x2C:
             raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
@@ -994,7 +1090,11 @@ def _gif_walk(data: bytes, render: bool):
         pos += 1
         pos, lzw = skip_subblocks(pos)
         frames += 1
-        if render and frames == 1:
+        if all_frames and frames > max_frames:
+            raise ValueError(
+                f"GIF exceeds max_frames={max_frames} (bomb guard)"
+            )
+        if render and (all_frames or frames == 1):
             if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
                 raise ValueError(
                     f"malformed GIF: frame {iw}x{ih}@{left},{top} "
@@ -1009,6 +1109,20 @@ def _gif_walk(data: bytes, render: bool):
                     f"malformed GIF: LZW stream yields {len(idx)} of "
                     f"{iw * ih} pixels"
                 )
+            # GCE semantics apply only on the animation surface —
+            # gif_decode's historical first-frame rendering (pinned by
+            # the real-media digests) ignores them.
+            transparent = None
+            disposal = 0
+            if all_frames and gce is not None:
+                disposal = (gce[0] >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"malformed GIF: reserved disposal {disposal}"
+                    )
+                if gce[0] & 0x01:
+                    transparent = gce[3]
+            saved = bytes(canvas) if disposal == 3 else None
             # row order: straight, or the spec's 4-pass interlace
             if iflags & 0x40:
                 order = (
@@ -1029,12 +1143,24 @@ def _gif_walk(data: bytes, render: bool):
                         raise ValueError(
                             f"malformed GIF: palette index {ci} >= {npal}"
                         )
+                    if ci == transparent:
+                        continue
                     canvas[cbase + 3 * x : cbase + 3 * x + 3] = pal[
                         3 * ci : 3 * ci + 3
                     ]
+            if all_frames:
+                frames_out.append(bytes(canvas))
+                if disposal == 2:  # restore rect to background color
+                    row = bgc * iw
+                    for y in range(ih):
+                        cb = ((top + y) * w + left) * 3
+                        canvas[cb : cb + 3 * iw] = row
+                elif disposal == 3:  # restore to previous canvas
+                    canvas[:] = saved
+        gce = None
     if frames == 0:
         raise ValueError("malformed GIF: no image data")
-    return w, h, frames, canvas
+    return w, h, frames, frames_out if all_frames else canvas
 
 
 def gif_features(payload: bytes) -> dict:
@@ -2591,4 +2717,8 @@ def auto_decode(payload: bytes) -> dict:
         return au_features(payload)
     if payload is not None and payload[:6] in GIF_MAGICS:
         return gif_features(payload)
+    if payload is not None and payload[:4] == b"fLaC":
+        from pipegen_spark.operators.flac import flac_features
+
+        return flac_features(payload)
     return fake_decode(payload)

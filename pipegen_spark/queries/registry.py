@@ -91,6 +91,16 @@ rounds; long-stable canaries stay in every window):
   driver row and no row predates r7. Queries landing after this
   round's final suite run go in GATE_PENDING (mechanical snapshot
   rule) and must ride the front of the r12 window.
+- r12 window (current): the two brand-new surfaces
+  (multimodal_flac_features — the from-scratch FLAC codec under the
+  WAV-shaped md5 hard oracle — and multimodal_gif_frames — animated
+  GIF compositing with GCE transparency/disposal under a running-MAX
+  frame oracle), then the rolling rotation: the 30 r7-dated rows (the
+  corpus's oldest after the r11 window: q09/q10_*/q11-q17 tail,
+  q49-q52/q55/q56, simsearch_bruteforce/ivf/lsh/recall, the text_*
+  tail), the 12 alphabetically-first r8-dated rows (curate_budget ...
+  dedup_bloom), and the 6 canaries = 50. After this window no corpus
+  query's newest driver row predates r8.
 """
 
 from __future__ import annotations
@@ -110,7 +120,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 210
+CORPUS_SIZE = 212
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -125,27 +135,21 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 11: brand-new surfaces — multimodal_gif_features, the GIF
-#: sibling of the PNG/WAV hard-oracle codec queries (from-scratch
-#: GIF89a encode + LZW + decode under the value gate; oracle computes
-#: the expected histogram from md5(text) alone), and
-#: q83_stream_full_outer_join, the FULL OUTER rung of the
-#: stream-stream join family (two-sided NULL emission, per-side
-#: watermark-frontier cuts).
+#: Round 12: brand-new surfaces — multimodal_flac_features (the
+#: from-scratch FLAC encode + decode chain — STREAMINFO/MD5, Rice
+#: residuals, fixed predictors, CRC-8/CRC-16 — under the same
+#: container-independent md5 hard oracle as WAV) and
+#: multimodal_gif_frames (animated-GIF compositing: Graphic Control
+#: Extension transparency + disposal over 4 frames, oracle = a
+#: running MAX over the frame axis in DuckDB).
 GATE_CHANGED: tuple[str, ...] = (
-    "multimodal_gif_features",
-    "q83_stream_full_outer_join",
+    "multimodal_flac_features",
+    "multimodal_gif_frames",
 )
 
-#: Never-gated retirement (round-11 priority, r10 VERDICT next #1):
-#: q82_stream_outer_join — the watermarked stream-stream LEFT OUTER
-#: interval join (outer NULL emission via the final watermark flush;
-#: parity oracle on the frontier-safe region) — landed after the
-#: 50-slot r10 window was already full and is the only corpus query
-#: with no driver CORRECTNESS row anywhere (GATE_STATUS.json
-#: never_gated). Oracle-green on the local mirror at sf0.01 and sf0.1
-#: in both the builder's and the judge's runs.
-GATE_NEVER = ("q82_stream_outer_join",)
+#: Never-gated retirement: none this round — GATE_STATUS.json shows
+#: never_gated=0 after r11 (q82 was retired there).
+GATE_NEVER: tuple[str, ...] = ()
 
 #: Queries that land AFTER this round's window was cut (the mechanical
 #: snapshot rule, r9 VERDICT next #1): anything here has no driver row
@@ -157,59 +161,59 @@ GATE_NEVER = ("q82_stream_outer_join",)
 #: aggregation as the GATE_STATUS.json artifact.
 GATE_PENDING: tuple[str, ...] = ()
 
-#: Rolling re-gates: the 28 remaining ops whose newest driver rows date
-#: from round 6 (the corpus's oldest after the r10 window), then the 15
-#: alphabetically-first of the r7 tranche (the rest rotate in r12).
+#: Rolling re-gates: the 30 r7-dated rows (the corpus's oldest after
+#: the r11 window — including q09/q10_except, dropped from r11 to make
+#: room for its new surfaces), then the 12 alphabetically-first
+#: r8-dated rows (the remaining 30 r8 rows rotate in r13).
 GATE_ROLLING = (
-    # --- the 28 r6-green rows (newest row: round 6) ---
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix",
-    "dedup_simhash",
-    "dedup_span_stats",
-    "embed_dim_stats",
-    "embed_outliers",
-    "q58_zorder_layout",
-    "q59_table_profile",
-    "q60_stream_enrich",
-    "q61_pagerank",
-    "q62_tpch_volume_shipping",
-    "q63_tpch_market_share",
-    "q64_tpch_profit",
-    "q65_tpch_priority_mix",
-    "q66_tpch_cust_distribution",
-    "q67_tpch_small_qty",
-    "q68_tpch_top_supplier",
-    "q69_tpch_important_parts",
-    "q70_tpch_sole_problem",
-    "q71_funnel",
-    "q72_retention",
-    "q73_kmv_overlap",
-    "q74_anomaly",
-    "simsearch_range",
-    # --- the 15 alphabetically-first r7-green rows ---
-    "embed_kmeans",
-    "multimodal_binary_stats",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_png_features",
-    "multimodal_wav_features",
-    "q01_scan_project",
-    "q02_filter_expr",
-    "q04_join_broadcast",
-    "q05_multi_join",
-    "q06_anti_join",
-    "q06_semi_join",
-    "q07_case_agg",
-    "q08_window_rownum",
+    # --- the 30 r7-green rows (newest row: round 7) ---
+    "q09_rank_topk",
+    "q10_except",
+    "q10_intersect",
+    "q10_union_all",
+    "q11_string_funcs",
+    "q12_date_trunc",
+    "q14_distinct_dedup",
+    "q15_rollup",
+    "q16_count_distinct",
+    "q17_scalar_subquery",
+    "q49_range_frame",
+    "q50_approx_percentile",
+    "q51_tpch_forecast_revenue",
+    "q52_tpch_priority_check",
+    "q55_tpch_disjunctive",
+    "q56_tpch_supplier_cnt",
+    "simsearch_bruteforce",
+    "simsearch_ivf",
+    "simsearch_lsh",
+    "simsearch_recall",
+    "text_bm25",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_sentiment",
+    "text_tfidf",
+    "text_tokens",
+    "text_vocab",
+    "text_winnow",
+    # --- the 12 alphabetically-first r8-green rows ---
+    "curate_budget",
+    "curate_drift",
+    "curate_dsir",
+    "curate_fim",
+    "curate_gopher",
+    "curate_shuffle",
+    "curate_span_mask",
+    "curate_split",
+    "curate_temperature",
+    "curate_unimax",
+    "curate_weighted_sample",
+    "dedup_bloom",
 )
 
-#: The full round-11 gate window, in enumeration order: 2 new surfaces
-#: + 1 never-gated retirement + 41 rolling re-gates + 6 canaries = 50.
-#: (q09_rank_topk and q10_except dropped back to the r12 rotation to
-#: make room for the new GIF and full-outer-join surfaces.)
+#: The full round-12 gate window, in enumeration order: 2 new surfaces
+#: + 42 rolling re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

@@ -918,6 +918,131 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame extraction under the hard-oracle gate
+    (round-12, r11 VERDICT task 5): each document becomes a genuine
+    4-frame GIF89a animation — 16x9 screen, the 8-entry grayscale
+    palette of `multimodal_gif_features`, frame j's indices =
+    md5(text || ':' || j) bytes mod 8 tiled to 144, every frame
+    full-screen with transparent index 7 and disposal 1 (keep) — built
+    by `codecs.gif_encode_animated` (one Graphic Control Extension per
+    frame) and decoded by `codecs.gif_frames`, the round-12 compositing
+    surface: transparent pixels leave the canvas untouched, so frame
+    j's visible palette index at position p is the LAST non-7 index
+    among frames <= j (background entry 0 if none ever drew there).
+    Palette entry v contributes 3 bytes of value 32v+1 to histogram
+    bin v ((32v+1) >> 5 = v; the (1,1,1) background lands in bin 0),
+    so frame_norm = 9 x Σ_b count_b² — which DuckDB reconstructs from
+    md5 hex alone with a running MAX window over the frame axis, no
+    GIF code. Any bug in GCE parsing, transparency skip, LZW, or
+    disposal handling perturbs some frame's histogram and fails the
+    value hash. One Arrow stage (encode + decode + histogram where the
+    pixels are), map-only, no shuffle."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    gw, gh, n_frames = 16, 9, 4
+    palette = bytes(v for i in range(8) for v in (32 * i + 1,) * 3)
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.operators.codecs import (
+            gif_encode_animated,
+            gif_frames,
+        )
+
+        for pdf in batches:
+            ids, fidx, norms = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                frames = []
+                for j in range(n_frames):
+                    seed = hashlib.md5(
+                        f"{t or ''}:{j}".encode("utf-8")
+                    ).digest()
+                    frames.append(
+                        bytes(b % 8 for b in seed) * (gw * gh // 16)
+                    )
+                payload = gif_encode_animated(
+                    gw, gh, palette, frames, transparent_idx=7
+                )
+                _, _, rgb_frames = gif_frames(payload)
+                for j, rgb in enumerate(rgb_frames):
+                    feats = [0] * 8
+                    for b in rgb:
+                        feats[b >> 5] += 1
+                    ids.append(did)
+                    fidx.append(j)
+                    norms.append(sum(f * f for f in feats))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "frame_norm": norms}
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            roundtrip, "doc_id long, frame_idx long, frame_norm long"
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC sibling of `multimodal_wav_features` (round-12, same
+    hard-oracle construction): each document's md5 digest is tiled to
+    128 bytes = 64 little-endian int16 samples — the SAME sample
+    surface as the WAV query — but the payload is a genuine FLAC
+    stream built by the from-scratch encoder (`operators/flac.py`:
+    STREAMINFO + MD5, per-subframe CONSTANT/FIXED-with-Rice/VERBATIM
+    choice, CRC-8 header + CRC-16 footer), and `extract_features`
+    decodes it through `codecs.auto_decode`'s fLaC magic dispatch →
+    the full frame decoder (sync/CRC parse, subframe reconstruction,
+    Rice residuals, STREAMINFO MD5 verify). Any bug anywhere in that
+    chain — predictor inversion, Rice zigzag, bit packing, CRC —
+    perturbs samples or raises, failing the value hash. The oracle is
+    the WAV query's: DuckDB computes the amplitude-octave histogram
+    from `md5(text)` hex alone, container-independent by construction.
+    Map-only, one Arrow hop per stage, no shuffle."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    n_samples = 64
+
+    def encode(batches):
+        import hashlib
+        import struct as st
+
+        from pipegen_spark.operators.flac import flac_encode
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                seed = hashlib.md5((t or "").encode("utf-8")).digest()
+                raw = (seed * (2 * n_samples // len(seed) + 1))[
+                    : 2 * n_samples
+                ]
+                samples = [s for (s,) in st.iter_unpack("<h", raw)]
+                payloads.append(flac_encode(samples, sample_rate=8_000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, "media_id long, content binary"
+    )
+    from pipegen_spark.operators.codecs import auto_decode
+
+    return (
+        mm.extract_features(media, decoder=auto_decode)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("feat_dim").cast("long").alias("feat_dim"),
+            F.col("feat_norm").cast("long").alias("feat_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 WAV_ENERGY_BLOCKS = 16  # md5 blocks per payload (8 int16 samples each)
 WAV_ENERGY_WIN = 16  # frame-energy window, in samples
 

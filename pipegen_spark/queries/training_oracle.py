@@ -2911,6 +2911,53 @@ def _multimodal_gif_sql() -> str:
     """
 
 
+def _gif_frames_sql() -> str:
+    """Expected output of the ANIMATED-GIF compositing chain
+    (round-12, `multimodal_gif_frames`): frame j's indices are
+    md5(text || ':' || j) bytes mod 8 tiled over 144 positions with
+    transparent index 7 and disposal keep, so the visible index at
+    (position p, frame j) is the LAST non-7 index among frames <= j —
+    a running MAX of (j*8 + idx) over the frame axis, decoded back
+    with % 8 — and background (palette entry 0, RGB (1,1,1)) where
+    nothing ever drew. frame_norm = 9 x Σ count² over the 8 visible
+    bins. Only the 16 distinct digest positions are expanded (the
+    144-position tiling is 9 identical copies, so counts scale by 9
+    and frame_norm = 9 x Σ (9 c_b)² = 729 x Σ c_b²)."""
+    byte = "CAST(('0x' || substr(hx, 2 * (p % 16) + 1, 2)) AS INT)"
+    return f"""
+    WITH d AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, j, md5(t || ':' || j) AS hx
+        FROM d CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS j FROM range(0, 4) r
+        ) jr
+    ),
+    px AS (
+        SELECT doc_id, j, p, {byte} % 8 AS idx
+        FROM fr CROSS JOIN (
+            SELECT CAST(r.range AS INT) AS p FROM range(0, 16) r
+        ) pr
+    ),
+    vis AS (
+        SELECT doc_id, j, p,
+               MAX(CASE WHEN idx <> 7 THEN j * 8 + idx END) OVER (
+                   PARTITION BY doc_id, p ORDER BY j
+               ) AS lastv
+        FROM px
+    ),
+    hist AS (
+        SELECT doc_id, j, COALESCE(lastv % 8, 0) AS bin, COUNT(*) AS c
+        FROM vis GROUP BY doc_id, j, 3
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(729 * SUM(c * c) AS BIGINT) AS frame_norm
+    FROM hist GROUP BY doc_id, j ORDER BY doc_id, frame_idx
+    """
+
+
 def _multimodal_wav_sql() -> str:
     """Expected output of the REAL WAV decode chain from `md5(text)` hex
     (round-7 hard gate, sibling of `_multimodal_png_sql`). The encoded
@@ -3996,8 +4043,14 @@ TRAINING_ORACLE: dict[str, str] = {
     "text_diversity": _diversity_sql(),
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_gif_features": _multimodal_gif_sql(),
+    "multimodal_gif_frames": _gif_frames_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
+    # FLAC carries the SAME md5-tiled sample surface as WAV by
+    # construction (the container differs, the samples do not), so the
+    # container-independent WAV oracle IS the FLAC oracle — any codec
+    # bug perturbs the Spark side only and fails the hash.
+    "multimodal_flac_features": _multimodal_wav_sql(),
     "multimodal_wav_energy": _wav_energy_sql(),
     "multimodal_vad_segments": _vad_segments_sql(),
     "multimodal_resample": _resample_sql(),

@@ -1663,3 +1663,251 @@ def test_gif_module_encoder_roundtrip():
         gif_encode(2, 2, pal, [0] * 3)
     with pytest.raises(ValueError, match="more than"):
         gif_encode(2, 2, b"\x00" * 6, [0, 0, 0, 5])
+
+
+# --- animated GIF compositing (round-12: gif_frames) -------------------------
+#
+# _hand_gif_animated is the multi-frame sibling of _hand_gif — still
+# test-side only, still built on the independent _lzw_compress — and
+# _reference_composite implements the GCE compositing rules (transparent
+# skip, disposal 0-3) directly over index buffers, never touching GIF
+# bytes. gif_frames agreeing with it is two readings of the spec
+# agreeing, not the module testing itself.
+
+
+def _hand_gif_animated(width, height, palette, frames):
+    """frames: list of dicts {idx, rect=(l,t,w,h), disposal=int,
+    transparent=int|None, lct=bytes|None}."""
+    import struct as _s
+
+    n = len(palette) // 3
+    size_field = 0
+    while (2 << size_field) < n:
+        size_field += 1
+    gct = palette + b"\x00" * (3 * ((2 << size_field) - n))
+    min_code_size = max(2, size_field + 1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += _s.pack("<HHBBB", width, height, 0x80 | size_field, 0, 0)
+    out += gct
+    for f in frames:
+        left, top, fw, fh = f.get("rect", (0, 0, width, height))
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        lct = f.get("lct")
+        gflags = (disposal & 7) << 2
+        tidx = 0
+        if transparent is not None:
+            gflags |= 1
+            tidx = transparent
+        out += b"\x21\xf9\x04" + bytes([gflags, 0, 0, tidx]) + b"\x00"
+        iflags = 0
+        mcs = min_code_size
+        if lct is not None:
+            ln = len(lct) // 3
+            lsf = 0
+            while (2 << lsf) < ln:
+                lsf += 1
+            iflags = 0x80 | lsf
+            mcs = max(2, lsf + 1)
+        out += b"\x2c" + _s.pack("<HHHHB", left, top, fw, fh, iflags)
+        if lct is not None:
+            out += lct + b"\x00" * (3 * ((2 << lsf) - ln))
+        out.append(mcs)
+        lzw = _lzw_compress(f["idx"], mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _reference_composite(width, height, palette, frames, bg_index=0):
+    """Spec-semantics compositor over index buffers: -> list of RGB
+    frame bytes (the expected gif_frames output)."""
+    bgc = palette[3 * bg_index : 3 * bg_index + 3]
+    canvas = bytearray(bgc * (width * height))
+    out = []
+    for f in frames:
+        left, top, fw, fh = f.get("rect", (0, 0, width, height))
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        pal = f.get("lct") or palette
+        saved = bytes(canvas) if disposal == 3 else None
+        for y in range(fh):
+            for x in range(fw):
+                ci = f["idx"][y * fw + x]
+                if ci == transparent:
+                    continue
+                at = ((top + y) * width + (left + x)) * 3
+                canvas[at : at + 3] = pal[3 * ci : 3 * ci + 3]
+        out.append(bytes(canvas))
+        if disposal == 2:
+            for y in range(fh):
+                at = ((top + y) * width + left) * 3
+                canvas[at : at + 3 * fw] = bgc * fw
+        elif disposal == 3:
+            canvas[:] = saved
+    return out
+
+
+def test_gif_frames_against_independent_encoder():
+    """Transparency + keep-disposal compositing over 4 frames, module
+    decoder vs the independent encoder and reference compositor."""
+    import random
+
+    from pipegen_spark.operators.codecs import gif_frames
+
+    rng = random.Random(23)
+    pal = bytes(rng.randrange(256) for _ in range(3 * 8))
+    w, h = 11, 7
+    frames = [
+        {
+            "idx": [rng.randrange(8) for _ in range(w * h)],
+            "disposal": 1,
+            "transparent": 7,
+        }
+        for _ in range(4)
+    ]
+    data = _hand_gif_animated(w, h, pal, frames)
+    gw, gh, got = gif_frames(data)
+    assert (gw, gh, len(got)) == (w, h, 4)
+    assert got == _reference_composite(w, h, pal, frames)
+
+
+def test_gif_frames_disposal_background_and_previous():
+    """Disposal 2 (restore rect to background) and 3 (restore previous)
+    with sub-rect frames — the flip-book paths real animations use."""
+    from pipegen_spark.operators.codecs import gif_frames
+
+    pal = bytes([10, 10, 10, 80, 80, 80, 160, 160, 160, 240, 240, 240])
+    w, h = 8, 6
+    frames = [
+        {"idx": [1] * (w * h), "disposal": 1},
+        {"idx": [2] * 6, "rect": (2, 1, 3, 2), "disposal": 2},
+        {"idx": [3] * 4, "rect": (5, 3, 2, 2), "disposal": 3},
+        {"idx": [0] * 2, "rect": (0, 0, 2, 1), "disposal": 0},
+    ]
+    data = _hand_gif_animated(w, h, pal, frames)
+    gw, gh, got = gif_frames(data)
+    expect = _reference_composite(w, h, pal, frames)
+    assert got == expect
+    # spot-check the semantics, independent of the compositor:
+    # frame 2's rect went back to BACKGROUND (index 0), not frame 1
+    f2 = got[2]
+    at = (1 * w + 2) * 3  # inside frame 1's rect, after disposal 2
+    assert f2[at : at + 3] == bytes([10, 10, 10])
+    # frame 3 sees frame 1's pixels where frame 2 stood (disposal 3)
+    f3 = got[3]
+    at = (3 * w + 5) * 3
+    assert f3[at : at + 3] == bytes([80, 80, 80])
+
+
+def test_gif_frames_local_color_table():
+    from pipegen_spark.operators.codecs import gif_frames
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    lct = bytes([200, 10, 30, 40, 50, 60])
+    frames = [
+        {"idx": [1] * 4},
+        {"idx": [0, 1, 1, 0], "lct": lct},
+    ]
+    data = _hand_gif_animated(2, 2, pal, frames)
+    _, _, got = gif_frames(data)
+    assert got == _reference_composite(2, 2, pal, frames)
+    assert got[1][:3] == bytes([200, 10, 30])
+
+
+def test_gif_frames_module_animated_encoder_interop():
+    """gif_encode_animated (the gated query's writer) decodes
+    identically to the independent writer for the same animation."""
+    import random
+
+    from pipegen_spark.operators.codecs import (
+        gif_encode_animated,
+        gif_frames,
+    )
+
+    rng = random.Random(5)
+    pal = bytes(v for i in range(8) for v in (32 * i + 1,) * 3)
+    w, h = 16, 9
+    idx_frames = [
+        bytes(rng.randrange(8) for _ in range(w * h)) for _ in range(3)
+    ]
+    mine = gif_encode_animated(
+        w, h, pal, idx_frames, transparent_idx=7, disposals=[1, 1, 1]
+    )
+    alt = _hand_gif_animated(
+        w,
+        h,
+        pal,
+        [
+            {"idx": list(fr), "disposal": 1, "transparent": 7}
+            for fr in idx_frames
+        ],
+    )
+    assert gif_frames(mine)[2] == gif_frames(alt)[2]
+
+
+def test_gif_frames_real_fixture_idle32():
+    """idle_32.gif (real OS-packaged icon): one frame, GCE transparency
+    flag set with index 127 — the animation surface honors it (those
+    pixels keep the background), while gif_decode's pinned first-frame
+    surface paints them opaque. Non-transparent pixels must agree."""
+    import pathlib
+
+    from pipegen_spark.operators.codecs import gif_decode, gif_frames
+
+    data = (
+        pathlib.Path(__file__).parent
+        / "fixtures"
+        / "real_media"
+        / "idle_32.gif"
+    ).read_bytes()
+    w, h, frames = gif_frames(data)
+    assert (w, h, len(frames)) == (32, 32, 1)
+    _, _, _, opaque = gif_decode(data)
+    # This file's transparent entry (127) is ALSO its background index
+    # and both are black, so the two surfaces coincide byte-for-byte —
+    # the common icon pattern. The 324 transparent pixels are exercised
+    # (they hit the `ci == transparent` skip); the synthetic animation
+    # tests above prove the skip changes output when colors differ.
+    assert frames[0] == opaque
+    assert data[11] == 127  # bg index == transparent index (why equal)
+
+
+def test_gif_frames_truncated_frame2_is_loud_or_prefix():
+    """Every cut point inside frame 2 of an animation either raises
+    ValueError or yields a frame-prefix (the r11 VERDICT's named fuzz
+    seed) — never a mangled second frame."""
+    from pipegen_spark.operators.codecs import gif_frames
+
+    pal = bytes([0, 0, 0, 255, 255, 255, 9, 9, 9, 99, 99, 99])
+    frames = [
+        {"idx": [1] * 24, "disposal": 1},
+        {"idx": [2] * 24, "disposal": 1, "transparent": 3},
+    ]
+    data = _hand_gif_animated(6, 4, pal, frames)
+    full = gif_frames(data)[2]
+    # find where frame 2 starts (its GCE introducer after frame 1 ends)
+    f1_only = _hand_gif_animated(6, 4, pal, frames[:1])
+    start2 = len(f1_only) - 1  # minus the trailer byte
+    for cut in range(start2, len(data) - 1):
+        try:
+            _, _, got = gif_frames(data[:cut])
+        except ValueError:
+            continue
+        assert got == full[: len(got)]
+
+
+def test_gif_frames_bomb_guard():
+    from pipegen_spark.operators.codecs import gif_frames
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    frames = [{"idx": [1] * 4} for _ in range(9)]
+    data = _hand_gif_animated(2, 2, pal, frames)
+    with pytest.raises(ValueError, match="max_frames"):
+        gif_frames(data, max_frames=8)
+    assert len(gif_frames(data, max_frames=9)[2]) == 9

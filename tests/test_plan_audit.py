@@ -31,6 +31,8 @@ PANDAS_OK = {
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_progressive",
     "multimodal_gif_features",  # r11: GIF encode + LZW decode stage
+    "multimodal_gif_frames",  # r12: animated-GIF GCE compositing stage
+    "multimodal_flac_features",  # r12: FLAC encode + Rice/CRC decode stage
     "multimodal_png_features",
     "multimodal_wav_features",
     "multimodal_wav_energy",
