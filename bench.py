@@ -92,9 +92,20 @@ IDLE_MAX_WAIT = 600.0  # give up waiting after this many seconds
 #: budget so a persistently-loaded box still completes the run (the
 #: outcome is recorded either way; a contended pass is self-labeling).
 PASS_MAX_WAIT = 180.0
+#: Round-12 (r11 VERDICT #2): the per-pass gate had an OWN-LOAD blind
+#: spot — right after the cold pass, the 1-min loadavg mostly measures
+#: the bench's own just-finished work, so gates read "ok" at 2.6-2.96
+#: while the warm-sequential table inflated 1.3-2x uniformly (r11: 67
+#: apparent regressions, 0 improvements, untouched canaries included).
+#: Each GATED pass now sleeps a fixed settle first, so the trailing
+#: own-load decays out of the 1-min window (and the JVM's GC/JIT tail
+#: drains) BEFORE the loadavg criterion is evaluated.
+SETTLE_SEC = 75.0
 
 
-def _await_idle_box(max_wait: float = IDLE_MAX_WAIT) -> dict:
+def _await_idle_box(
+    max_wait: float = IDLE_MAX_WAIT, settle: float = 0.0
+) -> dict:
     """Block until the box is quiet (1-min loadavg < IDLE_LOADAVG) or
     IDLE_MAX_WAIT elapses. Round-7 finding: the final artifact was
     captured at loadavg 10 and recorded warm times ABOVE cold on
@@ -108,6 +119,8 @@ def _await_idle_box(max_wait: float = IDLE_MAX_WAIT) -> dict:
     if os.environ.get("SPARK_GRAFT_NO_IDLE_GATE"):
         return {"enabled": False, "loadavg_at_start": round(os.getloadavg()[0], 2)}
     t0 = time.perf_counter()
+    if settle:
+        time.sleep(settle)  # decay OWN trailing load out of the window
     load = os.getloadavg()[0]
     while load >= IDLE_LOADAVG and time.perf_counter() - t0 < max_wait:
         time.sleep(15.0)
@@ -115,6 +128,7 @@ def _await_idle_box(max_wait: float = IDLE_MAX_WAIT) -> dict:
     return {
         "enabled": True,
         "threshold": IDLE_LOADAVG,
+        "settled_sec": settle,
         "waited_sec": round(time.perf_counter() - t0, 1),
         "loadavg_at_start": round(load, 2),
         "satisfied": bool(load < IDLE_LOADAVG),
@@ -205,7 +219,12 @@ def main() -> None:
 
     def _load(tag: str, gate: bool = False) -> None:
         if gate:
-            pass_gates[tag] = _await_idle_box(max_wait=PASS_MAX_WAIT)
+            # settle first (r11 VERDICT #2): the gate must not read the
+            # bench's own trailing work as box load — or, worse, pass
+            # while the JVM tail is still genuinely hot.
+            pass_gates[tag] = _await_idle_box(
+                max_wait=PASS_MAX_WAIT + SETTLE_SEC, settle=SETTLE_SEC
+            )
         loadavg[tag] = round(os.getloadavg()[0], 2)
 
     # Fixed per-query driver floor, measured on the warmed session just

@@ -540,19 +540,17 @@ def wav_samples(payload: bytes) -> list[int]:
     return out
 
 
-def _pcm_convert_be(data: bytes, bits: int, signed8: bool) -> list[int]:
+def _pcm_convert_be(data: bytes, bits: int) -> list[int]:
     """Big-endian integer PCM -> s16 list, same width reductions as the
     WAV path (top 16 bits kept; 8-bit shifts up). AIFF/.au 8-bit PCM is
-    SIGNED (unlike WAV's unsigned 8-bit)."""
+    always SIGNED (unlike WAV's unsigned 8-bit, which lives in
+    wav_samples) — both call sites, so no unsigned branch here (r11
+    ADVICE #5 removed the dead parameter)."""
     if bits == 16:
         n = len(data) // 2
         return [s for (s,) in struct.iter_unpack(">h", data[: n * 2])]
     if bits == 8:
-        if signed8:
-            return [
-                s << 8 for (s,) in struct.iter_unpack(">b", data)
-            ]
-        return [(b - 128) << 8 for b in data]
+        return [s << 8 for (s,) in struct.iter_unpack(">b", data)]
     if bits == 24:
         n = len(data) // 3
         return [
@@ -633,7 +631,7 @@ def aiff_samples(payload: bytes) -> list[int]:
     if data is None:
         raise ValueError("malformed AIFF: no SSND chunk")
     if comp == b"NONE":
-        return _pcm_convert_be(data, bits, signed8=True)
+        return _pcm_convert_be(data, bits)
     if comp == b"sowt":
         if bits != 16:
             raise ValueError(f"unsupported sowt bit depth {bits}")
@@ -670,7 +668,7 @@ def au_samples(payload: bytes) -> list[int]:
     if enc == 27:
         return [_ALAW_TABLE[b] for b in data]
     if enc in (2, 3, 4, 5):
-        return _pcm_convert_be(data, 8 * (enc - 1), signed8=True)
+        return _pcm_convert_be(data, 8 * (enc - 1))
     if enc == 6:
         return _float_convert(data, ">f")
     if enc == 7:

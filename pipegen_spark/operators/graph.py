@@ -35,11 +35,16 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Spill directories created by _spill_to_parquet, reaped at
-#: interpreter exit (a bench session re-runs the query many times; each
-#: spill is edge-set-sized — ~20 MB at sf0.1 — so the steady-state disk
-#: footprint is bounded by runs-per-session, not corpus size).
+#: Spill directories created by _spill_to_parquet. Two bounds (r11
+#: ADVICE #3 — atexit alone lets a long session re-running pagerank at
+#: the x100 rung, ~GBs per spill, exhaust /tmp, and atexit never runs
+#: on SIGKILL): (a) only the newest KEEP_SPILLS dirs are kept — the
+#: one call site spills ONCE per pagerank run and only that run's
+#: DataFrames read it, so keeping current + previous is safe even if a
+#: caller still holds the prior run's result frame; (b) what remains
+#: is reaped at interpreter exit.
 _SPILL_DIRS: list[str] = []
+_KEEP_SPILLS = 2
 
 
 def _reap_spills() -> None:
@@ -50,6 +55,26 @@ def _reap_spills() -> None:
 atexit.register(_reap_spills)
 
 
+def _spill_root() -> str | None:
+    """Spill placement (r11 ADVICE #3): prefer spark.local.dir (the
+    disk an operator is SUPPOSED to scratch on — on a cluster this is
+    the executor's shuffle volume), then TMPDIR via tempfile's default
+    resolution."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            local = spark.conf.get("spark.local.dir", "")
+            if local:
+                first = local.split(",")[0]
+                if os.path.isdir(first):
+                    return first
+    except Exception:
+        pass
+    return None  # tempfile.mkdtemp honors TMPDIR itself
+
+
 def _spill_to_parquet(df: DataFrame) -> DataFrame:
     """Write `df` to a temp parquet file and re-read it: truncates the
     lineage (like localCheckpoint) WITHOUT pinning the rows in JVM
@@ -57,8 +82,10 @@ def _spill_to_parquet(df: DataFrame) -> DataFrame:
     the x100 scale rung — see pagerank_fixed). This is the durable
     checkpoint() shape on local disk; on a cluster point the spill at
     the checkpoint dir."""
-    d = tempfile.mkdtemp(prefix="pipegen-graph-spill-")
+    d = tempfile.mkdtemp(prefix="pipegen-graph-spill-", dir=_spill_root())
     _SPILL_DIRS.append(d)
+    while len(_SPILL_DIRS) > _KEEP_SPILLS:
+        shutil.rmtree(_SPILL_DIRS.pop(0), ignore_errors=True)
     path = os.path.join(d, f"edges-{time.time_ns()}")
     df.write.parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -128,6 +128,20 @@ def measure_rate_tracking(
     finally:
         producer.stop()
     max_rate = patterns.max_rate()
+    if max_rate <= 0:
+        # r11 ADVICE #4: a pattern whose every level is 0 would divide
+        # by zero below (the n_in == 0 guard covers the INPUT frame,
+        # not the rate). Nothing to track — report not-ok explicitly.
+        return {
+            "base_rps": base_rps,
+            "pattern": pattern,
+            "batches": len(producer.stats.per_batch),
+            "levels": {},
+            "worst_level_err_pct": 0.0,
+            "tol_pct": 15.0,
+            "ok": False,
+            "error": "pattern max_rate is 0 — nothing to track",
+        }
     pb = producer.stats.per_batch
     # Interior batches only: target equal to both neighbors (and skip
     # the bootstrap batch 0, which pays stream-start cost).
