@@ -52,6 +52,18 @@ class SQLPipelineExecutor:
     materialized: set[str] = field(default_factory=set)
     checkpoint_root: str = ""
     streaming_queries: list = field(default_factory=list)
+    #: (host, port) of a wire-protocol broker (round-12): when set,
+    #: kafka sources/sinks speak the pure-Python protocol client
+    #: (sources/kafka_wire.py) instead of the JVM connector — the
+    #: jar-free e2e path; the JVM connector remains the scale path.
+    wire_broker: tuple[str, int] | None = None
+    #: topic -> avro schema json the wire sink encoded with (the
+    #: runner's consume/validate step decodes with the same schema).
+    wire_sink_schemas: dict[str, str] = field(default_factory=dict)
+    #: topic -> registered Schema Registry id (runner step 6): stamped
+    #: into the Confluent wire header by the sink; the source resolves
+    #: writer schemas back through the registry by this id.
+    wire_schema_ids: dict[str, int] = field(default_factory=dict)
 
     # --- table materialization ------------------------------------------------
 
@@ -128,7 +140,75 @@ class SQLPipelineExecutor:
             cols.append(c.alias(name))
         return base.select(*cols)
 
+    def _kafka_wire_source(self, spec: ddl_mod.TableSpec) -> DataFrame:
+        """Batch materialization of a Kafka topic over the pure-Python
+        wire client (round-12 jar-free e2e): Metadata for the partition
+        list, Fetch v4 each partition to its high watermark, then the
+        SAME decode_confluent_avro_py the JVM path falls back to. Demo/
+        validation scale (the payload set is collected on the driver
+        before parallelize); 100 TB ingestion is the JVM connector."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        from pipegen_spark.schema.avsc import struct_to_avro
+        from pipegen_spark.sources.kafka_wire import KafkaWireClient
+        from pipegen_spark.streaming.wire import decode_confluent_avro_py
+
+        host, port = self.wire_broker
+        topic = spec.options.get("topic", spec.name)
+        client = KafkaWireClient(host, port, client_id="pipegen-source")
+        values: list[bytes] = []
+        try:
+            md = client.metadata([topic])
+            parts = [
+                p["partition"]
+                for p in md["topics"].get(topic, {}).get("partitions", [])
+            ] or [0]
+            for pid in parts:
+                offset = 0
+                while True:
+                    err, hw, recs = client.fetch_v2(topic, pid, offset)
+                    if err or not recs:
+                        break
+                    values.extend(
+                        bytes(v) for (_o, _t, _k, v, _h) in recs if v
+                    )
+                    offset = recs[-1][0] + 1
+                    if offset >= hw:
+                        break
+        finally:
+            client.close()
+        df = self.spark.createDataFrame(
+            [(v,) for v in values], "value binary"
+        )
+        st_type = _parse_datatype_string(spec.schema_ddl())
+        # Writer-schema resolution — the Confluent contract: the wire
+        # header's schema id indexes the registry; the reader decodes
+        # with the WRITER's schema (a DDL-derived guess has different
+        # union shapes and misparses). Fall back to the DDL-derived
+        # schema when no registry answers (e.g. reading back our own
+        # sink's topic, which encoded with exactly that shape).
+        avro_json = None
+        if values:
+            sid = int.from_bytes(values[0][1:5], "big")
+            reg_url = self.variables.get("SCHEMA_REGISTRY_URL", "")
+            if reg_url and sid > 0:
+                try:
+                    from pipegen_spark.sources.registry import (
+                        SchemaRegistryClient,
+                    )
+
+                    avro_json = SchemaRegistryClient(
+                        reg_url, timeout=2.0
+                    ).get_schema_by_id(sid)
+                except Exception:
+                    avro_json = None
+        if avro_json is None:
+            avro_json = struct_to_avro(st_type, spec.name)
+        return decode_confluent_avro_py(df, avro_json, st_type)
+
     def _kafka_source(self, spec: ddl_mod.TableSpec) -> DataFrame:
+        if self.wire_broker is not None:
+            return self._kafka_wire_source(spec)
         opts = spec.options
         reader = (
             self.spark.readStream.format("kafka")
@@ -171,6 +251,8 @@ class SQLPipelineExecutor:
             (df.write.mode("append").format(spec.fmt).save(path))
             return None  # count would re-run the job; caller can inspect path
         if conn == "kafka":
+            if self.wire_broker is not None:
+                return self._kafka_wire_sink(df, spec)
             raise NotImplementedError(
                 "batch kafka sink requires a broker; use streaming/sink.py"
             )
@@ -178,6 +260,38 @@ class SQLPipelineExecutor:
         df.createOrReplaceTempView(spec.name)
         self.materialized.add(spec.name)
         return df.count()
+
+    def _kafka_wire_sink(self, df: DataFrame, spec: ddl_mod.TableSpec) -> int:
+        """Batch kafka sink over the wire client (round-12 jar-free
+        e2e): rows → Confluent-wire Avro `value` bytes (the SAME
+        encode_confluent_avro the streaming sink uses — Arrow-batched
+        AvroCodec), collected (demo scale) and produced to the topic as
+        magic-2 RecordBatches. Records the avro schema json per topic
+        so the runner's consume/validate step decodes identically."""
+        from pipegen_spark.schema.avsc import struct_to_avro
+        from pipegen_spark.sources.kafka_wire import KafkaWireClient
+        from pipegen_spark.streaming.wire import encode_confluent_avro
+
+        host, port = self.wire_broker
+        topic = spec.options.get("topic", spec.name)
+        avro_json = struct_to_avro(df.schema, spec.name)
+        schema_id = self.wire_schema_ids.get(topic) or int(
+            spec.options.get("pipegen.schema-id", "1")
+        )
+        enc = encode_confluent_avro(df, avro_json, schema_id, df.columns)
+        values = [bytes(r.value) for r in enc.collect()]
+        self.wire_sink_schemas[topic] = avro_json
+        client = KafkaWireClient(host, port, client_id="pipegen-sink")
+        try:
+            ts = 0
+            for i in range(0, len(values), 500):
+                chunk = values[i : i + 500]
+                client.produce_v2(
+                    topic, 0, [(None, v, ts, ()) for v in chunk]
+                )
+        finally:
+            client.close()
+        return len(values)
 
     def _start_stream_sink(self, df: DataFrame, spec: ddl_mod.TableSpec):
         """Unbounded INSERT INTO: start a writeStream into the sink table

@@ -108,7 +108,12 @@ def substitute_variables(sql: str, variables: dict[str, str]) -> str:
 
 def extract_topics(statements: list[SQLStatement]) -> list[str]:
     """Topics from CREATE TABLE `'topic' = '<t>'` options, first-seen order,
-    deduplicated."""
+    deduplicated. Unresolved `${...}` placeholders are NOT topic
+    declarations — they reference the runner-GENERATED resource names
+    (the scaffolded 01/02 SQL says `'topic' = '${INPUT_TOPIC}'`), so
+    they are skipped; reporting them as topics would make the runner
+    create literal `${INPUT_TOPIC}` topics on the broker (round-12 wire
+    e2e finding)."""
     seen: set[str] = set()
     topics: list[str] = []
     for stmt in statements:
@@ -116,6 +121,8 @@ def extract_topics(statements: list[SQLStatement]) -> list[str]:
             continue
         for m in TOPIC_RE.finditer(stmt.content):
             t = m.group(1)
+            if t.startswith("${"):
+                continue
             if t not in seen:
                 seen.add(t)
                 topics.append(t)

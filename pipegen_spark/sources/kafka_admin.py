@@ -110,3 +110,62 @@ class KafkaTopicAdmin:
         for t in topics:
             self.create_topic(t, partitions, replication)
         return list(topics)
+
+
+class KafkaWireAdmin:
+    """Topic admin over the WIRE protocol (round-12): CreateTopics v0 /
+    DeleteTopics v0 / Metadata v0 straight over a socket — the protocol
+    real admin clients use (KIP-4), no shell, no docker. Same surface
+    as KafkaTopicAdmin so the runner can use either; this one drives
+    the in-process broker in the jar-free e2e
+    (tests/test_runner_wire_e2e.py) and any real broker listening on
+    the same port."""
+
+    def __init__(self, host: str, port: int) -> None:
+        from pipegen_spark.sources.kafka_wire import KafkaWireClient
+
+        self._client = KafkaWireClient(host, port, client_id="pipegen-admin")
+
+    def close(self) -> None:
+        self._client.close()
+
+    def create_topic(
+        self, topic: str, partitions: int = 3, replication_factor: int = 1
+    ) -> None:
+        from pipegen_spark.sources import kafka_wire as kw
+
+        errs = self._client.create_topics([topic], partitions=partitions)
+        err = errs.get(topic, -1)
+        if err not in (kw.ERR_NONE, kw.ERR_TOPIC_ALREADY_EXISTS):
+            raise TopicAdminError(
+                f"failed to create topic {topic}: error code {err}"
+            )
+
+    def delete_topic(self, topic: str) -> bool:
+        """True if deleted, False if it did not exist (kafka.go:60-66
+        semantics, same as the shell path)."""
+        from pipegen_spark.sources import kafka_wire as kw
+
+        errs = self._client.delete_topics([topic])
+        err = errs.get(topic, -1)
+        if err == kw.ERR_UNKNOWN_TOPIC_OR_PARTITION:
+            return False
+        if err != kw.ERR_NONE:
+            raise TopicAdminError(
+                f"failed to delete topic {topic}: error code {err}"
+            )
+        return True
+
+    def list_topics(self) -> list[str]:
+        md = self._client.metadata([])
+        return sorted(md["topics"])
+
+    def topic_exists(self, topic: str) -> bool:
+        return topic in self.list_topics()
+
+    def create_all(
+        self, topics: list[str], partitions: int = 3, replication: int = 1
+    ) -> list[str]:
+        for t in topics:
+            self.create_topic(t, partitions, replication)
+        return list(topics)

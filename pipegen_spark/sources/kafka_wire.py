@@ -59,9 +59,13 @@ from dataclasses import dataclass
 API_PRODUCE = 0
 API_FETCH = 1
 API_METADATA = 3
+API_CREATE_TOPICS = 19
+API_DELETE_TOPICS = 20
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_TOPIC_ALREADY_EXISTS = 36
+ERR_INVALID_PARTITIONS = 37
 
 
 # --- primitive codecs ---------------------------------------------------------
@@ -516,6 +520,32 @@ class KafkaWireClient:
             topics_out[name] = {"error": err, "partitions": parts}
         return {"brokers": brokers, "topics": topics_out}
 
+    def create_topics(
+        self, topics: list[str], partitions: int = 1, timeout_ms: int = 5000
+    ) -> dict[str, int]:
+        """CreateTopics v0 (KIP-4 admin over the wire — what real
+        clients use instead of shelling to kafka-topics.sh): -> {topic:
+        error_code} (0 ok, 36 already exists, 37 invalid partitions)."""
+        body = bytearray(struct.pack(">i", len(topics)))
+        for t in topics:
+            body += _enc_str(t)
+            body += struct.pack(">ih", partitions, 1)  # replication 1
+            body += struct.pack(">i", 0)  # replica_assignment: empty
+            body += struct.pack(">i", 0)  # config_entries: empty
+        body += struct.pack(">i", timeout_ms)
+        r = self._call(API_CREATE_TOPICS, bytes(body))
+        return {r.string(): r.i16() for _ in range(r.i32())}
+
+    def delete_topics(
+        self, topics: list[str], timeout_ms: int = 5000
+    ) -> dict[str, int]:
+        """DeleteTopics v0: -> {topic: error_code} (0 ok, 3 unknown)."""
+        body = struct.pack(">i", len(topics)) + b"".join(
+            _enc_str(t) for t in topics
+        ) + struct.pack(">i", timeout_ms)
+        r = self._call(API_DELETE_TOPICS, body)
+        return {r.string(): r.i16() for _ in range(r.i32())}
+
     def produce(
         self,
         topic: str,
@@ -784,6 +814,10 @@ class FakeKafkaBroker:
             body = self._fetch_v4(r)
         elif api_key == API_METADATA and api_version == 0:
             body = self._metadata(r)
+        elif api_key == API_CREATE_TOPICS and api_version == 0:
+            body = self._create_topics(r)
+        elif api_key == API_DELETE_TOPICS and api_version == 0:
+            body = self._delete_topics(r)
         else:
             raise ValueError(
                 f"unsupported api key {api_key} v{api_version}"
@@ -921,6 +955,52 @@ class FakeKafkaBroker:
                 out += struct.pack(">ihqq", pid, ERR_NONE, hw, hw)
                 out += struct.pack(">i", 0)
                 out += struct.pack(">i", len(batch)) + batch
+        return bytes(out)
+
+    def _create_topics(self, r: _Reader) -> bytes:
+        n = r.i32()
+        reqs = []
+        for _ in range(n):
+            topic = r.string()
+            partitions = r.i32()
+            r.i16()  # replication factor (single-broker: accepted as-is)
+            for _ in range(r.i32()):  # replica assignments
+                r.i32()
+                for _ in range(r.i32()):
+                    r.i32()
+            for _ in range(r.i32()):  # config entries
+                r.string(), r.string()
+            reqs.append((topic, partitions))
+        r.i32()  # timeout_ms
+        out = bytearray(struct.pack(">i", len(reqs)))
+        with self._lock:
+            for topic, partitions in reqs:
+                if any(t == topic for t, _ in self._logs):
+                    err = ERR_TOPIC_ALREADY_EXISTS
+                elif partitions < 1:
+                    err = ERR_INVALID_PARTITIONS
+                else:
+                    for p in range(partitions):
+                        self._logs[(topic, p)] = _Log(records=[])
+                    err = ERR_NONE
+                out += _enc_str(topic) + struct.pack(">h", err)
+        return bytes(out)
+
+    def _delete_topics(self, r: _Reader) -> bytes:
+        n = r.i32()
+        topics = [r.string() for _ in range(n)]
+        r.i32()  # timeout_ms
+        out = bytearray(struct.pack(">i", len(topics)))
+        with self._lock:
+            for topic in topics:
+                keys = [k for k in self._logs if k[0] == topic]
+                if not keys:
+                    err = ERR_UNKNOWN_TOPIC_OR_PARTITION
+                else:
+                    for k in keys:
+                        del self._logs[k]
+                    err = ERR_NONE
+                out += _enc_str(topic) + struct.pack(">h", err)
         return bytes(out)
 
     def _metadata(self, r: _Reader) -> bytes:
