@@ -126,9 +126,11 @@ def test_record_batch_timestamps_headers_nulls():
 
 def test_record_batch_gzip_compression():
     """Real brokers usually serve COMPRESSED batches (attributes bits
-    0-2). gzip (codec 1) roundtrips through the pure-stdlib path;
-    snappy/lz4/zstd raise with the codec NAME instead of handing the
-    varint reader deflate bytes."""
+    0-2). gzip (codec 1) roundtrips through the pure-stdlib path; as
+    of r12 snappy/lz4/zstd roundtrip too (their own suites), so the
+    remaining loud boundary is the protocol's RESERVED codec values
+    (5-7), which must raise instead of handing the varint reader
+    compressed bytes."""
     from pipegen_spark.sources.kafka_wire import COMPRESSION_GZIP
 
     recs = [
@@ -146,13 +148,15 @@ def test_record_batch_gzip_compression():
     bad[-3] ^= 0xFF
     with pytest.raises(ValueError):
         decode_record_batches(bytes(bad))
-    # unsupported codecs are named, both encode- and decode-side
-    with pytest.raises(ValueError, match="zstd"):
-        encode_record_batch(recs, compression=4)
+    # reserved codec values are named loudly, both encode- and
+    # decode-side (forge codec 5 with a VALID CRC so the codec check,
+    # not the checksum, is what fires)
+    with pytest.raises(ValueError, match="unsupported compression"):
+        encode_record_batch(recs, compression=5)
     forged = bytearray(plain)
     # attributes int16 sits right after pLE(4)+magic(1)+crc(4) in the
     # batchLength-covered section -> absolute offset 8+4+4+1+4 = 21
-    forged[22] = 3  # lz4
+    forged[22] = 5  # reserved
     import struct as _s
 
     crc_payload = bytes(forged[21:])
@@ -162,7 +166,7 @@ def test_record_batch_gzip_compression():
             "pipegen_spark.sources.kafka_wire", fromlist=["crc32c"]
         ).crc32c(crc_payload),
     )
-    with pytest.raises(ValueError, match="lz4"):
+    with pytest.raises(ValueError, match="unsupported compression"):
         decode_record_batches(bytes(forged))
 
 
@@ -418,14 +422,14 @@ _record_v2 = hst.tuples(
     hst.lists(_record_v2, min_size=1, max_size=20),
     hst.integers(0, 1 << 40),
     hst.integers(-(1 << 40), 1 << 48),
-    hst.sampled_from([0, 1, 3]),  # none / gzip / lz4
+    hst.sampled_from([0, 1, 2, 3, 4]),  # none/gzip/snappy/lz4/zstd
 )
 @settings(max_examples=150)
 def test_record_batch_roundtrip_property(recs, base, base_ts, codec):
     """decode(encode(recs)) reproduces every record — offsets contiguous
     from base, timestamps/keys/values/headers bit-exact (timestamp
     deltas are signed varlongs, so out-of-order timestamps must survive
-    too), under all three supported compression codecs."""
+    too), under all five supported compression codecs."""
     out = decode_record_batches(
         encode_record_batch(
             recs, base_offset=base, base_timestamp=base_ts,
