@@ -936,8 +936,14 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex alone with a running MAX window over the frame axis, no
     GIF code. Any bug in GCE parsing, transparency skip, LZW, or
     disposal handling perturbs some frame's histogram and fails the
-    value hash. One Arrow stage (encode + decode + histogram where the
-    pixels are), map-only, no shuffle."""
+    value hash. The scene-cut flag (`is_cut`) is the keyframe rule
+    multimodal_frame_sample/mjpeg established, applied to COMPOSITED
+    pixels: a frame is a cut when its visible histogram differs from
+    the previous frame's — with transparency, a frame whose visible
+    pixels all repeat the prior canvas is NOT a cut, which only the
+    real compositing chain can know. One Arrow stage (encode + decode
+    + histogram where the pixels are); the only shuffle is the
+    per-doc LAG window."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
@@ -978,10 +984,25 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "frame_idx": fidx, "frame_norm": norms}
             )
 
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
     return (
         docs.select("doc_id", "text")
         .mapInPandas(
             roundtrip, "doc_id long, frame_idx long, frame_norm long"
+        )
+        .withColumn("prev_norm", F.lag("frame_norm").over(w))
+        .select(
+            "doc_id",
+            "frame_idx",
+            "frame_norm",
+            (
+                F.col("prev_norm").isNull()
+                | (F.col("frame_norm") != F.col("prev_norm"))
+            )
+            .cast("long")
+            .alias("is_cut"),
         )
         .orderBy("doc_id", "frame_idx")
     )

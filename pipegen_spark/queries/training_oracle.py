@@ -2950,11 +2950,23 @@ def _gif_frames_sql() -> str:
     hist AS (
         SELECT doc_id, j, COALESCE(lastv % 8, 0) AS bin, COUNT(*) AS c
         FROM vis GROUP BY doc_id, j, 3
+    ),
+    norms AS (
+        SELECT doc_id,
+               CAST(j AS BIGINT) AS frame_idx,
+               CAST(729 * SUM(c * c) AS BIGINT) AS frame_norm
+        FROM hist GROUP BY doc_id, j
     )
-    SELECT doc_id,
-           CAST(j AS BIGINT) AS frame_idx,
-           CAST(729 * SUM(c * c) AS BIGINT) AS frame_norm
-    FROM hist GROUP BY doc_id, j ORDER BY doc_id, frame_idx
+    SELECT doc_id, frame_idx, frame_norm,
+           CAST(
+               COALESCE(
+                   frame_norm <> LAG(frame_norm) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx
+                   ),
+                   TRUE
+               ) AS BIGINT
+           ) AS is_cut
+    FROM norms ORDER BY doc_id, frame_idx
     """
 
 
