@@ -243,6 +243,9 @@ def cmd_run(args) -> int:
         project_dir=args.project_dir,
         report_dir=args.report_dir
         or os.path.join(args.project_dir, "reports"),
+        wire_broker=getattr(args, "wire_broker", None) or "",
+        message_rate=getattr(args, "message_rate", None) or 100,
+        duration_seconds=getattr(args, "duration", None) or 30.0,
     )
     result = PipelineRunner(spark, config).run()
     print(f"run {result.run_id} finished in {result.elapsed_seconds:.1f}s")
@@ -465,6 +468,17 @@ def main(argv: list[str] | None = None) -> int:
     p_run = sub.add_parser("run", help="execute the pipeline")
     p_run.add_argument("project_dir")
     p_run.add_argument("--report-dir")
+    p_run.add_argument(
+        "--wire-broker",
+        metavar="HOST:PORT",
+        help="run the whole lifecycle over a wire-protocol Kafka "
+        "broker (socket topic admin, Confluent-Avro produce/consume, "
+        "smart-stop validation) — r12; cf. reference cmd/run.go",
+    )
+    p_run.add_argument("--message-rate", type=int, metavar="N",
+                       help="messages per second (default 100)")
+    p_run.add_argument("--duration", type=float, metavar="SEC",
+                       help="producer duration in seconds (default 30)")
     p_run.set_defaults(fn=cmd_run)
 
     p_dep = sub.add_parser("deploy", help="deploy the local Kafka stack")
