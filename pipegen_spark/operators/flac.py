@@ -74,27 +74,49 @@ _RATE_TABLE = {
 _SAMPLE_SIZE_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def crc8(data: bytes) -> int:
-    """CRC-8, polynomial 0x07, init 0 (the FLAC frame-header CRC)."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc8_table() -> list[int]:
+    out = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+        out.append(crc)
+    return out
 
 
-def crc16(data: bytes) -> int:
-    """CRC-16, polynomial 0x8005, init 0 (the FLAC frame-footer CRC)."""
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _crc16_table() -> list[int]:
+    out = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        out.append(crc)
+    return out
+
+
+_CRC8_TAB = _crc8_table()
+_CRC16_TAB = _crc16_table()
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8, polynomial 0x07, init 0 (the FLAC frame-header CRC)."""
+    crc = 0
+    tab = _CRC8_TAB
+    for b in data:
+        crc = tab[crc ^ b]
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0 (the FLAC frame-footer CRC)."""
+    crc = 0
+    tab = _CRC16_TAB
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -504,14 +526,22 @@ def flac_features(payload: bytes) -> dict:
 
 
 def _best_rice_param(resid: list[int], max_param: int = 14) -> tuple[int, int]:
-    """-> (param, total_bits) for one partition under Rice method 0."""
+    """-> (param, total_bits) for one partition under Rice method 0.
+    Rice cost is unimodal in the parameter, so search a +-2 window
+    around the mean-magnitude estimate (the standard encoder trick)
+    instead of all 15 — any parameter is VALID, this only affects
+    size."""
     uvals = [(-v * 2 - 1) if v < 0 else v * 2 for v in resid]
+    if not uvals:
+        return 0, 0
+    mean = sum(uvals) // len(uvals)
+    p0 = min(max(mean.bit_length() - 1, 0), max_param)
     best_p, best_bits = 0, None
-    for p in range(max_param + 1):
-        bits = sum((u >> p) + 1 + p for u in uvals)
+    for p in range(max(0, p0 - 2), min(max_param, p0 + 2) + 1):
+        bits = len(uvals) * (1 + p) + sum(u >> p for u in uvals)
         if best_bits is None or bits < best_bits:
             best_p, best_bits = p, bits
-    return best_p, best_bits if best_bits is not None else 0
+    return best_p, best_bits
 
 
 def _write_residual(w: _BitWriter, resid: list[int], param: int) -> None:

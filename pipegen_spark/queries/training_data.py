@@ -987,8 +987,10 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    par = spark.sparkContext.defaultParallelism
     return (
         docs.select("doc_id", "text")
+        .repartition(par)  # CPU-heavy pure-Python codec: use every core
         .mapInPandas(
             roundtrip, "doc_id long, frame_idx long, frame_norm long"
         )
@@ -1048,8 +1050,11 @@ def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "content": payloads}
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
-        encode, "media_id long, content binary"
+    par = spark.sparkContext.defaultParallelism
+    media = (
+        docs.select("doc_id", "text")
+        .repartition(par)  # CPU-heavy pure-Python codec: use every core
+        .mapInPandas(encode, "media_id long, content binary")
     )
     from pipegen_spark.operators.codecs import auto_decode
 
