@@ -460,3 +460,80 @@ def log2_bucket(x: str, max_bits: int, d: str) -> str:
         f"WHEN ({x}) < {1 << b} THEN {b}" for b in range(max_bits)
     )
     return f"(CASE {whens} ELSE {max_bits} END)"
+
+
+def regexp_replace_backref(s: str, pat: str, group_ref: int, d: str) -> str:
+    """Global regexp replace where the replacement is a single captured
+    group — the one replacement form whose syntax diverges: Java (Spark)
+    spells it `$1`, RE2 (DuckDB) spells it `\\1`."""
+    _check(d)
+    if d == SPARK:
+        return f"regexp_replace({s},'{pat}','${group_ref}')"
+    return f"regexp_replace({s},'{pat}','\\{group_ref}','g')"
+
+
+def url_canon(u: str, d: str) -> str:
+    """Canonical form of a URL expression (round-12, the dedup rule a
+    crawl pipeline applies before exact URL dedup — the documented
+    normalization set, cf. RFC 3986 §6 syntax-based normalization plus
+    the standard tracking-param strip):
+
+    1. drop the fragment;
+    2. lowercase the scheme://authority prefix (path/query stay
+       case-sensitive per the RFC);
+    3. strip a leading `www.` host label;
+    4. strip the scheme-default port (:80 http, :443 https);
+    5. drop `utm_*` tracking parameters (single-pass: one utm param per
+       URL is normalized; adjacent chained utm params are a documented
+       boundary — the gated construction emits at most one);
+    6. strip one trailing slash of the path (never the root).
+
+    Pure regexp_replace chain, identical pattern TEXT on both engines
+    (conservative syntax valid in both Java regex and RE2); only the
+    backreference spelling differs (see regexp_replace_backref).
+    """
+    _check(d)
+    # 1. fragment
+    u1 = regexp_replace_all(u, "#.*$", "", d)
+    # scheme://authority prefix vs the rest
+    prefix = f"regexp_extract({u1}, '^[^/]*//[^/?]*', 0)"
+    tail = f"substr({u1}, length({prefix}) + 1)"
+    # 2-4. lowercase prefix, strip www. and default ports
+    p1 = f"lower({prefix})"
+    p2 = regexp_replace_all(p1, "://www\\.", "://", d)
+    p3 = regexp_replace_all(p2, ":80$", "", d)
+    p4 = regexp_replace_all(p3, ":443$", "", d)
+    # 5. utm params: mid-list (keep the separator) then list-final
+    t1 = regexp_replace_backref(tail, "([?&])utm_[^&]*&", 1, d)
+    t2 = regexp_replace_all(t1, "[?&]utm_[^&]*$", "", d)
+    # 6. one trailing path slash (before the query or at the end)
+    t3 = regexp_replace_backref(t2, "/([?]|$)", 1, d)
+    return f"({p4} || {t3})"
+
+
+def str_cast(x: str, d: str) -> str:
+    """Portable integer->string cast (STRING vs VARCHAR spelling)."""
+    _check(d)
+    return f"CAST({x} AS {'STRING' if d == SPARK else 'VARCHAR'})"
+
+
+def luhn16(card: str, d: str) -> str:
+    """Luhn checksum validity (1/0) of a 16-digit string expression —
+    the credit-card checkfilter a PII scrubber runs on candidate digit
+    runs (ISO/IEC 7812). Unrolled pure-integer CASE sum (no lambdas,
+    no engine-specific list functions): from the right, every second
+    digit doubles with 9-subtraction; valid iff the total is % 10 = 0.
+    With fixed length 16, the doubled digits are the odd 1-based
+    positions from the left."""
+    _check(d)
+    terms = []
+    for i in range(1, 17):
+        dd = f"CAST(substr({card},{i},1) AS INT)"
+        if i % 2 == 1:
+            terms.append(
+                f"(CASE WHEN {dd}*2 > 9 THEN {dd}*2-9 ELSE {dd}*2 END)"
+            )
+        else:
+            terms.append(f"({dd})")
+    total = " + ".join(terms)
+    return f"(CASE WHEN ({total}) % 10 = 0 THEN 1 ELSE 0 END)"

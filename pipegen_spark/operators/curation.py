@@ -2308,3 +2308,77 @@ def domain_blocklist_gate(
         )
         .orderBy(id_col)
     )
+
+
+# --- PII detection (round-12) -------------------------------------------------
+#
+# The scrub pass every training-data pipeline runs before release
+# (cf. the public C4/Dolma/BigCode pipelines' PII stages): regex
+# detectors for the high-volume identifier shapes plus the Luhn
+# checkfilter on candidate card-number digit runs (ISO/IEC 7812 —
+# a raw \d{16} regex alone flags ~10x too much; the checksum cuts
+# random digit runs by 90%). Patterns use conservative syntax valid
+# with IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded repetition, \b word boundaries — no
+# lookaround, no backreferences. (Distinct from the module-level
+# PII_PATTERNS redaction set above, which with_redaction/redact_exprs
+# carry for the curate_redact-family surface: these detectors add the
+# SSN/card shapes and the checksum stage.)
+
+PII_DETECTORS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "card": "\\b\\d{16}\\b",
+}
+
+#: Redaction applies the detectors SEQUENTIALLY in this fixed order
+#: (not as one alternation) — leftmost-first alternation tie-breaks
+#: are the one place Java/RE2 semantics could be argued about, and a
+#: fixed sequential order removes the question entirely.
+PII_REDACT_ORDER = ("email", "ipv4", "ssn", "card")
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII surface: detector hit counts, Luhn validity of the
+    first card-shaped digit run, and the redacted length (every
+    detector hit replaced by the fixed '[PII]' token — length is the
+    integer surface that changes iff any replacement changes). One
+    distributed projection, no shuffle, no UDF — regexp engines run
+    JVM-side inside codegen."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    red = t
+    for name in PII_REDACT_ORDER:
+        red = F.regexp_replace(red, PII_DETECTORS[name], "[PII]")
+    out = df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_DETECTORS["email"]))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_DETECTORS["ipv4"]))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_DETECTORS["ssn"]))
+        .cast("long")
+        .alias("n_ssn"),
+        F.regexp_count(t, F.lit(PII_DETECTORS["card"]))
+        .cast("long")
+        .alias("n_cards"),
+        F.regexp_extract(t, PII_DETECTORS["card"], 0).alias("_card"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+    luhn = F.when(
+        F.length(F.col("_card")) == 16,
+        F.expr(dl.luhn16("_card", dl.SPARK)),
+    ).otherwise(F.lit(0))
+    return out.select(
+        id_col,
+        "n_emails",
+        "n_ipv4",
+        "n_ssn",
+        "n_cards",
+        luhn.cast("long").alias("card_luhn_ok"),
+        "redacted_len",
+    )

@@ -91,16 +91,21 @@ rounds; long-stable canaries stay in every window):
   driver row and no row predates r7. Queries landing after this
   round's final suite run go in GATE_PENDING (mechanical snapshot
   rule) and must ride the front of the r12 window.
-- r12 window (current): the two brand-new surfaces
+- r12 window (current): the four brand-new surfaces
   (multimodal_flac_features — the from-scratch FLAC codec under the
-  WAV-shaped md5 hard oracle — and multimodal_gif_frames — animated
-  GIF compositing with GCE transparency/disposal under a running-MAX
-  frame oracle), then the rolling rotation: the 30 r7-dated rows (the
-  corpus's oldest after the r11 window: q09/q10_*/q11-q17 tail,
-  q49-q52/q55/q56, simsearch_bruteforce/ivf/lsh/recall, the text_*
-  tail), the 12 alphabetically-first r8-dated rows (curate_budget ...
-  dedup_bloom), and the 6 canaries = 50. After this window no corpus
-  query's newest driver row predates r8.
+  WAV-shaped md5 hard oracle; multimodal_gif_frames — animated GIF
+  compositing with GCE transparency/disposal under a running-MAX
+  frame oracle; curate_pii_stats — regex PII detectors + the Luhn
+  checkfilter + redaction; dedup_url_canonical — RFC 3986 §6 URL
+  normalization dedup), then the rolling rotation: the 30 r7-dated
+  rows (the corpus's oldest after the r11 window: q09/q10_*/q11-q17
+  tail, q49-q52/q55/q56, simsearch_bruteforce/ivf/lsh/recall, the
+  text_* tail), the 10 alphabetically-first r8-dated rows
+  (curate_budget ... curate_unimax — curate_weighted_sample and
+  dedup_bloom dropped to r13 when the two mid-round surfaces took
+  their slots), and the 6 canaries = 50. After this window no corpus
+  query's newest driver row predates r8 except those two r13
+  rotation picks.
 """
 
 from __future__ import annotations
@@ -120,7 +125,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 212
+CORPUS_SIZE = 214
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -145,6 +150,12 @@ GATE_CANARIES = (
 GATE_CHANGED: tuple[str, ...] = (
     "multimodal_flac_features",
     "multimodal_gif_frames",
+    # mid-round additions (window re-verified after each): the PII
+    # scrub surface (regex detectors + Luhn checkfilter + redaction,
+    # JVM-side only) and URL canonicalization dedup (RFC 3986 §6
+    # normalization + tracking-param strip via dialect.url_canon).
+    "curate_pii_stats",
+    "dedup_url_canonical",
 )
 
 #: Never-gated retirement: none this round — GATE_STATUS.json shows
@@ -208,12 +219,12 @@ GATE_ROLLING = (
     "curate_split",
     "curate_temperature",
     "curate_unimax",
-    "curate_weighted_sample",
-    "dedup_bloom",
+    # (curate_weighted_sample and dedup_bloom rotate to r13 — dropped
+    # to make room for the two mid-round surfaces in GATE_CHANGED)
 )
 
-#: The full round-12 gate window, in enumeration order: 2 new surfaces
-#: + 42 rolling re-gates + 6 canaries = 50.
+#: The full round-12 gate window, in enumeration order: 4 new surfaces
+#: + 40 rolling re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

@@ -2870,3 +2870,120 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VMR ~ 1). Integer cross-multiplied surfaces."""
     docs = table(spark, sf_dir, "documents")
     return tx.term_burstiness(docs, "text", "doc_id")
+
+
+def _pii_synth(d: str) -> str:
+    """The md5-derived synthetic PII record appended to each doc's text
+    (shared builder, both dialects — the detectors under test then run
+    over REAL varying identifiers: the 16-digit card run is Luhn-valid
+    for ~10% of docs, so the checkfilter's output varies non-trivially
+    and any Luhn/regex bug fails the value hash). Expects columns
+    (text, hx = md5(coalesce(text,''))). Positions: nibbles 1-16 ->
+    card digits, 17-25 -> SSN digits, hex pairs 9/11/13/15 -> IPv4
+    octets, hex chars 1-8 -> email local/domain parts."""
+    from pipegen_spark.functions import dialect as dl
+
+    if d == dl.SPARK:
+        def pair(i):
+            return dl.str_cast(f"CAST(conv(substr(hx,{i},2),16,10) AS INT)", d)
+
+        def nib(i):
+            return dl.str_cast(
+                f"(CAST(conv(substr(hx,{i},1),16,10) AS INT) % 10)", d
+            )
+    else:
+        def pair(i):
+            return dl.str_cast(f"CAST(('0x'||substr(hx,{i},2)) AS INT)", d)
+
+        def nib(i):
+            return dl.str_cast(
+                f"(CAST(('0x'||substr(hx,{i},1)) AS INT) % 10)", d
+            )
+
+    email = "'u' || substr(hx,1,6) || '@ex' || substr(hx,7,2) || '.com'"
+    ip = " || '.' || ".join(pair(i) for i in (9, 11, 13, 15))
+    ssn = (
+        " || ".join(nib(i) for i in (17, 18, 19))
+        + " || '-' || " + " || ".join(nib(i) for i in (20, 21))
+        + " || '-' || " + " || ".join(nib(i) for i in (22, 23, 24, 25))
+    )
+    card = " || ".join(nib(i) for i in range(1, 17))
+    return (
+        f"COALESCE(text,'') || ' email ' || ({email}) || ' ip ' || ({ip})"
+        f" || ' ssn ' || ({ssn}) || ' card ' || ({card})"
+    )
+
+
+def curate_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction surface (round-12) — the scrub pass a
+    training corpus runs before release (C4/Dolma/BigCode-style PII
+    stages): regex detectors for emails / IPv4 / SSN-shaped ids /
+    16-digit card runs, the Luhn checkfilter (ISO/IEC 7812) on the
+    card candidate, and the redacted length. Each doc's text gains an
+    md5-derived synthetic PII record (see _pii_synth) so the detectors
+    see REAL varying identifiers — ~10% of card runs are Luhn-valid —
+    while the natural text contributes whatever it contains, identical
+    in both engines. Pure JVM-side regexp projection, no shuffle, no
+    UDF; at 100 TB this is an embarrassingly-parallel scan stage."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = docs.withColumn(
+        "hx", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).withColumn("pii_doc", F.expr(_pii_synth(dl.SPARK)))
+    return cu.pii_stats(df, text_col="pii_doc", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def _url_raw(d: str) -> str:
+    """doc_id-derived raw URL with every normalization hazard the
+    canonicalizer handles (shared builder, both dialects): mixed-case
+    scheme/host, optional www., optional default port, one utm_*
+    tracking param, optional trailing slash, fragment. doc_id % 100
+    picks the canonical target, so ~1% of docs collide canonically
+    while their raw strings differ."""
+    from pipegen_spark.functions import dialect as dl
+
+    g = dl.str_cast("doc_id % 100", d)
+    i = dl.str_cast("doc_id", d)
+    scheme = "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END"
+    host = (
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.SiTe' "
+        "WHEN 1 THEN 'www.SITE' ELSE 'site' END"
+    )
+    port = "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END"
+    slash = "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    q = (
+        f"CASE WHEN doc_id % 3 = 0 THEN '?utm_source=s' || {i} || "
+        "'&id=7' ELSE '?id=7' END"
+    )
+    return (
+        f"({scheme}) || '://' || ({host}) || {g} || '.CoM' || ({port})"
+        f" || '/p/' || {g} || ({slash}) || ({q}) || '#f' || {i}"
+    )
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (round-12) — the normalization a
+    crawl pipeline applies BEFORE exact URL dedup (RFC 3986 §6
+    syntax-based normalization + the standard tracking-param strip;
+    see dialect.url_canon for the documented rule set). Each doc gets
+    a doc_id-derived raw URL exercising every hazard; grouping by the
+    canonical form yields the dedup groups: (canonical_url,
+    n_variants, n_distinct_raw, keeper_doc). One projection + one
+    hash aggregate on the canonical key — at 100 TB the groupBy
+    shuffles once on a high-cardinality key, no skew (group sizes are
+    bounded by the collision construction, ~n/100 here)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.withColumn("raw_url", F.expr(_url_raw(dl.SPARK)))
+        .withColumn(
+            "canonical_url", F.expr(dl.url_canon("raw_url", dl.SPARK))
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.countDistinct("raw_url").cast("long").alias("n_distinct_raw"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+        .orderBy("canonical_url")
+    )

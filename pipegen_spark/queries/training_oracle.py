@@ -4036,6 +4036,80 @@ def _rep_ngram_sql() -> str:
     """
 
 
+def _pii_stats_sql() -> str:
+    """Mirror of queries.training_data.curate_pii_stats: the SAME
+    synthetic-PII construction (shared _pii_synth builder, DuckDB
+    dialect), then an independent spelling of the detectors — DuckDB
+    regexp_extract_all lengths, RE2 replaces, and the shared unrolled
+    Luhn CASE sum (dialect.luhn16)."""
+    from pipegen_spark.operators.curation import (
+        PII_DETECTORS,
+        PII_REDACT_ORDER,
+    )
+    from pipegen_spark.queries.training_data import _pii_synth
+
+    synth = _pii_synth(D)
+    counts = ",\n           ".join(
+        f"CAST({dl.regexp_count('doc', PII_DETECTORS[k], D)} AS BIGINT)"
+        f" AS n_{alias}"
+        for k, alias in (
+            ("email", "emails"), ("ipv4", "ipv4"),
+            ("ssn", "ssn"), ("card", "cards"),
+        )
+    )
+    red = "doc"
+    for name in PII_REDACT_ORDER:
+        red = dl.regexp_replace_all(red, PII_DETECTORS[name], "[PII]", D)
+    luhn = dl.luhn16("card_run", D)
+    return f"""
+    WITH h AS (
+        SELECT doc_id, COALESCE(text,'') AS text,
+               md5(COALESCE(text,'')) AS hx
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, {synth} AS doc FROM h
+    ),
+    det AS (
+        SELECT doc_id, doc,
+               regexp_extract(doc, '{PII_DETECTORS["card"]}', 0)
+                   AS card_run
+        FROM s
+    )
+    SELECT doc_id,
+           {counts},
+           CAST(CASE WHEN length(card_run) = 16 THEN {luhn} ELSE 0 END
+                AS BIGINT) AS card_luhn_ok,
+           CAST(length({red}) AS BIGINT) AS redacted_len
+    FROM det ORDER BY doc_id
+    """
+
+
+def _url_canonical_sql() -> str:
+    """Mirror of queries.training_data.dedup_url_canonical: shared
+    raw-URL construction (_url_raw) + shared canonicalizer
+    (dialect.url_canon), DuckDB dialect; grouping/aggregation spelled
+    independently."""
+    from pipegen_spark.queries.training_data import _url_raw
+
+    raw = _url_raw(D)
+    canon = dl.url_canon("raw_url", D)
+    return f"""
+    WITH u AS (
+        SELECT doc_id, {raw} AS raw_url FROM documents
+    ),
+    c AS (
+        SELECT doc_id, raw_url, {canon} AS canonical_url FROM u
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM c GROUP BY canonical_url ORDER BY canonical_url
+    """
+
+
+
 TRAINING_ORACLE: dict[str, str] = {
     "curate_rep_ngram": _rep_ngram_sql(),
     "curate_classifier": _classifier_sql(),
@@ -4056,6 +4130,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_gif_features": _multimodal_gif_sql(),
     "multimodal_gif_frames": _gif_frames_sql(),
+    "curate_pii_stats": _pii_stats_sql(),
+    "dedup_url_canonical": _url_canonical_sql(),
     "multimodal_png_features": _multimodal_png_sql(),
     "multimodal_wav_features": _multimodal_wav_sql(),
     # FLAC carries the SAME md5-tiled sample surface as WAV by
