@@ -91,21 +91,22 @@ rounds; long-stable canaries stay in every window):
   driver row and no row predates r7. Queries landing after this
   round's final suite run go in GATE_PENDING (mechanical snapshot
   rule) and must ride the front of the r12 window.
-- r12 window (current): the four brand-new surfaces
+- r12 window (current): the five brand-new surfaces
   (multimodal_flac_features — the from-scratch FLAC codec under the
   WAV-shaped md5 hard oracle; multimodal_gif_frames — animated GIF
   compositing with GCE transparency/disposal under a running-MAX
   frame oracle; curate_pii_stats — regex PII detectors + the Luhn
   checkfilter + redaction; dedup_url_canonical — RFC 3986 §6 URL
-  normalization dedup), then the rolling rotation: the 30 r7-dated
+  normalization dedup; text_warc_extract — ISO 28500 WARC crawl
+  ingestion), then the rolling rotation: the 30 r7-dated
   rows (the corpus's oldest after the r11 window: q09/q10_*/q11-q17
   tail, q49-q52/q55/q56, simsearch_bruteforce/ivf/lsh/recall, the
-  text_* tail), the 10 alphabetically-first r8-dated rows
-  (curate_budget ... curate_unimax — curate_weighted_sample and
-  dedup_bloom dropped to r13 when the two mid-round surfaces took
-  their slots), and the 6 canaries = 50. After this window no corpus
-  query's newest driver row predates r8 except those two r13
-  rotation picks.
+  text_* tail), the 9 alphabetically-first r8-dated rows
+  (curate_budget ... curate_temperature — curate_unimax,
+  curate_weighted_sample and dedup_bloom dropped to r13 when the
+  mid-round surfaces took their slots), and the 6 canaries = 50.
+  After this window no corpus query's newest driver row predates r8
+  except those three r13 rotation picks.
 """
 
 from __future__ import annotations
@@ -125,7 +126,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 214
+CORPUS_SIZE = 215
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -156,6 +157,9 @@ GATE_CHANGED: tuple[str, ...] = (
     # normalization + tracking-param strip via dialect.url_canon).
     "curate_pii_stats",
     "dedup_url_canonical",
+    # and WARC crawl ingestion (ISO 28500 container + per-record gzip
+    # + HTTP payload split, sources/warc.py) under the md5 hard gate.
+    "text_warc_extract",
 )
 
 #: Never-gated retirement: none this round — GATE_STATUS.json shows
@@ -218,13 +222,13 @@ GATE_ROLLING = (
     "curate_span_mask",
     "curate_split",
     "curate_temperature",
-    "curate_unimax",
-    # (curate_weighted_sample and dedup_bloom rotate to r13 — dropped
+    # (curate_unimax, curate_weighted_sample and dedup_bloom rotate to
+    # r13 — dropped
     # to make room for the two mid-round surfaces in GATE_CHANGED)
 )
 
-#: The full round-12 gate window, in enumeration order: 4 new surfaces
-#: + 40 rolling re-gates + 6 canaries = 50.
+#: The full round-12 gate window, in enumeration order: 5 new surfaces
+#: + 39 rolling re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

@@ -2987,3 +2987,96 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+def text_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-ingestion under the hard-oracle gate (round-12): each
+    document becomes a genuine per-record-gzip WARC file (the Common
+    Crawl layout, `sources/warc.py`) holding a warcinfo record,
+    md5-derived k in 0..2 request records (which extraction must SKIP),
+    and one `response` record whose HTTP/1.1 payload carries the doc's
+    text bytes with an md5-derived status (200 + nibble26 % 4). The
+    SAME bytes are then parsed back through `parse_records` (version
+    line, mandatory headers, Content-Length framing, CRLFCRLF
+    separators, multi-member gzip) and `parse_http` — so the gated
+    surface (doc_id, n_records, http_status, body_bytes) fails on any
+    framing, length, or gzip-member bug. DuckDB reconstructs every
+    value from md5(text) hex + octet_length(text) alone. One Arrow
+    stage, repartitioned like the codec queries, no shuffle."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.sources.warc import (
+            extract_responses,
+            parse_records,
+            write_http_response,
+            write_record,
+            write_warc_gz,
+        )
+
+        for pdf in batches:
+            ids, nrec, status, blen = [], [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                text = (t or "").encode("utf-8")
+                hx = hashlib.md5(text).hexdigest()
+                nib26 = int(hx[25], 16)
+                nib27 = int(hx[26], 16)
+                st = 200 + nib26 % 4
+                k = nib27 % 3
+                date = "2026-08-16T00:00:00Z"
+                recs = [
+                    write_record(
+                        "warcinfo", f"<urn:uuid:{did}-0>", date,
+                        b"software: pipegen-spark\r\n",
+                    )
+                ]
+                for j in range(k):
+                    recs.append(
+                        write_record(
+                            "request", f"<urn:uuid:{did}-q{j}>", date,
+                            b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+                        )
+                    )
+                recs.append(
+                    write_record(
+                        "response", f"<urn:uuid:{did}-r>", date,
+                        write_http_response(st, "X", text),
+                        {
+                            "WARC-Target-URI": f"http://d{did}.ex/",
+                            "Content-Type":
+                                "application/http;msgtype=response",
+                        },
+                    )
+                )
+                payload = write_warc_gz(recs)
+                parsed = parse_records(payload)
+                resp = extract_responses(payload)
+                assert len(resp) == 1 and resp[0]["body"] == text
+                ids.append(did)
+                nrec.append(len(parsed))
+                status.append(resp[0]["status"])
+                blen.append(len(resp[0]["body"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_records": nrec,
+                    "http_status": status,
+                    "body_bytes": blen,
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, n_records long, http_status long, "
+            "body_bytes long",
+        )
+        .orderBy("doc_id")
+    )

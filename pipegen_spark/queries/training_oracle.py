@@ -4642,3 +4642,27 @@ def _burstiness_sql() -> str:
 
 
 TRAINING_ORACLE["text_burstiness"] = _burstiness_sql()
+
+
+def _warc_extract_sql() -> str:
+    """Mirror of queries.training_data.text_warc_extract from md5(text)
+    hex + octet_length alone: n_records = 2 + nibble27 % 3 (warcinfo +
+    k requests + response), http_status = 200 + nibble26 % 4,
+    body_bytes = the UTF-8 byte length the HTTP payload carried."""
+    nib26 = "CAST(('0x' || substr(hx, 26, 1)) AS INT)"
+    nib27 = "CAST(('0x' || substr(hx, 27, 1)) AS INT)"
+    return f"""
+    WITH h AS (
+        SELECT doc_id, COALESCE(text,'') AS t,
+               md5(COALESCE(text,'')) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 + ({nib27}) % 3 AS BIGINT) AS n_records,
+           CAST(200 + ({nib26}) % 4 AS BIGINT) AS http_status,
+           CAST(octet_length(encode(t)) AS BIGINT) AS body_bytes
+    FROM h ORDER BY doc_id
+    """
+
+
+TRAINING_ORACLE["text_warc_extract"] = _warc_extract_sql()

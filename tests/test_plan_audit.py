@@ -33,6 +33,7 @@ PANDAS_OK = {
     "multimodal_gif_features",  # r11: GIF encode + LZW decode stage
     "multimodal_gif_frames",  # r12: animated-GIF GCE compositing stage
     "multimodal_flac_features",  # r12: FLAC encode + Rice/CRC decode stage
+    "text_warc_extract",  # r12: WARC container + gzip + HTTP parse stage
     "multimodal_png_features",
     "multimodal_wav_features",
     "multimodal_wav_energy",
