@@ -190,6 +190,32 @@ def test_produce_fetch_v2_gzip_over_socket():
             c.close()
 
 
+@pytest.mark.parametrize("codec", [2, 3, 4])  # snappy / lz4 / zstd
+def test_produce_fetch_v2_all_codecs_over_socket(codec):
+    """r12: every from-scratch codec carries batches over the REAL
+    socket path — producer compresses, broker stores the batch bytes,
+    consumer decompresses on fetch."""
+    recs_in = [
+        (b"k%d" % i, b"payload %d " % i * 20, 100 + i, (("h", b"x"),))
+        for i in range(10)
+    ]
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            err, base = c.produce_v2(
+                "t", 0, recs_in, base_timestamp=100, compression=codec
+            )
+            assert (err, base) == (ERR_NONE, 0)
+            err, hw, recs = c.fetch_v2("t", 0, 0)
+            assert err == ERR_NONE and hw == 10
+            assert recs == [
+                (i, ts, k, v, hs)
+                for i, (k, v, ts, hs) in enumerate(recs_in)
+            ]
+        finally:
+            c.close()
+
+
 def test_record_batch_partial_tail_dropped():
     """A trailing partial batch (legal in Fetch v4 responses) is
     dropped; complete leading batches still decode."""
