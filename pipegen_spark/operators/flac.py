@@ -415,7 +415,11 @@ def flac_decode(
             frame_rate = r.read(16) * 10
         else:
             raise ValueError("invalid sample rate code 15")
-        del frame_rate  # per-frame rate must not contradict; not used
+        if frame_rate != rate:
+            raise ValueError(
+                f"frame sample rate {frame_rate} contradicts "
+                f"STREAMINFO rate {rate}"
+            )
         if ss_code == 0:
             frame_bps = bps
         elif ss_code in _SAMPLE_SIZE_TABLE:
@@ -578,6 +582,18 @@ def flac_encode(
         raise ValueError("sample count not divisible by channel count")
     if not (16 <= block_size <= 65535):
         raise ValueError("block size must be 16..65535")
+    # Frame-header rate field: sr_code 13 is a 16-bit Hz value; rates
+    # >= 65536 (e.g. 96000) would silently truncate, so switch to
+    # sr_code 14 (16-bit value in tens of Hz) when it fits exactly.
+    if 0 < sample_rate < (1 << 16):
+        sr_code, sr_field = 13, sample_rate
+    elif sample_rate % 10 == 0 and sample_rate // 10 < (1 << 16):
+        sr_code, sr_field = 14, sample_rate // 10
+    else:
+        raise ValueError(
+            f"sample rate {sample_rate} not representable in a frame "
+            "header (needs 16-bit Hz or 16-bit tens-of-Hz)"
+        )
     n_frames_total = len(samples) // channels
     lim = 1 << (bps - 1)
     for s in samples:
@@ -645,14 +661,14 @@ def flac_encode(
         w.write(0, 1)
         w.write(0, 1)  # fixed blocking strategy
         w.write(7, 4)  # block size: 16-bit value at end of header
-        w.write(13, 4)  # sample rate: 16-bit Hz at end of header
+        w.write(sr_code, 4)  # sample rate at end of header (13 or 14)
         w.write(channels - 1, 4)  # independent channels
         w.write(4, 3)  # 16-bit samples
         w.write(0, 1)
         for b in _utf8_coded(frame_idx):
             w.write(b, 8)
         w.write(bs - 1, 16)
-        w.write(sample_rate, 16)
+        w.write(sr_field, 16)
         hdr = w.bytes()
         w2 = _BitWriter()
         for b in hdr:

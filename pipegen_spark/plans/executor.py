@@ -60,6 +60,12 @@ class SQLPipelineExecutor:
     #: topic -> avro schema json the wire sink encoded with (the
     #: runner's consume/validate step decodes with the same schema).
     wire_sink_schemas: dict[str, str] = field(default_factory=dict)
+    #: topic -> rows actually produced to that topic by the wire sink;
+    #: the runner's expected-count smart stop reads THIS, not the sum
+    #: of every statement's rows_written (which also counts non-Kafka
+    #: batch materializations and would inflate the expectation past
+    #: what the output topic can ever hold).
+    wire_sink_counts: dict[str, int] = field(default_factory=dict)
     #: topic -> registered Schema Registry id (runner step 6): stamped
     #: into the Confluent wire header by the sink; the source resolves
     #: writer schemas back through the registry by this id.
@@ -291,6 +297,9 @@ class SQLPipelineExecutor:
                 )
         finally:
             client.close()
+        self.wire_sink_counts[topic] = (
+            self.wire_sink_counts.get(topic, 0) + len(values)
+        )
         return len(values)
 
     def _start_stream_sink(self, df: DataFrame, spec: ddl_mod.TableSpec):

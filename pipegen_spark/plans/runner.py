@@ -227,10 +227,13 @@ class PipelineRunner:
             # 12-13. wire mode: consume the OUTPUT topic over the
             # socket and validate, with smart-stop semantics
             if wire is not None:
-                expected = sum(
-                    r.rows_written
-                    for r in results
-                    if r.rows_written is not None
+                # Expected count = rows the wire sink produced to the
+                # OUTPUT topic specifically — summing every statement's
+                # rows_written also counts non-Kafka batch
+                # materializations and would overshoot, burning the
+                # idle timeout instead of stopping at expected_count.
+                expected = executor.wire_sink_counts.get(
+                    res.output_topic
                 ) or producer_stats.get("produced")
                 producer_stats["consumer"] = self._consume_wire(
                     executor, res, wire, expected

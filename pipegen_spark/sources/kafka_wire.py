@@ -744,13 +744,27 @@ class _Log:
         self.records.extend(recs)
         return base
 
-    def read(self, offset: int) -> bytes:
+    def read(self, offset: int, max_bytes: int | None = None) -> bytes:
+        """Re-frame the log tail from `offset` as a v0 MessageSet. When
+        `max_bytes` is given, encode only WHOLE messages up to the cap
+        — but always at least one (same KIP-74 progress guarantee as
+        read_v2: byte-slicing leaves a partial trailing message that
+        decode_message_set drops, so a tail message larger than
+        max_bytes would stall the fetch loop forever)."""
         if offset < 0 or offset > len(self.records):
             raise IndexError
-        return encode_message_set(
-            [(k, v) for k, v, _, _ in self.records[offset:]],
-            base_offset=offset,
-        )
+        tail = [(k, v) for k, v, _, _ in self.records[offset:]]
+        if not tail:
+            return b""
+        if max_bytes is None:
+            return encode_message_set(tail, base_offset=offset)
+        out = bytearray()
+        for i, kv in enumerate(tail):
+            entry = encode_message_set([kv], base_offset=offset + i)
+            if out and len(out) + len(entry) > max_bytes:
+                break
+            out += entry
+        return bytes(out)
 
     def read_v2(self, offset: int, max_bytes: int | None = None) -> bytes:
         """Re-frame the log tail from `offset` as one RecordBatch. When
@@ -941,7 +955,7 @@ class FakeKafkaBroker:
                         ) + struct.pack(">i", 0)
                         continue
                     try:
-                        mset = log.read(offset)[:max_bytes]
+                        mset = log.read(offset, max_bytes=max_bytes)
                     except IndexError:
                         mset = b""
                     hw = len(log.records)

@@ -200,12 +200,13 @@ def parse_http(payload: bytes) -> tuple[int, dict[str, str], bytes]:
         k, sep2, v = line.partition(b":")
         if not sep2:
             raise ValueError(f"malformed HTTP header {line!r}")
-        headers[k.decode("ascii", "replace").strip()] = v.strip().decode(
-            "utf-8", "replace"
-        )
+        # RFC 7230 §3.2: field names are case-insensitive; real crawl
+        # data carries lowercase names, so normalize to lowercase.
+        key = k.decode("ascii", "replace").strip().lower()
+        headers[key] = v.strip().decode("utf-8", "replace")
     body = payload[sep + 4 :]
-    if "Content-Length" in headers:
-        clen = int(headers["Content-Length"])
+    if "content-length" in headers:
+        clen = int(headers["content-length"])
         if clen > len(body):
             raise ValueError("HTTP body shorter than Content-Length")
         body = body[:clen]
@@ -231,7 +232,7 @@ def extract_responses(
             {
                 "target_uri": rec["headers"].get("WARC-Target-URI", ""),
                 "status": status,
-                "content_type": hh.get("Content-Type", ""),
+                "content_type": hh.get("content-type", ""),
                 "body": body,
             }
         )

@@ -564,7 +564,7 @@ def _decode_literals(
 
 def _decode_sequences(
     block: bytes, pos: int, literals: bytes, out: bytearray,
-    state: _FrameState, max_output: int,
+    state: _FrameState, max_output: int, frame_start: int = 0,
 ) -> None:
     """Parse + execute the sequences section, appending to `out`."""
     if pos >= len(block):
@@ -643,7 +643,7 @@ def _decode_sequences(
             raise ValueError("zstd output exceeds max_output")
         out += literals[lit_pos : lit_pos + llen]
         lit_pos += llen
-        if offset > len(out):
+        if offset > len(out) - frame_start:
             raise ValueError("match offset beyond frame start")
         start = len(out) - offset
         if offset >= mlen:
@@ -756,7 +756,8 @@ def zstd_decompress(
                 pos += bsize
                 literals, lpos = _decode_literals(block, 0, state)
                 _decode_sequences(
-                    block, lpos, literals, out, state, max_output
+                    block, lpos, literals, out, state, max_output,
+                    frame_start,
                 )
             else:
                 raise ValueError("reserved block type 3")

@@ -384,6 +384,37 @@ def test_encoder_subframe_choices_cover_paths():
     assert flac_samples(p3) == noise
 
 
+def test_high_sample_rates_use_tens_of_hz_code():
+    """96 kHz doesn't fit the 16-bit-Hz frame-header field (sr_code
+    13); the encoder must switch to sr_code 14 (tens of Hz) instead of
+    silently truncating to sample_rate & 0xFFFF."""
+    samples = [i % 7 - 3 for i in range(300)]
+    for rate in (96_000, 192_000, 44_100, 8_000):
+        payload = flac_encode(samples, sample_rate=rate)
+        assert flac_samples(payload) == samples
+        assert flac_decode(payload)[0] == rate
+    # 655351 Hz: not 16-bit and not a whole number of tens -> loud
+    with pytest.raises(ValueError, match="not representable"):
+        flac_encode(samples, sample_rate=655_351)
+
+
+def test_frame_rate_must_match_streaminfo():
+    """The decoder verifies the per-frame rate against STREAMINFO (a
+    16-bit Hz field lives in the last 2 header bytes before CRC-8)."""
+    payload = bytearray(flac_encode([1, 2, 3, 4] * 64, sample_rate=8_000))
+    # frame starts right after fLaC + block header (4) + STREAMINFO 34
+    fstart = 4 + 4 + 34
+    # header: sync(2) + bs/sr codes(1) + ch/bps(1) + frame number utf8
+    # (1 for frame 0) + blocksize(2) + rate(2) -> rate at fstart+7
+    payload[fstart + 7 : fstart + 9] = (44_100).to_bytes(2, "big")
+    # re-stamp the header CRC-8 so the rate contradiction is what trips
+    from pipegen_spark.operators.flac import crc8
+
+    payload[fstart + 9] = crc8(bytes(payload[fstart : fstart + 9]))
+    with pytest.raises(ValueError, match="contradicts"):
+        flac_decode(bytes(payload))
+
+
 def test_md5_streaminfo_verified():
     payload = bytearray(flac_encode(list(range(-100, 100))))
     assert hashlib.md5  # the encoder stamps it; flip one digest byte:

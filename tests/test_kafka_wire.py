@@ -19,6 +19,8 @@ from __future__ import annotations
 import struct
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hst
 
 from pipegen_spark.sources.kafka_wire import (
     ERR_NONE,
@@ -311,6 +313,44 @@ def test_produce_fetch_roundtrip_over_socket():
             c.close()
 
 
+@given(
+    sizes=hst.lists(
+        hst.integers(min_value=0, max_value=400), min_size=1, max_size=12
+    ),
+    max_bytes=hst.integers(min_value=1, max_value=256),
+)
+@settings(max_examples=20, deadline=None)
+def test_small_max_bytes_fetch_loop_still_drains(sizes, max_bytes):
+    """KIP-74 progress guarantee on BOTH fetch formats: when the log
+    tail exceeds max_bytes — including single records larger than the
+    whole cap — every fetch returns at least one complete batch/message
+    and a fetch loop drains the log instead of stalling on a partial
+    frame the decoder silently drops."""
+    values = [bytes([i % 251]) * n for i, n in enumerate(sizes)]
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            c.produce_v2(
+                "caps", 0, [(None, v, 7, ()) for v in values],
+                base_timestamp=7,
+            )
+            for fetch in (
+                lambda off: c.fetch_v2("caps", 0, off, max_bytes=max_bytes),
+                lambda off: c.fetch("caps", 0, off, max_bytes=max_bytes),
+            ):
+                got, offset, rounds = [], 0, 0
+                while offset < len(values):
+                    rounds += 1
+                    assert rounds <= len(values) + 1, "fetch loop stalled"
+                    _err, _hw, recs = fetch(offset)
+                    assert recs, "empty response mid-log (stall)"
+                    got.extend(r[-2] if len(r) == 5 else r[2] for r in recs)
+                    offset = recs[-1][0] + 1
+                assert got == values
+        finally:
+            c.close()
+
+
 def test_fetch_unknown_topic_reports_error_code():
     with FakeKafkaBroker() as (host, port):
         c = KafkaWireClient(host, port)
@@ -401,9 +441,6 @@ def test_concurrent_producers_assign_disjoint_offsets():
 
 
 # --- property tests (hypothesis) --------------------------------------------
-
-from hypothesis import given, settings
-from hypothesis import strategies as hst
 
 _record = hst.tuples(
     hst.one_of(hst.none(), hst.binary(max_size=40)),

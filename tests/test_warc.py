@@ -87,8 +87,35 @@ def test_http_payload_split():
                                   content_type="text/plain")
     status, headers, body = parse_http(payload)
     assert status == 301
-    assert headers["Content-Type"] == "text/plain"
+    assert headers["content-type"] == "text/plain"
     assert body == b"see elsewhere"
+
+
+def test_http_headers_case_insensitive():
+    # RFC 7230 §3.2: real crawl data commonly carries lowercase header
+    # names — lookups must still find content-type and apply the
+    # Content-Length truncation.
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"content-type: text/html\r\n"
+        b"CONTENT-LENGTH: 5\r\n"
+        b"\r\n"
+        b"hello-trailing-garbage"
+    )
+    status, headers, body = parse_http(payload)
+    assert status == 200
+    assert headers["content-type"] == "text/html"
+    assert body == b"hello"
+    rec = write_record(
+        "response",
+        "<u:ci>",
+        "2026-08-16T00:00:00Z",
+        payload,
+        extra_headers={"WARC-Target-URI": "http://x/ci"},
+    )
+    (resp,) = extract_responses(rec)
+    assert resp["content_type"] == "text/html"
+    assert resp["body"] == b"hello"
     with pytest.raises(ValueError, match="separator"):
         parse_http(b"HTTP/1.1 200 OK\r\nX: 1")
     with pytest.raises(ValueError, match="status"):

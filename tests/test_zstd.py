@@ -111,6 +111,38 @@ def test_rejects_structural_garbage():
         zstd_decompress(zstd_compress_store(b"a" * 5000), max_output=10)
 
 
+def test_match_offset_bounded_by_current_frame():
+    """A corrupt second frame whose match offset reaches into the
+    PREVIOUS frame's output must raise, not silently copy bytes across
+    the frame boundary (offsets are frame-relative per RFC 8878)."""
+    # One sequence via RLE table mode (zero-bit states): ll=0 (llen 0),
+    # of_code=2 (offset_value = 4 + 2 extra bits '00' = 4 -> offset 1),
+    # ml=0 (mlen 3). Raw literals of size 0. Backward bitstream is one
+    # sentinel byte carrying the two zero offset bits.
+    block = bytes([
+        0x00,        # literals: raw, regenerated size 0
+        0x01,        # nseq = 1
+        0x54,        # modes: ll=RLE, of=RLE, ml=RLE
+        0x00,        # ll RLE symbol
+        0x02,        # of RLE symbol
+        0x00,        # ml RLE symbol
+        0x04,        # bitstream: sentinel + '00' offset extra bits
+    ])
+    evil = (
+        struct.pack("<I", Z.ZSTD_MAGIC)
+        + bytes([0x20, 3])  # single segment, content size 3
+        + ((len(block) << 3) | (2 << 1) | 1).to_bytes(3, "little")
+        + block
+    )
+    # Standalone, the offset points before frame start -> loud.
+    with pytest.raises(ValueError, match="beyond frame start"):
+        zstd_decompress(evil)
+    # Concatenated after a frame that DOES have output, the offset must
+    # still be bounded by the current frame, not the shared buffer.
+    with pytest.raises(ValueError, match="beyond frame start"):
+        zstd_decompress(zstd_compress_store(b"hello ") + evil)
+
+
 def test_dictionary_is_a_named_boundary():
     frame = struct.pack("<I", Z.ZSTD_MAGIC) + bytes([0x21, 7, 5])
     # FHD 0x21: single-segment + 1-byte dict id (7) + content size 5
