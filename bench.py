@@ -280,19 +280,40 @@ def main() -> None:
         pooled_runs.append(round(time.perf_counter() - t0, 4))
         _drain_gc()
     warm_total = min(pooled_runs)
+    # Floor-adjusted pooled headline (r12 VERDICT #2): at sf0.1 the
+    # pooled wall is floor-dominated (~50 queries return in pure
+    # scheduling time), so subtract the estimated scheduler-floor share
+    # — spark_floor per query, amortized across the pool's threads —
+    # to expose the engine-work component that should track code
+    # changes round-over-round.
+    pooled_floor_share = round(
+        spark_floor * len(pooled) / POOL_THREADS
+        + spark_floor * len(sequential),
+        2,
+    )
+    warm_total_floor_adj = round(max(0.0, warm_total - pooled_floor_share), 2)
 
     # Single-node comparative baseline: the same queries (their oracle SQL)
     # through DuckDB on the same files — ALL of them, each under a
     # per-query watchdog, so the ratio compares equal query sets.
-    # Let the pooled pass's load drain first (r8 finding: the baseline
-    # inherited loadavg ~10 from pooled run 2, inflating its slowest
-    # oracles 1.5-2x and pushing two 16-19 s queries over the watchdog
-    # — an unfairly SLOW baseline flatters the ratio).
-    settle = _await_idle_box()
+    # The baseline gets the SAME treatment as the Spark pooled passes
+    # (r12 judge finding: the builder's DuckDB pass ran settle-free and
+    # gated at exactly loadavg 3.0 — its 118.3 s total was contention-
+    # inflated ~2x vs the driver's settled ~68 s, overstating the
+    # published ratio): 75 s settle + bounded idle wait before EACH of
+    # two passes, report the min, per-pass gates recorded so a loaded
+    # pass is self-labeling. Never quote a Spark/DuckDB ratio whose
+    # DuckDB side wasn't settle-gated min-of-2.
     baseline = None
     try:
-        baseline = _duckdb_baseline(sf_dir)
-        baseline["settle_gate"] = settle
+        duckdb_passes = []
+        for run_no in (1, 2):
+            _load(f"duckdb{run_no}_before", gate=True)
+            b = _duckdb_baseline(sf_dir)
+            b["settle_gate"] = pass_gates[f"duckdb{run_no}_before"]
+            duckdb_passes.append(b)
+        baseline = min(duckdb_passes, key=lambda b: b["sec"])
+        baseline["runs"] = [b["sec"] for b in duckdb_passes]
     except Exception as e:  # baseline is context, not the metric — but
         # say WHY it is missing (stderr keeps the stdout JSON line clean)
         print(f"duckdb baseline failed: {e!r}", file=sys.stderr)
@@ -369,7 +390,10 @@ def main() -> None:
     # detail file).
     drift = None
     try:
-        drift = _drift_vs_history(times, total, warm_total, sf)
+        drift = _drift_vs_history(
+            times, total, warm_total, sf,
+            warm=warm, pooled_runs=pooled_runs,
+        )
     except Exception as e:
         print(f"drift computation failed: {e!r}", file=sys.stderr)
 
@@ -384,6 +408,8 @@ def main() -> None:
         "queries": times,
         "queries_warm": warm,
         "warm_total": warm_total,
+        "warm_total_floor_adj": warm_total_floor_adj,
+        "pooled_floor_share_sec": pooled_floor_share,
         "warm_total_sequential": warm_total_seq,
         "pool_threads": POOL_THREADS,
         "result_sha256": hashes,
@@ -438,6 +464,7 @@ def main() -> None:
         "queries": slowest,
         "queries_omitted": len(times) - len(slowest),
         "warm_total": warm_total,
+        "warm_total_floor_adj": warm_total_floor_adj,
         "warm_total_sequential": warm_total_seq,
         "pooled_runs": pooled_runs,
         "loadavg_1min": loadavg,
@@ -470,6 +497,7 @@ def main() -> None:
     if baseline is not None:
         out["duckdb_baseline"] = {
             "sec": baseline["sec"],
+            "runs": baseline.get("runs"),
             "completed": baseline["completed"],
             "n_timed_out": len(baseline["timed_out"]),
         }
@@ -506,7 +534,9 @@ def main() -> None:
 
 
 def _drift_vs_history(
-    times: dict[str, float], total: float, warm_total: float, sf: float
+    times: dict[str, float], total: float, warm_total: float, sf: float,
+    warm: dict[str, float] | None = None,
+    pooled_runs: list[float] | None = None,
 ) -> dict | None:
     """Per-query cold-time drift vs the newest bench_history archive.
 
@@ -514,7 +544,16 @@ def _drift_vs_history(
     (absolute seconds, only where both rounds ran the query and the
     delta is both >0.5 s and >15% — below that is scheduling noise at
     sf0.1). None when no history exists or the archived run used a
-    different scale factor (cross-SF deltas are meaningless)."""
+    different scale factor (cross-SF deltas are meaningless).
+
+    Pooled-pass drift (r12 VERDICT #2): the pooled total is the most
+    contention-sensitive number and was the only pass without a
+    round-over-round table — a 54.5 -> 75.6 s rise in r12 couldn't be
+    attributed even though common-query warm sums IMPROVED. Now the
+    table carries both rounds' pooled_runs plus the warm-sequential sum
+    restricted to the COMMON query set, so "pooled rose but common
+    per-query work fell" reads directly as pooled-pass scheduling/
+    contention, not a code regression."""
     import glob
 
     hist = sorted(glob.glob(os.path.join(REPO, "bench_history",
@@ -537,7 +576,7 @@ def _drift_vs_history(
         sorted(regressions.items(), key=lambda kv: kv[1][0] - kv[1][1])
     )
     m = re.search(r"bench_detail_(r\d+)\.json$", hist[-1])
-    return {
+    out = {
         "vs": m.group(1) if m else os.path.basename(hist[-1]),
         "cold_total_prev": prev.get("value"),
         "warm_total_prev": prev.get("warm_total"),
@@ -545,6 +584,20 @@ def _drift_vs_history(
         "warm_total_now": warm_total,
         "cold_regressions": regressions,
     }
+    if pooled_runs is not None:
+        out["pooled_runs_prev"] = prev.get("pooled_runs")
+        out["pooled_runs_now"] = pooled_runs
+    prev_warm = prev.get("queries_warm") or {}
+    if warm and prev_warm:
+        common = set(warm) & set(prev_warm)
+        out["warm_common_queries"] = len(common)
+        out["warm_common_sum_prev"] = round(
+            sum(prev_warm[n] for n in common), 2
+        )
+        out["warm_common_sum_now"] = round(
+            sum(warm[n] for n in common), 2
+        )
+    return out
 
 
 def _stream_throughput(spark, target_rps: int, seconds: float) -> dict:
