@@ -118,3 +118,80 @@ class MetricsCollector(StreamingQueryListener):
     def summaries(self) -> list[dict]:
         with self._lock:
             return [m.summary() for m in self.queries.values()]
+
+
+# --- B19: wire-path fallback monitor ------------------------------------------------
+
+
+def check_processing_activity(
+    host: str,
+    port: int,
+    consumer_groups: list[str],
+    output_topic: str,
+    partitions: list[int] | None = None,
+) -> dict:
+    """The reference's fallback monitor over the ACTUAL wire protocol.
+
+    Mirrors `alternative_monitor.go:77-107` (checkProcessingActivity):
+    approach 1 reads consumer-group lag — the reference shells to
+    `kafka-consumer-groups.sh --describe` and parses the LAG column
+    (alternative_monitor.go:124-150); here the same number comes from
+    the protocol APIs that tool itself speaks (OffsetFetch committed vs
+    ListOffsets LATEST, `KafkaWireClient.consumer_group_lag`) — lag 0
+    means every produced record was consumed, i.e. processing finished.
+    Approach 2 checks output-topic growth (log-end offset > 0, the
+    record-count half of checkOutputTopicGrowth; byte sizes are a
+    broker-filesystem detail this path doesn't model). The returned
+    dict carries the reference's MonitoringResult fields."""
+    from pipegen_spark.sources.kafka_wire import (
+        ERR_NONE,
+        TS_LATEST,
+        KafkaWireClient,
+    )
+
+    if partitions is None:
+        partitions = [0]
+    result = {
+        "consumer_group_lag": -1,
+        "output_topic_records": 0,
+        "processing_detected": False,
+        "monitoring_method": "",
+        "details": "",
+    }
+    client = KafkaWireClient(host, port, client_id="pipegen-monitor")
+    try:
+        # Approach 1: consumer group lag (lag 0 == all input consumed)
+        if consumer_groups:
+            group = consumer_groups[0]
+            err, _node, _h, _p = client.find_coordinator(group)
+            if err == ERR_NONE:
+                lags = client.consumer_group_lag(
+                    group, output_topic, partitions
+                )
+                if lags:
+                    total = sum(lags.values())
+                    result["consumer_group_lag"] = total
+                    if total == 0:
+                        result["processing_detected"] = True
+                        result["monitoring_method"] = "Consumer Group Lag"
+                        result["details"] = (
+                            "processed all input data "
+                            f"(consumer group lag: {total})"
+                        )
+                        return result
+        # Approach 2: output topic growth
+        records = 0
+        for p in partitions:
+            err, ends = client.list_offsets(output_topic, p, TS_LATEST)
+            if err == ERR_NONE and ends:
+                records += ends[0]
+        result["output_topic_records"] = records
+        if records > 0:
+            result["processing_detected"] = True
+            result["monitoring_method"] = "Output Topic Growth"
+            result["details"] = f"output topic has ~{records} records"
+        else:
+            result["details"] = "no processing detected yet"
+        return result
+    finally:
+        client.close()

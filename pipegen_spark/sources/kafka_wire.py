@@ -60,7 +60,11 @@ from dataclasses import dataclass
 
 API_PRODUCE = 0
 API_FETCH = 1
+API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
 API_CREATE_TOPICS = 19
 API_DELETE_TOPICS = 20
 
@@ -68,6 +72,10 @@ ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_TOPIC_ALREADY_EXISTS = 36
 ERR_INVALID_PARTITIONS = 37
+
+#: ListOffsets sentinel timestamps (public protocol guide)
+TS_LATEST = -1
+TS_EARLIEST = -2
 
 
 # --- primitive codecs ---------------------------------------------------------
@@ -581,6 +589,149 @@ class KafkaWireClient:
         r = self._call(API_DELETE_TOPICS, body)
         return {r.string(): r.i16() for _ in range(r.i32())}
 
+    # -- consumer-group / offset protocol (r13: the reference's fallback
+    # monitor reads consumer-group lag — alternative_monitor.go:124-150
+    # shells to kafka-consumer-groups.sh; these are the wire APIs that
+    # tool itself speaks: FindCoordinator + OffsetCommit/OffsetFetch +
+    # ListOffsets for the log-end side of the lag subtraction) --
+
+    def find_coordinator(
+        self, group: str, api_version: int = 0
+    ) -> tuple[int, int, str, int]:
+        """FindCoordinator v0 (a.k.a. GroupCoordinator) / v1:
+        -> (error_code, node_id, host, port)."""
+        body = _enc_str(group)
+        if api_version >= 1:
+            body += struct.pack(">b", 0)  # coordinator_type 0 = group
+        r = self._call(API_FIND_COORDINATOR, body, api_version)
+        if api_version >= 1:
+            r.i32()  # throttle_time_ms
+            err = r.i16()
+            r.string()  # error_message (nullable)
+        else:
+            err = r.i16()
+        return err, r.i32(), r.string() or "", r.i32()
+
+    def offset_commit(
+        self,
+        group: str,
+        offsets: dict[tuple[str, int], int],
+        api_version: int = 2,
+        generation_id: int = -1,
+        member_id: str = "",
+        retention_time: int = -1,
+        metadata: str = "",
+    ) -> dict[tuple[str, int], int]:
+        """OffsetCommit v0/v1/v2: commit {(topic, partition): offset}
+        for `group` -> {(topic, partition): error_code}."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in offsets.items():
+            by_topic.setdefault(t, []).append((p, off))
+        body = bytearray(_enc_str(group))
+        if api_version >= 1:
+            body += struct.pack(">i", generation_id)
+            body += _enc_str(member_id)
+        if api_version >= 2:
+            body += struct.pack(">q", retention_time)
+        body += struct.pack(">i", len(by_topic))
+        for t, parts in by_topic.items():
+            body += _enc_str(t) + struct.pack(">i", len(parts))
+            for p, off in parts:
+                body += struct.pack(">iq", p, off)
+                if api_version == 1:
+                    body += struct.pack(">q", -1)  # commit timestamp
+                body += _enc_str(metadata)
+        r = self._call(API_OFFSET_COMMIT, bytes(body), api_version)
+        out: dict[tuple[str, int], int] = {}
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            for _ in range(r.i32()):
+                pid = r.i32()
+                out[(topic, pid)] = r.i16()
+        return out
+
+    def offset_fetch(
+        self,
+        group: str,
+        parts: list[tuple[str, int]] | None = None,
+        api_version: int = 2,
+    ) -> tuple[int, dict[tuple[str, int], tuple[int, str, int]]]:
+        """OffsetFetch v0/v1/v2: committed offsets for `group`.
+        `parts=None` (v2 only) fetches ALL of the group's offsets.
+        -> (top_level_error — always 0 below v2,
+            {(topic, partition): (offset, metadata, error_code)});
+        offset is -1 when nothing is committed."""
+        body = bytearray(_enc_str(group))
+        if parts is None:
+            if api_version < 2:
+                raise ValueError("fetch-all requires OffsetFetch v2")
+            body += struct.pack(">i", -1)  # null topics array = all
+        else:
+            by_topic: dict[str, list[int]] = {}
+            for t, p in parts:
+                by_topic.setdefault(t, []).append(p)
+            body += struct.pack(">i", len(by_topic))
+            for t, pids in by_topic.items():
+                body += _enc_str(t) + struct.pack(">i", len(pids))
+                for p in pids:
+                    body += struct.pack(">i", p)
+        r = self._call(API_OFFSET_FETCH, bytes(body), api_version)
+        out: dict[tuple[str, int], tuple[int, str, int]] = {}
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            for _ in range(r.i32()):
+                pid = r.i32()
+                off = r.i64()
+                meta = r.string() or ""
+                out[(topic, pid)] = (off, meta, r.i16())
+        top_err = r.i16() if api_version >= 2 else ERR_NONE
+        return top_err, out
+
+    def list_offsets(
+        self, topic: str, partition: int, timestamp: int = TS_LATEST
+    ) -> tuple[int, list[int]]:
+        """ListOffsets v0: -> (error_code, offsets). TS_LATEST yields
+        [log_end_offset], TS_EARLIEST [log_start_offset] — the log-end
+        side of a lag computation."""
+        body = (
+            struct.pack(">i", -1)  # replica_id
+            + struct.pack(">i", 1)
+            + _enc_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, timestamp, 1)
+        )
+        r = self._call(API_LIST_OFFSETS, body)
+        if r.i32() != 1:
+            raise ValueError("expected 1 topic in response")
+        r.string()
+        if r.i32() != 1:
+            raise ValueError("expected 1 partition in response")
+        r.i32()  # partition id
+        err = r.i16()
+        return err, [r.i64() for _ in range(r.i32())]
+
+    def consumer_group_lag(
+        self, group: str, topic: str, partitions: list[int] | None = None
+    ) -> dict[int, int]:
+        """Per-partition lag = log_end_offset - committed_offset (the
+        LAG column of kafka-consumer-groups.sh --describe, which the
+        reference's fallback monitor parses). Uncommitted partitions
+        count their full log (committed treated as 0), matching the
+        tool's lag-from-beginning semantics for a fresh group."""
+        if partitions is None:
+            partitions = [0]
+        _, committed = self.offset_fetch(
+            group, [(topic, p) for p in partitions]
+        )
+        lag: dict[int, int] = {}
+        for p in partitions:
+            err, ends = self.list_offsets(topic, p, TS_LATEST)
+            if err != ERR_NONE or not ends:
+                continue
+            off = committed.get((topic, p), (-1, "", 0))[0]
+            lag[p] = ends[0] - max(off, 0)
+        return lag
+
     def produce(
         self,
         topic: str,
@@ -831,6 +982,13 @@ class FakeKafkaBroker:
             target=self._server.serve_forever, daemon=True
         )
         self._logs: dict[tuple[str, int], _Log] = {}
+        #: group -> {(topic, partition): (offset, metadata)} — the
+        #: broker-side store behind OffsetCommit/OffsetFetch (a real
+        #: broker keeps this in __consumer_offsets; the semantics the
+        #: clients see are identical).
+        self._group_offsets: dict[
+            str, dict[tuple[str, int], tuple[int, str]]
+        ] = {}
         self._lock = threading.Lock()
 
     @property
@@ -863,6 +1021,14 @@ class FakeKafkaBroker:
             body = self._fetch_v4(r)
         elif api_key == API_METADATA and api_version == 0:
             body = self._metadata(r)
+        elif api_key == API_LIST_OFFSETS and api_version == 0:
+            body = self._list_offsets(r)
+        elif api_key == API_OFFSET_COMMIT and api_version in (0, 1, 2):
+            body = self._offset_commit(r, api_version)
+        elif api_key == API_OFFSET_FETCH and api_version in (0, 1, 2):
+            body = self._offset_fetch(r, api_version)
+        elif api_key == API_FIND_COORDINATOR and api_version in (0, 1):
+            body = self._find_coordinator(r, api_version)
         elif api_key == API_CREATE_TOPICS and api_version == 0:
             body = self._create_topics(r)
         elif api_key == API_DELETE_TOPICS and api_version == 0:
@@ -1082,4 +1248,114 @@ class FakeKafkaBroker:
                 out += struct.pack(">hii", ERR_NONE, p, 0)
                 out += struct.pack(">ii", 1, 0)  # replicas
                 out += struct.pack(">ii", 1, 0)  # isr
+        return bytes(out)
+
+    def _list_offsets(self, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        out = bytearray()
+        n_topics = r.i32()
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = r.string()
+            out += _enc_str(topic)
+            n_parts = r.i32()
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                pid = r.i32()
+                ts = r.i64()
+                max_n = r.i32()
+                with self._lock:
+                    log = self._logs.get((topic, pid))
+                if log is None:
+                    out += struct.pack(
+                        ">ih", pid, ERR_UNKNOWN_TOPIC_OR_PARTITION
+                    ) + struct.pack(">i", 0)
+                    continue
+                # TS_LATEST -> log end; TS_EARLIEST -> log start (0 —
+                # this broker never truncates); a concrete timestamp
+                # degrades to log end (v0 stores no per-record index).
+                offs = [0] if ts == TS_EARLIEST else [len(log.records)]
+                offs = offs[: max(max_n, 0)]
+                out += struct.pack(">ih", pid, ERR_NONE)
+                out += struct.pack(">i", len(offs))
+                for o in offs:
+                    out += struct.pack(">q", o)
+        return bytes(out)
+
+    def _offset_commit(self, r: _Reader, api_version: int) -> bytes:
+        group = r.string() or ""
+        if api_version >= 1:
+            r.i32()  # generation_id
+            r.string()  # member_id
+        if api_version >= 2:
+            r.i64()  # retention_time
+        out = bytearray()
+        n_topics = r.i32()
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = r.string() or ""
+            out += _enc_str(topic)
+            n_parts = r.i32()
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                pid = r.i32()
+                offset = r.i64()
+                if api_version == 1:
+                    r.i64()  # commit timestamp
+                meta = r.string() or ""
+                with self._lock:
+                    if (topic, pid) not in self._logs:
+                        err = ERR_UNKNOWN_TOPIC_OR_PARTITION
+                    else:
+                        self._group_offsets.setdefault(group, {})[
+                            (topic, pid)
+                        ] = (offset, meta)
+                        err = ERR_NONE
+                out += struct.pack(">ih", pid, err)
+        return bytes(out)
+
+    def _offset_fetch(self, r: _Reader, api_version: int) -> bytes:
+        group = r.string() or ""
+        n_topics = r.i32()
+        with self._lock:
+            committed = dict(self._group_offsets.get(group, {}))
+        if n_topics < 0:  # v2 null array: every committed partition
+            wanted: dict[str, list[int]] = {}
+            for t, p in sorted(committed):
+                wanted.setdefault(t, []).append(p)
+        else:
+            wanted = {}
+            for _ in range(n_topics):
+                topic = r.string() or ""
+                pids = [r.i32() for _ in range(r.i32())]
+                wanted.setdefault(topic, []).extend(pids)
+        out = bytearray()
+        out += struct.pack(">i", len(wanted))
+        for topic, pids in wanted.items():
+            out += _enc_str(topic) + struct.pack(">i", len(pids))
+            for pid in pids:
+                off, meta = committed.get((topic, pid), (-1, ""))
+                out += struct.pack(">iq", pid, off)
+                out += _enc_str(meta)
+                out += struct.pack(">h", ERR_NONE)
+        if api_version >= 2:
+            out += struct.pack(">h", ERR_NONE)  # top-level error
+        return bytes(out)
+
+    def _find_coordinator(self, r: _Reader, api_version: int) -> bytes:
+        r.string()  # group / coordinator key
+        if api_version >= 1:
+            r.i8()  # coordinator_type
+        host, port = self.address
+        out = bytearray()
+        if api_version >= 1:
+            out += struct.pack(">i", 0)  # throttle_time_ms
+            out += struct.pack(">h", ERR_NONE)
+            out += _enc_str(None)  # error_message
+        else:
+            out += struct.pack(">h", ERR_NONE)
+        # sole broker: node 0 (same shape _metadata advertises)
+        out += struct.pack(">i", 0) + _enc_str(host) + struct.pack(
+            ">i", port
+        )
         return bytes(out)

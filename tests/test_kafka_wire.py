@@ -351,6 +351,175 @@ def test_small_max_bytes_fetch_loop_still_drains(sizes, max_bytes):
             c.close()
 
 
+# --- consumer-group / offset protocol (r13) -----------------------------------------
+
+
+def _raw_call(host: str, port: int, payload: bytes) -> bytes:
+    """Send one hand-assembled request frame, return the raw response
+    body (after the 4-byte size prefix) — pins the broker's bytes
+    independently of the client's encoders."""
+    import socket as _socket
+
+    with _socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(struct.pack(">i", len(payload)) + payload)
+        size = struct.unpack(">i", s.recv(4, _socket.MSG_WAITALL))[0]
+        return s.recv(size, _socket.MSG_WAITALL)
+
+
+def _req_header(api_key: int, api_version: int, corr: int) -> bytes:
+    cid = b"gold"
+    return struct.pack(">hhih", api_key, api_version, corr, len(cid)) + cid
+
+
+def test_offset_commit_fetch_golden_bytes():
+    """OffsetCommit v2 + OffsetFetch v2, request AND response bytes
+    hand-assembled from the public protocol guide (group coordination
+    section) — same independence standard as the Produce/Fetch goldens."""
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            c.produce("t1", 0, [(b"k", b"v")] * 3)
+        finally:
+            c.close()
+        # OffsetCommit v2: group "g", generation -1, member "",
+        # retention -1, [("t1", [(0, offset=2, metadata="m")])]
+        commit_req = (
+            _req_header(8, 2, 7)
+            + b"\x00\x01g"              # group_id
+            + b"\xff\xff\xff\xff"        # generation_id -1
+            + b"\x00\x00"                # member_id ""
+            + b"\xff" * 8                # retention_time -1
+            + b"\x00\x00\x00\x01"        # 1 topic
+            + b"\x00\x02t1"
+            + b"\x00\x00\x00\x01"        # 1 partition
+            + b"\x00\x00\x00\x00"        # partition 0
+            + struct.pack(">q", 2)       # offset 2
+            + b"\x00\x01m"               # metadata "m"
+        )
+        resp = _raw_call(host, port, commit_req)
+        assert resp == (
+            struct.pack(">i", 7)         # correlation id
+            + b"\x00\x00\x00\x01"        # 1 topic
+            + b"\x00\x02t1"
+            + b"\x00\x00\x00\x01"        # 1 partition
+            + b"\x00\x00\x00\x00"        # partition 0
+            + b"\x00\x00"                # error NONE
+        )
+        # OffsetFetch v2 for the same group/topic/partition
+        fetch_req = (
+            _req_header(9, 2, 8)
+            + b"\x00\x01g"
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x02t1"
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x00\x00\x00"
+        )
+        resp = _raw_call(host, port, fetch_req)
+        assert resp == (
+            struct.pack(">i", 8)
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x02t1"
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x00\x00\x00"        # partition 0
+            + struct.pack(">q", 2)       # committed offset 2
+            + b"\x00\x01m"               # metadata "m"
+            + b"\x00\x00"                # partition error NONE
+            + b"\x00\x00"                # v2 top-level error NONE
+        )
+
+
+def test_list_offsets_golden_bytes():
+    """ListOffsets v0: LATEST yields [log_end], EARLIEST yields [0]."""
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            c.produce("t2", 0, [(None, b"x")] * 5)
+        finally:
+            c.close()
+        req = (
+            _req_header(2, 0, 3)
+            + b"\xff\xff\xff\xff"        # replica_id -1
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x02t2"
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x00\x00\x00"        # partition 0
+            + struct.pack(">q", -1)      # TS_LATEST
+            + b"\x00\x00\x00\x01"        # max_num_offsets 1
+        )
+        resp = _raw_call(host, port, req)
+        assert resp == (
+            struct.pack(">i", 3)
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x02t2"
+            + b"\x00\x00\x00\x01"
+            + b"\x00\x00\x00\x00"        # partition 0
+            + b"\x00\x00"                # error NONE
+            + b"\x00\x00\x00\x01"        # 1 offset
+            + struct.pack(">q", 5)       # log end = 5
+        )
+
+
+def test_find_coordinator_points_at_sole_broker():
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            for v in (0, 1):
+                err, node, h, p = c.find_coordinator("grp", api_version=v)
+                assert (err, node, h, p) == (ERR_NONE, 0, host, port)
+        finally:
+            c.close()
+
+
+def test_consumer_group_lag_over_socket():
+    """The B19 lag path end-to-end: commit offsets over the wire, read
+    lag = log_end - committed, and drive the reference's fallback
+    monitor decision tree (alternative_monitor.go:77-107) on it."""
+    from pipegen_spark.monitor.metrics import check_processing_activity
+
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            c.produce_v2(
+                "out", 0, [(None, bytes([i]), 10 + i, ()) for i in range(5)]
+            )
+            # fresh group: nothing committed -> lag is the full log
+            assert c.consumer_group_lag("g", "out") == {0: 5}
+            # commit against a missing topic -> per-partition error
+            errs = c.offset_commit("g", {("nope", 0): 1})
+            assert errs[("nope", 0)] == ERR_UNKNOWN_TOPIC_OR_PARTITION
+            # partial consumption
+            assert c.offset_commit("g", {("out", 0): 2}) == {
+                ("out", 0): ERR_NONE
+            }
+            assert c.consumer_group_lag("g", "out") == {0: 3}
+            act = check_processing_activity(host, port, ["g"], "out")
+            assert not_detected_via_lag(act) and act["consumer_group_lag"] == 3
+            assert act["monitoring_method"] == "Output Topic Growth"
+            assert act["output_topic_records"] == 5
+            # all consumed -> lag 0 -> approach 1 fires
+            c.offset_commit("g", {("out", 0): 5}, api_version=1)
+            assert c.consumer_group_lag("g", "out") == {0: 0}
+            act = check_processing_activity(host, port, ["g"], "out")
+            assert act["processing_detected"]
+            assert act["monitoring_method"] == "Consumer Group Lag"
+            assert act["consumer_group_lag"] == 0
+            # v2 fetch-all (null topics array) sees the group's offsets
+            top_err, all_offsets = c.offset_fetch("g", None)
+            assert top_err == ERR_NONE
+            assert all_offsets[("out", 0)][0] == 5
+            # uncommitted partition reads back as -1 per the protocol
+            _, got = c.offset_fetch("g", [("out", 1)])
+            assert got[("out", 1)][0] == -1
+        finally:
+            c.close()
+
+
+def not_detected_via_lag(act: dict) -> bool:
+    return act["processing_detected"] and act["monitoring_method"] != (
+        "Consumer Group Lag"
+    )
+
+
 def test_fetch_unknown_topic_reports_error_code():
     with FakeKafkaBroker() as (host, port):
         c = KafkaWireClient(host, port)
