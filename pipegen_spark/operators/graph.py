@@ -26,71 +26,19 @@ operators; this extends it per the north star (SURVEY.md §2B-B29 [EXT]).
 
 from __future__ import annotations
 
-import atexit
-import os
-import shutil
-import tempfile
-import time
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Spill directories created by _spill_to_parquet. Two bounds (r11
-#: ADVICE #3 — atexit alone lets a long session re-running pagerank at
-#: the x100 rung, ~GBs per spill, exhaust /tmp, and atexit never runs
-#: on SIGKILL): (a) only the newest KEEP_SPILLS dirs are kept — the
-#: one call site spills ONCE per pagerank run and only that run's
-#: DataFrames read it, so keeping current + previous is safe even if a
-#: caller still holds the prior run's result frame; (b) what remains
-#: is reaped at interpreter exit.
-_SPILL_DIRS: list[str] = []
-_KEEP_SPILLS = 2
+from pipegen_spark.functions import dialect as dl
 
-
-def _reap_spills() -> None:
-    for d in _SPILL_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-atexit.register(_reap_spills)
-
-
-def _spill_root() -> str | None:
-    """Spill placement (r11 ADVICE #3): prefer spark.local.dir (the
-    disk an operator is SUPPOSED to scratch on — on a cluster this is
-    the executor's shuffle volume), then TMPDIR via tempfile's default
-    resolution."""
-    try:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        if spark is not None:
-            local = spark.conf.get("spark.local.dir", "")
-            if local:
-                first = local.split(",")[0]
-                if os.path.isdir(first):
-                    return first
-    except Exception:
-        pass
-    return None  # tempfile.mkdtemp honors TMPDIR itself
+# Spill-to-parquet lineage cut (r11; promoted to operators/spill.py in
+# r13 so pipeline compositions share it — see that module for the
+# TMPDIR/reaping bounds and the localCheckpoint-OOM rationale).
+from pipegen_spark.operators.spill import spill_to_parquet
 
 
 def _spill_to_parquet(df: DataFrame) -> DataFrame:
-    """Write `df` to a temp parquet file and re-read it: truncates the
-    lineage (like localCheckpoint) WITHOUT pinning the rows in JVM
-    memory (unlike localCheckpoint, whose deserialized blocks OOMed
-    the x100 scale rung — see pagerank_fixed). This is the durable
-    checkpoint() shape on local disk; on a cluster point the spill at
-    the checkpoint dir."""
-    d = tempfile.mkdtemp(prefix="pipegen-graph-spill-", dir=_spill_root())
-    _SPILL_DIRS.append(d)
-    while len(_SPILL_DIRS) > _KEEP_SPILLS:
-        shutil.rmtree(_SPILL_DIRS.pop(0), ignore_errors=True)
-    path = os.path.join(d, f"edges-{time.time_ns()}")
-    df.write.parquet(path)
-    return df.sparkSession.read.parquet(path)
-
-from pipegen_spark.functions import dialect as dl
+    return spill_to_parquet(df, label="graph")
 
 PR_SCALE = 10**12  # total rank mass in integer units
 PR_DAMP_NUM = 85  # damping factor 0.85 as a rational

@@ -25,7 +25,7 @@ rounds; long-stable canaries stay in every window):
   the first 16 (alphabetically) of the 38 r4-green ops — came back
   48/50 hash-green + 2 rows-only; first-pass driver coverage of the
   whole corpus complete.
-- r7 window (current): the remaining 22 r4-green ops (embed_kmeans +
+- r7 window: the remaining 22 r4-green ops (embed_kmeans +
   multimodal_binary_stats + q49-q52/q55/q56 + simsearch_* + text_*
   tail), the two codec queries RE-gated (their surface changed to the
   md5-derived hard-oracle form — now hash rows, not rows-only), the
@@ -41,7 +41,7 @@ rounds; long-stable canaries stay in every window):
   brand-new multimodal_frame_sample and dedup_semantic_auto), the 14
   alphabetically-first r5-green ops, and the 6 canaries. Came back
   50/50 green; after this window no driver row anywhere predated r4.
-- r9 window (current): retires the whole never-gated set — the 31
+- r9 window: retires the whole never-gated set — the 31
   round-8 late-tranche queries that had no driver row (q76-q80,
   curate_blocklist/boilerplate/calibration/doremi/length_stats/
   preference_pairs/split_leakage, dedup_tfidf_cosine/threshold_sweep/
@@ -76,7 +76,7 @@ rounds; long-stable canaries stay in every window):
   pmi/rarity/readability/typo_pairs), the 11 alphabetically-first
   r6-green ops (curate_chunk ... dedup_clusters), and the 6
   canaries = 50. Came back 50/50 hash-green.
-- r11 window (current): the two brand-new surfaces
+- r11 window: the two brand-new surfaces
   (multimodal_gif_features — the GIF hard-oracle codec query — and
   q83_stream_full_outer_join — the FULL OUTER stream-stream join)
   and q82_stream_outer_join at the front — the latter the sole
@@ -91,7 +91,7 @@ rounds; long-stable canaries stay in every window):
   driver row and no row predates r7. Queries landing after this
   round's final suite run go in GATE_PENDING (mechanical snapshot
   rule) and must ride the front of the r12 window.
-- r12 window (current): the five brand-new surfaces
+- r12 window: the five brand-new surfaces
   (multimodal_flac_features — the from-scratch FLAC codec under the
   WAV-shaped md5 hard oracle; multimodal_gif_frames — animated GIF
   compositing with GCE transparency/disposal under a running-MAX
@@ -107,6 +107,18 @@ rounds; long-stable canaries stay in every window):
   mid-round surfaces took their slots), and the 6 canaries = 50.
   After this window no corpus query's newest driver row predates r8
   except those three r13 rotation picks.
+- r13 window (current): the one brand-new surface at the front
+  (curate_pipeline_e2e — the whole curation stack composed as ONE
+  pipeline: WARC ingest -> langid -> PII redaction -> Gopher ∧
+  classifier ∧ percentile ensemble -> MinHash keep-best dedup ->
+  90/5/5 split, r12 VERDICT task 4), then the rolling rotation: ALL
+  33 r8-dated rows (curate_unimax / curate_weighted_sample /
+  dedup_bloom — the r12 rotation picks — plus dedup_cc_star,
+  dedup_containment, multimodal_frame_sample,
+  multimodal_jpeg_progressive and the q18-q46 relational tranche),
+  the 10 alphabetically-first r9-dated rows (curate_blocklist ...
+  dedup_setjoin), and the 6 canaries = 50. After this window no
+  corpus query's newest driver row predates r9.
 """
 
 from __future__ import annotations
@@ -126,7 +138,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 215
+CORPUS_SIZE = 216
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -141,25 +153,15 @@ GATE_CANARIES = (
     "q47_pivot",
 )
 
-#: Round 12: brand-new surfaces — multimodal_flac_features (the
-#: from-scratch FLAC encode + decode chain — STREAMINFO/MD5, Rice
-#: residuals, fixed predictors, CRC-8/CRC-16 — under the same
-#: container-independent md5 hard oracle as WAV) and
-#: multimodal_gif_frames (animated-GIF compositing: Graphic Control
-#: Extension transparency + disposal over 4 frames, oracle = a
-#: running MAX over the frame axis in DuckDB).
+#: Round 13: the one brand-new surface — curate_pipeline_e2e, the
+#: whole curation stack composed as ONE gated pipeline (r12 VERDICT
+#: task 4): WARC crawl ingest (Arrow stage) -> language-ID gate ->
+#: PII inject+redact -> Gopher ∧ classifier ∧ histogram-percentile
+#: ensemble -> MinHash-LSH keep-best dedup among survivors -> 90/5/5
+#: split; every stage the same operator as its standalone query, the
+#: oracle the same fragments composed in one DuckDB statement.
 GATE_CHANGED: tuple[str, ...] = (
-    "multimodal_flac_features",
-    "multimodal_gif_frames",
-    # mid-round additions (window re-verified after each): the PII
-    # scrub surface (regex detectors + Luhn checkfilter + redaction,
-    # JVM-side only) and URL canonicalization dedup (RFC 3986 §6
-    # normalization + tracking-param strip via dialect.url_canon).
-    "curate_pii_stats",
-    "dedup_url_canonical",
-    # and WARC crawl ingestion (ISO 28500 container + per-record gzip
-    # + HTTP payload split, sources/warc.py) under the md5 hard gate.
-    "text_warc_extract",
+    "curate_pipeline_e2e",
 )
 
 #: Never-gated retirement: none this round — GATE_STATUS.json shows
@@ -176,59 +178,60 @@ GATE_NEVER: tuple[str, ...] = ()
 #: aggregation as the GATE_STATUS.json artifact.
 GATE_PENDING: tuple[str, ...] = ()
 
-#: Rolling re-gates: the 30 r7-dated rows (the corpus's oldest after
-#: the r11 window — including q09/q10_except, dropped from r11 to make
-#: room for its new surfaces), then the 12 alphabetically-first
-#: r8-dated rows (the remaining 30 r8 rows rotate in r13).
+#: Rolling re-gates: ALL 33 r8-dated rows (the corpus's oldest after
+#: the r12 window — led by the three r12 rotation picks), then the 10
+#: alphabetically-first r9-dated rows (the remaining 34 r9 rows rotate
+#: across r14-r15).
 GATE_ROLLING = (
-    # --- the 30 r7-green rows (newest row: round 7) ---
-    "q09_rank_topk",
-    "q10_except",
-    "q10_intersect",
-    "q10_union_all",
-    "q11_string_funcs",
-    "q12_date_trunc",
-    "q14_distinct_dedup",
-    "q15_rollup",
-    "q16_count_distinct",
-    "q17_scalar_subquery",
-    "q49_range_frame",
-    "q50_approx_percentile",
-    "q51_tpch_forecast_revenue",
-    "q52_tpch_priority_check",
-    "q55_tpch_disjunctive",
-    "q56_tpch_supplier_cnt",
-    "simsearch_bruteforce",
-    "simsearch_ivf",
-    "simsearch_lsh",
-    "simsearch_recall",
-    "text_bm25",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_sentiment",
-    "text_tfidf",
-    "text_tokens",
-    "text_vocab",
-    "text_winnow",
-    # --- the 12 alphabetically-first r8-green rows ---
-    "curate_budget",
-    "curate_drift",
-    "curate_dsir",
-    "curate_fim",
-    "curate_gopher",
-    "curate_shuffle",
-    "curate_span_mask",
-    "curate_split",
-    "curate_temperature",
-    # (curate_unimax, curate_weighted_sample and dedup_bloom rotate to
-    # r13 — dropped
-    # to make room for the two mid-round surfaces in GATE_CHANGED)
+    # --- the 33 r8-green rows (newest row: round 8) ---
+    "curate_unimax",
+    "curate_weighted_sample",
+    "dedup_bloom",
+    "dedup_cc_star",
+    "dedup_containment",
+    "multimodal_frame_sample",
+    "multimodal_jpeg_progressive",
+    "q18_left_join",
+    "q19_props_extract",
+    "q20_cube",
+    "q21_math_funcs",
+    "q22_array_funcs",
+    "q23_approx_distinct",
+    "q24_conditional_funcs",
+    "q25_full_outer",
+    "q26_cross_join",
+    "q27_exists_correlated",
+    "q28_union_distinct",
+    "q29_like_regex",
+    "q30_buckets",
+    "q31_sessionize",
+    "q32_percentiles",
+    "q33_window_family",
+    "q34_string_funcs2",
+    "q35_date_funcs",
+    "q36_curation_decision",
+    "q39_stream_session",
+    "q40_hopping_window",
+    "q41_stream_join",
+    "q42_stream_dedup",
+    "q44_tpch_shipping",
+    "q45_tpch_region_volume",
+    "q46_tpch_returns",
+    # --- the 10 alphabetically-first r9-green rows ---
+    "curate_blocklist",
+    "curate_boilerplate",
+    "curate_calibration",
+    "curate_doremi",
+    "curate_length_stats",
+    "curate_preference_pairs",
+    "curate_split_leakage",
+    "dedup_incremental",
+    "dedup_semantic",
+    "dedup_setjoin",
 )
 
-#: The full round-12 gate window, in enumeration order: 5 new surfaces
-#: + 39 rolling re-gates + 6 canaries = 50.
+#: The full round-13 gate window, in enumeration order: 1 new surface
+#: + 43 rolling re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

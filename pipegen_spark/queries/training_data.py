@@ -3080,3 +3080,201 @@ def text_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- end-to-end curation pipeline (round-13) ---------------------------------
+
+#: Language gate for the e2e pipeline: keep documents whose PREDICTED
+#: language is the target (the synthetic corpus is English-vocab, so the
+#: gate keeps everything here while staying a real filter stage).
+E2E_LANG = "en"
+
+
+def _warc_ingest(docs: DataFrame) -> DataFrame:
+    """The e2e pipeline's crawl front door: the same per-doc WARC
+    construction as `text_warc_extract` (warcinfo + k md5-derived
+    request records + one HTTP response carrying the doc text), but
+    this stage RETURNS the EXTRACTED body — downstream consumes the
+    bytes that came back through the ISO 28500 container + gzip + HTTP
+    framing, so any extraction bug corrupts every later stage, not
+    just a count column. One Arrow stage, repartitioned to full
+    parallelism like the codec queries; map-only, no shuffle."""
+    import pandas as pd
+
+    def roundtrip(batches):
+        import hashlib
+
+        from pipegen_spark.sources.warc import (
+            extract_responses,
+            write_http_response,
+            write_record,
+            write_warc_gz,
+        )
+
+        for pdf in batches:
+            ids, srcs, status, texts = [], [], [], []
+            for did, src, t in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                text = (t or "").encode("utf-8")
+                hx = hashlib.md5(text).hexdigest()
+                st = 200 + int(hx[25], 16) % 4
+                k = int(hx[26], 16) % 3
+                date = "2026-08-16T00:00:00Z"
+                recs = [
+                    write_record(
+                        "warcinfo", f"<urn:uuid:{did}-0>", date,
+                        b"software: pipegen-spark\r\n",
+                    )
+                ]
+                for j in range(k):
+                    recs.append(
+                        write_record(
+                            "request", f"<urn:uuid:{did}-q{j}>", date,
+                            b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+                        )
+                    )
+                recs.append(
+                    write_record(
+                        "response", f"<urn:uuid:{did}-r>", date,
+                        write_http_response(st, "X", text),
+                        {
+                            "WARC-Target-URI": f"http://d{did}.ex/",
+                            "Content-Type":
+                                "application/http;msgtype=response",
+                        },
+                    )
+                )
+                resp = extract_responses(write_warc_gz(recs))
+                assert len(resp) == 1
+                ids.append(did)
+                srcs.append(src)
+                status.append(resp[0]["status"])
+                texts.append(resp[0]["body"].decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "source": srcs,
+                    "http_status": status,
+                    "text": texts,
+                }
+            )
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "source", "text")
+        .repartition(par)
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, source string, http_status long, text string",
+        )
+    )
+
+
+def _curation_signals(docs: DataFrame) -> DataFrame:
+    """Stages 1-3 of the e2e pipeline (WARC ingest -> langid gate ->
+    PII inject + redact), ending in the per-doc signal frame every
+    downstream consumer reads: (doc_id, source, pred_lang, http_status,
+    n_pii, redacted). After the Arrow ingest stage everything here is
+    map-only JVM expressions — one pass, no shuffle."""
+    ing = _warc_ingest(docs)
+    lid = tx.with_langid(ing, "text").filter(
+        F.col("pred_lang") == E2E_LANG
+    )
+    pii = lid.withColumn(
+        "hx", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).withColumn("pii_doc", F.expr(_pii_synth(dl.SPARK)))
+    red = cu.with_redaction(pii, "pii_doc")
+    n_pii = " + ".join(f"n_{name}" for name in cu.PII_PATTERNS)
+    return red.select(
+        "doc_id",
+        "source",
+        "pred_lang",
+        "http_status",
+        F.expr(f"CAST({n_pii} AS BIGINT)").alias("n_pii"),
+        "redacted",
+    )
+
+
+def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation stack composed as ONE pipeline — the shape a
+    100 TB training-data user actually runs, end to end:
+
+      WARC crawl ingest (Arrow stage, `_warc_ingest`)
+      -> language-ID gate (predicted language == E2E_LANG)
+      -> PII injection + regex redaction (downstream consumes the
+         REDACTED text — order matters and the oracle proves it)
+      -> quality ensemble: Gopher rules AND fastText-style classifier
+         AND per-source histogram-cutoff percentile gate, all on the
+         redacted text (same operators as their standalone queries)
+      -> MinHash-LSH dedup among the ensemble survivors, connected
+         components, keep-best-quality per cluster
+      -> deterministic 90/5/5 train/val/test split
+
+    Output: the released-corpus manifest, one row per surviving doc —
+    (doc_id, source, pred_lang, http_status, n_pii, cluster_size,
+    score_micro, split), all-scalar, integer score surface.
+
+    Scale shape: the signal frame is materialized ONCE at the stage
+    boundary (spill_to_parquet — what a production pipeline does
+    between stages anyway) so the five downstream consumers don't
+    re-run the Arrow decode; ensemble signals are one shuffle each
+    (classifier feature agg; percentile's bounded histogram), the
+    dedup stage meets candidates only through LSH band buckets, and
+    split/manifest are map-only. No driver-side collect anywhere; no
+    row-at-a-time Python outside the designed Arrow ingest stage
+    (plan-asserted in tests/test_plan_audit.py)."""
+    from pipegen_spark.operators.spill import spill_to_parquet
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = spill_to_parquet(_curation_signals(docs), label="curate")
+    # Stage 4 — ensemble (gopher inline: it is map-only over base;
+    # classifier + percentile come back as doc_id equi-joins).
+    c = cu.classifier_scores(base, "redacted").select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    p = cu.quality_threshold_gate(
+        base, text_col="redacted", id_col="doc_id", group_col="source"
+    ).select("doc_id", F.col("keep").alias("pct_keep"))
+    # Second stage boundary: the ensemble survivors feed FOUR consumers
+    # (LSH pairs, the cluster singleton join, the quality ranking, the
+    # final manifest join) — materialize once, like `base`.
+    kept = spill_to_parquet(
+        cu.with_gopher(base, "redacted", **GOPHER_TUNE)
+        .join(c, "doc_id")
+        .join(p, "doc_id")
+        .filter("gopher_keep AND clf_keep AND pct_keep")
+        .select(
+            "doc_id", "source", "pred_lang", "http_status", "n_pii",
+            "redacted",
+        ),
+        label="curate-kept",
+    )
+    # Stage 5 — MinHash dedup keep-best among survivors.
+    pairs = dd.minhash_lsh_pairs(
+        kept, "redacted", "doc_id", k=MINHASH_K,
+        threshold=MINHASH_THRESHOLD,
+    )
+    clusters = dd.dup_clusters(kept, pairs, "doc_id")
+    scores = tx.with_quality(
+        kept.select("doc_id", "redacted"), "redacted"
+    ).select("doc_id", "quality_score")
+    best = dd.keep_best(clusters, scores).filter("keep")
+    # Stage 6 — split + manifest.
+    final = kept.drop("redacted").join(
+        best.select("doc_id", "cluster_size", "quality_score"), "doc_id"
+    )
+    return cu.with_split(final).select(
+        "doc_id",
+        "source",
+        "pred_lang",
+        "http_status",
+        "n_pii",
+        "cluster_size",
+        F.expr(
+            "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("score_micro"),
+        "split",
+    ).orderBy("doc_id")

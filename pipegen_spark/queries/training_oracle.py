@@ -42,9 +42,11 @@ def _jac(sa: str, sb: str) -> str:
     )
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(w_cte: str | None = None) -> str:
     """Shared CTE chain ending in `pairs(doc_a, doc_b, jac)` (unfiltered);
-    consumers apply the threshold."""
+    consumers apply the threshold. `w_cte` overrides the tokenized-source
+    CTE (must emit (id, w)); default is the corpus-wide `documents` one —
+    the e2e pipeline (r13) passes its survivor tokenization instead."""
     mh_cols = ",\n           ".join(
         f"{dl.minhash_sig_entry('sh', dd.PERM_A[p], dd.PERM_B[p], D)} AS mh{p}"
         for p in range(dd.N_PERMS)
@@ -52,7 +54,7 @@ def _minhash_pairs_ctes() -> str:
     band_cases = " ".join(
         f"WHEN {b} THEN {dd._band_key(b, D)}" for b in range(dd.N_BANDS)
     )
-    return f"""{_W_CTE},
+    return f"""{w_cte or _W_CTE},
     sh0 AS (SELECT id, {_shingles(td.MINHASH_K)} AS sh FROM w),
     sh AS (
         SELECT MIN(id) AS id, ANY_VALUE(sh) AS sh
@@ -207,7 +209,12 @@ def _containment_sql() -> str:
     """
 
 
-_REACH_CTES = f"""
+def _reach_ctes(nodes: str = "documents") -> str:
+    """The connected-components CTE chain (edge-seeded recursion over
+    the thresholded pair graph); `nodes` is the relation whose doc_id
+    set labels singletons — `documents` for the corpus-wide dedup
+    oracles, the survivor CTE for the e2e pipeline (r13)."""
+    return f"""
     dup AS MATERIALIZED (
         SELECT doc_a, doc_b FROM pairs WHERE jac >= {td.MINHASH_THRESHOLD}
     ),
@@ -225,9 +232,12 @@ _REACH_CTES = f"""
     lab AS (
         SELECT d.doc_id,
                COALESCE(l.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id
-        FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.id
+        FROM {nodes} d LEFT JOIN lab0 l ON d.doc_id = l.id
     )
 """
+
+
+_REACH_CTES = _reach_ctes()
 
 
 def _clusters_sql() -> str:
@@ -4666,3 +4676,134 @@ def _warc_extract_sql() -> str:
 
 
 TRAINING_ORACLE["text_warc_extract"] = _warc_extract_sql()
+
+
+def _pipeline_e2e_sql() -> str:
+    """Mirror of queries.training_data.curate_pipeline_e2e — the whole
+    curation stack as ONE statement, each stage the SAME expression
+    builders as its standalone oracle (langid_exprs / _pii_synth /
+    redact_exprs / gopher_exprs / classifier CTEs / the histogram-cutoff
+    gate / the minhash+reach chain via their parameterized builders /
+    quality_exprs / split_expr), re-pointed at the previous stage's CTE
+    instead of `documents`. The WARC front door reduces to identity on
+    text + the md5-derived http_status (extraction is a roundtrip —
+    `_warc_extract_sql` gates the framing itself). `red` and `kept` are
+    MATERIALIZED: each feeds 3+ consumers (regex redaction and the
+    shingle chain would otherwise re-inline per consumer)."""
+    nib26 = "CAST(('0x' || substr(md5(COALESCE(text,'')), 26, 1)) AS INT)"
+    lang = tx.langid_exprs("text", D)
+    lang_cols = ", ".join(f"{e} AS {n}" for n, e in lang.items())
+    synth = td._pii_synth(D)
+    red_x = cu.redact_exprs("pii_doc", D)
+    n_pii = " + ".join(red_x[f"n_{name}"] for name in cu.PII_PATTERNS)
+    gop = cu.gopher_exprs("redacted", D, w="w", **td.GOPHER_TUNE)
+    feats_arr = cu.dsir_features("_cw", D)
+    wgt = cu.clf_weight_expr(f"({dl.hash60('f', D)}) % {cu.CLF_BUCKETS}")
+    q = tx.quality_exprs("redacted", D)
+    score_micro = (
+        f"CAST(floor(({q['quality_score']}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    k = dl.idiv(f"n * {cu.QP_KEEP_FRAC_PPM}", str(cu.PCT_PPM), D)
+    w_kept = (
+        f"w AS (SELECT doc_id AS id, {dl.words('redacted', D)} AS w "
+        "FROM kept)"
+    )
+    split = cu.split_expr("k.doc_id", D)
+    return f"""
+    WITH RECURSIVE
+    ing AS (
+        SELECT doc_id, source, COALESCE(text,'') AS text,
+               CAST(200 + ({nib26}) % 4 AS BIGINT) AS http_status
+        FROM documents
+    ),
+    lid AS (SELECT *, {lang_cols} FROM ing),
+    en AS (SELECT * FROM lid WHERE pred_lang = '{td.E2E_LANG}'),
+    pii AS (SELECT *, md5(text) AS hx FROM en),
+    pii2 AS (SELECT *, {synth} AS pii_doc FROM pii),
+    red AS MATERIALIZED (
+        SELECT doc_id, source, pred_lang, http_status,
+               CAST({n_pii} AS BIGINT) AS n_pii,
+               {red_x['redacted']} AS redacted
+        FROM pii2
+    ),
+    gw AS (SELECT doc_id, redacted, {dl.words("redacted", D)} AS w
+           FROM red),
+    g AS (SELECT doc_id, {gop['gopher_keep']} AS gopher_keep FROM gw),
+    feats AS (
+        SELECT id, CAST({wgt} AS BIGINT) AS wgt
+        FROM (SELECT doc_id AS id, unnest({feats_arr}) AS f
+              FROM (SELECT doc_id, {dl.words("redacted", D)} AS _cw
+                    FROM red))
+    ),
+    clf AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(wgt) AS BIGINT) AS sum_w
+        FROM feats GROUP BY id
+    ),
+    c AS (
+        SELECT r.doc_id,
+               COALESCE(sum_w >= {cu.CLF_NEUTRAL} * n_feats, FALSE)
+                   AS clf_keep
+        FROM red r LEFT JOIN clf ON clf.id = r.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, source, {score_micro} AS score_micro FROM red
+    ),
+    hist AS (
+        SELECT source, score_micro, CAST(COUNT(*) AS BIGINT) AS hc
+        FROM scored GROUP BY source, score_micro
+    ),
+    cum AS (
+        SELECT source, score_micro,
+               SUM(hc) OVER (PARTITION BY source ORDER BY score_micro DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumc,
+               SUM(hc) OVER (PARTITION BY source) AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT source, MAX(score_micro) AS cutoff_micro
+        FROM cum WHERE {k} > 0 AND cumc >= {k}
+        GROUP BY source
+    ),
+    p AS (
+        SELECT s.doc_id,
+               (s.score_micro >=
+                   COALESCE(ct.cutoff_micro, {cu.QT_CUTOFF_NONE}))
+                   AS pct_keep
+        FROM scored s LEFT JOIN cuts ct ON s.source = ct.source
+    ),
+    kept AS MATERIALIZED (
+        SELECT red.* FROM red
+        JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN p USING (doc_id)
+        WHERE gopher_keep AND clf_keep AND pct_keep
+    ),
+    {_minhash_pairs_ctes(w_kept)},
+    {_reach_ctes("kept")},
+    sized AS (
+        SELECT l.doc_id, l.cluster_id, cs.cluster_size
+        FROM lab l JOIN (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM lab GROUP BY cluster_id
+        ) cs USING (cluster_id)
+    ),
+    q AS (SELECT doc_id, {q['quality_score']} AS quality_score FROM kept),
+    best AS (
+        SELECT s.doc_id, s.cluster_size, q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                                  ORDER BY q.quality_score DESC, s.doc_id)
+                   = 1 AS keep
+        FROM sized s JOIN q USING (doc_id)
+    )
+    SELECT k.doc_id, k.source, k.pred_lang, k.http_status, k.n_pii,
+           b.cluster_size,
+           CAST(floor(b.quality_score * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro,
+           {split} AS split
+    FROM kept k JOIN best b USING (doc_id)
+    WHERE b.keep
+    ORDER BY k.doc_id
+    """
+
+
+TRAINING_ORACLE["curate_pipeline_e2e"] = _pipeline_e2e_sql()

@@ -377,3 +377,53 @@ def test_domain_family_plan_shapes(plans):
     assert "row_number" not in p, p
     assert "BroadcastHashJoin" in p, p  # verdicts broadcast on domain
     assert "CartesianProduct" not in p, p
+
+
+def test_curation_pipeline_e2e_segments(spark, plans):
+    """r13 VERDICT task 4's plan contract for the composed curation
+    pipeline, asserted per SEGMENT (the stage-boundary spills cut the
+    lineage, so the registered query's final plan alone can't show the
+    ingest stage):
+
+    - Ingest segment (WARC -> langid -> PII redact): exactly ONE Arrow
+      stage — the designed WARC decode — no row-at-a-time Python, and
+      exactly ONE exchange: the explicit round-robin repartition ahead
+      of the Arrow stage. Everything after the decode is map-only JVM
+      (langid/redaction never add a shuffle).
+    - Final segment (ensemble -> dedup -> split, the plan the `plans`
+      fixture captured): pure JVM — no Python exec nodes of any kind —
+      the percentile cutoffs come back as a broadcast hash join, the
+      histogram window sorts only the bounded (source, score_micro)
+      aggregate (same contract as the standalone gate), and no
+      cartesian product anywhere.
+    """
+    from pipegen_spark.catalog import table
+    from pipegen_spark.queries.training_data import _curation_signals
+
+    docs = table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    seg = _curation_signals(docs)
+    p = seg._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+    n_exchange = p.count("Exchange")
+    assert n_exchange == 1 and "REPARTITION" in p, p
+
+    tail = plans["curate_pipeline_e2e"]
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas", "CartesianProduct"):
+        assert node not in tail, f"{node} in final segment:\n{tail}"
+    assert "BroadcastHashJoin" in tail, tail
+    lines = tail.splitlines()
+    desc_sorts = [
+        i for i, ln in enumerate(lines)
+        if "Sort [" in ln and "score_micro" in ln and "DESC" in ln
+    ]
+    for i in desc_sorts:
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert (
+            "HashAggregate(keys=[source" in below
+            and "score_micro" in below
+        ), "window sort not over the bounded histogram:\n" + tail

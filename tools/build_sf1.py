@@ -276,6 +276,80 @@ def build_scaled(spark, n_copies: int, out_dir: str) -> str:
     return out_dir
 
 
+STOPFIX_DIR = os.path.join(REPO, ".benchmarks", "sf1_stopfix")
+
+
+def build_stopfix() -> str:
+    """Documents-only 10x derivation for STOPWORD-KEYED pipelines
+    (r13; first consumer: curate_pipeline_e2e's scale datapoint).
+
+    The default derivation's per-copy Caesar rotation rotates EVERY
+    character, so a rotated copy's stopwords are no longer stopwords —
+    a pipeline whose stages gate on stopword evidence (language-ID
+    argmax, Gopher required-stops, stopword-ratio quality) drops the
+    9 rotated copies at its first gate and the "10x" measurement
+    pushes ~1x of data through everything downstream. Here the
+    rotation applies PER TOKEN and skips tokens whose lowercase form
+    is in the langid wordlists or the Gopher required-stops set:
+    stopword-keyed gates behave identically on every copy, while
+    content tokens still rotate, so shingles/feature hashes stay
+    distinct across copies and the corpus-wide duplication RATE stays
+    constant (cross-copy docs share only stopword-only shingles, far
+    below the LSH thresholds). Within-copy duplicate structure is
+    preserved exactly as in the default derivation.
+
+    Pure pyarrow/pandas (a local build tool, not engine code); only
+    `documents.parquet` is materialized — the consumers of this dir
+    read nothing else.
+    """
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = os.path.join(STOPFIX_DIR, "_BUILT")
+    if os.path.exists(done):
+        return STOPFIX_DIR
+    os.makedirs(STOPFIX_DIR, exist_ok=True)
+
+    from pipegen_spark.operators.curation import GOPHER_REQUIRED_WORDS
+    from pipegen_spark.operators.text import LANG_WORDLISTS
+
+    keep = set(GOPHER_REQUIRED_WORDS).union(*LANG_WORDLISTS.values())
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    word_re = re.compile(r"[A-Za-z]+")
+
+    src = pd.read_parquet(os.path.join(SRC_DIR, "documents.parquet"))
+    copies = []
+    for k in range(N_COPIES):
+        shift = k % 26
+        table = str.maketrans(
+            lower + upper,
+            lower[shift:] + lower[:shift] + upper[shift:] + upper[:shift],
+        )
+
+        def rot_tok(m: "re.Match[str]") -> str:
+            t = m.group(0)
+            return t if t.lower() in keep else t.translate(table)
+
+        c = src.copy()
+        c["doc_id"] = c["doc_id"] + k * ID_OFFSET
+        if shift:
+            c["text"] = c["text"].map(
+                lambda s: None if s is None else word_re.sub(rot_tok, s)
+            )
+        copies.append(c)
+    out = pd.concat(copies, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False),
+        os.path.join(STOPFIX_DIR, "documents.parquet"),
+    )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return STOPFIX_DIR
+
+
 def main() -> None:
     from pipegen_spark.session import get_spark
 
