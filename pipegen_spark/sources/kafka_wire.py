@@ -317,7 +317,8 @@ def encode_record_batch(
     client's envelope — raw-or-xerial sniffed on decode,
     `sources/snappy.py`), 3 lz4 (one LZ4 frame per KIP-57,
     `sources/lz4.py`), 4 zstd (RFC 8878 frames — full FSE+Huffman
-    decode, store-mode encode, `sources/zstd.py`)."""
+    decode; r13 entropy-coded encode: LZ77 + predefined-FSE sequences,
+    `sources/zstd.py:zstd_compress`)."""
     if not records:
         raise ValueError("a RecordBatch must contain at least one record")
     if compression not in _SUPPORTED_CODECS:
@@ -346,9 +347,9 @@ def encode_record_batch(
 
         body = lz4_frame_compress(body)
     elif compression == COMPRESSION_ZSTD:
-        from pipegen_spark.sources.zstd import zstd_compress_store
+        from pipegen_spark.sources.zstd import zstd_compress
 
-        body = zstd_compress_store(body)
+        body = zstd_compress(body)
     after_crc = (
         # attributes bits 0-2 carry the codec; lastOffsetDelta
         struct.pack(">hi", compression, len(records) - 1)

@@ -358,3 +358,138 @@ def test_record_batch_real_zstd_frames_decode():
     assert out == [
         (5 + i, ts, k, v, hs) for i, (k, v, ts, hs) in enumerate(recs)
     ]
+
+
+# --- entropy-coded encoder (r13) ----------------------------------------------
+
+
+def _structured(draw):
+    """Payloads with real match structure (the case the encoder exists
+    for), assembled from a small token pool with random repetition."""
+    pool = draw(hst.lists(hst.binary(min_size=1, max_size=24),
+                          min_size=1, max_size=8))
+    picks = draw(hst.lists(hst.integers(0, len(pool) - 1),
+                           min_size=0, max_size=200))
+    return b"".join(pool[i] for i in picks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.one_of(hst.binary(max_size=4096),
+                  hst.builds(lambda: None).flatmap(
+                      lambda _: hst.data())))
+def test_entropy_encode_roundtrip_any_bytes(data):
+    if not isinstance(data, bytes):
+        data = _structured(data.draw)
+    frame = Z.zstd_compress(data)
+    assert zstd_decompress(frame) == data
+
+
+@pytest.mark.skipif(not _HAVE_PA, reason="pyarrow zstd unavailable")
+@settings(max_examples=60, deadline=None)
+@given(hst.data())
+def test_entropy_encode_reads_in_reference_decoder(data):
+    """Own entropy-coded frames must decode in REAL libzstd — the same
+    interop standard the decoder is held to, now in both directions."""
+    payload = _structured(data.draw)
+    frame = Z.zstd_compress(payload)
+    codec = _pa.Codec("zstd")
+    assert codec.decompress(frame, len(payload)).to_pybytes() == payload
+
+
+def test_entropy_encode_actually_compresses():
+    """The point over zstd_compress_store: repetitive payloads shrink
+    (store mode adds 14 bytes of envelope, always)."""
+    for payload, bound in (
+        (b"hello world " * 500, 100),
+        (b"abcabcabc" * 2000, 60),
+        (bytes(range(256)) * 64, 600),
+    ):
+        frame = Z.zstd_compress(payload)
+        assert len(frame) < bound < len(payload)
+        assert zstd_decompress(frame) == payload
+        assert len(Z.zstd_compress_store(payload)) > len(payload)
+
+
+def test_entropy_encode_multiblock_and_incompressible():
+    """>128 KiB payloads span blocks; the random tail block falls back
+    to raw (entropy coding must never inflate a block)."""
+    import hashlib
+
+    rnd = b"".join(
+        hashlib.sha256(bytes([i])).digest() for i in range(256)
+    )  # 8 KiB incompressible
+    payload = (b"structured " * 12000) + rnd * 20  # ~132K + 160K
+    frame = Z.zstd_compress(payload)
+    assert zstd_decompress(frame) == payload
+    if _HAVE_PA:
+        codec = _pa.Codec("zstd")
+        assert codec.decompress(frame, len(payload)).to_pybytes() == payload
+    # incompressible-only payload: legal frame, raw blocks, tiny overhead
+    f2 = Z.zstd_compress(rnd)
+    assert zstd_decompress(f2) == rnd
+    assert len(f2) <= len(rnd) + 14 + 3 * (len(rnd) // (1 << 17) + 1)
+
+
+def test_entropy_encode_long_sequence_count_header():
+    """Force the 2- and 3-byte Number_of_Sequences headers (128..32511
+    and >=32512) through a hand-built sequence list, framed manually and
+    decoded by BOTH decoders — the greedy matcher alone cannot reach
+    the 0x7F00 path on a 128 KiB block."""
+    for nseq in (300, 0x7F00 + 40):
+        seqs = [(1, 1, 3)] * nseq  # 1 literal, offset 1, match 3
+        lits = b"ab" * ((nseq + 1) // 2)  # 1 literal per seq, round up
+        lits = lits[:nseq]
+        body = Z._lit_raw_header(len(lits)) + lits + Z._encode_sequences(
+            seqs
+        )
+        regen = nseq * 4
+        fhd = (2 << 6) | 0x20  # single segment, 4-byte FCS, no checksum
+        frame = (
+            struct.pack("<I", Z.ZSTD_MAGIC)
+            + bytes([fhd])
+            + struct.pack("<I", regen)
+            + ((len(body) << 3) | 4 | 1).to_bytes(3, "little")
+            + body
+        )
+        out = zstd_decompress(frame)
+        assert len(out) == regen
+        # reconstruct expected: each seq copies prev byte 3x after 1 lit
+        exp = bytearray()
+        for i in range(nseq):
+            exp += lits[i : i + 1]
+            exp += exp[-1:] * 3
+        assert out == bytes(exp)
+        if _HAVE_PA:
+            got = _pa.Codec("zstd").decompress(frame, regen).to_pybytes()
+            assert got == bytes(exp)
+
+
+def test_entropy_frames_carry_checksum_and_fcs():
+    """Frame envelope parity with store mode: FCS honest, checksum
+    verified (a flipped payload bit must fail loudly)."""
+    payload = b"compressible compressible compressible" * 50
+    frame = bytearray(Z.zstd_compress(payload))
+    with pytest.raises(ValueError):
+        bad = bytearray(frame)
+        bad[-1] ^= 0x01  # checksum byte
+        zstd_decompress(bytes(bad))
+
+
+def test_entropy_encode_kafka_batch_path():
+    """The broker/consumer contract: codec-4 v2 batches now ship
+    entropy-coded frames (encode_record_batch switched from store mode
+    to zstd_compress in r13) and must decode through the wire path —
+    smaller than the store-mode batch on repetitive values."""
+    from pipegen_spark.sources.kafka_wire import (
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    records = [(None, b"payload-%d" % (i % 3), i, ()) for i in range(40)]
+    batch = encode_record_batch(records, base_offset=7, compression=4)
+    got = decode_record_batches(batch)
+    assert [(off, val) for off, _ts, _k, val, _h in got] == [
+        (7 + i, b"payload-%d" % (i % 3)) for i in range(40)
+    ]
+    store = encode_record_batch(records, base_offset=7, compression=0)
+    assert len(batch) < len(store)  # the codec earns its ratio
