@@ -38,14 +38,121 @@ from pipegen_spark.monitor.metrics import MetricsCollector
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+#: The reference dashboard's panel set (web/templates/dashboard.html:
+#: header status row, pipeline-flow strip, metric tiles, two live
+#: time-series charts, recent data) re-expressed self-contained: the
+#: reference pulls Chart.js from a CDN; here the charts are inline-SVG
+#: polylines fed by the SAME WS push the thin page used (r13, VERDICT
+#: r12 stretch #8), so the dashboard works with no network egress and
+#: no static asset directory. All data-derived strings go through
+#: textContent; chart geometry is numeric-only.
 _INDEX = """<!DOCTYPE html>
 <html><head><title>pipegen-spark dashboard</title>
-<style>body{font-family:system-ui;margin:2rem} table{border-collapse:collapse}
-td,th{border:1px solid #ccc;padding:4px 10px;font-size:0.9rem}</style></head>
-<body><h1>pipegen-spark</h1><div id="m">loading…</div>
+<style>
+body{font-family:system-ui;margin:1.2rem;background:#f5f6f8;color:#1a2233}
+h1{font-size:1.3rem;margin:0} .sub{color:#667;font-size:.8rem}
+.row{display:flex;gap:12px;flex-wrap:wrap;margin-top:12px}
+.card{background:#fff;border:1px solid #dde;border-radius:8px;
+      padding:10px 14px;box-shadow:0 1px 2px rgba(0,0,0,.04)}
+.tile{min-width:130px;text-align:center}
+.tile .v{font-size:1.5rem;font-weight:600} .tile .l{font-size:.72rem;color:#667}
+.flow{display:flex;align-items:center;gap:8px;font-size:.85rem}
+.flow .node{border:1px solid #cbd;border-radius:6px;padding:6px 12px;
+            background:#fafbff;text-align:center}
+.flow .arrow{color:#99a;font-size:1.1rem}
+.ok{color:#1a7f37}.bad{color:#b42318}
+table{border-collapse:collapse;margin-top:8px}
+td,th{border:1px solid #ccd;padding:4px 10px;font-size:0.82rem}
+svg{background:#fff} .ct{font-size:.8rem;color:#445;margin:0 0 4px}
+.legend{font-size:.7rem;color:#667}
+</style></head>
+<body>
+<h1>pipegen-spark</h1>
+<div class="sub" id="last">waiting for metrics…</div>
+<div class="row" id="tiles">
+  <div class="card tile"><div class="v" id="t_rows">0</div><div class="l">total input rows</div></div>
+  <div class="card tile"><div class="v" id="t_rps">0</div><div class="l">avg processed rows/s</div></div>
+  <div class="card tile"><div class="v" id="t_q">0</div><div class="l">active queries</div></div>
+  <div class="card tile"><div class="v" id="t_p95">0</div><div class="l">worst p95 batch ms</div></div>
+  <div class="card tile"><div class="v" id="t_bp">OK</div><div class="l">backpressure</div></div>
+</div>
+<div class="row"><div class="card flow" id="flow">
+  <div class="node">sources<br><span id="f_in">0 rows</span></div>
+  <div class="arrow">&#8594;</div>
+  <div class="node">spark queries<br><span id="f_q">0 running</span> &#183; <span id="f_state">0 state rows</span></div>
+  <div class="arrow">&#8594;</div>
+  <div class="node">sinks<br><span id="f_out">0 rows/s</span></div>
+</div></div>
+<div class="row">
+  <div class="card"><p class="ct">throughput (rows/s)
+    <span class="legend">&#9632; input <span style="color:#1a7f37">&#9632; processed</span></span></p>
+    <svg id="chart_rps" width="430" height="170" viewBox="0 0 430 170"></svg></div>
+  <div class="card"><p class="ct">batch duration (ms)
+    <span class="legend">&#9632; p50 <span style="color:#b42318">&#9632; p95</span></span></p>
+    <svg id="chart_ms" width="430" height="170" viewBox="0 0 430 170"></svg></div>
+</div>
+<div class="card" style="margin-top:12px"><div id="m">loading…</div></div>
 <script>
+const hist = {rps_in: [], rps_out: [], p50: [], p95: []};
+const MAXPTS = 120;
+function push(arr, v){ arr.push(v); if (arr.length > MAXPTS) arr.shift(); }
+function polyline(xs, color, top){
+  const w = 410, h = 150, n = Math.max(xs.length, 2);
+  const pts = xs.map((v, i) =>
+    (10 + i * (w - 10) / (n - 1)).toFixed(1) + ',' +
+    (h - (v / top) * (h - 15)).toFixed(1)).join(' ');
+  const p = document.createElementNS('http://www.w3.org/2000/svg','polyline');
+  p.setAttribute('points', pts);
+  p.setAttribute('fill', 'none');
+  p.setAttribute('stroke', color);
+  p.setAttribute('stroke-width', '1.6');
+  return p;
+}
+function axis(svg, top){
+  const t = document.createElementNS('http://www.w3.org/2000/svg','text');
+  t.setAttribute('x','4'); t.setAttribute('y','12');
+  t.setAttribute('font-size','9'); t.setAttribute('fill','#889');
+  t.textContent = top.toFixed(top >= 100 ? 0 : 1);
+  svg.appendChild(t);
+}
+function drawChart(id, series){
+  const svg = document.getElementById(id);
+  svg.replaceChildren();
+  const top = Math.max(...series.map(s => Math.max(...s.data, 0)), 1e-9);
+  axis(svg, top);
+  for (const s of series){
+    if (s.data.length > 1) svg.appendChild(polyline(s.data, s.color, top));
+  }
+}
 function render(d){
   const m = document.getElementById('m');
+  document.getElementById('last').textContent =
+    'last update: ' + new Date().toLocaleTimeString();
+  const rows = d.reduce((a, s) => a + s.input_rows, 0);
+  const rin  = d.reduce((a, s) => a + s.avg_input_rps, 0);
+  const rout = d.reduce((a, s) => a + s.avg_processed_rps, 0);
+  const p95  = Math.max(0, ...d.map(s => s.p95_batch_ms));
+  const p50  = Math.max(0, ...d.map(s => s.p50_batch_ms));
+  const state = d.reduce((a, s) => a + s.state_rows, 0);
+  const bp = d.some(s => s.backpressure !== 'OK') ? 'BACKPRESSURED' : 'OK';
+  document.getElementById('t_rows').textContent = rows.toLocaleString();
+  document.getElementById('t_rps').textContent = rout.toFixed(1);
+  document.getElementById('t_q').textContent = String(d.length);
+  document.getElementById('t_p95').textContent = p95.toFixed(0);
+  const bpEl = document.getElementById('t_bp');
+  bpEl.textContent = bp; bpEl.className = 'v ' + (bp === 'OK' ? 'ok' : 'bad');
+  document.getElementById('f_in').textContent = rows.toLocaleString() + ' rows';
+  document.getElementById('f_q').textContent = d.length + ' running';
+  document.getElementById('f_state').textContent = state.toLocaleString() + ' state rows';
+  document.getElementById('f_out').textContent = rout.toFixed(1) + ' rows/s';
+  push(hist.rps_in, rin); push(hist.rps_out, rout);
+  push(hist.p50, p50); push(hist.p95, p95);
+  drawChart('chart_rps', [
+    {data: hist.rps_in, color: '#1a2233'},
+    {data: hist.rps_out, color: '#1a7f37'}]);
+  drawChart('chart_ms', [
+    {data: hist.p50, color: '#1a2233'},
+    {data: hist.p95, color: '#b42318'}]);
   if (!d.length) { m.textContent = 'no queries yet'; return; }
   const cols = Object.keys(d[0]);
   const table = document.createElement('table');

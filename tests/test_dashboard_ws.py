@@ -143,3 +143,27 @@ def test_index_has_no_innerhtml():
         assert "WebSocket" in text
     finally:
         srv.stop()
+
+
+def test_index_chart_panel_markup():
+    """r13 (r12 VERDICT stretch #8): the index page carries the
+    reference dashboard's panel set — metric tiles, pipeline-flow
+    strip, and the two live SVG charts — self-contained (no CDN
+    script tags; the reference pulls Chart.js from jsdelivr, which an
+    egress-less deployment cannot)."""
+    srv = DashboardServer(_collector())
+    base = srv.start()
+    try:
+        with urllib.request.urlopen(base + "/", timeout=5) as r:
+            page = r.read().decode()
+        for marker in (
+            'id="chart_rps"', 'id="chart_ms"',  # live SVG charts
+            'id="t_rows"', 'id="t_rps"', 'id="t_p95"', 'id="t_bp"',
+            'id="flow"', 'id="f_state"',  # pipeline-flow strip
+            "drawChart", "polyline",  # the inline renderer
+        ):
+            assert marker in page, marker
+        assert "<script src=" not in page  # self-contained, no CDN
+        assert "textContent" in page and ".innerHTML" not in page
+    finally:
+        srv.stop()
