@@ -65,11 +65,18 @@ API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_CREATE_TOPICS = 19
 API_DELETE_TOPICS = 20
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_ILLEGAL_GENERATION = 22
+ERR_INCONSISTENT_GROUP_PROTOCOL = 23
+ERR_UNKNOWN_MEMBER_ID = 25
 ERR_TOPIC_ALREADY_EXISTS = 36
 ERR_INVALID_PARTITIONS = 37
 
@@ -128,6 +135,85 @@ class _Reader:
     def nbytes(self) -> bytes | None:
         n = self.i32()
         return None if n < 0 else self.take(n)
+
+
+# --- consumer embedded protocol (r13) -----------------------------------------
+#
+# The "consumer" protocol-type payloads relayed opaquely by the broker
+# during JoinGroup/SyncGroup (the public protocol guide's
+# ConsumerProtocolSubscription / ConsumerProtocolAssignment v0): the
+# broker never interprets these — the LEADER member computes the
+# assignment client-side and ships it back through SyncGroup.
+
+
+def encode_subscription(
+    topics: list[str], user_data: bytes | None = None
+) -> bytes:
+    """ConsumerProtocolSubscription v0: version + topics + user_data."""
+    out = bytearray(struct.pack(">hi", 0, len(topics)))
+    for t in topics:
+        out += _enc_str(t)
+    out += _enc_bytes(user_data)
+    return bytes(out)
+
+
+def decode_subscription(data: bytes) -> tuple[list[str], bytes | None]:
+    r = _Reader(data)
+    r.i16()  # version
+    topics = [r.string() or "" for _ in range(r.i32())]
+    return topics, r.nbytes()
+
+
+def encode_assignment(
+    parts: dict[str, list[int]], user_data: bytes | None = None
+) -> bytes:
+    """ConsumerProtocolAssignment v0: version + [(topic, [partition])]
+    + user_data."""
+    out = bytearray(struct.pack(">hi", 0, len(parts)))
+    for t in sorted(parts):
+        out += _enc_str(t) + struct.pack(">i", len(parts[t]))
+        for p in parts[t]:
+            out += struct.pack(">i", p)
+    out += _enc_bytes(user_data)
+    return bytes(out)
+
+
+def decode_assignment(
+    data: bytes,
+) -> tuple[dict[str, list[int]], bytes | None]:
+    r = _Reader(data)
+    r.i16()  # version
+    parts: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        t = r.string() or ""
+        parts[t] = [r.i32() for _ in range(r.i32())]
+    return parts, r.nbytes()
+
+
+def range_assign(
+    subscriptions: dict[str, list[str]],
+    n_partitions: dict[str, int],
+) -> dict[str, dict[str, list[int]]]:
+    """The RangeAssignor (the Java client's default): per topic, the
+    subscribed members sort by member id and take contiguous partition
+    ranges — count DIV members each, the first count MOD members
+    members one extra. Deterministic, so every member could compute it,
+    but per the protocol only the leader does."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in subscriptions}
+    for topic, count in sorted(n_partitions.items()):
+        members = sorted(
+            m for m, topics in subscriptions.items() if topic in topics
+        )
+        if not members:
+            continue
+        per, extra = divmod(count, len(members))
+        start = 0
+        for i, m in enumerate(members):
+            n = per + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = list(range(start, start + n))
+            start += n
+    return out
 
 
 # --- MessageSet v0 (magic 0) ---------------------------------------------------
@@ -733,6 +819,110 @@ class KafkaWireClient:
             lag[p] = ends[0] - max(off, 0)
         return lag
 
+    # -- group membership (r13 follow-through: JoinGroup/SyncGroup/
+    # Heartbeat/LeaveGroup v0 — the coordination half of the consumer
+    # group protocol; offsets above are the bookkeeping half. The
+    # broker relays the embedded "consumer" protocol payloads opaquely;
+    # the LEADER member runs the assignor, per the protocol guide) --
+
+    def join_group(
+        self,
+        group: str,
+        topics: list[str],
+        member_id: str = "",
+        session_timeout_ms: int = 30000,
+        protocols: tuple[str, ...] = ("range",),
+    ) -> tuple[int, int, str, str, str, dict[str, list[str]]]:
+        """JoinGroup v0 -> (error, generation, protocol, leader_id,
+        member_id, members) — `members` carries each member's decoded
+        topic subscription and is populated only for the leader."""
+        meta = encode_subscription(list(topics))
+        body = bytearray(_enc_str(group))
+        body += struct.pack(">i", session_timeout_ms)
+        body += _enc_str(member_id)
+        body += _enc_str("consumer")
+        body += struct.pack(">i", len(protocols))
+        for p in protocols:
+            body += _enc_str(p) + _enc_bytes(meta)
+        r = self._call(API_JOIN_GROUP, bytes(body))
+        err = r.i16()
+        gen = r.i32()
+        proto = r.string() or ""
+        leader = r.string() or ""
+        mid = r.string() or ""
+        members: dict[str, list[str]] = {}
+        for _ in range(r.i32()):
+            m = r.string() or ""
+            md = r.nbytes()
+            members[m] = decode_subscription(md)[0] if md else []
+        return err, gen, proto, leader, mid, members
+
+    def sync_group(
+        self,
+        group: str,
+        generation: int,
+        member_id: str,
+        assignments: dict[str, dict[str, list[int]]] | None = None,
+    ) -> tuple[int, dict[str, list[int]]]:
+        """SyncGroup v0: the leader passes the full member->assignment
+        map; followers pass None. -> (error, own {topic: [partition]})."""
+        body = bytearray(_enc_str(group))
+        body += struct.pack(">i", generation)
+        body += _enc_str(member_id)
+        items = assignments or {}
+        body += struct.pack(">i", len(items))
+        for m, parts in items.items():
+            body += _enc_str(m) + _enc_bytes(encode_assignment(parts))
+        r = self._call(API_SYNC_GROUP, bytes(body))
+        err = r.i16()
+        blob = r.nbytes()
+        return err, (decode_assignment(blob)[0] if blob else {})
+
+    def heartbeat(self, group: str, generation: int, member_id: str) -> int:
+        body = (
+            _enc_str(group)
+            + struct.pack(">i", generation)
+            + _enc_str(member_id)
+        )
+        return self._call(API_HEARTBEAT, body).i16()
+
+    def leave_group(self, group: str, member_id: str) -> int:
+        body = _enc_str(group) + _enc_str(member_id)
+        return self._call(API_LEAVE_GROUP, body).i16()
+
+    def group_consume_assignment(
+        self, group: str, topics: list[str], member_id: str = ""
+    ) -> tuple[int, str, dict[str, list[int]]]:
+        """The full join->assign->sync dance for ONE member: join the
+        group (pass the remembered `member_id` when REjoining after a
+        stale generation — an empty id admits a NEW member, exactly as
+        on a real coordinator); if elected leader, run the range
+        assignor over every member's subscription (partition counts
+        from Metadata) and ship the map; return (generation,
+        member_id, own assignment). On ILLEGAL_GENERATION the caller
+        re-invokes with its member id (the standard client loop)."""
+        err, gen, _proto, leader, mid, members = self.join_group(
+            group, topics, member_id=member_id
+        )
+        if err != ERR_NONE:
+            raise ValueError(f"JoinGroup failed with error {err}")
+        assignments = None
+        if mid == leader:
+            meta = self.metadata(
+                sorted({t for ts in members.values() for t in ts}
+                       | set(topics))
+            )
+            counts = {
+                t: len(info["partitions"])
+                for t, info in meta["topics"].items()
+                if info["error"] == ERR_NONE
+            }
+            assignments = range_assign(members, counts)
+        err, own = self.sync_group(group, gen, mid, assignments)
+        if err != ERR_NONE:
+            raise ValueError(f"SyncGroup failed with error {err}")
+        return gen, mid, own
+
     def produce(
         self,
         topic: str,
@@ -990,6 +1180,17 @@ class FakeKafkaBroker:
         self._group_offsets: dict[
             str, dict[tuple[str, int], tuple[int, str]]
         ] = {}
+        #: group -> membership state (JoinGroup/SyncGroup/Heartbeat/
+        #: LeaveGroup v0). The broker's half of the coordination
+        #: protocol: member ids, generation bumps on membership change,
+        #: leader election (first joiner), protocol selection, and
+        #: opaque relay of the leader's assignments. A real
+        #: coordinator parks JoinGroup responses until the rebalance
+        #: barrier; this broker responds immediately and stales-out
+        #: old generations instead (ILLEGAL_GENERATION on
+        #: sync/heartbeat), which drives the same client rejoin loop.
+        self._groups: dict[str, dict] = {}
+        self._member_seq = 0
         self._lock = threading.Lock()
 
     @property
@@ -1030,6 +1231,14 @@ class FakeKafkaBroker:
             body = self._offset_fetch(r, api_version)
         elif api_key == API_FIND_COORDINATOR and api_version in (0, 1):
             body = self._find_coordinator(r, api_version)
+        elif api_key == API_JOIN_GROUP and api_version == 0:
+            body = self._join_group(r)
+        elif api_key == API_SYNC_GROUP and api_version == 0:
+            body = self._sync_group(r)
+        elif api_key == API_HEARTBEAT and api_version == 0:
+            body = self._heartbeat(r)
+        elif api_key == API_LEAVE_GROUP and api_version == 0:
+            body = self._leave_group(r)
         elif api_key == API_CREATE_TOPICS and api_version == 0:
             body = self._create_topics(r)
         elif api_key == API_DELETE_TOPICS and api_version == 0:
@@ -1360,3 +1569,122 @@ class FakeKafkaBroker:
             ">i", port
         )
         return bytes(out)
+
+    # -- group membership handlers (r13) --
+
+    def _group(self, name: str) -> dict:
+        return self._groups.setdefault(
+            name,
+            {
+                "generation": 0,
+                "members": {},  # member_id -> {protocol: metadata}
+                "leader": "",
+                "protocol": "",
+                "assignments": {},  # member_id -> assignment bytes
+            },
+        )
+
+    def _join_group(self, r: _Reader) -> bytes:
+        group = r.string() or ""
+        r.i32()  # session_timeout_ms
+        member_id = r.string() or ""
+        r.string()  # protocol_type
+        protos: dict[str, bytes] = {}
+        for _ in range(r.i32()):
+            name = r.string() or ""
+            protos[name] = r.nbytes() or b""
+        with self._lock:
+            g = self._group(group)
+            if not member_id:
+                self._member_seq += 1
+                member_id = f"member-{self._member_seq}"
+            # protocol selection FIRST (no state mutated on rejection):
+            # the first protocol the joiner offers that every member of
+            # the would-be group also offers.
+            candidate = dict(g["members"])
+            candidate[member_id] = protos
+            common = ""
+            for name in protos:
+                if all(name in p for p in candidate.values()):
+                    common = name
+                    break
+            if not common:
+                return struct.pack(
+                    ">hi", ERR_INCONSISTENT_GROUP_PROTOCOL, -1
+                ) + _enc_str("") + _enc_str("") + _enc_str(
+                    member_id
+                ) + struct.pack(">i", 0)
+            known = member_id in g["members"]
+            g["members"] = candidate
+            if not known:
+                g["generation"] += 1
+                g["assignments"].clear()
+            if g["leader"] not in g["members"]:
+                g["leader"] = next(iter(g["members"]))
+            g["protocol"] = common
+            out = bytearray(struct.pack(">h", ERR_NONE))
+            out += struct.pack(">i", g["generation"])
+            out += _enc_str(common)
+            out += _enc_str(g["leader"])
+            out += _enc_str(member_id)
+            # member list only for the leader (protocol contract)
+            if member_id == g["leader"]:
+                out += struct.pack(">i", len(g["members"]))
+                for m, p in g["members"].items():
+                    out += _enc_str(m) + _enc_bytes(p.get(common))
+            else:
+                out += struct.pack(">i", 0)
+            return bytes(out)
+
+    def _sync_group(self, r: _Reader) -> bytes:
+        group = r.string() or ""
+        gen = r.i32()
+        member_id = r.string() or ""
+        incoming: dict[str, bytes] = {}
+        for _ in range(r.i32()):
+            m = r.string() or ""
+            incoming[m] = r.nbytes() or b""
+        with self._lock:
+            g = self._groups.get(group)
+            if g is None or member_id not in g["members"]:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID) + _enc_bytes(
+                    None
+                )
+            if gen != g["generation"]:
+                return struct.pack(
+                    ">h", ERR_ILLEGAL_GENERATION
+                ) + _enc_bytes(None)
+            if incoming:
+                if member_id != g["leader"]:
+                    return struct.pack(
+                        ">h", ERR_UNKNOWN_MEMBER_ID
+                    ) + _enc_bytes(None)
+                g["assignments"] = dict(incoming)
+            blob = g["assignments"].get(member_id, b"")
+            return struct.pack(">h", ERR_NONE) + _enc_bytes(blob)
+
+    def _heartbeat(self, r: _Reader) -> bytes:
+        group = r.string() or ""
+        gen = r.i32()
+        member_id = r.string() or ""
+        with self._lock:
+            g = self._groups.get(group)
+            if g is None or member_id not in g["members"]:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            if gen != g["generation"]:
+                return struct.pack(">h", ERR_ILLEGAL_GENERATION)
+            return struct.pack(">h", ERR_NONE)
+
+    def _leave_group(self, r: _Reader) -> bytes:
+        group = r.string() or ""
+        member_id = r.string() or ""
+        with self._lock:
+            g = self._groups.get(group)
+            if g is None or member_id not in g["members"]:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            del g["members"][member_id]
+            g["generation"] += 1
+            g["assignments"].clear()
+            if g["leader"] == member_id:
+                g["leader"] = next(iter(g["members"]), "")
+            return struct.pack(">h", ERR_NONE)

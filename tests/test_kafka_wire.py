@@ -23,7 +23,9 @@ from hypothesis import given, settings
 from hypothesis import strategies as hst
 
 from pipegen_spark.sources.kafka_wire import (
+    ERR_ILLEGAL_GENERATION,
     ERR_NONE,
+    ERR_UNKNOWN_MEMBER_ID,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
     FakeKafkaBroker,
     KafkaWireClient,
@@ -738,3 +740,133 @@ def test_message_set_corruption_is_loud_or_typed(recs, data):
         assert isinstance(off, int)
         assert k is None or isinstance(k, bytes)
         assert v is None or isinstance(v, bytes)
+
+
+# --- group membership (r13 follow-through) ------------------------------------------
+
+
+def test_join_group_golden_bytes():
+    """JoinGroup v0 request AND response hand-assembled from the public
+    protocol guide (group membership section) — the first member joins
+    with an empty member id, becomes leader, and receives the member
+    list with its ConsumerProtocolSubscription echoed opaquely."""
+    from pipegen_spark.sources.kafka_wire import encode_subscription
+
+    sub = encode_subscription(["t1"])
+    # ConsumerProtocolSubscription v0: version 0, ["t1"], null user_data
+    assert sub == b"\x00\x00" + b"\x00\x00\x00\x01" + b"\x00\x02t1" + (
+        b"\xff\xff\xff\xff"
+    )
+    with FakeKafkaBroker() as (host, port):
+        req = (
+            _req_header(11, 0, 9)
+            + b"\x00\x01g"                  # group_id "g"
+            + struct.pack(">i", 30000)       # session_timeout_ms
+            + b"\x00\x00"                    # member_id ""
+            + b"\x00\x08consumer"            # protocol_type
+            + b"\x00\x00\x00\x01"            # 1 protocol
+            + b"\x00\x05range"
+            + struct.pack(">i", len(sub)) + sub
+        )
+        resp = _raw_call(host, port, req)
+        assert resp == (
+            struct.pack(">i", 9)             # correlation id
+            + b"\x00\x00"                    # error NONE
+            + struct.pack(">i", 1)           # generation 1
+            + b"\x00\x05range"               # selected protocol
+            + b"\x00\x08member-1"            # leader id
+            + b"\x00\x08member-1"            # own member id
+            + struct.pack(">i", 1)           # members (leader view)
+            + b"\x00\x08member-1"
+            + struct.pack(">i", len(sub)) + sub
+        )
+
+
+def test_range_assignor_contract():
+    from pipegen_spark.sources.kafka_wire import range_assign
+
+    # 5 partitions over 2 members: first (by id) takes the extra one.
+    got = range_assign({"b": ["t"], "a": ["t"]}, {"t": 5})
+    assert got == {"a": {"t": [0, 1, 2]}, "b": {"t": [3, 4]}}
+    # member subscribed to nothing relevant gets an empty map
+    got = range_assign({"a": ["t"], "c": ["other"]}, {"t": 2})
+    assert got == {"a": {"t": [0, 1]}, "c": {}}
+
+
+def test_group_coordinated_consumption_over_socket():
+    """The full consumer-group dance over the wire: two members join
+    one group, the leader runs the range assignor over a 2-partition
+    topic, each member fetches ONLY its assigned partition and commits
+    its offsets — together they consume every record exactly once, and
+    the committed offsets make the group lag read zero."""
+    with FakeKafkaBroker() as (host, port):
+        c1 = KafkaWireClient(host, port)
+        c2 = KafkaWireClient(host, port)
+        try:
+            c1.create_topics(["t"], partitions=2)
+            for p in range(2):
+                c1.produce_v2(
+                    "t", p,
+                    [(None, b"p%d-%d" % (p, i), i, ()) for i in range(4)],
+                )
+            gen1, m1, own1 = c1.group_consume_assignment("g", ["t"])
+            # second member joining bumps the generation; member 1's
+            # heartbeat goes stale and it rejoins (the standard loop)
+            gen2, m2, own2 = c2.group_consume_assignment("g", ["t"])
+            assert c1.heartbeat("g", gen1, m1) == ERR_ILLEGAL_GENERATION
+            gen1b, m1b, own1 = c1.group_consume_assignment(
+                "g", ["t"], member_id=m1
+            )
+            assert m1b == m1 and gen1b == gen2
+            # re-sync member 2 at the (unchanged) generation to pick up
+            # the leader's refreshed assignment map
+            _, own2 = c2.sync_group("g", gen2, m2)
+            assert c2.heartbeat("g", gen2, m2) == ERR_NONE
+            # the two assignments partition the topic exactly
+            all_parts = sorted(own1.get("t", []) + own2.get("t", []))
+            assert all_parts == [0, 1]
+            consumed = {}
+            for cli, own, mid in ((c1, own1, m1), (c2, own2, m2)):
+                for p in own.get("t", []):
+                    _err, _hw, recs = cli.fetch_v2("t", p, offset=0)
+                    consumed[p] = [v for _o, _t, _k, v, _h in recs]
+                    cli.offset_commit(
+                        "g", {("t", p): len(recs)}
+                    )
+            assert consumed[0] == [b"p0-%d" % i for i in range(4)]
+            assert consumed[1] == [b"p1-%d" % i for i in range(4)]
+            assert c1.consumer_group_lag("g", "t", [0, 1]) == {0: 0, 1: 0}
+            # leave: generation bumps, departed member goes unknown
+            assert c2.leave_group("g", m2) == ERR_NONE
+            assert c2.heartbeat("g", gen2, m2) == ERR_UNKNOWN_MEMBER_ID
+            assert c1.sync_group("g", gen2, m1)[0] == (
+                ERR_ILLEGAL_GENERATION
+            )
+        finally:
+            c1.close()
+            c2.close()
+
+
+def test_join_group_inconsistent_protocol_is_loud():
+    from pipegen_spark.sources.kafka_wire import (
+        ERR_INCONSISTENT_GROUP_PROTOCOL,
+    )
+
+    with FakeKafkaBroker() as (host, port):
+        c1 = KafkaWireClient(host, port)
+        c2 = KafkaWireClient(host, port)
+        try:
+            err, gen, _p, _l, m1, _ = c1.join_group(
+                "g2", ["t"], protocols=("range",)
+            )
+            assert err == ERR_NONE
+            err2, *_ = c2.join_group(
+                "g2", ["t"], protocols=("sticky",)
+            )
+            assert err2 == ERR_INCONSISTENT_GROUP_PROTOCOL
+            # the failed joiner was not admitted: the group still beats
+            # with the original member at the original generation
+            assert c1.heartbeat("g2", gen, m1) == ERR_NONE
+        finally:
+            c1.close()
+            c2.close()
