@@ -218,3 +218,164 @@ def kmv_overlap(
             ).alias("est_jaccard_ppm"),
         )
     )
+
+
+# --- HyperLogLog (r13) --------------------------------------------------------
+#
+# The third classic sketch beside CMS (frequency) and KMV (overlap):
+# bounded-state distinct counting (Flajolet et al. 2007). Spark ships
+# HLL++ as approx_count_distinct (q23), but engine estimators are
+# value-incomparable across engines — q23's oracle can only assert a
+# tolerance. This implementation is DETERMINISTIC-BY-CONSTRUCTION:
+# registers come from the shared 60-bit md5 hash, and the estimator is
+# pure integer arithmetic whose two float-derived constants (alpha_m*m^2
+# and the linear-counting table) are Python-computed ONCE at import and
+# embedded as identical literals in both dialects — so the estimate
+# itself sits under the hard value gate.
+#
+# Scale: the register frame is a map-side-combinable MAX aggregate
+# bounded by |groups| * m rows regardless of input size (the sketch
+# property); the estimator runs on |groups| rows.
+
+import math
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_W_BITS = 60 - HLL_P  # low bits that feed the rank
+#: alpha_m = 0.7213 / (1 + 1.079/m) (the published constant) in ppm —
+#: applied with dl.mul_ppm so no intermediate product can overflow.
+HLL_ALPHA_PPM = round(0.7213 / (1.0 + 1.079 / HLL_M) * 1_000_000)
+#: Linear-counting estimates round(m * ln(m/V)) for V = 1..m — V has
+#: only m possible values, so the ln lives in a shared literal table
+#: instead of cross-engine float math.
+HLL_LINEAR = tuple(
+    round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+)
+#: Raw-estimate threshold below which linear counting applies (5m/2).
+HLL_SMALL = 5 * HLL_M // 2
+
+
+def hll_rho_case(w_col: str) -> str:
+    """rho = leading-zero count of the 52-bit suffix + 1 (position of
+    the first 1-bit), i.e. 52 - floor(log2 w); all-zero suffix -> 53.
+    Dialect-portable (plain CASE + integer compares, the balanced tree
+    from operators/text.py)."""
+    from pipegen_spark.operators.text import log2_exp_case
+
+    return (
+        f"CASE WHEN {w_col} = 0 THEN {_HLL_W_BITS + 1} "
+        f"ELSE {_HLL_W_BITS} - ({log2_exp_case(w_col, _HLL_W_BITS)}) END"
+    )
+
+
+def hll_linear_case(v_col: str) -> str:
+    """The linear-counting lookup as a CASE ladder over V (empty
+    registers). Evaluated on a |groups|-row frame only."""
+    whens = " ".join(
+        f"WHEN {v} THEN {est}"
+        for v, est in enumerate(HLL_LINEAR, start=1)
+    )
+    return f"CASE {v_col} {whens} ELSE 0 END"
+
+
+def _pow2(n_expr: str, d: str) -> str:
+    """2^n for a small non-negative integer expression (variable shift)."""
+    if d == dl.SPARK:
+        return f"shiftleft(CAST(1 AS BIGINT), CAST({n_expr} AS INT))"
+    return f"(CAST(1 AS BIGINT) << ({n_expr}))"
+
+
+def hll_e0_expr(s53_col: str, d: str) -> str:
+    """e0 ~= m^2 * 2^53 / S53 = 2^69 / S53 WITHOUT a >63-bit
+    intermediate: S53 in [m, m*2^53] = [2^8, 2^61], so split on 2^22 —
+    small S53 divides into 2^47 then shifts up exactly; large S53 drops
+    its low 22 bits first. Relative error <= max(2^-25, 1/quotient)
+    with quotient >= 2^8, i.e. <= ~0.4% — beneath the sketch's own
+    1.04/sqrt(m) = 6.5% standard error — and fully deterministic (same
+    floors both engines)."""
+    small = dl.shl(f"({dl.idiv(str(1 << 47), s53_col, d)})", 22, d)
+    big = dl.idiv(str(1 << 47), f"({dl.shr(s53_col, '22', d)})", d)
+    return (
+        f"CASE WHEN {s53_col} < {1 << 22} THEN {small} ELSE {big} END"
+    )
+
+
+def hll_distinct(
+    values: DataFrame, value_col: str = "s", group_col: str = "source"
+) -> DataFrame:
+    """Per-group HLL distinct estimate + the exact count it chases.
+
+    -> (group_col, n_exact, v_empty, hll_estimate, correction,
+    err_ppm): v_empty = registers never hit, correction names which
+    estimator branch fired ('linear' below 5m/2 with empty registers,
+    else 'raw'), err_ppm = |estimate - exact| relative error. The
+    large-range (2^60-scale) correction is out of domain for a 60-bit
+    hash space and intentionally omitted."""
+    h = F.expr(dl.hash60(value_col, dl.SPARK)).alias("h")
+    hv = values.select(F.col(group_col).alias("g"), h)
+    exact = hv.groupBy("g").agg(
+        F.countDistinct("h").cast("long").alias("n_exact")
+    )
+    reg = (
+        hv.withColumn(
+            "j", F.expr(dl.shr("h", str(_HLL_W_BITS), dl.SPARK))
+        )
+        .withColumn("w", F.expr(f"h % {1 << _HLL_W_BITS}"))
+        .withColumn("rho", F.expr(hll_rho_case("w")).cast("long"))
+        .groupBy("g", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = reg.groupBy("g").agg(
+        F.count("*").cast("long").alias("_nb"),
+        F.sum(F.expr(_pow2(f"{_HLL_W_BITS + 1} - r", dl.SPARK)))
+        .cast("long")
+        .alias("_s53p"),
+    )
+    est = (
+        per.withColumn("v_empty", F.lit(HLL_M) - F.col("_nb"))
+        .withColumn(
+            "_s53",
+            F.col("_s53p")
+            + F.col("v_empty") * F.lit(1 << (_HLL_W_BITS + 1)),
+        )
+        .withColumn(
+            "_e0", F.expr(hll_e0_expr("_s53", dl.SPARK)).cast("long")
+        )
+        .withColumn(
+            "_eraw",
+            F.expr(
+                dl.mul_ppm("_e0", HLL_ALPHA_PPM, dl.SPARK)
+            ).cast("long"),
+        )
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                f"CASE WHEN _eraw <= {HLL_SMALL} AND v_empty > 0 "
+                f"THEN {hll_linear_case('v_empty')} ELSE _eraw END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "correction",
+            F.expr(
+                f"CASE WHEN _eraw <= {HLL_SMALL} AND v_empty > 0 "
+                "THEN 'linear' ELSE 'raw' END"
+            ),
+        )
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_exact",
+            "v_empty",
+            "hll_estimate",
+            "correction",
+            F.expr(
+                dl.idiv(
+                    "abs(hll_estimate - n_exact) * 1000000",
+                    "greatest(n_exact, 1)",
+                    dl.SPARK,
+                )
+            ).cast("long").alias("err_ppm"),
+        )
+    )

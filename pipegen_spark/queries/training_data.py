@@ -3278,3 +3278,22 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score_micro"),
         "split",
     ).orderBy("doc_id")
+
+
+def text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog under the HARD value gate (r13) — the
+    third classic sketch beside CMS (text_cms_topk) and KMV
+    (q73_kmv_overlap): per-source distinct-bigram cardinality estimated
+    from 256 registers, next to the exact count it chases. Engine HLLs
+    are value-incomparable (q23 can only assert a tolerance); this one
+    is deterministic by construction — shared 60-bit md5 hash, integer
+    estimator, the two float-derived constants embedded as literals
+    identical in both dialects (operators/sketches.py:hll_distinct).
+    One bounded MAX aggregate (<= |sources| * 256 rows shipped
+    regardless of corpus size) + a |sources|-row estimator frame."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dd.shingle_rows(
+        docs, "text", "doc_id", k=MINHASH_K, extra_cols=("source",),
+        distinct=False,
+    ).select("source", "s")
+    return sk.hll_distinct(sh, "s", "source").orderBy("source")

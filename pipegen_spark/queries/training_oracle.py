@@ -4807,3 +4807,64 @@ def _pipeline_e2e_sql() -> str:
 
 
 TRAINING_ORACLE["curate_pipeline_e2e"] = _pipeline_e2e_sql()
+
+
+def _hll_sql() -> str:
+    """Mirror of queries.training_data.text_hll_distinct: per-doc
+    distinct bigram shingles (multiplicity is irrelevant to both a
+    distinct count and a MAX register), the shared hash60 -> (j, w,
+    rho) register derivation, the bounded MAX aggregate, and the SAME
+    integer estimator with the SAME literal constants
+    (operators/sketches.py builders render both dialects)."""
+    from pipegen_spark.operators import sketches as sk
+
+    h = dl.hash60("s", D)
+    w_bits = 60 - sk.HLL_P
+    pow2 = f"(CAST(1 AS BIGINT) << ({w_bits + 1} - r))"
+    return f"""
+    WITH w AS (SELECT doc_id, source, {dl.words("text", D)} AS w
+               FROM documents),
+    sh AS (SELECT source, unnest({dl.word_shingles("w", td.MINHASH_K, D)})
+               AS s FROM w),
+    hv AS (SELECT source AS g, {h} AS h FROM sh),
+    ex AS (SELECT g, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+           FROM hv GROUP BY g),
+    hw AS (SELECT g, {dl.shr('h', str(w_bits), D)} AS j,
+                  (h % {1 << w_bits}) AS wv
+           FROM hv),
+    reg AS (
+        SELECT g, j, MAX({sk.hll_rho_case('wv')}) AS r
+        FROM hw GROUP BY g, j
+    ),
+    per AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM({pow2}) AS BIGINT) AS s53p
+        FROM reg GROUP BY g
+    ),
+    est AS (
+        SELECT g, ({sk.HLL_M} - nb) AS v_empty,
+               s53p + ({sk.HLL_M} - nb)
+                   * CAST({1 << (w_bits + 1)} AS BIGINT) AS s53
+        FROM per
+    ),
+    er AS (
+        SELECT g, v_empty,
+               {dl.mul_ppm(f"({sk.hll_e0_expr('s53', D)})", sk.HLL_ALPHA_PPM, D)}
+                   AS eraw
+        FROM est
+    )
+    SELECT er.g AS source, ex.n_exact,
+           CAST(er.v_empty AS BIGINT) AS v_empty,
+           CAST(CASE WHEN eraw <= {sk.HLL_SMALL} AND v_empty > 0
+                THEN {sk.hll_linear_case('v_empty')}
+                ELSE eraw END AS BIGINT) AS hll_estimate,
+           CASE WHEN eraw <= {sk.HLL_SMALL} AND v_empty > 0
+                THEN 'linear' ELSE 'raw' END AS correction,
+           CAST({dl.idiv('abs((CASE WHEN eraw <= ' + str(sk.HLL_SMALL) + ' AND v_empty > 0 THEN ' + sk.hll_linear_case('v_empty') + ' ELSE eraw END) - n_exact) * 1000000', 'GREATEST(n_exact, 1)', D)}
+               AS BIGINT) AS err_ppm
+    FROM er JOIN ex USING (g)
+    ORDER BY source
+    """
+
+
+TRAINING_ORACLE["text_hll_distinct"] = _hll_sql()

@@ -111,3 +111,42 @@ def test_kmv_partial_overlap_direction(spark):
     df = spark.createDataFrame(rows, ["s", "m"])
     r = sk.kmv_overlap(df, "s", "m", "a", "b").collect()[0]
     assert 100_000 <= r["est_jaccard_ppm"] <= 600_000, r
+
+
+def test_hll_known_cardinalities(spark):
+    """From-scratch HLL (r13): estimates land inside ~3 standard
+    errors (1.04/sqrt(256) = 6.5%) of known cardinalities, BOTH
+    estimator branches fire across the range, and the register state
+    is bounded at m rows per group."""
+    from pipegen_spark.operators import sketches as sk
+
+    rows = []
+    for gname, n in (("g50", 50), ("g640", 640), ("g5000", 5000),
+                     ("g200000", 200000)):
+        rows += [(gname, f"{gname}-val-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, s string")
+    out = {r["source"]: r for r in
+           sk.hll_distinct(df, "s", "source").collect()}
+    assert out["g50"]["correction"] == "linear"
+    assert out["g200000"]["correction"] == "raw"
+    for g, n in (("g50", 50), ("g640", 640), ("g5000", 5000),
+                 ("g200000", 200000)):
+        r = out[g]
+        assert r["n_exact"] == n
+        assert abs(r["hll_estimate"] - n) <= max(0.20 * n, 8), r
+        assert 0 <= r["v_empty"] <= sk.HLL_M
+    # exact-register bound: the sketch state can never exceed m rows
+    assert all(0 <= r["v_empty"] <= sk.HLL_M for r in out.values())
+
+
+def test_hll_constants_are_shared_literals():
+    """The two float-derived constants are import-time literals (the
+    determinism contract: both dialects embed the SAME numbers)."""
+    from pipegen_spark.operators import sketches as sk
+
+    assert sk.HLL_ALPHA_PPM == 718273
+    assert len(sk.HLL_LINEAR) == sk.HLL_M
+    assert sk.HLL_LINEAR[0] == round(sk.HLL_M * __import__("math").log(sk.HLL_M))
+    assert sk.HLL_LINEAR[-1] == 0
+    # linear table is strictly decreasing until the tail zeros
+    assert all(a >= b for a, b in zip(sk.HLL_LINEAR, sk.HLL_LINEAR[1:]))
