@@ -279,9 +279,11 @@ def build_scaled(spark, n_copies: int, out_dir: str) -> str:
 STOPFIX_DIR = os.path.join(REPO, ".benchmarks", "sf1_stopfix")
 
 
-def build_stopfix() -> str:
-    """Documents-only 10x derivation for STOPWORD-KEYED pipelines
-    (r13; first consumer: curate_pipeline_e2e's scale datapoint).
+def build_stopfix(
+    n_copies: int = N_COPIES, out_dir: str | None = None
+) -> str:
+    """Documents-only Nx derivation for STOPWORD-KEYED pipelines
+    (r13; first consumer: curate_pipeline_e2e's scale datapoints).
 
     The default derivation's per-copy Caesar rotation rotates EVERY
     character, so a rotated copy's stopwords are no longer stopwords —
@@ -289,29 +291,36 @@ def build_stopfix() -> str:
     argmax, Gopher required-stops, stopword-ratio quality) drops the
     9 rotated copies at its first gate and the "10x" measurement
     pushes ~1x of data through everything downstream. Here the
-    rotation applies PER TOKEN and skips tokens whose lowercase form
-    is in the langid wordlists or the Gopher required-stops set:
+    substitution applies PER TOKEN and skips tokens whose lowercase
+    form is in the langid wordlists or the Gopher required-stops set:
     stopword-keyed gates behave identically on every copy, while
-    content tokens still rotate, so shingles/feature hashes stay
-    distinct across copies and the corpus-wide duplication RATE stays
-    constant (cross-copy docs share only stopword-only shingles, far
-    below the LSH thresholds). Within-copy duplicate structure is
-    preserved exactly as in the default derivation.
+    content tokens map through a per-copy SEEDED SUBSTITUTION CIPHER
+    (a Caesar rotation would alias past 26 copies — the same problem
+    build_scaled documents), so shingles/feature hashes stay distinct
+    across copies and the corpus-wide duplication RATE stays constant
+    (cross-copy docs share only stopword-only shingles, far below the
+    LSH thresholds). Within-copy duplicate structure is preserved
+    exactly as in the default derivation.
 
     Pure pyarrow/pandas (a local build tool, not engine code); only
     `documents.parquet` is materialized — the consumers of this dir
     read nothing else.
     """
+    import random
     import re
 
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    done = os.path.join(STOPFIX_DIR, "_BUILT")
+    out_dir = out_dir or (
+        STOPFIX_DIR if n_copies == N_COPIES
+        else f"{STOPFIX_DIR}_x{n_copies}"
+    )
+    done = os.path.join(out_dir, "_BUILT")
     if os.path.exists(done):
-        return STOPFIX_DIR
-    os.makedirs(STOPFIX_DIR, exist_ok=True)
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
 
     from pipegen_spark.operators.curation import GOPHER_REQUIRED_WORDS
     from pipegen_spark.operators.text import LANG_WORDLISTS
@@ -322,32 +331,33 @@ def build_stopfix() -> str:
 
     src = pd.read_parquet(os.path.join(SRC_DIR, "documents.parquet"))
     copies = []
-    for k in range(N_COPIES):
-        shift = k % 26
+    for k in range(n_copies):
+        perm = list(lower)
+        random.Random(9000 + k).shuffle(perm)
+        cipher = "".join(perm)
         table = str.maketrans(
-            lower + upper,
-            lower[shift:] + lower[:shift] + upper[shift:] + upper[:shift],
+            lower + upper, cipher + cipher.upper()
         )
 
-        def rot_tok(m: "re.Match[str]") -> str:
+        def sub_tok(m: "re.Match[str]") -> str:
             t = m.group(0)
             return t if t.lower() in keep else t.translate(table)
 
         c = src.copy()
         c["doc_id"] = c["doc_id"] + k * ID_OFFSET
-        if shift:
+        if k:
             c["text"] = c["text"].map(
-                lambda s: None if s is None else word_re.sub(rot_tok, s)
+                lambda s: None if s is None else word_re.sub(sub_tok, s)
             )
         copies.append(c)
     out = pd.concat(copies, ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(out, preserve_index=False),
-        os.path.join(STOPFIX_DIR, "documents.parquet"),
+        os.path.join(out_dir, "documents.parquet"),
     )
     with open(done, "w") as fh:
         fh.write("ok\n")
-    return STOPFIX_DIR
+    return out_dir
 
 
 def main() -> None:

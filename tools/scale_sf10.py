@@ -88,6 +88,18 @@ def main() -> None:
     build_scaled(spark, N_COPIES, SF10_DIR)  # x100 rung (idempotent)
     print(f"x100 corpus ready in {time.perf_counter() - t_build:.1f}s",
           flush=True)
+    # Stopword-keyed pipelines measure against the stopword-preserving
+    # derivation at BOTH rungs (see scale_bench.STOPKEYED).
+    from tools.scale_bench import STOPKEYED
+
+    stopfix_dirs: dict[str, str] = {}
+    if any(n in STOPKEYED for n in names):
+        from tools.build_sf1 import build_stopfix
+
+        stopfix_dirs = {
+            "x10": build_stopfix(10),
+            "x100": build_stopfix(100),
+        }
 
     qs["text_tokens"](spark, SRC_DIR).collect()  # warm-up, not measured
 
@@ -103,9 +115,16 @@ def main() -> None:
         # Fault isolation (r11 first attempt: one OOM killed the whole
         # run and lost the artifact): a failing rung records the error
         # and the run continues; a dead SparkContext is resurrected.
+        if name in STOPKEYED:
+            row["corpus"] = "stopfix"
         try:
-            for tag, d in (("sf0.1", SRC_DIR), ("x10", SF1_DIR),
-                           ("x100", SF10_DIR)):
+            for tag, d in (
+                ("sf0.1", SRC_DIR),
+                ("x10", stopfix_dirs.get("x10", SF1_DIR)
+                 if name in STOPKEYED else SF1_DIR),
+                ("x100", stopfix_dirs.get("x100", SF10_DIR)
+                 if name in STOPKEYED else SF10_DIR),
+            ):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 n = len(fn(spark, d).collect())
