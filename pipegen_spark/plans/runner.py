@@ -338,31 +338,48 @@ class PipelineRunner:
     def _consume_wire(
         self, executor, res, wire: tuple[str, int], expected: int | None
     ) -> dict:
-        """Steps 12-13 over the socket: poll Fetch v4 on the output
-        topic until the expected count arrives, the stream goes idle,
-        or the hard timeout fires (consumer.go:45-136 smart-stop), then
-        decode with the schema the sink actually encoded with and run
-        the B12 rule validation as one distributed pass."""
+        """Steps 12-13 over the socket: join the run's consumer GROUP
+        (r13 — JoinGroup/SyncGroup assign the partitions, offsets
+        commit as consumption progresses, LeaveGroup on exit, so the
+        B19 lag monitor reads a real group after the run), poll Fetch
+        v4 on the assigned partitions until the expected count
+        arrives, the stream goes idle, or the hard timeout fires
+        (consumer.go:45-136 smart-stop), then decode with the schema
+        the sink actually encoded with and run the B12 rule validation
+        as one distributed pass."""
         import json as _json
 
         from pipegen_spark.sources.kafka_wire import KafkaWireClient
 
         cfg = self.config
         topic = res.output_topic
+        group = f"{res.prefix}-consumer"
         client = KafkaWireClient(*wire, client_id="pipegen-consumer")
         values: list[bytes] = []
-        offset = 0
         reason = "hard_timeout"
         start = last = time.monotonic()
         no_msg = min(30.0, cfg.duration_seconds)
+        member_id = ""
         try:
+            _gen, member_id, own = client.group_consume_assignment(
+                group, [topic]
+            )
+            parts = sorted(own.get(topic, [])) or [0]
+            offsets = {p: 0 for p in parts}
             while True:
-                err, _hw, recs = client.fetch_v2(topic, 0, offset)
-                if recs:
-                    values.extend(
-                        bytes(v) for (_o, _t, _k, v, _h) in recs if v
-                    )
-                    offset = recs[-1][0] + 1
+                progressed = False
+                for p in parts:
+                    err, _hw, recs = client.fetch_v2(topic, p, offsets[p])
+                    if recs:
+                        values.extend(
+                            bytes(v) for (_o, _t, _k, v, _h) in recs if v
+                        )
+                        offsets[p] = recs[-1][0] + 1
+                        client.offset_commit(
+                            group, {(topic, p): offsets[p]}
+                        )
+                        progressed = True
+                if progressed:
                     last = time.monotonic()
                 if expected is not None and len(values) >= expected:
                     reason = "expected_count"
@@ -373,14 +390,20 @@ class PipelineRunner:
                 if time.monotonic() - start > cfg.pipeline_timeout:
                     reason = "hard_timeout"
                     break
-                if not recs:
+                if not progressed:
                     time.sleep(0.1)
         finally:
+            if member_id:
+                try:
+                    client.leave_group(group, member_id)
+                except Exception:
+                    pass
             client.close()
         out: dict = {
             "consumed": len(values),
             "expected": expected,
             "stop_reason": reason,
+            "consumer_group": group,
         }
         avro_json = executor.wire_sink_schemas.get(topic)
         if avro_json and values:

@@ -69,6 +69,7 @@ API_JOIN_GROUP = 11
 API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
+API_API_VERSIONS = 18
 API_CREATE_TOPICS = 19
 API_DELETE_TOPICS = 20
 
@@ -623,6 +624,18 @@ class KafkaWireClient:
                 f"correlation id mismatch: sent {self._corr}, got {corr}"
             )
         return r
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        """ApiVersions v0 — the request real clients open a connection
+        with (KIP-35): -> {api_key: (min_version, max_version)} for
+        every API the broker serves."""
+        r = self._call(API_API_VERSIONS, b"")
+        err = r.i16()
+        if err != ERR_NONE:
+            raise ValueError(f"ApiVersions failed with error {err}")
+        return {
+            r.i16(): (r.i16(), r.i16()) for _ in range(r.i32())
+        }
 
     def metadata(self, topics: list[str]) -> dict:
         body = struct.pack(">i", len(topics)) + b"".join(
@@ -1231,6 +1244,8 @@ class FakeKafkaBroker:
             body = self._offset_fetch(r, api_version)
         elif api_key == API_FIND_COORDINATOR and api_version in (0, 1):
             body = self._find_coordinator(r, api_version)
+        elif api_key == API_API_VERSIONS and api_version == 0:
+            body = self._api_versions()
         elif api_key == API_JOIN_GROUP and api_version == 0:
             body = self._join_group(r)
         elif api_key == API_SYNC_GROUP and api_version == 0:
@@ -1571,6 +1586,32 @@ class FakeKafkaBroker:
         return bytes(out)
 
     # -- group membership handlers (r13) --
+
+    #: The version table _api_versions advertises — exactly what the
+    #: dispatch above serves (a test asserts the two cannot drift).
+    SUPPORTED_APIS: dict[int, tuple[int, int]] = {
+        API_PRODUCE: (0, 3),
+        API_FETCH: (0, 4),
+        API_LIST_OFFSETS: (0, 0),
+        API_METADATA: (0, 0),
+        API_OFFSET_COMMIT: (0, 2),
+        API_OFFSET_FETCH: (0, 2),
+        API_FIND_COORDINATOR: (0, 1),
+        API_JOIN_GROUP: (0, 0),
+        API_HEARTBEAT: (0, 0),
+        API_LEAVE_GROUP: (0, 0),
+        API_SYNC_GROUP: (0, 0),
+        API_API_VERSIONS: (0, 0),
+        API_CREATE_TOPICS: (0, 0),
+        API_DELETE_TOPICS: (0, 0),
+    }
+
+    def _api_versions(self) -> bytes:
+        out = bytearray(struct.pack(">h", ERR_NONE))
+        out += struct.pack(">i", len(self.SUPPORTED_APIS))
+        for key, (lo, hi) in sorted(self.SUPPORTED_APIS.items()):
+            out += struct.pack(">hhh", key, lo, hi)
+        return bytes(out)
 
     def _group(self, name: str) -> dict:
         return self._groups.setdefault(

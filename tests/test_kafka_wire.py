@@ -870,3 +870,26 @@ def test_join_group_inconsistent_protocol_is_loud():
         finally:
             c1.close()
             c2.close()
+
+
+def test_api_versions_advertises_the_served_surface():
+    """ApiVersions v0 (KIP-35) — the request real clients open with.
+    The advertised table must cover every API the client layer speaks,
+    at the versions it speaks them."""
+    from pipegen_spark.sources import kafka_wire as kw
+
+    with FakeKafkaBroker() as (host, port):
+        c = KafkaWireClient(host, port)
+        try:
+            got = c.api_versions()
+        finally:
+            c.close()
+    assert got == FakeKafkaBroker.SUPPORTED_APIS
+    # every client-side API constant is advertised
+    for name in dir(kw):
+        if name.startswith("API_"):
+            assert getattr(kw, name) in got, name
+    # version spot checks: modern produce/fetch + the v0-2 offset APIs
+    assert got[kw.API_PRODUCE] == (0, 3)
+    assert got[kw.API_FETCH] == (0, 4)
+    assert got[kw.API_OFFSET_COMMIT] == (0, 2)

@@ -195,6 +195,22 @@ def test_runner_steps_1_to_14_over_the_socket(
         assert first[0] == 0  # Confluent magic byte
         assert int.from_bytes(first[1:5], "big") == ps["schema_id"]
 
+        # 12 (r13): the consumer ran as a real consumer GROUP — joined,
+        # took its assignment, committed offsets as it drained — so the
+        # B19 lag monitor, pointed at the same broker AFTER the run,
+        # detects completion through approach 1 (lag == 0), exactly the
+        # reference decision tree (alternative_monitor.go:77-107).
+        from pipegen_spark.monitor.metrics import (
+            check_processing_activity,
+        )
+
+        group = cons["consumer_group"]
+        assert group
+        act = check_processing_activity(host, port, [group], out_topic)
+        assert act["processing_detected"]
+        assert act["monitoring_method"] == "Consumer Group Lag"
+        assert act["consumer_group_lag"] == 0
+
         # 14: HTML report written with the wire lifecycle in it
         assert result.report_path and os.path.exists(result.report_path)
         html = open(result.report_path).read()
