@@ -75,10 +75,13 @@ def q22_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q23: approximate distinct (bounded-error oracle) ------------------------
 def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate. Estimators are engine-specific by
-    design, so the hash-comparable output is the exact count plus a boolean
-    asserting the estimate landed within ±5% of it (rsd=0.02 makes ±5% a
-    ~2.5-sigma bound); the oracle emits the exact count and literal TRUE."""
+    """HyperLogLog++ distinct estimate. ENGINE estimators are
+    engine-specific by design, so the hash-comparable output is the exact
+    count plus a boolean asserting the estimate landed within ±5% of it
+    (rsd=0.02 makes ±5% a ~2.5-sigma bound); the oracle emits the exact
+    count and literal TRUE. The from-scratch deterministic HLL
+    (text_hll_distinct, r13) carries the hard value gate this engine
+    sketch cannot."""
     orders = table(spark, sf_dir, "orders")
     agg = orders.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),

@@ -172,3 +172,28 @@ def test_round8_validation_errors(spark, empty_docs, empty_emb):
         cu.blocklist_exprs("text", "spark", {"bad": ""})
     with pytest.raises(ValueError, match="rounds"):
         em.top_direction(empty_emb, dim=2, rounds=0)
+
+
+def test_hll_and_curation_signals_empty(spark, empty_docs):
+    from pipegen_spark.operators import sketches as sk
+    from pipegen_spark.queries.training_data import _curation_signals
+
+    empty_vals = spark.createDataFrame([], "source string, s string")
+    assert sk.hll_distinct(empty_vals, "s", "source").count() == 0
+    # the e2e pipeline's signal stage (WARC ingest -> langid -> redact)
+    # on an empty corpus: empty frame, full schema
+    sig = _curation_signals(empty_docs.select("doc_id", "text", "source"))
+    assert sig.count() == 0
+    assert set(sig.columns) == {
+        "doc_id", "source", "pred_lang", "http_status", "n_pii",
+        "redacted",
+    }
+
+
+def test_group_assignor_degenerate():
+    from pipegen_spark.sources.kafka_wire import range_assign
+
+    assert range_assign({}, {"t": 4}) == {}
+    assert range_assign({"a": ["t"]}, {}) == {"a": {}}
+    # zero-partition topic: nobody gets an entry for it
+    assert range_assign({"a": ["t"]}, {"t": 0}) == {"a": {}}
