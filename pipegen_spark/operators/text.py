@@ -2134,3 +2134,173 @@ def kl_milli_expr(tsum: str, n_s: str, ln: str, lns: str, d: str) -> str:
         str(scale),
         d,
     )
+
+
+# --- stupid backoff LM scoring (r13) ------------------------------------------
+
+#: Backoff factors in micro-units: level 1 is the raw trigram ratio,
+#: level 2 applies 0.4 once, level 3 applies 0.4 twice (Brants et al.
+#: 2007 use a single fixed 0.4 at every backoff — no normalization,
+#: which is the whole point: the score is a filter signal, not a
+#: probability, and it distributes over count shards trivially).
+SB_L1_SCALE = 1_000_000
+SB_L2_SCALE = 400_000
+SB_L3_SCALE = 160_000
+
+
+def _trigram_occurrences(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2, w3) — one row per adjacent token triple."""
+    idx = dl.filter_(
+        dl.seq("1", f"greatest({dl.size('w', dl.SPARK)} - 2, 1)",
+               dl.SPARK),
+        f"i -> i <= ({dl.size('w', dl.SPARK)}) - 2",
+        dl.SPARK,
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(dl.words(text_col, dl.SPARK)).alias("w"),
+        )
+        .select("id", F.explode(F.expr(idx)).alias("i"), "w")
+        .select(
+            "id",
+            F.expr(dl.elem("w", "i", dl.SPARK)).alias("w1"),
+            F.expr(dl.elem("w", "i + 1", dl.SPARK)).alias("w2"),
+            F.expr(dl.elem("w", "i + 2", dl.SPARK)).alias("w3"),
+        )
+    )
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    ref_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid backoff trigram scoring (Brants et al. 2007 — "Large
+    Language Models in Machine Translation", the LM built FOR
+    MapReduce-scale web corpora): score every NON-reference document
+    against n-gram count tables from the reference slice (`ref_pred`
+    selects the trusted corpus — the CCNet/KenLM filtering pattern of
+    scoring candidate data under a clean-corpus LM; scoring a corpus
+    under its own counts never backs off, because every observed
+    trigram trivially has count >= 1).
+
+    Per trigram position in a scored doc:
+      level 1: S = c3(w1w2w3) / c2(w1w2)            (trigram seen)
+      level 2: S = 0.4 * c2(w2w3) / c1(w2)          (bigram backoff)
+      level 3: S = 0.16 * c1(w3) / N                (unigram backoff)
+      level 0: S = 0                                 (w3 out of vocab)
+    in micro-units via pre-scaled integer division (c3 <= c2 and
+    c2 <= c1 by construction, so `count * scale` stays in BIGINT until
+    a single n-gram exceeds ~9.2e12 occurrences — beyond any real
+    corpus's most frequent trigram; the unigram level divides by the
+    reference token total, same bound).
+
+    Output: (id_col, n_trigrams, avg_micro, n_l1, n_l2, n_l3, n_oov)
+    — mean score in micro-units plus the per-level hit counts (the
+    backoff histogram IS the domain-shift diagnostic: a candidate doc
+    scoring mostly at level 3/OOV is out-of-domain for the reference).
+    Docs with fewer than 3 tokens re-enter via left join with zeros.
+
+    Shape (100 TB): three count tables (partial-agg shuffles, each
+    bounded by n-gram vocabulary, not corpus rows), the scored
+    positions meet them through hash equi-joins on the n-gram keys,
+    the reference token total broadcasts as a 1-row aggregate, then
+    ONE per-doc aggregate. No driver-side state."""
+    ref = df.filter(ref_pred)
+    new = df.filter(~ref_pred)
+    c3 = (
+        _trigram_occurrences(ref, text_col, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("cnt3"))
+    )
+    c2 = (
+        _bigram_occurrences(ref, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt2"))
+    )
+    c1 = (
+        ref.select(
+            F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("cnt1"))
+    )
+    n_total = c1.agg(F.sum("cnt1").cast("long").alias("n_total"))
+    pos = (
+        _trigram_occurrences(new, text_col, id_col)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2, ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("cnt2").alias("cnt2b"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("t").alias("w2"),
+                      F.col("cnt1").alias("cnt1_w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            c1.select(F.col("t").alias("w3"),
+                      F.col("cnt1").alias("cnt1_w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    scored = pos.select(
+        "id",
+        F.expr(
+            f"""CASE
+            WHEN cnt3 IS NOT NULL THEN
+                ({SB_L1_SCALE} * cnt3) DIV cnt2
+            WHEN cnt2b IS NOT NULL THEN
+                ({SB_L2_SCALE} * cnt2b) DIV cnt1_w2
+            WHEN cnt1_w3 IS NOT NULL THEN
+                ({SB_L3_SCALE} * cnt1_w3) DIV n_total
+            ELSE 0 END"""
+        ).cast("long").alias("s_micro"),
+        F.expr(
+            "CASE WHEN cnt3 IS NOT NULL THEN 1 "
+            "WHEN cnt2b IS NOT NULL THEN 2 "
+            "WHEN cnt1_w3 IS NOT NULL THEN 3 ELSE 0 END"
+        ).alias("lvl"),
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("s_micro").cast("long").alias("_sum"),
+        F.sum(F.expr("CASE WHEN lvl = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_l1"),
+        F.sum(F.expr("CASE WHEN lvl = 2 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_l2"),
+        F.sum(F.expr("CASE WHEN lvl = 3 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_l3"),
+        F.sum(F.expr("CASE WHEN lvl = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_oov"),
+    )
+    return (
+        new.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            F.expr(
+                "CAST(COALESCE(_sum, 0) DIV greatest("
+                "COALESCE(n_trigrams, 0), 1) AS BIGINT)"
+            ).alias("avg_micro"),
+            F.coalesce("n_l1", F.lit(0)).cast("long").alias("n_l1"),
+            F.coalesce("n_l2", F.lit(0)).cast("long").alias("n_l2"),
+            F.coalesce("n_l3", F.lit(0)).cast("long").alias("n_l3"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        )
+    )

@@ -107,21 +107,24 @@ rounds; long-stable canaries stay in every window):
   mid-round surfaces took their slots), and the 6 canaries = 50.
   After this window no corpus query's newest driver row predates r8
   except those three r13 rotation picks.
-- r13 window (current): the two brand-new surfaces at the front —
+- r13 window (current): the three brand-new surfaces at the front —
   curate_pipeline_e2e (the whole curation stack composed as ONE
   pipeline: WARC ingest -> langid -> PII redaction -> Gopher ∧
   classifier ∧ percentile ensemble -> MinHash keep-best dedup ->
   90/5/5 split, r12 VERDICT task 4) and the mid-round
   text_hll_distinct (from-scratch deterministic HyperLogLog under
-  the hard value gate) — then the rolling rotation: ALL 33 r8-dated
+  the hard value gate) + text_stupid_backoff (web-scale LM filter
+  scored under reference-slice counts) — then the rolling rotation:
+  ALL 33 r8-dated
   rows (curate_unimax / curate_weighted_sample / dedup_bloom — the
   r12 rotation picks — plus dedup_cc_star, dedup_containment,
   multimodal_frame_sample, multimodal_jpeg_progressive and the
-  q18-q46 relational tranche), the 9 alphabetically-first r9-dated
-  rows (curate_blocklist ... dedup_semantic — dedup_setjoin dropped
-  to r14 when the HLL took its slot), and the 6 canaries = 50.
-  After this window no corpus query's newest driver row predates r9
-  except that one r14 rotation pick.
+  q18-q46 relational tranche), the 8 alphabetically-first r9-dated
+  rows (curate_blocklist ... dedup_incremental — dedup_semantic and
+  dedup_setjoin dropped to r14 when the mid-round HLL and
+  stupid-backoff surfaces took their slots), and the 6 canaries =
+  50. After this window no corpus query's newest driver row predates
+  r9 except those two r14 rotation picks.
 """
 
 from __future__ import annotations
@@ -141,7 +144,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: written). tests/test_registry_order.py asserts len(all_queries())
 #: equals this AND that SURVEY.md / COVERAGE.md state the same number:
 #: adding a query without bumping the docs fails the suite.
-CORPUS_SIZE = 217
+CORPUS_SIZE = 218
 
 #: Long-stable relational queries kept inside every 50-row gate window as
 #: regression sentinels (q38/q43 were multi-round hash-reds before the
@@ -165,11 +168,15 @@ GATE_CANARIES = (
 #: oracle the same fragments composed in one DuckDB statement.
 GATE_CHANGED: tuple[str, ...] = (
     "curate_pipeline_e2e",
-    # mid-round addition (window re-verified): text_hll_distinct — the
-    # from-scratch deterministic HyperLogLog (shared hash, integer
-    # estimator, literal-embedded constants) under the hard value gate
-    # q23's engine HLL can never carry.
+    # mid-round additions (window re-verified after each):
+    # text_hll_distinct — the from-scratch deterministic HyperLogLog
+    # (shared hash, integer estimator, literal-embedded constants)
+    # under the hard value gate q23's engine HLL can never carry; and
+    # text_stupid_backoff — Brants et al. 2007 web-scale LM filtering,
+    # new-batch docs scored under reference-slice n-gram counts with
+    # the backoff-level histogram as the domain-shift diagnostic.
     "text_hll_distinct",
+    "text_stupid_backoff",
 )
 
 #: Never-gated retirement: none this round — GATE_STATUS.json shows
@@ -187,8 +194,8 @@ GATE_NEVER: tuple[str, ...] = ()
 GATE_PENDING: tuple[str, ...] = ()
 
 #: Rolling re-gates: ALL 33 r8-dated rows (the corpus's oldest after
-#: the r12 window — led by the three r12 rotation picks), then the 9
-#: alphabetically-first r9-dated rows (the remaining 35 r9 rows rotate
+#: the r12 window — led by the three r12 rotation picks), then the 8
+#: alphabetically-first r9-dated rows (the remaining 36 r9 rows rotate
 #: across r14-r15).
 GATE_ROLLING = (
     # --- the 33 r8-green rows (newest row: round 8) ---
@@ -234,13 +241,13 @@ GATE_ROLLING = (
     "curate_preference_pairs",
     "curate_split_leakage",
     "dedup_incremental",
-    "dedup_semantic",
-    # (dedup_setjoin rotates to r14 — dropped to make room for the
-    # mid-round text_hll_distinct in GATE_CHANGED)
+    # (dedup_semantic and dedup_setjoin rotate to r14 — dropped to make
+    # room for the mid-round text_hll_distinct and text_stupid_backoff
+    # in GATE_CHANGED)
 )
 
-#: The full round-13 gate window, in enumeration order: 2 new surfaces
-#: + 42 rolling re-gates + 6 canaries = 50.
+#: The full round-13 gate window, in enumeration order: 3 new surfaces
+#: + 41 rolling re-gates + 6 canaries = 50.
 GATE_WINDOW = GATE_CHANGED + GATE_NEVER + GATE_ROLLING + GATE_CANARIES
 
 

@@ -3297,3 +3297,16 @@ def text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct=False,
     ).select("source", "s")
     return sk.hll_distinct(sh, "s", "source").orderBy("source")
+
+
+def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid backoff trigram LM scoring (r13) — the web-scale LM
+    filter (Brants et al. 2007): new-batch documents (the incremental
+    split `dedup_incremental` also uses) scored against n-gram counts
+    from the reference sources, with the per-level backoff histogram
+    as the domain-shift diagnostic. See
+    operators/text.py:stupid_backoff_scores for semantics and the
+    100 TB shape."""
+    docs = table(spark, sf_dir, "documents")
+    is_ref = ~F.expr(dl.rlike("source", NEW_BATCH_PATTERN, dl.SPARK))
+    return tx.stupid_backoff_scores(docs, is_ref).orderBy("doc_id")

@@ -4868,3 +4868,103 @@ def _hll_sql() -> str:
 
 
 TRAINING_ORACLE["text_hll_distinct"] = _hll_sql()
+
+
+def _stupid_backoff_sql() -> str:
+    """Mirror of text.stupid_backoff_scores: reference/new split on
+    NEW_BATCH_PATTERN, the three reference n-gram count tables, the
+    new-batch trigram positions left-joined through the backoff
+    ladder, and the per-doc aggregate with the level histogram —
+    every score the same pre-scaled integer division."""
+    from pipegen_spark.operators.text import (
+        SB_L1_SCALE,
+        SB_L2_SCALE,
+        SB_L3_SCALE,
+    )
+
+    is_new = dl.rlike("source", td.NEW_BATCH_PATTERN, D)
+    tri_idx = dl.filter_(
+        dl.seq("1", f"greatest({dl.size('w', D)} - 2, 1)", D),
+        f"i -> i <= ({dl.size('w', D)}) - 2",
+        D,
+    )
+    return f"""
+    WITH wd AS (SELECT doc_id AS id, source, {dl.words("text", D)} AS w
+                FROM documents),
+    refw AS (SELECT * FROM wd WHERE NOT {is_new}),
+    neww AS (SELECT * FROM wd WHERE {is_new}),
+    tri_ref AS (
+        SELECT {dl.elem("w", "i", D)} AS w1,
+               {dl.elem("w", "i + 1", D)} AS w2,
+               {dl.elem("w", "i + 2", D)} AS w3
+        FROM (SELECT w, unnest({tri_idx}) AS i FROM refw)
+    ),
+    c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3
+           FROM tri_ref GROUP BY w1, w2, w3),
+    bi_ref AS (
+        SELECT {dl.elem("w", "i", D)} AS w1,
+               {dl.elem("w", "i + 1", D)} AS w2
+        FROM (SELECT w, unnest({dl.bigram_idx("w", D)}) AS i FROM refw)
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2
+           FROM bi_ref GROUP BY w1, w2),
+    c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt1
+           FROM (SELECT unnest(w) AS t FROM refw) GROUP BY t),
+    nt AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS n_total FROM c1),
+    tri_new AS (
+        SELECT id, {dl.elem("w", "i", D)} AS w1,
+               {dl.elem("w", "i + 1", D)} AS w2,
+               {dl.elem("w", "i + 2", D)} AS w3
+        FROM (SELECT id, w, unnest({tri_idx}) AS i FROM neww)
+    ),
+    scored AS (
+        SELECT t.id,
+               CASE
+                   WHEN c3.cnt3 IS NOT NULL THEN
+                       {dl.idiv(f"{SB_L1_SCALE} * c3.cnt3", "c2.cnt2", D)}
+                   WHEN b2.cnt2b IS NOT NULL THEN
+                       {dl.idiv(f"{SB_L2_SCALE} * b2.cnt2b", "u2.cnt1", D)}
+                   WHEN u3.cnt1 IS NOT NULL THEN
+                       {dl.idiv(f"{SB_L3_SCALE} * u3.cnt1", "nt.n_total", D)}
+                   ELSE 0 END AS s_micro,
+               CASE WHEN c3.cnt3 IS NOT NULL THEN 1
+                    WHEN b2.cnt2b IS NOT NULL THEN 2
+                    WHEN u3.cnt1 IS NOT NULL THEN 3 ELSE 0 END AS lvl
+        FROM tri_new t
+        LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+        LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+        LEFT JOIN (SELECT w1 AS bw2, w2 AS bw3, cnt2 AS cnt2b FROM c2)
+            b2 ON t.w2 = b2.bw2 AND t.w3 = b2.bw3
+        LEFT JOIN c1 u2 ON t.w2 = u2.t
+        LEFT JOIN c1 u3 ON t.w3 = u3.t
+        CROSS JOIN nt
+    ),
+    per_doc AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(s_micro) AS BIGINT) AS s_sum,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_l1,
+               CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_l2,
+               CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_l3,
+               CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+        FROM scored GROUP BY id
+    )
+    SELECT n.id AS doc_id,
+           COALESCE(p.n_trigrams, 0) AS n_trigrams,
+           CAST({dl.idiv("COALESCE(p.s_sum, 0)",
+                         "GREATEST(COALESCE(p.n_trigrams, 0), 1)", D)}
+               AS BIGINT) AS avg_micro,
+           COALESCE(p.n_l1, 0) AS n_l1,
+           COALESCE(p.n_l2, 0) AS n_l2,
+           COALESCE(p.n_l3, 0) AS n_l3,
+           COALESCE(p.n_oov, 0) AS n_oov
+    FROM (SELECT DISTINCT id FROM neww) n
+    LEFT JOIN per_doc p ON n.id = p.id
+    ORDER BY doc_id
+    """
+
+
+TRAINING_ORACLE["text_stupid_backoff"] = _stupid_backoff_sql()
