@@ -427,3 +427,25 @@ def test_curation_pipeline_e2e_segments(spark, plans):
             "HashAggregate(keys=[source" in below
             and "score_micro" in below
         ), "window sort not over the bounded histogram:\n" + tail
+
+
+def test_r13_sketch_and_lm_plan_shapes(plans):
+    """The r13 late additions keep their scale shapes mechanically:
+    - text_hll_distinct: the register MAX and the estimator run as
+      hash aggregates (bounded state — never a window/sort over the
+      value stream), no join in the sketch path beyond the per-group
+      estimator/exact combine.
+    - text_stupid_backoff: the reference token total enters as a
+      BROADCAST 1-row aggregate (never a shuffle of the scored
+      positions against it), the n-gram count joins are hash/broadcast
+      equi-joins, and no per-doc rank/window appears anywhere.
+    """
+    p = plans["text_hll_distinct"]
+    assert "HashAggregate" in p, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    p = plans["text_stupid_backoff"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
+    assert "row_number" not in p, p
+    assert "CartesianProduct" not in p, p
