@@ -122,16 +122,30 @@ def scaled_long_expr(x: str) -> str:
 
 def _assign(vecs: DataFrame, cents: DataFrame, dim) -> DataFrame:
     """argmin_cid dist2(v, cv) with total (dist2, cid) tie-break; centroids
-    are broadcast (K rows) — the base table never shuffles."""
+    are broadcast (K rows) — the base table never shuffles.
+
+    r13 optimization (guide §2.3/§2.4): the argmin is a min(struct(d2,
+    cid, v)) aggregate instead of the previous row_number window. The
+    window shape shuffled and SORTED the n·K expansion on (id, d2, cid);
+    the min-struct partial-aggregates map-side — every id's K candidate
+    rows sit in ONE input partition after the broadcast expansion, so
+    the exchange carries one row per id and the downstream merge is
+    trivial. cid is unique per centroid, so the (d2, cid) prefix always
+    decides the comparison before v is reached: the selected row is
+    byte-identical to the window form's rn=1 row (same total order)."""
     dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
     d2 = F.expr(dl.dist2_double("v", "cv", dim_e, dl.SPARK))
-    w = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
     return (
         vecs.crossJoin(F.broadcast(cents))
         .select("id", "v", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", F.col("cid").alias("cluster_id"), "d2")
+        .groupBy("id")
+        .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+        .select(
+            "id",
+            F.col("m.v").alias("v"),
+            F.col("m.cid").alias("cluster_id"),
+            F.col("m.d2").alias("d2"),
+        )
     )
 
 
@@ -172,7 +186,15 @@ def _lloyd_update(assigned: DataFrame) -> DataFrame:
     """One Lloyd centroid recompute over an assignment frame: per-
     dimension means via posexplode → sum-of-scaled-longs → rebuild array
     ordered by dimension (the partition-order-independent exact mean the
-    module docstring describes). Returns (cid, cv)."""
+    module docstring describes). Returns (cid, cv).
+
+    r13 note: an "unrolled" variant (one hash aggregate with dim
+    scaled-long sum columns, no posexplode) was measured SLOWER at
+    sf0.1 across every assign pairing (e.g. 1.28 s → 1.91 s for the
+    2-iteration chain) — the 64-column expression tree costs more in
+    driver plan/codegen time than the posexplode costs in execution,
+    and the d-keyed posexplode aggregate is already map-side partial
+    and corpus-size-independent in its output. Kept the posexplode."""
     sums = (
         assigned.select(
             "cluster_id", F.posexplode("v").alias("pos", "x")
@@ -251,14 +273,22 @@ def semantic_dedup(
     where n_sem_dups counts the lower-id in-cluster vectors above
     threshold.
     """
-    assigned = kmeans_fixed(
-        base, init_pred, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim
-    ).select(F.col(id_col).alias("id"), "cluster_id")
+    # r13 optimization (guide §2.4): the final _assign already carries
+    # each vector (min-struct form), so the previous corpus-sized
+    # vecs⋈assigned re-join is gone. (A BLAS-prefilter rewrite of the
+    # pair pass via embedding_dup_pairs was measured 2x SLOWER at sf0.1
+    # — its extra stages dominate at bench scale — and was dropped; see
+    # OPTIMIZATION_r13.md.)
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # The assignment feeds three consumers (both sides of the pair join +
-    # the final output); persisting it runs the iterative k-means chain
-    # once instead of three times. The cached rows are (id, cluster_id,
-    # vec, nrm) — the corpus once, not a pair expansion.
+    cents = base.filter(init_pred).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = _assign(vecs, cents, dim)
+    for _ in range(iters - 1):
+        cents = _lloyd_update(assigned)
+        assigned = _assign(vecs, cents, dim)
+    # The assignment feeds two consumers (the pair pass + the final
+    # output); persisting it runs the iterative k-means chain once.
     #
     # Cache LIFETIME (r9 verdict): the operator returns a lazy frame, so
     # there is no action here to unpersist after — the CacheManager entry
@@ -266,7 +296,6 @@ def semantic_dedup(
     # persists). Per-query that is correct; a long-lived session (the
     # FAIR-pooled bench, a notebook) reclaims at its natural boundary via
     # spark.catalog.clearCache() — bench.py does this between passes.
-    #
     # The L2 norm is hoisted HERE, per vector, not computed per pair:
     # (a) O(n) norm chains instead of O(pairs), and (b) the full cosine —
     # dot + two norms, 3*dim unrolled element_at terms — overflows Janino's
@@ -277,7 +306,7 @@ def semantic_dedup(
     dim_expr = dim if dim is not None else dl.size("v", dl.SPARK)
     nrm = f"sqrt({dl.norm2_double('v', dim_expr, dl.SPARK)})"
     a = (
-        vecs.join(assigned, "id")
+        assigned.select("id", "cluster_id", "v")
         .withColumn("nrm", F.expr(nrm))
         .persist()
     )
@@ -368,19 +397,30 @@ def semantic_dedup_ivf(
         )
     dim_e = dim if dim is not None else dl.size("v", dl.SPARK)
 
-    def nearest_coarse(df: DataFrame, vcol: str, keep: list) -> DataFrame:
+    def nearest_coarse(
+        df: DataFrame, vcol: str, keep: list, carry_v: bool = False
+    ) -> DataFrame:
+        """r13: with carry_v the argmin struct carries the row's vector
+        behind the (d2, ccid) prefix — ccid is unique per centroid, so
+        the comparison never reaches v and the winner is unchanged;
+        the corpus-sized re-join that previously re-attached v to the
+        cell assignment disappears (guide §2.4)."""
         d2 = F.expr(
             dl.dist2_double(vcol, "ccv", dim_e, dl.SPARK)
         ).alias("d2")
-        return (
-            df.crossJoin(F.broadcast(coarse))
-            .select(*keep, "ccid", d2)
-            .groupBy(*keep)
-            .agg(
-                F.min(F.struct(F.col("d2"), F.col("ccid"))).alias("m")
-            )
-            .select(*keep, F.col("m.ccid").alias("cell"))
+        fields = [F.col("d2"), F.col("ccid")] + (
+            [F.col(vcol)] if carry_v else []
         )
+        out = (
+            df.crossJoin(F.broadcast(coarse))
+            .select(*keep, vcol, "ccid", d2)
+            .groupBy(*keep)
+            .agg(F.min(F.struct(*fields)).alias("m"))
+        )
+        cols = [*keep, F.col("m.ccid").alias("cell")] + (
+            [F.col(f"m.{vcol}").alias(vcol)] if carry_v else []
+        )
+        return out.select(*cols)
     # fine centroid -> coarse cell (k rows, broadcastable)
     fine_cells = nearest_coarse(
         fine.select(F.col("fid").alias("id"), F.col("fv").alias("v")),
@@ -390,7 +430,7 @@ def semantic_dedup_ivf(
     fine_in_cell = F.broadcast(
         fine.join(fine_cells, "fid").select("fid", "fv", "cell")
     )
-    vec_cells = nearest_coarse(vecs, "v", ["id"]).join(vecs, "id")
+    vec_cells = nearest_coarse(vecs, "v", ["id"], carry_v=True)
     d2f = F.expr(dl.dist2_double("v", "fv", dim_e, dl.SPARK)).alias("d2")
     matched = (
         vec_cells.join(fine_in_cell, "cell")
@@ -404,21 +444,27 @@ def semantic_dedup_ivf(
     # so it can never collide with a fine centroid's vec_id even when
     # the two sample predicates overlap at large derived k.
     assigned = (
-        vec_cells.select("id", "cell")
+        vec_cells.select("id", "cell", "v")
         .join(matched, "id", "left")
         .select(
             "id",
             F.coalesce(
                 "fine_id", -(F.col("cell") + F.lit(1))
             ).cast("long").alias("cluster_id"),
+            "v",
         )
     )
-    # Within-cluster keep-first pruning — semantic_dedup's pair pass.
+    # Within-cluster keep-first pruning — semantic_dedup's pair pass,
+    # byte-for-byte (hoisted norms, codegen-safe dot; see there).
     # Cache lifetime: session-scoped, same contract as semantic_dedup's
     # persist above (no action inside the operator to unpersist after;
     # long-lived sessions reclaim via spark.catalog.clearCache()).
     nrm = f"sqrt({dl.norm2_double('v', dim_e, dl.SPARK)})"
-    a = vecs.join(assigned, "id").withColumn("nrm", F.expr(nrm)).persist()
+    a = (
+        assigned.select("id", "cluster_id", "v")
+        .withColumn("nrm", F.expr(nrm))
+        .persist()
+    )
     left = a.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
