@@ -451,20 +451,25 @@ def dup_clusters(
                 )
             )
             # Checkpoint + convergence-count only every `check_every`
-            # rounds: both are an extra job each, and lineage across two
-            # rounds of tiny joins is harmless. The count reuses the
-            # materialized frame.
+            # rounds: each is an extra job, and lineage across two
+            # rounds of tiny joins is harmless. r13 (guide §1.2 "fewer
+            # passes"): the checkpoint is LAZY and the convergence count
+            # is the materializing action, so checkpoint+count cost ONE
+            # job per check instead of two (A/B: the eager variant paid
+            # a full extra scheduling round-trip per check for identical
+            # blocks).
             if (it + 1) % check_every == 0 or it == max_iters - 1:
-                merged = merged.localCheckpoint(eager=True)
+                merged = merged.localCheckpoint(eager=False)
                 labels = merged.drop("_chg")
                 if merged.filter(F.col("_chg")).count() == 0:
                     break
             else:
                 labels = merged.drop("_chg")
-        # Pin the final labels before restoring the conf — downstream joins
-        # would otherwise re-plan the last (un-checkpointed) rounds at
-        # corpus parallelism.
-        labels = labels.localCheckpoint(eager=True)
+        # The loop always exits through a check round (`it == max_iters-1`
+        # forces one), so `labels` is already a projection over a
+        # materialized checkpoint — re-checkpointing it here was a pure
+        # duplicate job (r13 cut). The conf-restore path below still sees
+        # only checkpointed plans.
     finally:
         if not aqe_on:
             spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))

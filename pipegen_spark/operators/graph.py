@@ -215,7 +215,14 @@ def cc_star_labels(
             .filter(F.col("c") != F.col("p"))
             .unionByName(smins.select(F.col("c"), F.col("m").alias("p")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r13, guide §1.2): the convergence count
+            # below is the materializing action, so checkpoint + count
+            # cost one job per round instead of two. The count's
+            # semi-join references `small` twice, but by the time the
+            # second branch runs the partitions are already persisted
+            # by the first pass (localCheckpoint persists during the
+            # materializing job).
+            .localCheckpoint(eager=False)
         )
         # Converged when every edge already points at a star center: no
         # child is also a parent. One scalar semi-join count.
