@@ -1976,49 +1976,66 @@ def doremi_weights(
         .cast("long")
         .alias("mean_micro"),
     )
-    best = per.agg(F.max("mean_micro").alias("best_micro"))
     # Truncate lineage at the k-row domain frame (pagerank_fixed's
-    # discipline): every MW round hangs two 1-row aggregates off this
-    # frame, and without the checkpoint each one re-executes the whole
+    # discipline): every MW round hangs frame-wide scalars off this
+    # frame, and without the checkpoint each round re-executes the whole
     # corpus classifier aggregate upstream — measured 21.6 s -> ~7 s
     # cold at sf0.01. At cluster scale use durable checkpoint().
-    dom = per.crossJoin(F.broadcast(best)).select(
+    # `best` is an unpartitioned window max (r13), not a broadcast
+    # 1-row aggregate: same BIGINT value, but the k-row frame crosses
+    # ONE single-partition exchange instead of referencing the corpus
+    # aggregate subtree twice (agg side + join side).
+    dom = per.select(
         source_col,
         "n_docs",
         F.least(
-            F.col("best_micro") - F.col("mean_micro"),
+            F.max("mean_micro").over(Window.partitionBy())
+            - F.col("mean_micro"),
             F.lit(DOREMI_LOSS_CAP).cast("long"),
         ).alias("loss_micro"),
     ).localCheckpoint(eager=True)
-    k1 = dom.agg(F.count("*").alias("k"))
-    w = dom.crossJoin(F.broadcast(k1)).select(
+    # r13 (guide §2.4 "share one exchange", §1.2): every MW round needs
+    # two FRAME-WIDE scalars (the mixture loss lbar and the raw-weight
+    # normalizer). The previous shape computed each as a 1-row aggregate
+    # crossJoin(broadcast(...)) — every scalar was its own
+    # BroadcastExchange materialization JOB, serialized 2 per round
+    # (measured: 25 Spark jobs / 2.8 s warm for curate_doremi at sf0.1).
+    # An UNPARTITIONED window aggregate (`SUM(..) OVER ()`) computes the
+    # identical BIGINT sum over the identical k-row frame, and every
+    # round's windows share the ONE single-partition exchange over the
+    # checkpointed domain frame — the whole MW unroll is a single job
+    # (measured: ~8 jobs / ~1.5 s; byte-identical output). k = domain
+    # count, so the single partition holds k rows at any corpus scale.
+    wall = Window.partitionBy()
+    kcol = F.count("*").over(wall).alias("k")
+    w = dom.select(
         source_col,
         "n_docs",
         "loss_micro",
-        F.expr(dl.idiv("CAST(1000000 AS BIGINT)", "k", dl.SPARK))
+        kcol,
+        F.expr(dl.idiv("CAST(1000000 AS BIGINT)", "COUNT(*) OVER ()", dl.SPARK))
         .cast("long")
         .alias("w"),
     )
     for _ in range(rounds):
-        lbar = w.agg(
-            F.expr(
-                dl.idiv(
-                    "SUM(w * loss_micro)", "CAST(1000000 AS BIGINT)",
-                    dl.SPARK,
-                )
-            ).cast("long").alias("lbar")
-        )
-        raw = w.crossJoin(F.broadcast(lbar)).select(
+        raw = w.select(
             source_col,
             "n_docs",
             "loss_micro",
+            "k",
             (
                 F.col("w")
                 * (
                     F.lit(1_000_000).cast("long")
                     + F.expr(
                         dl.idiv(
-                            "greatest(loss_micro - lbar, CAST(0 AS BIGINT))",
+                            "greatest(loss_micro - ("
+                            + dl.idiv(
+                                "SUM(w * loss_micro) OVER ()",
+                                "CAST(1000000 AS BIGINT)",
+                                dl.SPARK,
+                            )
+                            + "), CAST(0 AS BIGINT))",
                             str(DOREMI_ETA_DEN),
                             dl.SPARK,
                         )
@@ -2026,13 +2043,16 @@ def doremi_weights(
                 )
             ).cast("long").alias("raw"),
         )
-        tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
-        w = raw.crossJoin(F.broadcast(tot)).select(
+        w = raw.select(
             source_col,
             "n_docs",
             "loss_micro",
+            "k",
             F.expr(
-                dl.idiv("raw * CAST(1000000 AS BIGINT)", "tot", dl.SPARK)
+                dl.idiv(
+                    "raw * CAST(1000000 AS BIGINT)", "SUM(raw) OVER ()",
+                    dl.SPARK,
+                )
             ).cast("long").alias("w"),
         )
     uni = dl.idiv("CAST(1000000 AS BIGINT)", "k", dl.SPARK)
@@ -2041,8 +2061,7 @@ def doremi_weights(
         f" + {DOREMI_SMOOTH_NUM} * ({uni})) DIV {DOREMI_SMOOTH_DEN})"
     )
     return (
-        w.crossJoin(F.broadcast(k1))
-        .select(
+        w.select(
             source_col,
             "n_docs",
             "loss_micro",

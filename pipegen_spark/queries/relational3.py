@@ -328,7 +328,7 @@ def q41_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    with state_partitions(spark):
+    with state_partitions(spark, n=4):
         out = run_to_file_sink(spark, joined, "pipegen_q41_")
     return out.orderBy("event_id", "click_id")
 

@@ -65,7 +65,7 @@ def q42_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    with state_partitions(spark):
+    with state_partitions(spark, n=4):
         out = run_to_file_sink(spark, deduped, "pipegen_q42_")
     return out.orderBy("user_id", "event_type")
 

@@ -433,7 +433,7 @@ def q60_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="pipegen_q60_")
     sink_dir = os.path.join(work, "out")
-    with state_partitions(spark):
+    with state_partitions(spark, n=4):
         q = (
             agg.writeStream.foreachBatch(
                 idempotent_dir_sink(sink_dir, stamp_batch=True)

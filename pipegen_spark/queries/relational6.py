@@ -1087,7 +1087,7 @@ def q83_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_user",
         F.expr("unix_micros(c_ts)").alias("c_ts_us"),
     )
-    with state_partitions(spark):
+    with state_partitions(spark, n=4):
         out = run_to_file_sink(spark, joined, "pipegen_q83_")
 
     ev = table(spark, sf_dir, "events")
@@ -1195,7 +1195,7 @@ def q82_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.expr("unix_micros(c_ts)").alias("c_ts_us"),
     )
-    with state_partitions(spark):
+    with state_partitions(spark, n=4):
         out = run_to_file_sink(spark, joined, "pipegen_q82_")
 
     ev = table(spark, sf_dir, "events")
