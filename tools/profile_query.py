@@ -51,7 +51,9 @@ def main() -> None:
     )
     sc = spark.sparkContext
     qs = all_queries()
-    plan_dir = os.path.join(REPO, "plans", "r13")
+    plan_dir = os.path.join(
+        REPO, "plans", os.environ.get("PLAN_ROUND", "r14")
+    )
     os.makedirs(plan_dir, exist_ok=True)
 
     # Warm-up (bench.py parity: JVM + Arrow worker pool)
@@ -82,16 +84,16 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         t_first = time.perf_counter() - t0
-        # warm x2, report best; count jobs on the last run
-        best = float("inf")
+        # warm x2, report the (time, jobs) pair of the BEST run
+        best, jobs = float("inf"), 0
         for run in range(2):
             grp = f"profile-{name}-{run}"
             sc.setJobGroup(grp, name)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            jobs = job_count(grp)
-            best = min(best, dt)
+            if dt < best:
+                best, jobs = dt, job_count(grp)
         sc.setJobGroup(None, None)
         print(
             f"{name:42s} first={t_first:7.3f}  warm_best={best:7.3f}"
