@@ -1514,6 +1514,7 @@ def jpeg_encode(
     channels: int = 3,
     quant: int = 1,
     subsampling: str = "444",
+    _stores: tuple | None = None,
 ) -> bytes:
     """Minimal baseline-sequential JPEG writer: 8-bit, 4:4:4 (Hi=Vi=1)
     or 4:2:0 (`subsampling="420"`, RGB only: Y at 2x2, box-averaged
@@ -1539,12 +1540,14 @@ def jpeg_encode(
         raise ValueError("4:2:0 requires 3 channels (chroma to subsample)")
 
     w = _BitWriter()
+    stores, dims = (
+        _stores
+        if _stores is not None
+        else _jpeg_stores(width, height, pixels, channels, quant,
+                          subsampling)
+    )
     if subsampling == "444":
-        planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
-        stores = [
-            _quant_blocks(planes[ci], pw, ph, quant)
-            for ci in range(channels)
-        ]
+        pw, ph = dims[0]
         nbx = pw // 8
         dc_prev = [0] * channels
         for bi in range((ph // 8) * nbx):
@@ -1552,12 +1555,8 @@ def jpeg_encode(
                 _encode_block_seq(w, stores[ci][bi], dc_prev, ci)
         comp_hv = [0x11] * channels
     else:
-        (yp, yw, yh), (cbp, cw, ch2), (crp, _, _) = _jpeg_planes_420(
-            width, height, pixels
-        )
-        ystore = _quant_blocks(yp, yw, yh, quant)
-        cbstore = _quant_blocks(cbp, cw, ch2, quant)
-        crstore = _quant_blocks(crp, cw, ch2, quant)
+        ystore, cbstore, crstore = stores
+        (yw, _yh), (cw, ch2) = dims[0], dims[1]
         ynbx = yw // 8
         mcux, mcuy = cw // 8, (height + 15) // 16
         dc_prev = [0, 0, 0]
@@ -1770,6 +1769,151 @@ def _emit_ac_refine(
     _flush_eobrun(w, eobrun, pending)
 
 
+def _jpeg_stores(
+    width: int, height: int, pixels: bytes, channels: int, quant: int,
+    subsampling: str,
+) -> tuple[list[list[list[int]]], list[tuple[int, int]]]:
+    """Planes + FDCT + quantize: the coefficient-store phase both JPEG
+    writers share. Returns (stores, dims): stores[ci] is the zigzag
+    block list `_quant_blocks` produces for component ci, dims[ci] the
+    (pw, ph) of its padded plane. Split out so `jpeg_stores_batch` can
+    compute the same stores for MANY same-geometry images in one numpy
+    batch (guide §4.2 — the per-image planes are too small for the
+    64-block numpy threshold, so per-image encodes run the scalar DCT;
+    batching across images amortizes it 17x)."""
+    if subsampling == "444":
+        planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
+        return (
+            [
+                _quant_blocks(planes[ci], pw, ph, quant)
+                for ci in range(channels)
+            ],
+            [(pw, ph)] * channels,
+        )
+    (yp, yw, yh), (cbp, cw, ch_), (crp, _, _) = _jpeg_planes_420(
+        width, height, pixels
+    )
+    return (
+        [
+            _quant_blocks(yp, yw, yh, quant),
+            _quant_blocks(cbp, cw, ch_, quant),
+            _quant_blocks(crp, cw, ch_, quant),
+        ],
+        [(yw, yh), (cw, ch_), (cw, ch_)],
+    )
+
+
+def _fdct_stores_batch(planes, pw: int, ph: int, quant: int) -> list:
+    """FDCT + quantize an (n, ph, pw) int64 plane stack into n zigzag
+    block stores — the batched form of `_quant_blocks` over the image
+    axis. Same per-element float64 ops (level shift, _dct_2d_batch,
+    rint-quantize), so each store is bit-identical to the scalar one."""
+    n = planes.shape[0]
+    cbh, cbw = ph // 8, pw // 8
+    blocks = (
+        planes.astype(_np.float64).reshape(n, cbh, 8, cbw, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n * cbh * cbw, 64)
+        - 128.0
+    )
+    coefs = _dct_2d_batch(blocks)
+    qz = _np.rint(coefs / float(quant)).astype(_np.int64)
+    return qz[:, _np.asarray(_ZIGZAG)].reshape(n, cbh * cbw, 64).tolist()
+
+
+def _ycbcr_planes_batch(img):
+    """RGB->YCbCr over an (n, H, W, 3) float64 stack — the same float64
+    expressions (and op order) as `_rgb_to_ycbcr`, with numpy's
+    round-half-even `rint` matching Python `round`."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return tuple(
+        _np.clip(_np.rint(p), 0.0, 255.0).astype(_np.int64)
+        for p in (y, cb, cr)
+    )
+
+
+def jpeg_stores_batch(
+    width: int,
+    height: int,
+    pxs: list[bytes],
+    channels: int = 3,
+    quant: int = 1,
+    subsampling: str = "444",
+) -> list[tuple]:
+    """Coefficient stores for MANY same-geometry images in one numpy
+    batch: plane construction (edge replication, color convert, 4:2:0
+    box-average) and FDCT+quantize vectorized across the image axis.
+    Per-image encodes fall under the 64-block numpy threshold and run
+    the scalar DCT at ~235 us/block; batched across a corpus the same
+    transform costs ~14 us/block (guide §4.2 — hand whole batches to
+    vectorized native code). Bit-exact: every float64 op sequence per
+    element matches the scalar path, only the image axis is batched.
+
+    Returns one `(stores, dims)` per input, each exactly what the
+    scalar phase produces — pass to `jpeg_encode(..., _stores=...)` /
+    `jpeg_encode_progressive(..., _stores=...)`; one stores tuple can
+    feed BOTH writers (they quantize identically by construction)."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("4:2:0 requires 3 channels (chroma to subsample)")
+    exp = width * height * channels
+    for p in pxs:
+        if len(p) != exp:
+            raise ValueError(
+                f"pixel buffer is {len(p)} bytes, expected {exp}"
+            )
+    if _np is None or not pxs:
+        return [
+            _jpeg_stores(width, height, p, channels, quant, subsampling)
+            for p in pxs
+        ]
+    n = len(pxs)
+    arr = (
+        _np.frombuffer(b"".join(pxs), dtype=_np.uint8)
+        .reshape(n, height, width, channels)
+        .astype(_np.float64)
+    )
+    if subsampling == "444":
+        pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+        sy = _np.minimum(_np.arange(ph), height - 1)
+        sx = _np.minimum(_np.arange(pw), width - 1)
+        img = arr[:, sy[:, None], sx[None, :], :]
+        if channels == 3:
+            planes = _ycbcr_planes_batch(img)
+        else:
+            planes = (img[..., 0].astype(_np.int64),)
+        per_chan = [
+            _fdct_stores_batch(pl, pw, ph, quant) for pl in planes
+        ]
+        dims = [(pw, ph)] * channels
+        return [
+            ([per_chan[ci][i] for ci in range(channels)], dims)
+            for i in range(n)
+        ]
+    mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+    yw, yh = 16 * mcux, 16 * mcuy
+    sy = _np.minimum(_np.arange(yh), height - 1)
+    sx = _np.minimum(_np.arange(yw), width - 1)
+    img = arr[:, sy[:, None], sx[None, :], :]
+    yp, cbf, crf = _ycbcr_planes_batch(img)
+    cw, ch_ = 8 * mcux, 8 * mcuy
+    cb2 = (cbf.reshape(n, ch_, 2, cw, 2).sum(axis=(2, 4)) + 2) // 4
+    cr2 = (crf.reshape(n, ch_, 2, cw, 2).sum(axis=(2, 4)) + 2) // 4
+    ys = _fdct_stores_batch(yp, yw, yh, quant)
+    cbs = _fdct_stores_batch(cb2, cw, ch_, quant)
+    crs = _fdct_stores_batch(cr2, cw, ch_, quant)
+    dims = [(yw, yh), (cw, ch_), (cw, ch_)]
+    return [([ys[i], cbs[i], crs[i]], dims) for i in range(n)]
+
+
 def _quant_blocks(
     plane: list[int], pw: int, ph: int, quant: int
 ) -> list[list[int]]:
@@ -1809,6 +1953,7 @@ def jpeg_encode_progressive(
     quant: int = 1,
     restart_interval: int = 0,
     subsampling: str = "444",
+    _stores: tuple | None = None,
 ) -> bytes:
     """Progressive JPEG writer (ITU-T T.81 SOF2): the same component /
     DCT / quantization pipeline as `jpeg_encode`, with the quantized
@@ -1845,23 +1990,17 @@ def jpeg_encode_progressive(
         raise ValueError("4:2:0 requires 3 channels (chroma to subsample)")
     orders: list[list[int]] | None = None
     per_mcu: list[int] | None = None
+    blocks, dims = (
+        _stores
+        if _stores is not None
+        else _jpeg_stores(width, height, pixels, channels, quant,
+                          subsampling)
+    )
     if subsampling == "444":
-        planes, pw, ph = _jpeg_planes(width, height, pixels, channels)
-        blocks = [
-            _quant_blocks(planes[ci], pw, ph, quant)
-            for ci in range(channels)
-        ]
         ac_blocks = blocks  # used grid == padded grid at Hi=Vi=1
         comp_hv = [0x11] * channels
     else:
-        (yp, yw, yh), (cbp, cw, ch_), (crp, _, _) = _jpeg_planes_420(
-            width, height, pixels
-        )
-        blocks = [
-            _quant_blocks(yp, yw, yh, quant),
-            _quant_blocks(cbp, cw, ch_, quant),
-            _quant_blocks(crp, cw, ch_, quant),
-        ]
+        (yw, _yh), (cw, ch_) = dims[0], dims[1]
         comp_hv = [0x22, 0x11, 0x11]
         ybw = yw // 8
         mcux, mcuy = cw // 8, ch_ // 8
@@ -2222,6 +2361,15 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     Decoding is coefficient-domain: scans accumulate into per-block
     zigzag coefficient stores; dequantize + IDCT happen once at
     EOI."""
+    return _jpeg_pixels(*_jpeg_parse(data))
+
+
+def _jpeg_parse(data: bytes):
+    """Marker walk + entropy decode of a JPEG stream into per-component
+    zigzag coefficient stores — the sequential half of `jpeg_decode`,
+    split out so `jpeg_decode_batch` can run the dequant+IDCT+color
+    half across many images in one numpy batch. Returns
+    (width, height, comps, qtabs, geom, coefs)."""
     if data[:3] != JPEG_SOI or len(data) < 4:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -2392,7 +2540,15 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("no SOS marker")
     if not saw_eoi:
         raise ValueError("truncated JPEG: missing EOI marker")
+    return width, height, comps, qtabs, geom, coefs
 
+
+def _jpeg_pixels(
+    width: int, height: int, comps, qtabs, geom, coefs
+) -> tuple[int, int, int, bytes]:
+    """Dequantize + IDCT + upsample + color-convert parsed coefficient
+    stores into (width, height, channels, raw pixels) — the numeric
+    half of `jpeg_decode`."""
     nf = len(comps)
     hmax, vmax = geom["hmax"], geom["vmax"]
     planes: list = []
@@ -2491,6 +2647,95 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     )
                     out[o + 2] = _clamp8(yy + 1.772 * cb)
     return width, height, nf, bytes(out)
+
+
+def jpeg_decode_batch(
+    datas: list[bytes],
+) -> list[tuple[int, int, int, bytes]]:
+    """Decode MANY JPEGs: the marker walk + Huffman decode stays
+    sequential per image (a bitstream has no block axis), but the
+    dequant + IDCT + upsample + color-convert half runs as ONE numpy
+    batch per group of images sharing geometry and tables (guide §4.2).
+    Small images fall under `_BATCH_MIN_BLOCKS` individually and pay
+    the ~235 us/block scalar IDCT in `jpeg_decode`; batched across a
+    corpus the same transform costs ~14 us/block. Bit-exact to
+    `jpeg_decode` per element: `_dct_2d_batch` + the identical float64
+    color expressions, only the image axis is batched."""
+    if _np is None or len(datas) < 2:
+        return [jpeg_decode(d) for d in datas]
+    parsed = [_jpeg_parse(d) for d in datas]
+    groups: dict[tuple, list[int]] = {}
+    for i, (w, h, comps, qtabs, geom, _coefs) in enumerate(parsed):
+        key = (
+            w, h, tuple(comps),
+            tuple(sorted((k, tuple(v)) for k, v in qtabs.items())),
+            geom["hmax"], geom["vmax"], geom["mcux"], geom["mcuy"],
+            tuple(geom["comps"]),
+        )
+        groups.setdefault(key, []).append(i)
+    out: list = [None] * len(datas)
+    zig = _np.asarray(_ZIGZAG)
+    for key, idxs in groups.items():
+        w, h, comps, _qt, hmax, vmax, mcux, mcuy, gcomps = key
+        nf = len(comps)
+        n = len(idxs)
+        qtabs0 = parsed[idxs[0]][3]
+        planes = []
+        cpws = []
+        for ci in range(nf):
+            qtab = qtabs0.get(comps[ci][1])
+            if qtab is None:
+                raise ValueError("scan references missing table")
+            v_ = gcomps[ci][1]
+            cbw = gcomps[ci][2]
+            cpw, cph = cbw * 8, mcuy * v_ * 8
+            cbh = cph // 8
+            zz = _np.asarray(
+                [parsed[i][5][ci] for i in idxs], dtype=_np.float64
+            ).reshape(n * cbh * cbw, 64)
+            blocks = _np.zeros_like(zz)
+            blocks[:, zig] = zz * _np.asarray(qtab, dtype=_np.float64)
+            sp = _dct_2d_batch(blocks, inverse=True) + 128.0
+            vals = _np.clip(_np.rint(sp), 0.0, 255.0).astype(_np.int64)
+            planes.append(
+                vals.reshape(n, cbh, cbw, 8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(n, cph, cpw)
+            )
+            cpws.append(cpw)
+        if nf == 1:
+            pix = planes[0][:, :h, :w].astype(_np.uint8)
+            for j, i in enumerate(idxs):
+                out[i] = (w, h, 1, pix[j].tobytes())
+        else:
+            ys = _np.arange(h)
+            xs = _np.arange(w)
+
+            def samp(p, hc, vc):
+                return p[:, (ys * vc // vmax)[:, None],
+                         (xs * hc // hmax)[None, :]]
+
+            (hy, vy, _, _, _), (hb, vb, _, _, _), (hr, vr, _, _, _) = (
+                gcomps
+            )
+            yy = samp(planes[0], hy, vy)
+            cb = samp(planes[1], hb, vb) - 128
+            cr = samp(planes[2], hr, vr) - 128
+
+            def cl(v):
+                return _np.clip(_np.rint(v), 0.0, 255.0)
+
+            rgb = _np.stack(
+                [
+                    cl(yy + 1.402 * cr),
+                    cl(yy - 0.344136 * cb - 0.714136 * cr),
+                    cl(yy + 1.772 * cb),
+                ],
+                axis=-1,
+            ).astype(_np.uint8)
+            for j, i in enumerate(idxs):
+                out[i] = (w, h, 3, rgb[j].tobytes())
+    return out
 
 
 def jpeg_features(payload: bytes) -> dict:

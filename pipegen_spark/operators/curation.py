@@ -2006,6 +2006,11 @@ def doremi_weights(
     # checkpointed domain frame — the whole MW unroll is a single job
     # (measured: ~8 jobs / ~1.5 s; byte-identical output). k = domain
     # count, so the single partition holds k rows at any corpus scale.
+    # Documented assumption (r13 ADVICE): the 1e6 fixed-point base means
+    # k >= 1e6 domains would floor the initial weight to 0 (NULL weights
+    # after the first renormalizing DIV). Real corpora have tens-to-
+    # thousands of domains; pre-existing behavior, kept — raise the base
+    # alongside DOREMI_LOSS_CAP if a >1e6-domain corpus ever appears.
     wall = Window.partitionBy()
     kcol = F.count("*").over(wall).alias("k")
     w = dom.select(

@@ -781,6 +781,14 @@ def setjoin_jaccard_pairs(
         .select("ida", "idb", "na", "nb")
         .distinct()
     )
+    # r14 probe of the "second tokenize pass" candidate (r13 VERDICT #4):
+    # deriving the verify arrays from `rows` instead of this shingle_df
+    # call produces a physical plan IDENTICAL modulo expression ids
+    # (plans/r14/dedup_setjoin_{before,after}.txt) —
+    # RemoveRedundantAggregates strips the distinct below collect_set
+    # and ReuseExchange already dedupes the tokenize subtree, so the
+    # candidate was a phantom. Kept as-is; the explicit form documents
+    # the intent (verify on full sorted shingle sets).
     sh = shingle_df(df, text_col, id_col, n)
     sa = sh.select(F.col("id").alias("ida"), F.col("sh").alias("sa"))
     sb = sh.select(F.col("id").alias("idb"), F.col("sh").alias("sb"))

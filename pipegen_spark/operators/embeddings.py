@@ -411,6 +411,9 @@ def semantic_dedup_ivf(
         fields = [F.col("d2"), F.col("ccid")] + (
             [F.col(vcol)] if carry_v else []
         )
+        # keep must not repeat vcol or the groupBy(*keep) below turns
+        # ambiguous (r13 ADVICE); every current caller passes id-only.
+        assert vcol not in keep, "keep list must exclude vcol"
         out = (
             df.crossJoin(F.broadcast(coarse))
             .select(*keep, vcol, "ccid", d2)

@@ -218,10 +218,12 @@ def cc_star_labels(
             # LAZY checkpoint (r13, guide §1.2): the convergence count
             # below is the materializing action, so checkpoint + count
             # cost one job per round instead of two. The count's
-            # semi-join references `small` twice, but by the time the
-            # second branch runs the partitions are already persisted
-            # by the first pass (localCheckpoint persists during the
-            # materializing job).
+            # semi-join references `small` twice; the two branches can
+            # compute some partitions concurrently before they persist
+            # (duplicate work within the materializing job), which is
+            # harmless — partition contents are deterministic as sets
+            # and every consumer is order-insensitive — and cheaper
+            # than eager=True's extra per-round job in the measured A/B.
             .localCheckpoint(eager=False)
         )
         # Converged when every edge already points at a star center: no

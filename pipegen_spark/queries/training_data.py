@@ -1622,22 +1622,37 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def roundtrip(batches):
         import hashlib
 
-        from pipegen_spark.operators.codecs import jpeg_decode, jpeg_encode
+        from pipegen_spark.operators.codecs import (
+            jpeg_decode_batch,
+            jpeg_encode,
+            jpeg_stores_batch,
+        )
 
         for pdf in batches:
-            ids, n_px, ok = [], [], []
-            for did, t in zip(pdf["doc_id"], pdf["text"]):
-                seed = hashlib.md5((t or "").encode("utf-8")).digest()
-                px = (seed * 12)[: 8 * 8 * 3]
-                _, _, _, out = jpeg_decode(jpeg_encode(8, 8, px, 3))
-                ids.append(did)
-                n_px.append(len(out))
-                ok.append(
-                    len(out) == len(px)
-                    and max(
-                        abs(a - b) for a, b in zip(px, out)
-                    ) <= JPEG_ERR_TOL
-                )
+            # Batched planes+FDCT (encode) and IDCT+color (decode) across
+            # the pandas batch — guide §4.2; byte-identical to the
+            # per-doc path (codecs parity tests). Entropy coding stays
+            # per-doc (sequential by nature).
+            ids = list(pdf["doc_id"])
+            pxs = [
+                (hashlib.md5((t or "").encode("utf-8")).digest() * 12)[
+                    : 8 * 8 * 3
+                ]
+                for t in pdf["text"]
+            ]
+            stores = jpeg_stores_batch(8, 8, pxs, 3)
+            encs = [
+                jpeg_encode(8, 8, px, 3, _stores=st)
+                for px, st in zip(pxs, stores)
+            ]
+            outs = [d[3] for d in jpeg_decode_batch(encs)]
+            n_px = [len(out) for out in outs]
+            ok = [
+                len(out) == len(px)
+                and max(abs(a - b) for a, b in zip(px, out))
+                <= JPEG_ERR_TOL
+                for px, out in zip(pxs, outs)
+            ]
             yield pd.DataFrame(
                 {"doc_id": ids, "n_px": n_px, "decode_ok": ok}
             )
@@ -1688,28 +1703,47 @@ def multimodal_jpeg_progressive(
         import hashlib
 
         from pipegen_spark.operators.codecs import (
-            jpeg_decode,
+            jpeg_decode_batch,
             jpeg_encode,
             jpeg_encode_progressive,
+            jpeg_stores_batch,
         )
 
         for pdf in batches:
-            ids, sof2, eqb, ok = [], [], [], []
-            for did, t in zip(pdf["doc_id"], pdf["text"]):
-                seed = hashlib.md5((t or "").encode("utf-8")).digest()
-                px = (seed * 12)[: 8 * 8 * 3]
-                prog = jpeg_encode_progressive(8, 8, px, 3)
-                base_px = jpeg_decode(jpeg_encode(8, 8, px, 3))[3]
-                prog_px = jpeg_decode(prog)[3]
-                ids.append(did)
+            # Batched codec phases across the pandas batch (guide §4.2);
+            # one stores tuple feeds both writers. Byte-identical to the
+            # per-doc path (codecs parity tests).
+            ids = list(pdf["doc_id"])
+            pxs = [
+                (hashlib.md5((t or "").encode("utf-8")).digest() * 12)[
+                    : 8 * 8 * 3
+                ]
+                for t in pdf["text"]
+            ]
+            stores = jpeg_stores_batch(8, 8, pxs, 3)
+            bases = [
+                jpeg_encode(8, 8, px, 3, _stores=st)
+                for px, st in zip(pxs, stores)
+            ]
+            progs = [
+                jpeg_encode_progressive(8, 8, px, 3, _stores=st)
+                for px, st in zip(pxs, stores)
+            ]
+            n = len(ids)
+            decs = jpeg_decode_batch(bases + progs)
+            sof2, eqb, ok = [], [], []
+            for i in range(n):
+                prog = progs[i]
+                base_px = decs[i][3]
+                prog_px = decs[n + i][3]
                 sof2.append(
                     b"\xff\xc2" in prog and b"\xff\xc0" not in prog
                 )
                 eqb.append(prog_px == base_px)
                 ok.append(
-                    len(prog_px) == len(px)
+                    len(prog_px) == len(pxs[i])
                     and max(
-                        abs(a - b) for a, b in zip(px, prog_px)
+                        abs(a - b) for a, b in zip(pxs[i], prog_px)
                     ) <= JPEG_ERR_TOL
                 )
             yield pd.DataFrame(
@@ -1772,29 +1806,53 @@ def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
 
         from pipegen_spark.operators.codecs import (
-            jpeg_decode,
+            jpeg_decode_batch,
             jpeg_encode,
             jpeg_encode_progressive,
+            jpeg_stores_batch,
         )
 
         w0, h0 = 7, 13
         for pdf in batches:
-            ids, hv, geom, eqb, flat = [], [], [], [], []
-            for did, t in zip(pdf["doc_id"], pdf["text"]):
-                seed = hashlib.md5((t or "").encode("utf-8")).digest()
-                px = (seed * 18)[: w0 * h0 * 3]
-                base = jpeg_encode(w0, h0, px, 3, subsampling="420")
-                prog = jpeg_encode_progressive(
-                    w0, h0, px, 3, restart_interval=2, subsampling="420"
+            # Batched codec phases (guide §4.2): planes+FDCT+quantize run
+            # as ONE numpy batch across the pandas batch (and one stores
+            # tuple feeds BOTH writers — they quantize identically), the
+            # decode-side dequant+IDCT+color likewise; only the
+            # inherently sequential entropy coding stays per-doc.
+            # Byte-identical to the per-doc path (codecs parity tests).
+            ids = list(pdf["doc_id"])
+            seeds = [
+                hashlib.md5((t or "").encode("utf-8")).digest()
+                for t in pdf["text"]
+            ]
+            pxs = [(s * 18)[: w0 * h0 * 3] for s in seeds]
+            fpxs = [bytes(s[:3]) * (8 * 8) for s in seeds]
+            stores = jpeg_stores_batch(w0, h0, pxs, 3, 1, "420")
+            fstores = jpeg_stores_batch(8, 8, fpxs, 3, 1, "420")
+            bases = [
+                jpeg_encode(w0, h0, px, 3, subsampling="420", _stores=st)
+                for px, st in zip(pxs, stores)
+            ]
+            progs = [
+                jpeg_encode_progressive(
+                    w0, h0, px, 3, restart_interval=2,
+                    subsampling="420", _stores=st,
                 )
+                for px, st in zip(pxs, stores)
+            ]
+            fencs = [
+                jpeg_encode(8, 8, fpx, 3, subsampling="420", _stores=st)
+                for fpx, st in zip(fpxs, fstores)
+            ]
+            n = len(ids)
+            decs = jpeg_decode_batch(bases + progs + fencs)
+            hv, geom, eqb, flat = [], [], [], []
+            for i in range(n):
+                base, prog = bases[i], progs[i]
                 sof0, sof2 = base.find(b"\xff\xc0"), prog.find(b"\xff\xc2")
-                bw, bh, bc, bpx = jpeg_decode(base)
-                ppx = jpeg_decode(prog)[3]
-                fpx = bytes(seed[:3]) * (8 * 8)
-                fdec = jpeg_decode(
-                    jpeg_encode(8, 8, fpx, 3, subsampling="420")
-                )[3]
-                ids.append(did)
+                bw, bh, bc, bpx = decs[i]
+                ppx = decs[n + i][3]
+                fdec = decs[2 * n + i][3]
                 hv.append(
                     sof0 > 0 and sof2 > 0
                     and base[sof0 + 11] == 0x22
@@ -1805,7 +1863,7 @@ def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
                 geom.append((bw, bh, bc) == (w0, h0, 3))
                 eqb.append(ppx == bpx)
                 flat.append(
-                    max(abs(a - b) for a, b in zip(fpx, fdec)) <= 1
+                    max(abs(a - b) for a, b in zip(fpxs[i], fdec)) <= 1
                 )
             yield pd.DataFrame(
                 {

@@ -1911,3 +1911,98 @@ def test_gif_frames_bomb_guard():
     with pytest.raises(ValueError, match="max_frames"):
         gif_frames(data, max_frames=8)
     assert len(gif_frames(data, max_frames=9)[2]) == 9
+
+
+# --- r14: batched codec phases (cross-image numpy FDCT/IDCT) ----------------
+
+
+def test_jpeg_stores_batch_bit_exact_and_emitters():
+    """jpeg_stores_batch must reproduce the scalar _jpeg_stores phase
+    bit-for-bit for every geometry/subsampling/quant combination, and a
+    precomputed stores tuple must leave BOTH writers' bitstreams
+    byte-identical (the golden digests pin the scalar reference)."""
+    import random
+
+    from pipegen_spark.operators.codecs import (
+        _jpeg_stores,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_stores_batch,
+    )
+
+    rng = random.Random(14)
+    for (w, h, ch, sub, q) in [
+        (7, 13, 3, "420", 1),
+        (8, 8, 3, "444", 1),
+        (10, 9, 3, "444", 3),
+        (8, 8, 1, "444", 1),
+        (18, 5, 3, "420", 2),
+    ]:
+        pxs = [
+            bytes(rng.randrange(256) for _ in range(w * h * ch))
+            for _ in range(7)
+        ]
+        batch = jpeg_stores_batch(w, h, pxs, ch, q, sub)
+        for px, st in zip(pxs, batch):
+            ref = _jpeg_stores(w, h, px, ch, q, sub)
+            assert st[0] == ref[0] and st[1] == ref[1]
+            assert jpeg_encode(
+                w, h, px, ch, q, subsampling=sub, _stores=st
+            ) == jpeg_encode(w, h, px, ch, q, subsampling=sub)
+            assert jpeg_encode_progressive(
+                w, h, px, ch, q, restart_interval=2, subsampling=sub,
+                _stores=st,
+            ) == jpeg_encode_progressive(
+                w, h, px, ch, q, restart_interval=2, subsampling=sub
+            )
+
+
+def test_jpeg_stores_batch_validation():
+    import pytest as _pytest
+
+    from pipegen_spark.operators.codecs import jpeg_stores_batch
+
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        jpeg_stores_batch(8, 8, [b"\x00" * 5], 3)
+    with _pytest.raises(ValueError, match="4:2:0"):
+        jpeg_stores_batch(8, 8, [b"\x00" * 64], 1, 1, "420")
+    with _pytest.raises(ValueError, match="quant"):
+        jpeg_stores_batch(8, 8, [b"\x00" * 192], 3, 0)
+    assert jpeg_stores_batch(8, 8, [], 3) == []
+
+
+def test_jpeg_decode_batch_matches_scalar_mixed_geometries():
+    """jpeg_decode_batch groups images by geometry/tables and batches
+    the numeric half; output must equal per-image jpeg_decode exactly,
+    in input order, across interleaved geometries, subsamplings,
+    grayscale and progressive streams."""
+    import random
+
+    from pipegen_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_decode_batch,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(41)
+    datas = []
+    for (w, h, ch, sub, q) in [
+        (7, 13, 3, "420", 1),
+        (8, 8, 3, "444", 1),
+        (8, 8, 1, "444", 1),
+        (18, 5, 3, "420", 2),
+    ]:
+        for _ in range(3):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            datas.append(jpeg_encode(w, h, px, ch, q, subsampling=sub))
+            datas.append(
+                jpeg_encode_progressive(
+                    w, h, px, ch, q, restart_interval=2, subsampling=sub
+                )
+            )
+    rng.shuffle(datas)
+    assert jpeg_decode_batch(datas) == [jpeg_decode(d) for d in datas]
+    # singleton falls back to the scalar path
+    assert jpeg_decode_batch(datas[:1]) == [jpeg_decode(datas[0])]
+    assert jpeg_decode_batch([]) == []
