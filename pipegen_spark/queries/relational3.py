@@ -216,7 +216,7 @@ def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipegen_spark.streaming.filesource import (
         events_file_stream,
-        state_partitions,
+        session_state_partitions,
     )
     from pipegen_spark.streaming.sink import (
         compact_session_updates,
@@ -233,7 +233,11 @@ def q39_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work_dir = tempfile.mkdtemp(prefix="pipegen_q39_")
     sink_dir = os.path.join(work_dir, "out")
-    with state_partitions(spark):
+    # Session state scales with event volume: size the state shuffle
+    # from the events table, not a constant (r14 sf1 sweep — see
+    # session_state_partitions; at sf0.1 this resolves to the same n=8
+    # the r13 A/B picked, so bench comparability is unchanged).
+    with session_state_partitions(spark, sf_dir):
         q = (
             sessions.writeStream.foreachBatch(
                 idempotent_dir_sink(sink_dir, stamp_batch=True)

@@ -55,6 +55,44 @@ def state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _events_bytes(sf_dir: str) -> int:
+    """On-disk size of the sf dir's events table (file or part-file
+    directory) — the state-volume proxy session_state_partitions sizes
+    against."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def session_state_partitions(spark: SparkSession, sf_dir: str):
+    """SCALE-ADAPTIVE state sizing for session-window streams (r14,
+    guide §2 'partitioning derived from input size, not a constant').
+
+    Session state holds every open session, so it grows with event
+    volume — unlike the watermark-bounded hour of stream-stream
+    join/dedup state that stays fastest at the n=4 constant at every
+    measured scale. The r14 sf1 sweep (10x events, hashes identical)
+    moved the session query's optimum from the sf0.1-tuned n=8 to n=16
+    (9.24 s -> 7.60 s), exactly the drift a fixed constant cannot
+    follow. One state partition per ~1 MiB of events parquet, floored
+    at the measured sf0.1 optimum (8: 2 MiB -> 8 at sf0.1, 16 MiB ->
+    16 at sf1) and capped at defaultParallelism so a small box is
+    never oversubscribed; on a cluster the cap scales with the
+    executor count."""
+    size = _events_bytes(sf_dir)
+    cores = spark.sparkContext.defaultParallelism
+    n = max(8, min(cores, size // (1 << 20)))
+    return state_partitions(spark, n)
+
+
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the sf dir's events table (micros `ts` column)."""
     from pipegen_spark.catalog import table as _table

@@ -221,3 +221,39 @@ def test_state_partitions_restores_conf_on_error(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+def test_session_state_partitions_scales_with_events(spark, tmp_path):
+    """r14: session-window state partitions derive from the events
+    table size — floor 8 below ~8 MiB, one per MiB up to
+    defaultParallelism above it (the sf1 sweep moved the optimum from
+    the sf0.1-tuned 8 to 16 at 10x events)."""
+    import os
+
+    from pipegen_spark.streaming.filesource import (
+        _events_bytes,
+        session_state_partitions,
+    )
+
+    # real sf dirs: the rule reproduces the measured optima
+    assert max(8, min(32, _events_bytes("/root/testdata/sf0.01") // (1 << 20))) == 8
+    assert max(8, min(32, _events_bytes("/root/testdata/sf0.1") // (1 << 20))) == 8
+
+    # synthetic: a 20 MiB events file resolves to 20 (or the core cap)
+    sf = tmp_path / "sfbig"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"\x00" * (20 << 20))
+    cores = spark.sparkContext.defaultParallelism
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with session_state_partitions(spark, str(sf)):
+        got = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # floor 8 dominates the core cap on small boxes (8 tiny state
+        # partitions on 4 cores is the r13-measured sf0.1 optimum)
+        assert got == max(8, min(cores, 20))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # part-file directory tables (derived sf1 corpus) sum their parts
+    d = sf / "dir_sf"
+    (d / "events.parquet").mkdir(parents=True)
+    for i in range(3):
+        (d / "events.parquet" / f"part-{i}").write_bytes(b"\x00" * (1 << 20))
+    assert _events_bytes(str(d)) == 3 << 20
