@@ -683,12 +683,24 @@ def dsir_scores(
         )
     )
     # One (id, bucket) pre-aggregation feeds BOTH the corpus bucket table
-    # and the per-doc scoring: the two consumers share an identical
-    # subtree, so Spark computes the shuffle once and reads it back as a
-    # ReusedExchange — and the scoring join shrinks from feature
-    # occurrences to <= docs x buckets rows.
-    doc_bucket = feats.groupBy("id", "_t", "bucket").agg(
-        F.count("*").alias("cnt")
+    # and the per-doc scoring — and the scoring join shrinks from feature
+    # occurrences to <= docs x buckets rows. The r13 comment claimed the
+    # two consumers share the exchange via ReusedExchange; the r14
+    # executed-plan capture (plans/r14/curate_dsir_executed.txt) showed
+    # 2 Generates — column pruning gives the stats branch (bucket,_t,cnt)
+    # and the scoring branch (id,bucket,cnt) DIFFERENT exchange subtrees,
+    # so the tokenize+bigram+explode pass ran twice. Materialize the
+    # boundary instead (guide §5): the frame is NARROW (4 int/bool
+    # columns) so — unlike the LSH shingle-array spill, rejected at sf1 —
+    # the write is cheap at scale. Interleaved A/B, hashes identical:
+    # 2.78 -> 2.13 s at sf0.1, 4.56 -> 3.81 s at sf1.
+    from pipegen_spark.operators.spill import spill_to_parquet
+
+    doc_bucket = spill_to_parquet(
+        feats.groupBy("id", "_t", "bucket").agg(
+            F.count("*").alias("cnt")
+        ),
+        label="dsir-db",
     )
     stats = doc_bucket.groupBy("bucket").agg(
         F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0)))
