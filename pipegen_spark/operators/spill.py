@@ -28,11 +28,17 @@ from pyspark.sql import DataFrame
 #: operator, ~GBs per spill, exhaust /tmp, and atexit never runs on
 #: SIGKILL): (a) only the newest KEEP_SPILLS dirs are kept — each call
 #: site spills ONCE per run and only that run's DataFrames read it, so
-#: keeping current + previous is safe even if a caller still holds the
+#: keeping the live window is safe even if a caller still holds a
 #: prior run's result frame; (b) what remains is reaped at interpreter
-#: exit.
+#: exit. r14: the bound must cover CONCURRENT queries — the bench's
+#: pooled pass runs 8 queries at once and the spilling operators
+#: (pipeline_e2e x2, dsir, entropy x2, kl_drift x2) can hold up to ~16
+#: live dirs across a wave boundary; a cap of 4 could reap a directory
+#: another thread's running query is still reading. 24 = 8 threads x
+#: up-to-2 spills + a full wave of margin; the spilled frames are
+#: narrow aggregates, so the disk envelope stays small.
 _SPILL_DIRS: list[str] = []
-_KEEP_SPILLS = 4
+_KEEP_SPILLS = 24
 
 
 def _reap_spills() -> None:

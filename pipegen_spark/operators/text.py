@@ -1937,11 +1937,26 @@ def entropy_scores(
     norm_entropy_ppm); tokenless docs -> all zeros, single-type docs
     -> entropy 0 with norm 0 (log2(1) = 0 denominator guarded)."""
     scale = 1 << LOG2_FRAC_BITS
+    from pipegen_spark.operators.spill import spill_to_parquet
+
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
     )
-    cnt = tok.groupBy("id", "t").agg(F.count("*").cast("long").alias("c"))
+    # r14 (guide §5): materialize the two bounded reused frames. `cnt`
+    # feeds three branches (per, vals, csum) and `lg` joins back three
+    # times; column pruning gives each consumer a different exchange
+    # subtree, so ReusedExchange misses and every downstream broadcast
+    # build re-ran the tokenize and the 63-step log chain (plan sweep:
+    # 16 jobs, 3 Generates). Both frames are NARROW and bounded —
+    # (id, token, count) by corpus vocabulary-occurrence, (v, lg) by
+    # DISTINCT count values — so unlike the rejected LSH shingle-array
+    # spill the writes stay cheap as data grows. Interleaved A/B,
+    # hashes identical: 4.54 -> 3.48 s sf0.1, 8.35 -> 6.22 s sf1.
+    cnt = spill_to_parquet(
+        tok.groupBy("id", "t").agg(F.count("*").cast("long").alias("c")),
+        label="entropy-cnt",
+    )
     per = cnt.groupBy("id").agg(
         F.sum("c").cast("long").alias("n"),
         F.count("*").cast("long").alias("n_types"),
@@ -1952,7 +1967,10 @@ def entropy_scores(
         .unionByName(per.select(F.col("n_types").alias("v")))
         .distinct()
     )
-    lg = _with_log2_fp(vals, "v", "lg", max_bits=63).select("v", "lg")
+    lg = spill_to_parquet(
+        _with_log2_fp(vals, "v", "lg", max_bits=63).select("v", "lg"),
+        label="entropy-lg",
+    )
     csum = (
         cnt.join(lg.select(F.col("v").alias("c"), "lg"), "c")
         .groupBy("id")
@@ -2048,12 +2066,25 @@ def kl_drift_scores(
 
     Output: (source, n_tokens, n_types, kl_milli_bits), sorted."""
     scale = 1 << LOG2_FRAC_BITS
+    from pipegen_spark.operators.spill import spill_to_parquet
+
     tok = df.select(
         F.col(source_col).alias("src"),
         F.explode(F.expr(dl.words(text_col, dl.SPARK))).alias("t"),
     )
-    st = tok.groupBy("src", "t").agg(
-        F.count("*").cast("long").alias("c_st")
+    # r14 (guide §5): materialize the two bounded reused frames — `st`
+    # feeds four branches (ct, ns, vals, terms) and `lg` joins back
+    # four times; column pruning defeats ReusedExchange across them, so
+    # the plan re-ran the tokenize and the 63-step log chain per
+    # broadcast build (plan sweep: 19 jobs, 7 BroadcastExchange). Both
+    # frames are narrow and bounded ((src, token, count) / distinct
+    # count values). Interleaved A/B, hashes identical:
+    # 5.43 -> 3.34 s sf0.1, 5.04 -> 3.23 s sf1.
+    st = spill_to_parquet(
+        tok.groupBy("src", "t").agg(
+            F.count("*").cast("long").alias("c_st")
+        ),
+        label="kl-st",
     )
     ct = st.groupBy("t").agg(F.sum("c_st").cast("long").alias("c_t"))
     ns = st.groupBy("src").agg(
@@ -2068,7 +2099,10 @@ def kl_drift_scores(
         .unionByName(n1.select(F.col("n").alias("v")))
         .distinct()
     )
-    lg = _with_log2_fp(vals, "v", "lg", max_bits=63).select("v", "lg")
+    lg = spill_to_parquet(
+        _with_log2_fp(vals, "v", "lg", max_bits=63).select("v", "lg"),
+        label="kl-lg",
+    )
     terms = (
         st.join(lg.select(F.col("v").alias("c_st"), "lg"), "c_st")
         .join(

@@ -1841,3 +1841,13 @@ def test_semantic_dedup_ivf_trained_uses_trained_quantizer(spark):
     assert got[1]["is_semantic_dup"] is False
     assert got[3]["is_semantic_dup"] is True
     assert got[100]["is_semantic_dup"] is False
+
+
+def test_spill_keep_bound_covers_concurrent_queries():
+    """r14: spill_to_parquet's retention must cover the pooled bench
+    pass — 8 concurrent queries with up to 2 spills each. A cap of 4
+    (the r13 value) could reap a directory another running query still
+    reads; the bound now holds a full concurrent wave plus margin."""
+    from pipegen_spark.operators import spill as sp
+
+    assert sp._KEEP_SPILLS >= 16
