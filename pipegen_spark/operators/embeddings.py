@@ -1070,27 +1070,35 @@ def top_direction(
     v = full.select(F.col("i").alias("k")).distinct().select(
         "k", F.lit(POWER_SCALE).cast("long").alias("v")
     )
-    m = None
+    # r14 (guide §2.4, the doremi_weights discipline): the per-round
+    # frame-wide scalar m used to be a 1-row aggregate consumed through
+    # crossJoin(broadcast(m)) — one serialized BroadcastExchange JOB per
+    # round (and a second per-round broadcast for the final attach). An
+    # unpartitioned window MAX over the d-row iterate computes the same
+    # value inside the frame, so each round now pays exactly one
+    # broadcast (the iterate v itself, d rows, needed by the matvec
+    # join); the executed plan dropped 77 -> ~13 BroadcastExchange and
+    # the job count collapsed with it. `m` rides along in v and the
+    # final round's value is gnorm — identical integers throughout.
+    w_all = Window.partitionBy()
     for _ in range(rounds):
         u = (
             full.join(F.broadcast(v), full["j"] == v["k"])
             .groupBy("i")
             .agg(F.sum(F.col("gram") * F.col("v")).cast("long").alias("u"))
         )
-        m = u.agg(F.max(F.abs(F.col("u"))).cast("long").alias("m"))
-        v = u.crossJoin(F.broadcast(m)).select(
+        v = u.withColumn(
+            "m", F.max(F.abs(F.col("u"))).over(w_all).cast("long")
+        ).select(
             F.col("i").alias("k"),
             F.expr(
                 f"CAST(u DIV greatest(m DIV {POWER_SCALE},"
                 f" CAST(1 AS BIGINT)) AS BIGINT)"
             ).alias("v"),
+            "m",
         )
-    return (
-        v.crossJoin(F.broadcast(m))
-        .select(
-            F.col("k").alias("dim_idx"),
-            F.col("v").alias("comp"),
-            F.col("m").alias("gnorm"),
-        )
-        .orderBy("dim_idx")
-    )
+    return v.select(
+        F.col("k").alias("dim_idx"),
+        F.col("v").alias("comp"),
+        F.col("m").alias("gnorm"),
+    ).orderBy("dim_idx")

@@ -406,6 +406,27 @@ def test_winnow_plan_single_shuffle(docs):
     assert "BatchEvalPython" not in plan
 
 
+def test_top_direction_no_scalar_broadcast_joins(spark):
+    """r14: the power loop's per-round scalar renormalizer must ride an
+    unpartitioned window over the d-row iterate, never a
+    crossJoin(broadcast(1-row agg)) — the old shape paid a serialized
+    BroadcastNestedLoopJoin + BroadcastExchange JOB per round (the
+    doremi_weights pathology; 136 -> 8 BroadcastExchange at d=64)."""
+    from pipegen_spark.operators import embeddings as em
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.5, float((i * 7) % 5)]) for i in range(1, 21)],
+        "vec_id long, embedding array<double>",
+    )
+    out = em.top_direction(df, "embedding", dim=2, rounds=3)
+    rows = out.collect()
+    assert [r.dim_idx for r in rows] == [1, 2]
+    assert len({r.gnorm for r in rows}) == 1 and rows[0].gnorm > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan
+
+
 def test_span_dup_stats_flags_shared_boilerplate(spark):
     bp = "this document is provided under the sample license"  # 8 words
     df = spark.createDataFrame(
