@@ -865,17 +865,29 @@ def ivfpq_topk(
         broadcast hit for the centroid values. The residual transform
         is materialized behind a barrier: pq_subdist_expr indexes its
         operands per element, and an inlined transform would replay
-        the whole subtraction chain dim times per row."""
+        the whole subtraction chain dim times per row.
+
+        r14 (guide §2.4, the r13 nearest_coarse discipline): the argmin
+        struct carries the row's vector behind the (d2, cid) prefix —
+        cid is unique per centroid so the comparison never reaches v
+        and the winner is unchanged — which deletes the corpus-sized
+        `frame.join(amin, "id")` re-join (two exchanges + sorts of the
+        vector column per _residuals call)."""
         scored = frame.crossJoin(F.broadcast(cents)).select(
-            "id", "cid", d2.alias("d2")
+            "id", "cid", "v", d2.alias("d2")
         )
         amin = scored.groupBy("id").agg(
-            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("mc")
+            F.min(
+                F.struct(F.col("d2"), F.col("cid"), F.col("v"))
+            ).alias("mc")
         )
         rv = dl.arr_sub("v", "cv", dim, dl.SPARK)
         return _barrier(
-            frame.join(amin, "id")
-            .select("id", "v", F.col("mc.cid").alias("list_id"))
+            amin.select(
+                "id",
+                F.col("mc.cid").alias("list_id"),
+                F.col("mc.v").alias("v"),
+            )
             .join(
                 F.broadcast(cents.withColumnRenamed("cid", "list_id")),
                 "list_id",

@@ -406,6 +406,38 @@ def test_winnow_plan_single_shuffle(docs):
     assert "BatchEvalPython" not in plan
 
 
+def test_ivfpq_residuals_carry_v_no_corpus_rejoin(spark):
+    """r14: the coarse argmin struct carries the row vector behind the
+    (d2, cid) prefix, so the residual pass never re-joins the corpus by
+    id. With broadcast joins disabled the old shape showed SortMergeJoins
+    keyed on id (2 per _residuals call); the new plan has none — every
+    remaining join is an explicit broadcast hint."""
+    data = [
+        (i, [float((i * 13) % 7) / 7.0 + 0.1 * s for s in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = sim.ivfpq_topk(
+            df,
+            F.col("vec_id") < 3,
+            F.col("vec_id").between(30, 33),
+            F.col("vec_id").between(34, 37),
+            nprobe=2,
+            k=3,
+            m=2,
+            dim=4,
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(rows) > 0
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_top_direction_no_scalar_broadcast_joins(spark):
     """r14: the power loop's per-round scalar renormalizer must ride an
     unpartitioned window over the d-row iterate, never a
