@@ -1124,6 +1124,7 @@ def quality_threshold_gate(
     id_col: str = "doc_id",
     group_col: str = "source",
     keep_frac_ppm: int = QP_KEEP_FRAC_PPM,
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale-safe sibling of `quality_percentile_gate`: keep each group's
     top `keep_frac_ppm`/1e6 documents via a per-group score CUTOFF
@@ -1158,10 +1159,26 @@ def quality_threshold_gate(
     """
     from pipegen_spark.operators import text as tx
 
+    from pipegen_spark.operators.spill import spill_to_parquet
+
     if not 0 <= keep_frac_ppm <= PCT_PPM:
         raise ValueError(
             f"keep_frac_ppm must be in [0, {PCT_PPM}], got {keep_frac_ppm}"
         )
+    # r14 (guide §5, the dsir/entropy discipline): `scored` fans into
+    # TWO consumers — the cutoff histogram and the final broadcast-join
+    # back onto the per-doc rows — whose column-pruned subtrees differ
+    # ((group, score) vs (id, group, score)), so ReuseExchange never
+    # dedupes them and the tokenize + quality pass over the full text
+    # ran TWICE. The frame is 3 narrow columns x one row per doc, so
+    # materializing it once is cheap at any scale while the recompute
+    # it replaces is a full-corpus tokenize. Interleaved A/B (sf1):
+    # curate_quality_percentile 2.39 -> 1.97 s, curate_ensemble
+    # 3.90 -> 3.74 s, hashes identical. `materialize=False` exists for
+    # callers whose input is ALREADY a materialized narrow frame inside
+    # a wide concurrent DAG (curate_pipeline_e2e: the extra write
+    # barrier serialized its stage overlap and measured 14.9 -> 16.1 s
+    # at sf1 — the recompute is the cheaper side there).
     scored = tx.with_quality(
         docs.select(id_col, group_col, text_col), text_col
     ).select(
@@ -1171,6 +1188,8 @@ def quality_threshold_gate(
             "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
         ).alias("score_micro"),
     )
+    if materialize:
+        scored = spill_to_parquet(scored, label="qgate")
     hist = scored.groupBy(group_col, "score_micro").agg(
         F.count("*").cast("long").alias("_c")
     )

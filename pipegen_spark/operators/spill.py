@@ -34,11 +34,14 @@ from pyspark.sql import DataFrame
 #: pooled pass runs 8 queries at once and the spilling operators
 #: (pipeline_e2e x2, dsir, entropy x2, kl_drift x2) can hold up to ~16
 #: live dirs across a wave boundary; a cap of 4 could reap a directory
-#: another thread's running query is still reading. 24 = 8 threads x
-#: up-to-2 spills + a full wave of margin; the spilled frames are
-#: narrow aggregates, so the disk envelope stays small.
+#: another thread's running query is still reading. With the r14 qgate
+#: spill (quality_threshold_gate, ridden by percentile/ensemble/e2e) a
+#: query can hold up to 3 live dirs (e2e: curate + kept + qgate), so
+#: the bound is 32 = 8 threads x up-to-3 spills + a wave of margin;
+#: the spilled frames are narrow aggregates, so the disk envelope
+#: stays small.
 _SPILL_DIRS: list[str] = []
-_KEEP_SPILLS = 24
+_KEEP_SPILLS = 32
 
 
 def _reap_spills() -> None:

@@ -3293,8 +3293,14 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cu.classifier_scores(base, "redacted").select(
         "doc_id", F.col("keep").alias("clf_keep")
     )
+    # materialize=False: `base` is already a spilled narrow frame and
+    # this DAG overlaps many concurrent stages — the gate's internal
+    # spill barrier measured 14.9 -> 16.1 s at sf1 here while the
+    # recompute it avoids is one tokenize of the already-materialized
+    # redacted column (see the A/B note at quality_threshold_gate).
     p = cu.quality_threshold_gate(
-        base, text_col="redacted", id_col="doc_id", group_col="source"
+        base, text_col="redacted", id_col="doc_id", group_col="source",
+        materialize=False,
     ).select("doc_id", F.col("keep").alias("pct_keep"))
     # Second stage boundary: the ensemble survivors feed FOUR consumers
     # (LSH pairs, the cluster singleton join, the quality ranking, the

@@ -1896,11 +1896,37 @@ def test_semantic_dedup_ivf_trained_uses_trained_quantizer(spark):
     assert got[100]["is_semantic_dup"] is False
 
 
+def test_quality_gate_materialized_and_lazy_forms_agree(spark):
+    """r14: quality_threshold_gate grew a `materialize` knob (spill the
+    narrow scored frame so the tokenize+quality pass runs once instead
+    of under both the histogram and the join branch). Both forms must
+    emit identical rows — the spill is a plan change, never a semantic
+    one — and the materialized consumer plan must carry NO tokenize
+    Generate (the feature pass lives in the spill-write job)."""
+    from pipegen_spark.operators import curation as cu
+
+    df = spark.createDataFrame(
+        [
+            (i, f"src{i % 2}", " ".join(f"w{j}" for j in range(3 + i % 5)))
+            for i in range(30)
+        ],
+        "doc_id long, source string, text string",
+    )
+    mat = cu.quality_threshold_gate(df).orderBy("doc_id")
+    lazy = cu.quality_threshold_gate(df, materialize=False).orderBy(
+        "doc_id"
+    )
+    assert mat.collect() == lazy.collect()
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan, plan
+
+
 def test_spill_keep_bound_covers_concurrent_queries():
     """r14: spill_to_parquet's retention must cover the pooled bench
-    pass — 8 concurrent queries with up to 2 spills each. A cap of 4
-    (the r13 value) could reap a directory another running query still
-    reads; the bound now holds a full concurrent wave plus margin."""
+    pass — 8 concurrent queries with up to 3 spills each (pipeline_e2e
+    holds curate + kept + the gate's qgate spill). A cap of 4 (the r13
+    value) could reap a directory another running query still reads;
+    the bound now holds a full concurrent wave plus margin."""
     from pipegen_spark.operators import spill as sp
 
-    assert sp._KEEP_SPILLS >= 16
+    assert sp._KEEP_SPILLS >= 24
