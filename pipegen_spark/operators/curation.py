@@ -1543,21 +1543,36 @@ def boilerplate_stats(
     string for its hash64 fingerprint in the group/join keys (the
     rep_ngram convention) to make every shuffle row fixed-width.
     """
+    # r14 (guide §2.4/§1.2 — fewer passes): the shingle stream used to
+    # feed TWO consumers (the distinct-doc frequency aggregate and the
+    # per-doc occurrence join), whose different column pruning defeats
+    # ReuseExchange, so the tokenize+posexplode pass ran twice per
+    # query. Aggregating occurrences to one row per (doc, shingle)
+    # first lets a window over the shingle key derive the document
+    # frequency INSIDE the same subtree — one tokenize pass, and the
+    # boilerplate set never joins back (the s-keyed window exchange
+    # replaces the old distinct + groupBy(s) + join chain outright).
+    # Identical arithmetic: df(s) = rows per s in the (id,s) frame;
+    # boiler_hits = Σ c over shingles with df >= threshold.
+    # Scale note: the window carries one row per DISTINCT (doc,
+    # shingle), the same volume the old distinct shuffled; a single
+    # pathologically universal shingle concentrates its df rows in one
+    # window partition (no map-side partial) — at trillion-doc scale
+    # pre-filter known-universal shingles or split the window key by a
+    # doc-hash salt and sum the two levels.
     sh = dd.shingle_rows(docs, text_col, id_col, k, distinct=False)
-    df = (
-        sh.select("id", "s")
-        .distinct()
-        .groupBy("s")
-        .agg(F.count("*").cast("long").alias("df"))
-        .where(F.col("df") >= df_threshold)
-        .select("s")
-    )
+    tfq = sh.groupBy("id", "s").agg(F.count("*").cast("long").alias("c"))
+    w_s = Window.partitionBy("s")
     per_doc = (
-        sh.join(df.withColumn("_b", F.lit(1)), "s", "left")
+        tfq.withColumn("df", F.count("*").over(w_s).cast("long"))
         .groupBy("id")
         .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= df_threshold, F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("boiler_hits"),
         )

@@ -1165,6 +1165,37 @@ def test_boilerplate_stats_planted(spark):
     assert out[6]["boiler_hits"] == 0
 
 
+def test_boilerplate_stats_single_tokenize_and_occurrence_counts(spark):
+    """r14: df is a window over the (doc, shingle) aggregate, so the
+    corpus tokenizes ONCE (the old distinct+join shape ran the
+    posexplode twice), and a shingle repeated WITHIN one doc counts
+    once toward df but each occurrence toward boiler_hits."""
+    from pipegen_spark.operators import curation as cu
+
+    shared = "alpha beta gamma"
+    rows = [(i, f"{shared} filler{i}") for i in range(4)] + [
+        # doc 4 repeats the shared trigram twice (6 tokens, windows at
+        # positions 1 and 4 are both "alpha beta gamma")
+        (4, f"{shared} {shared}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cu.boilerplate_stats(docs, df_threshold=5).collect()
+    }
+    # df counts doc 4 once: 5 distinct docs -> boilerplate at threshold 5
+    assert out[4]["n_shingles"] == 4
+    assert out[4]["boiler_hits"] == 2  # both occurrences counted
+    for i in range(4):
+        assert out[i]["boiler_hits"] == 1
+    plan = (
+        cu.boilerplate_stats(docs, df_threshold=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Generate posexplode") == 1, head
+
+
 def test_length_histogram_buckets(spark):
     from pipegen_spark.operators import curation as cu
 
