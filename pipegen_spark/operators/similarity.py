@@ -535,10 +535,37 @@ def bitext_margin(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     grp = groups.select(F.col(id_col).alias("id"), "is_src")
-    bv = buckets.join(vecs, "id").join(grp, "id")
+    # r14 (guide §2.4): the src/tgt split used to be PRE-filters on each
+    # side of the bucket self-join; the pushed-down filters made the two
+    # exchange subtrees differ, so the 64-term plane-dot bucket-assign
+    # pass over the corpus ran TWICE. Encoding the split as `side` (1 =
+    # source, 0 = target) and testing `a.side > b.side` IN the join
+    # condition references both sides at once, so the optimizer cannot
+    # push it into either branch — both branches stay the identical
+    # subtree and AQE reuses one shuffle stage (the hard_negatives
+    # shape): one plane-dot assign pass, one bucket exchange.
+    # Semantics unchanged: side_a > side_b  <=>  is_src_a AND NOT
+    # is_src_b, and a null is_src yields a null side, which fails the
+    # condition exactly as it failed both filters.
+    bv = (
+        buckets.join(vecs, "id")
+        .join(grp, "id")
+        .select(
+            "id",
+            "bucket",
+            "v",
+            F.when(F.col("is_src"), F.lit(1))
+            .when(~F.col("is_src"), F.lit(0))
+            .alias("side"),
+        )
+    )
     raw = (
-        bv.filter("is_src").alias("a")
-        .join(bv.filter("NOT is_src").alias("b"), "bucket")
+        bv.alias("a")
+        .join(
+            bv.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.side") > F.col("b.side")),
+        )
         .select(
             F.col("a.id").alias("src_id"),
             F.col("b.id").alias("tgt_id"),

@@ -1617,6 +1617,42 @@ def test_bitext_margin_reference(spark):
     assert got == expect
 
 
+def test_bitext_margin_null_group_dropped_and_single_assign_pass(spark):
+    """r14: the src/tgt split rides the join condition (side_a >
+    side_b), not per-side filters — so (1) a null is_src row must still
+    drop from BOTH sides (the old filter semantics), and (2) the bucket
+    self-join's two branches are the identical subtree, which the
+    engine dedupes to ONE plane-dot assign pass (ReusedExchange /
+    ReusedQueryStage in the executed plan)."""
+    base = spark.createDataFrame(
+        [(i, [1.0 - 0.01 * i, 0.01 * i]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    groups = spark.createDataFrame(
+        # vec 3: null is_src (e.g. null lang) -> excluded entirely
+        [(i, None if i == 3 else (i % 2 == 0)) for i in range(12)],
+        "vec_id long, is_src boolean",
+    )
+    out = sim.bitext_margin(
+        base, groups, F.col("vec_id") == 0, k=2, dim=2
+    )
+    rows = out.collect()
+    ids = {r["vec_id"] for r in rows} | {r["tgt_id"] for r in rows}
+    assert 3 not in ids
+    assert rows  # same-bucket pairs exist at this scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = sim.bitext_margin(
+            base, groups, F.col("vec_id") == 0, k=2, dim=2
+        )
+        df2.collect()
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    head = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in head or "ReusedQueryStage" in head, head
+
+
 def test_dedup_semantic_auto_k_equals_fixed_k_at_test_scale(spark):
     """Round-9 re-point: the gated `dedup_semantic` derives k from the
     corpus size; at test scale the derived k equals KMEANS_K, so its
