@@ -675,10 +675,22 @@ def ngram_jaccard_pairs(
     # but hash-join + hash-agg (codegen) instead of interpreted array ops,
     # and only pairs sharing >= 1 shingle are ever materialized — which is
     # exactly the jac > 0 support set.
+    # r14 (guide §2.4): the per-doc shingle-set size used to be a
+    # separate groupBy branch joined back onto the pair counts — its
+    # subtree differed from the pair join's (different inferred
+    # not-null constraints and shuffle keys), so the tokenize+explode
+    # pass ran TWICE and the result paid two id-keyed joins at the end.
+    # Carrying the size through a window over the (doc, block)
+    # partition (the setjoin prefix discipline) keeps everything in ONE
+    # subtree: one tokenize pass, both self-join branches identical
+    # (ReusedExchange), and na/nb ride the joined rows into the pair
+    # aggregate (constant per group — MAX picks the value).
     ex = shingle_rows(
         df, text_col, id_col, n, extra_cols=(block_col,)
     ).withColumnRenamed(block_col, "blk")
-    sizes = ex.groupBy("id", "blk").agg(F.count("*").alias("n"))
+    ex = ex.withColumn(
+        "n", F.count("*").over(Window.partitionBy("id", "blk"))
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -688,14 +700,14 @@ def ngram_jaccard_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col("id").alias("ida"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("idb"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "ida")
-        .join(nb, "idb")
-        .select(
+        inter.select(
             F.col("ida").alias("doc_a"),
             F.col("idb").alias("doc_b"),
             (

@@ -61,6 +61,26 @@ def test_ngram_jaccard_scores(docs):
     assert jac.get((1, 2)) == 1.0
 
 
+def test_ngram_jaccard_single_tokenize_and_exact_sizes(spark):
+    """r14: set sizes ride a window over the shingle rows instead of a
+    separate groupBy branch, so the corpus tokenizes ONCE and the pair
+    frame needs no size join-back. Partial-overlap pair checks the
+    carried na/nb arithmetic: docs sharing 1 of (2+2-1)=3 distinct
+    bigrams -> jac = 1/3."""
+    rows = [
+        (1, "en", "red fox jumps"),    # bigrams {red fox, fox jumps}
+        (2, "en", "red fox sleeps"),   # shares exactly {red fox}
+        (3, "xx", "red fox jumps"),    # other block: never paired
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = dd.ngram_jaccard_pairs(df, n=2, threshold=0.0)
+    got = {(r.doc_a, r.doc_b): r.jac for r in out.collect()}
+    assert got == {(1, 2): 1.0 / 3.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Generate posexplode") == 1, head
+
+
 def test_brute_force_topk_self_similarity(spark):
     vecs = spark.createDataFrame(
         [
