@@ -1259,8 +1259,19 @@ def tfidf_cosine_pairs(
             ).cast("long").alias("w"),
         )
     )
-    norms = w.groupBy("id").agg(
-        F.sum(F.col("w") * F.col("w")).cast("long").alias("nrm")
+    # r14 (guide §2.4, the ngram_jaccard discipline): the norms used to
+    # be a separate groupBy branch joined back onto the scored pairs
+    # twice at the end; its subtree differed from the numerator
+    # branches', so the tokenize+tf chain re-ran for it. A window over
+    # the id partition computes the identical BIGINT Σw² inside the
+    # weighted frame itself — the norm rides wa/wb into the pair
+    # aggregate (constant per group; MAX picks it) and both end joins
+    # disappear.
+    w = w.withColumn(
+        "nrm",
+        F.sum(F.col("w") * F.col("w"))
+        .over(Window.partitionBy("id"))
+        .cast("long"),
     )
     rare = w.filter(F.col("dfq") <= df_cap).select("id", "s")
     cand = (
@@ -1277,11 +1288,11 @@ def tfidf_cosine_pairs(
     )
     wa = w.select(
         F.col("id").alias("ida"), F.col("s").alias("sa"),
-        F.col("w").alias("va"),
+        F.col("w").alias("va"), F.col("nrm").alias("_na"),
     )
     wb = w.select(
         F.col("id").alias("wb_id"), F.col("s").alias("sb"),
-        F.col("w").alias("vb"),
+        F.col("w").alias("vb"), F.col("nrm").alias("_nb"),
     )
     num = (
         cand.join(wa, "ida")
@@ -1293,18 +1304,16 @@ def tfidf_cosine_pairs(
         .agg(
             F.sum(F.col("va") * F.col("vb")).cast("long").alias("num"),
             F.count("*").cast("long").alias("shared"),
+            F.max("_na").alias("na"),
+            F.max("_nb").alias("nb"),
         )
     )
-    na = norms.select(F.col("id").alias("ida"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("id").alias("idb"), F.col("nrm").alias("nb"))
     cos = (
         "CAST(floor(1000000.0 * CAST(num AS DOUBLE) / "
         "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) AS BIGINT)"
     )
     return (
-        num.join(na, "ida")
-        .join(nb, "idb")
-        .select(
+        num.select(
             F.col("ida").alias("doc_a"),
             F.col("idb").alias("doc_b"),
             "shared",

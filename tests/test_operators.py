@@ -81,6 +81,20 @@ def test_ngram_jaccard_single_tokenize_and_exact_sizes(spark):
     assert head.count("Generate posexplode") == 1, head
 
 
+def test_tfidf_cosine_window_norms_reference(spark):
+    """r14: norms ride a window over the weighted frame instead of a
+    groupBy branch joined back twice. Hand-computed integers: docs 1,2
+    share one of their two trigrams; idf_milli = min(1000*3/df, cap)
+    gives w=1500 (df=2) and w=3000 (df=1); nrm = 1500^2 + 3000^2 =
+    11,250,000 each; num = 1500*1500 -> cos_micro = 200,000."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    rows = dd.tfidf_cosine_pairs(df, threshold_micro=0).collect()
+    assert [tuple(r) for r in rows] == [(1, 2, 1, 2_250_000, 200_000)]
+
+
 def test_brute_force_topk_self_similarity(spark):
     vecs = spark.createDataFrame(
         [
