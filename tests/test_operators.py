@@ -1674,6 +1674,7 @@ def test_bitext_margin_null_group_dropped_and_single_assign_pass(spark):
     ids = {r["vec_id"] for r in rows} | {r["tgt_id"] for r in rows}
     assert 3 not in ids
     assert rows  # same-bucket pairs exist at this scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df2 = sim.bitext_margin(
@@ -1682,7 +1683,9 @@ def test_bitext_margin_null_group_dropped_and_single_assign_pass(spark):
         df2.collect()
         plan = df2._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the session's configured value (unset would fall back
+        # to the engine default, not the fixture's threshold)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     head = plan.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in head or "ReusedQueryStage" in head, head
 
